@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs graft.Verify's output (outDir/<name>/ parquet + oracle_sql.json)
+against DuckDB on the same sf dir and compares: schema (sorted column
+names), row count, and exact values (columns sorted by name, rows
+sorted). Usage:  python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    # Normalize for comparison: parquet may give numpy/list types.
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(got)} rows")
+            continue
+        exp = con.execute(oracle[name]).fetchdf()
+        ok = True
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            ok = False
+        else:
+            g = sorted(tuple(norm(v) for v in row)
+                       for row in got[gc].itertuples(index=False, name=None))
+            e = sorted(tuple(norm(v) for v in row)
+                       for row in exp[ec].itertuples(index=False, name=None))
+            if g != e:
+                ok = False
+                bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
+                print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+        if ok:
+            n_pass += 1
+            print(f"  PASS {name} ({len(got)} rows)")
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
