@@ -1,0 +1,396 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** ETL core (SURVEY.md §2.A) — the reference pipeline's own data
+  * operations, re-expressed as declarative Spark plans.
+  *
+  * Provenance map (reference = TheCardist/WebScrap_DataPipeline):
+  *   - enrich           ← src/process_files.py:34-59 (create_modified_files)
+  *   - normalizeColumns ← src/process_files.py:54,73-79 (column cleanup)
+  *   - filename ts      ← src/utils.py:66-81 (extract_datetime)
+  *   - change detection ← src/utils.py:117-194 (missing/mismatch/combined)
+  *   - SCD current flag ← src/gcp_processes.py:29-47 (remove_current_ind)
+  *   - log summary      ← src/process_files.py:85-124 (create_log_dataframe)
+  *   - merge/union      ← src/process_files.py:62-82 (create_rate_rule_dataframe)
+  *   - latest-wins dedup← src/utils.py:190 (drop_duplicates)
+  *   - validation gate  ← src/utils.py:96-114 (validate_file_download)
+  *   - retry ledger     ← src/web_scrape.py:149-178 (retry decorator)
+  *
+  * Scale notes: enrich/normalize/filename-ts are narrow (zero-shuffle,
+  * fully codegen'd — they run at scan speed on 100 TB). Change
+  * detection is anti-join on keys (state side broadcastable when small).
+  * SCD/dedup/retry are single-shuffle window plans partitioned by the
+  * business key — no global sort. Log summary and validation are
+  * partial-aggregated groupBys.
+  */
+object EtlOps {
+
+  /** Naive-timestamp cast: parquet written by Spark as TIMESTAMP_NTZ is
+    * read back identically by DuckDB (no UTC-adjust flag), so oracle
+    * comparisons see the same wall-clock values. */
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  // ---------------------------------------------------------------- A1
+  /** Reference adds LOC_ID / CURRENT_IND / SRC_FILENAME / LST_UPDT_TS to
+    * every downloaded file (process_files.py:49-52). Spark form: a
+    * narrow projection — constants and derived columns computed at scan
+    * time, no shuffle. */
+  def enrich(docs: DataFrame): DataFrame = {
+    docs.select(
+      upper(col("source")).as("loc_id"),
+      col("doc_id"),
+      col("lang"),
+      col("n_chars"),
+      lit("Y").as("current_ind"),
+      concat(col("source"), lit("_modified.csv")).as("src_filename"),
+      ntz(expr("timestampadd(MINUTE, cast(doc_id as int), timestamp'2024-01-01 00:00:00')"))
+        .as("lst_updt_ts"))
+  }
+
+  def etlEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    enrich(Tables.documents(spark, sfDir))
+
+  val etlEnrichSql: String =
+    """SELECT upper(source) AS loc_id, doc_id, lang, n_chars,
+      |  'Y' AS current_ind,
+      |  source || '_modified.csv' AS src_filename,
+      |  TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS lst_updt_ts
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- A2
+  /** Reference uppercases headers and strips spaces/punctuation
+    * (process_files.py:54,73-79). Pure metadata rename — zero-cost at
+    * any scale (no data movement, plan-level only). */
+  def normalizeColumns(df: DataFrame): DataFrame = {
+    val renamed = df.columns.map { c =>
+      val cleaned = c.trim
+        .replaceAll("[^\\w\\s]", "")
+        .replaceAll("\\s+", "_")
+        .toUpperCase
+      col(c).as(cleaned)
+    }
+    df.select(renamed.toIndexedSeq: _*)
+  }
+
+  def etlNormalizeCols(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeColumns(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority")))
+
+  val etlNormalizeColsSql: String =
+    """SELECT o_orderkey AS O_ORDERKEY, o_custkey AS O_CUSTKEY,
+      |  o_orderstatus AS O_ORDERSTATUS, o_totalprice AS O_TOTALPRICE,
+      |  o_orderpriority AS O_ORDERPRIORITY
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- A3
+  /** Reference parses `MMddyyyy_HH-mm-ss` out of each downloaded
+    * filename (utils.py:66-81). Here filenames are synthesized
+    * deterministically per row, then the regex + timestamp parse runs
+    * exactly as the reference's — all codegen'd string ops. */
+  def etlFilenameTs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val fname = format_string(
+      "%s_%02d%02d2024_%02d-%02d-%02d.csv",
+      upper(col("source")),
+      (col("doc_id") % 12 + 1).cast("int"),
+      (col("doc_id") % 28 + 1).cast("int"),
+      (col("doc_id") % 24).cast("int"),
+      (col("doc_id") % 60).cast("int"),
+      ((col("doc_id") * 7) % 60).cast("int"))
+    docs.select(col("doc_id"), fname.as("src_filename"))
+      .withColumn("ts_raw",
+        regexp_extract(col("src_filename"), "\\d{8}_\\d{2}-\\d{2}-\\d{2}", 0))
+      .withColumn("file_ts", ntz(to_timestamp(col("ts_raw"), "MMddyyyy_HH-mm-ss")))
+      .select(col("doc_id"), col("src_filename"), col("file_ts"))
+  }
+
+  val etlFilenameTsSql: String =
+    """WITH named AS (
+      |  SELECT doc_id,
+      |    printf('%s_%02d%02d2024_%02d-%02d-%02d.csv',
+      |      upper(source),
+      |      CAST(doc_id % 12 + 1 AS INT), CAST(doc_id % 28 + 1 AS INT),
+      |      CAST(doc_id % 24 AS INT), CAST(doc_id % 60 AS INT),
+      |      CAST((doc_id * 7) % 60 AS INT)) AS src_filename
+      |  FROM documents)
+      |SELECT doc_id, src_filename,
+      |  strptime(regexp_extract(src_filename,
+      |    '\d{8}_\d{2}-\d{2}-\d{2}', 0), '%m%d%Y_%H-%M-%S') AS file_ts
+      |FROM named""".stripMargin
+
+  // ---------------------------------------------------------------- A4
+  /** Reference: hotels on the site but absent from the state JSON are
+    * new and need processing (utils.py:117-143, left-only merge).
+    * Spark form: left_anti join — at scale the state side is the small
+    * one and broadcasts; no shuffle of the big side. */
+  def changeMissing(live: DataFrame, state: DataFrame, key: String): DataFrame =
+    live.join(broadcast(state), Seq(key), "left_anti")
+
+  def etlChangeMissing(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    changeMissing(
+      customer.select(col("c_custkey"), col("c_name")),
+      orders.select(col("o_custkey").as("c_custkey")).distinct(),
+      "c_custkey")
+  }
+
+  val etlChangeMissingSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------- A5
+  /** Reference: hotels whose lst_optimization in the DB differs from
+    * the state JSON (utils.py:145-165, outer-merge left_only). Spark
+    * form: anti join on the composite (key, version-ts). */
+  def changeMismatch(live: DataFrame, state: DataFrame, keys: Seq[String]): DataFrame =
+    live.join(state, keys, "left_anti")
+
+  /** live = latest order date per customer; state = same snapshot
+    * restricted to orders before 1997 (simulating a stale state file). */
+  def etlChangeMismatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val live = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lst_optimization"))
+    val state = orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lst_optimization"))
+    changeMismatch(live, state, Seq("o_custkey", "lst_optimization"))
+      .select(col("o_custkey"), ntz(col("lst_optimization")).as("lst_optimization"))
+  }
+
+  val etlChangeMismatchSql: String =
+    """WITH live AS (
+      |  SELECT o_custkey, max(o_orderdate) AS lst_optimization
+      |  FROM orders GROUP BY o_custkey),
+      |state AS (
+      |  SELECT o_custkey, max(o_orderdate) AS lst_optimization
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY o_custkey)
+      |SELECT l.o_custkey, l.lst_optimization FROM live l
+      |WHERE NOT EXISTS (SELECT 1 FROM state s
+      |  WHERE s.o_custkey = l.o_custkey
+      |    AND s.lst_optimization = l.lst_optimization)""".stripMargin
+
+  // ---------------------------------------------------------------- A6
+  /** Reference combines missing + mismatched hotels, dropping duplicate
+    * keys (utils.py:168-194). Spark: union of the two anti-joins then
+    * key-dedup; dedup is a single shuffle on the key. */
+  def etlChangeCombined(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val live = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lst_optimization"))
+    val state = orders
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lst_optimization"))
+    val missing = live.join(state, Seq("o_custkey"), "left_anti")
+    val mismatched = live.join(state, Seq("o_custkey", "lst_optimization"), "left_anti")
+    missing.unionByName(mismatched)
+      .select(col("o_custkey"), ntz(col("lst_optimization")).as("lst_optimization"))
+      .dropDuplicates("o_custkey")
+      // dropDuplicates keeps an arbitrary row; here both branches carry
+      // identical lst_optimization per key, so the result is still
+      // deterministic — but keep a canonical form anyway:
+      .groupBy(col("o_custkey")).agg(max(col("lst_optimization")).as("lst_optimization"))
+  }
+
+  val etlChangeCombinedSql: String =
+    """WITH live AS (
+      |  SELECT o_custkey, max(o_orderdate) AS lst_optimization
+      |  FROM orders GROUP BY o_custkey),
+      |state AS (
+      |  SELECT o_custkey, max(o_orderdate) AS lst_optimization
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY o_custkey),
+      |missing AS (
+      |  SELECT l.* FROM live l WHERE NOT EXISTS
+      |    (SELECT 1 FROM state s WHERE s.o_custkey = l.o_custkey)),
+      |mismatched AS (
+      |  SELECT l.* FROM live l WHERE NOT EXISTS
+      |    (SELECT 1 FROM state s WHERE s.o_custkey = l.o_custkey
+      |       AND s.lst_optimization = l.lst_optimization))
+      |SELECT o_custkey, max(lst_optimization) AS lst_optimization
+      |FROM (SELECT * FROM missing UNION ALL SELECT * FROM mismatched)
+      |GROUP BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- A7
+  /** Reference clears CURRENT_IND='Y' for re-loaded hotels then appends
+    * fresh rows flagged 'Y' (gcp_processes.py:29-47) — i.e. latest
+    * record per key is current. Spark form: row_number window per key
+    * (one shuffle on the key, no global sort), flag rn=1. */
+  def scdCurrentFlag(df: DataFrame, key: Column, version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(version.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("current_ind", when(col("__rn") === 1, lit("Y")).otherwise(lit(null).cast("string")))
+      .drop("__rn")
+  }
+
+  def etlScdCurrent(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    scdCurrentFlag(orders, col("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntz(col("o_orderdate")).as("o_orderdate"), col("current_ind"))
+  }
+
+  val etlScdCurrentSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CASE WHEN row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      |  THEN 'Y' ELSE NULL END AS current_ind
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- A8
+  /** Reference builds a per-file ingest log: LOC_ID, DATA_AMT, filename,
+    * timestamps (process_files.py:85-124). Spark: groupBy source with
+    * partial aggregation — one shuffle on the (small) source key. */
+  def etlLogSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.groupBy(upper(col("source")).as("loc_id"))
+      .agg(
+        count(lit(1)).as("data_amt"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id"))
+      .withColumn("creat_ts", ntz(lit("2024-06-01 00:00:00").cast("timestamp")))
+  }
+
+  val etlLogSummarySql: String =
+    """SELECT upper(source) AS loc_id, count(*) AS data_amt,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id,
+      |  TIMESTAMP '2024-06-01 00:00:00' AS creat_ts
+      |FROM documents GROUP BY upper(source)""".stripMargin
+
+  // ---------------------------------------------------------------- A9
+  /** Reference concats per-hotel frames into one (process_files.py:62-82,
+    * pd.concat). Spark: unionByName with missing-column fill — schema
+    * alignment is plan-level, the union itself is zero-shuffle. */
+  def mergeUnion(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  def etlMergeUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val b = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    mergeUnion(Seq(a, b))
+  }
+
+  val etlMergeUnionSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(NULL AS VARCHAR) AS o_orderstatus
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+      |  o_orderstatus
+      |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
+
+  // ---------------------------------------------------------------- A10
+  /** Reference drop_duplicates(subset=['hotel_cd']) keeps one row per
+    * key (utils.py:190). Spark's deterministic form: explicit
+    * latest-wins via row_number (arbitrary-row dropDuplicates is not
+    * reproducible across cluster runs — a correctness bug at scale). */
+  def latestWins(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  def etlDedupKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    latestWins(orders, col("o_custkey"), Seq(col("o_totalprice"), col("o_orderkey")))
+  }
+
+  val etlDedupKeySql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- A11
+  /** Reference validates downloads before processing (utils.py:96-114).
+    * Spark form: a one-pass data-quality gate — conditional aggregates,
+    * all map-side until the final single-row combine. */
+  def etlValidate(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    orders.agg(
+      count(lit(1)).as("rows_total"),
+      count(col("o_custkey")).as("custkey_nonnull"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("bad_status_rows"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price_rows"),
+      countDistinct(col("o_orderkey")).as("distinct_orderkeys"))
+  }
+
+  val etlValidateSql: String =
+    """SELECT count(*) AS rows_total,
+      |  count(o_custkey) AS custkey_nonnull,
+      |  CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS bad_status_rows,
+      |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price_rows,
+      |  count(DISTINCT o_orderkey) AS distinct_orderkeys
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- A15
+  /** Reference retries failed downloads up to 2 extra times
+    * (web_scrape.py:149-178 @retry). Spark form: an attempt ledger —
+    * first 3 'error' events per user ranked by time; single shuffle on
+    * the user key. */
+  def etlRetryLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.filter(col("event_type") === "error")
+      .withColumn("attempt_no", row_number().over(w))
+      .filter(col("attempt_no") <= 3)
+      .select(col("user_id"), col("attempt_no"), ntz(col("ts")).as("ts"),
+        col("event_id"))
+  }
+
+  val etlRetryLedgerSql: String =
+    """SELECT user_id, attempt_no, ts, event_id FROM (
+      |  SELECT user_id, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS attempt_no
+      |  FROM events WHERE event_type = 'error')
+      |WHERE attempt_no <= 3""".stripMargin
+
+  // ----------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_enrich" -> etlEnrich _,
+    "etl_normalize_cols" -> etlNormalizeCols _,
+    "etl_filename_ts" -> etlFilenameTs _,
+    "etl_change_missing" -> etlChangeMissing _,
+    "etl_change_mismatch" -> etlChangeMismatch _,
+    "etl_change_combined" -> etlChangeCombined _,
+    "etl_scd_current" -> etlScdCurrent _,
+    "etl_log_summary" -> etlLogSummary _,
+    "etl_merge_union" -> etlMergeUnion _,
+    "etl_dedup_key" -> etlDedupKey _,
+    "etl_validate" -> etlValidate _,
+    "etl_retry_ledger" -> etlRetryLedger _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "etl_enrich" -> etlEnrichSql,
+    "etl_normalize_cols" -> etlNormalizeColsSql,
+    "etl_filename_ts" -> etlFilenameTsSql,
+    "etl_change_missing" -> etlChangeMissingSql,
+    "etl_change_mismatch" -> etlChangeMismatchSql,
+    "etl_change_combined" -> etlChangeCombinedSql,
+    "etl_scd_current" -> etlScdCurrentSql,
+    "etl_log_summary" -> etlLogSummarySql,
+    "etl_merge_union" -> etlMergeUnionSql,
+    "etl_dedup_key" -> etlDedupKeySql,
+    "etl_validate" -> etlValidateSql,
+    "etl_retry_ledger" -> etlRetryLedgerSql
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EtlOps
+import graft.sources.Sources
+
+class EtlSpec extends SparkSuite {
+
+  test("enrich adds the four reference metadata columns") {
+    val out = EtlOps.etlEnrich(spark, sf)
+    assert(out.columns.toSet ==
+      Set("loc_id", "doc_id", "lang", "n_chars", "current_ind", "src_filename", "lst_updt_ts"))
+    val r = out.filter(col("doc_id") === 7).collect().head
+    assert(r.getAs[String]("loc_id") == "SRC7")
+    assert(r.getAs[String]("current_ind") == "Y")
+    assert(r.getAs[String]("src_filename") == "src7_modified.csv")
+  }
+
+  test("normalizeColumns matches the reference's header cleanup") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("Rate Rule (USD)", "loc-id")
+    assert(EtlOps.normalizeColumns(df).columns.toSeq == Seq("RATE_RULE_USD", "LOCID"))
+  }
+
+  test("filename ts parses MMddyyyy_HH-mm-ss like the reference") {
+    val r = EtlOps.etlFilenameTs(spark, sf).filter(col("doc_id") === 0).collect().head
+    // doc_id 0 -> month 1, day 1, 00:00:00
+    assert(r.getAs[java.time.LocalDateTime]("file_ts").toString == "2024-01-01T00:00")
+  }
+
+  test("scd current flag marks exactly one current row per key") {
+    val out = EtlOps.etlScdCurrent(spark, sf)
+    val perKey = out.filter(col("current_ind") === "Y")
+      .groupBy("o_custkey").count().filter(col("count") =!= 1).count()
+    assert(perKey == 0)
+  }
+
+  test("change detection: mismatch rows are customers with post-1997 activity") {
+    val out = EtlOps.etlChangeMismatch(spark, sf)
+    val bad = out.filter(col("lst_optimization") < lit("1997-01-01").cast("timestamp_ntz")).count()
+    assert(bad == 0)
+  }
+
+  test("latest-wins dedup keeps one row per key, highest order value") {
+    val out = EtlOps.etlDedupKey(spark, sf)
+    assert(out.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("pipe csv source captures filename metadata at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "HOTELA_06152024_10-30-00.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("rate|room"); w.println("100.5|STD"); w.println("88.0|DLX"); w.close()
+    val df = Sources.readDelimited(spark, dir.getAbsolutePath)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("loc_id") == "HOTELA"))
+    assert(rows.forall(_.getAs[String]("src_filename") == "HOTELA_06152024_10-30-00.csv"))
+    assert(df.filter(col("file_ts") === lit("2024-06-15 10:30:00").cast("timestamp")).count() == 2)
+  }
+
+  test("partitioned parquet sink round-trips with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sf).limit(100)
+    Sources.writePartitioned(EtlOps.enrich(docs), dir, Seq("loc_id"), mode = "overwrite")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    // partition filter prunes to one directory
+    val one = back.filter(col("loc_id") === "SRC1")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+  }
+
+  test("json state round-trip (optimizations.json analog)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toFile.getAbsolutePath + "/state"
+    val state = Seq(("HOTELA", "2024-01-01 10:00"), ("HOTELB", "2024-02-02 11:00"))
+      .toDF("hotel_cd", "lst_optimization")
+    Sources.writeJsonState(state, dir)
+    val back = Sources.readJsonState(spark, dir)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("hotel_cd", "lst_optimization"))
+  }
+
+  test("json state reads the reference's pretty-printed array layout") {
+    val f = java.nio.file.Files.createTempDirectory("graft_json2").resolve("optimizations.json")
+    java.nio.file.Files.writeString(f,
+      """[
+        |  {"hotel_cd": "SAMPLE", "lst_optimization": "2024-01-0112:00"},
+        |  {"hotel_cd": "OTHER", "lst_optimization": "2024-02-0209:30"}
+        |]""".stripMargin)
+    val back = Sources.readJsonState(spark, f.toString, multiLine = true)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("hotel_cd", "lst_optimization"))
+  }
+
+  test("retry ledger caps attempts at 3 per user, time-ordered") {
+    val out = EtlOps.etlRetryLedger(spark, sf).collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.values.forall(_.length <= 3))
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("attempt_no"))
+      val ts = sorted.map(_.getAs[java.time.LocalDateTime]("ts"))
+      assert(ts.zip(ts.tail).forall { case (a, b) => !a.isAfter(b) })
+    }
+  }
+}

@@ -14,14 +14,41 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    # Normalize for comparison: parquet may give numpy/list types.
-    if isinstance(v, float):
-        return v
+    """Canonicalize a cell to a sortable, equality-stable token.
+
+    Handles the cross-engine representation skew: NULL→None vs NaN,
+    numpy scalars, tz-aware vs naive timestamps, nested lists.
+    """
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):  # covers numpy float64 too
+        if v != v:
+            return ("f", "nan")
+        return ("f", repr(float(v)))
+    if hasattr(v, "isoformat"):  # datetime/pd.Timestamp/date; NaT too
+        try:
+            if getattr(v, "tzinfo", None) is not None:
+                try:
+                    v = v.tz_convert("UTC").tz_localize(None)
+                except (TypeError, AttributeError):
+                    import datetime as _dt
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return ("t", v.isoformat())
+        except ValueError:  # NaT
+            return ("t", "NaT")
     if hasattr(v, "tolist"):
         v = v.tolist()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+        if not isinstance(v, list):
+            return norm(v)
+    if isinstance(v, (list, tuple)):
+        return ("l",) + tuple(norm(x) for x in v)
+    if isinstance(v, bool):
+        return ("b", str(v))
+    if isinstance(v, int):
+        return ("i", str(v))
+    if isinstance(v, bytes):
+        return ("y", v.hex())
+    return ("s", str(v))
 
 
 def main(sf_dir, out_dir):
