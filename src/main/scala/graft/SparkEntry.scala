@@ -20,10 +20,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ EtlOps.queries
+    Analytics.queries ++ EtlOps.queries ++ TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    Analytics.oracleSql ++ EtlOps.oracleSql
+    Analytics.oracleSql ++ EtlOps.oracleSql ++ TextOps.oracleSql
 }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for graft's text/dedup/similarity
+  * kernels (SURVEY.md §4). Each stays inside whole-stage codegen via
+  * `defineCodeGen` delegating to the static [[GraftHash]] kernels — one
+  * static call per row, no boxing, no UDF serialization overhead.
+  * (Preference order per the build brief: native Expression > UDF.)
+  */
+
+/** 64-bit polynomial rolling hash of a string's UTF-8 bytes. */
+case class RollingHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rolling_hash64"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.rolling64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.rolling64($c)")
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(c)
+}
+
+/** Hashes of k-token shingles (order-sensitive windows over
+  * whitespace tokens) — the dedup family's unit of comparison. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** MinHash signature (numPerm universal-hash minima) over an array of
+  * element hashes. */
+case class MinHashSig(child: Expression, numPerm: Int, seed: Long)
+    extends UnaryExpression {
+  require(numPerm >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.minhash(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numPerm, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.minhash($c, $numPerm, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** 64-bit SimHash of a string's whitespace tokens. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash64"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.simhash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** Hamming distance between two 64-bit hashes (popcount of XOR). */
+case class HammingDist64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hamming64"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.hamming64($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist64 =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity of two float vectors (double accumulation) — the
+  * ANN/dedup hot loop; native expression keeps it in whole-stage
+  * codegen (vs the boxing-heavy zip_with/aggregate composition). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine_sim"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.cosineF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** L2 distance of two float vectors. */
+case class L2Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2_dist"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.l2F(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.l2F($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Dist =
+    copy(left = l, right = r)
+}
+
+/** Column-API façade for the graft expressions. */
+object gf {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def rolling_hash64(c: Column): Column = col(RollingHash64(ex(c)))
+  def shingle_hashes(c: Column, k: Int): Column = col(ShingleHashes(ex(c), k))
+  def minhash_sig(c: Column, numPerm: Int, seed: Long): Column =
+    col(MinHashSig(ex(c), numPerm, seed))
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def hamming64(a: Column, b: Column): Column = col(HammingDist64(ex(a), ex(b)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def l2_dist(a: Column, b: Column): Column = col(L2Dist(ex(a), ex(b)))
+
+  /** Register all graft expressions for SQL use (idempotent). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_rolling_hash64",
+      es => RollingHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hamming64",
+      es => HammingDist64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine_sim",
+      es => CosineSim(es(0), es(1)), "built-in")
+  }
+}

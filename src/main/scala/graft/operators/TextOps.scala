@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.gf
+
+/** Text analysis operators over the documents table (SURVEY.md §2.C) —
+  * the per-document scoring/fingerprinting stages of a training-data
+  * pipeline. Every operator is a narrow, zero-shuffle projection:
+  * at 100 TB these run at scan speed, fully inside whole-stage codegen
+  * (built-in string functions + native graft expressions; no UDFs).
+  */
+object TextOps {
+
+  private val wsPat = "\\s+"
+  // BPE-ish pre-tokenizer: letter runs, digit runs, single symbols —
+  // ASCII classes only so Java regex (Spark) and RE2 (DuckDB oracle)
+  // agree byte-for-byte.
+  private val rePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  // ---------------------------------------------------------------- C1
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars. */
+  def textTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      length($"text").as("n_chars_actual"),
+      size(split(trim($"text"), wsPat)).as("n_ws_tokens"),
+      regexp_count($"text", lit(rePat)).as("n_re_tokens"))
+  }
+
+  val textTokenCountSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_actual,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_re_tokens
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- C2
+  /** Quality scoring: alpha/punct/stopword ratios + length factor →
+    * composite score. All-double arithmetic written with the exact
+    * same tree as the oracle so the bits match. */
+  def textQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val nChars = length($"text")
+    val nAlpha = length(regexp_replace($"text", "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace($"text", "[^.,;:!?]", ""))
+    val toks = split(trim($"text"), wsPat)
+    val nToks = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of", "and", "is", "in", "to"))))
+    docs.select(
+        $"doc_id",
+        nChars.as("n_chars_actual"),
+        (nAlpha / nChars).as("alpha_ratio"),
+        (nPunct / nChars).as("punct_ratio"),
+        (nStop / nToks).as("stopword_ratio"),
+        nToks.as("n_ws_tokens"))
+      .withColumn("quality_score",
+        lit(0.4) * col("alpha_ratio")
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(lit(1.0), col("n_ws_tokens") / lit(100.0)))
+  }
+
+  val textQualityScoreSql: String =
+    """SELECT doc_id, n_chars_actual, alpha_ratio, punct_ratio,
+      |  stopword_ratio, n_ws_tokens,
+      |  0.4 * alpha_ratio + 0.3 * (1.0 - punct_ratio)
+      |    + 0.3 * least(1.0, n_ws_tokens / 100.0) AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars_actual,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
+      |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) AS punct_ratio,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x IN ('the','a','of','and','is','in','to')))
+      |      / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens
+      |  FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- C3
+  /** Language ID by marker-word scoring: count per-language function
+    * words, argmax with a fixed priority tie-break. A deterministic
+    * n-gram-free heuristic — the mechanism a real lang-ID stage uses,
+    * expressible in both engines. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|is|of|and|was)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|et|est|une)\\b",
+    "es" -> "\\b(el|los|las|y|es)\\b")
+
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val scored = docs.select(
+      ($"doc_id" +: langMarkers.map { case (l, pat) =>
+        regexp_count($"text", lit(pat)).as(s"score_$l")
+      }): _*)
+    // strictly-greater chain = earlier language wins ties (same CASE as oracle)
+    val best =
+      when(col("score_es") > greatest(col("score_en"), col("score_de"), col("score_fr")), lit("es"))
+        .when(col("score_fr") > greatest(col("score_en"), col("score_de")), lit("fr"))
+        .when(col("score_de") > col("score_en"), lit("de"))
+        .otherwise(lit("en"))
+    scored.withColumn("lang_guess",
+      when(greatest(langMarkers.map { case (l, _) => col(s"score_$l") }: _*) === 0, lit("und"))
+        .otherwise(best))
+  }
+
+  val textLangIdSql: String = {
+    val scores = langMarkers.map { case (l, pat) =>
+      s"len(regexp_extract_all(text, '${pat.replace("\\", "\\")}')) AS score_$l"
+    }.mkString(",\n    ")
+    """SELECT doc_id, score_en, score_de, score_fr, score_es,
+      |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+      |    WHEN score_es > greatest(score_en, score_de, score_fr) THEN 'es'
+      |    WHEN score_fr > greatest(score_en, score_de) THEN 'fr'
+      |    WHEN score_de > score_en THEN 'de'
+      |    ELSE 'en' END AS lang_guess
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\b(the|is|of|and|was)\b')) AS INT) AS score_en,
+      |    CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS INT) AS score_de,
+      |    CAST(len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS INT) AS score_fr,
+      |    CAST(len(regexp_extract_all(text, '\b(el|los|las|y|es)\b')) AS INT) AS score_es
+      |  FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C4
+  /** Document fingerprinting: md5 of the raw text and of the
+    * whitespace-normalized lowercased text (the exact-dedup keys). */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      md5($"text".cast("binary")).as("md5_raw"),
+      md5(lower(trim(regexp_replace($"text", wsPat, " "))).cast("binary")).as("md5_norm"))
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS md5_raw,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS md5_norm
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- C5
+  /** Shingle statistics + 64-bit content hashes via the native graft
+    * expressions (rolling hash, SimHash). Not ANSI-SQL-expressible →
+    * rows-only driver check; semantics pinned by TextSpec. */
+  def textShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = gf.shingle_hashes($"text", 3)
+    Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      size(split(trim($"text"), wsPat)).as("n_ws_tokens"),
+      size(sh).as("n_shingles"),
+      size(array_distinct(sh)).as("n_distinct_shingles"),
+      gf.rolling_hash64($"text").as("rolling_hash64"),
+      gf.simhash64($"text").as("simhash64"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> textTokenCount _,
+    "text_quality_score" -> textQualityScore _,
+    "text_lang_id" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _,
+    "text_shingles" -> textShingles _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_token_count" -> textTokenCountSql,
+    "text_quality_score" -> textQualityScoreSql,
+    "text_lang_id" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql
+    // text_shingles: native expressions, rows-only check
+  )
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression
+  * converters. Spark 4 made `Column` wrap an opaque ColumnNode; the
+  * supported way for extension libraries to expose native Catalyst
+  * expressions as Columns is exactly this shim (cf. the public
+  * `org.apache.spark.sql` package objects used by Delta/Qbeast-style
+  * extensions). This is the only file that lives outside the graft
+  * namespace, and it contains no logic.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
