@@ -154,6 +154,30 @@ object GraftHash {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Random-hyperplane sign bits (Charikar LSH for cosine): bit j is
+    * the sign of the dot product with a pseudo-random hyperplane whose
+    * coefficients derive from splitmix64(seed, j, dim). Identical
+    * vectors → identical buckets for any seed, so exact-duplicate
+    * recall is 1.0 by construction. */
+  def signBits(v: ArrayData, numBits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var j = 0
+    while (j < numBits) {
+      val base = seed + j.toLong * 0x9e3779b97f4a7c15L
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // mix64 output treated as signed 64-bit → symmetric coefficient
+        dot += v.getFloat(i).toDouble * (mix64(base + i).toDouble / 9.223372036854776e18)
+        i += 1
+      }
+      if (dot > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** Euclidean (L2) distance of two float vectors in double. */
   def l2F(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

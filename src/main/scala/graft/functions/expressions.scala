@@ -116,6 +116,22 @@ case class L2Dist(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-bit LSH bucket (Charikar random hyperplanes) of a float
+  * vector: `numBits` sign bits under hyperplanes derived from `seed`. */
+case class SignBits64(child: Expression, numBits: Int, seed: Long)
+    extends UnaryExpression {
+  require(numBits >= 1 && numBits <= 64)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sign_bits64"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.signBits(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.signBits($c, $numBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SignBits64 = copy(child = c)
+}
+
 /** Column-API façade for the graft expressions. */
 object gf {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -129,6 +145,8 @@ object gf {
   def hamming64(a: Column, b: Column): Column = col(HammingDist64(ex(a), ex(b)))
   def cosine_sim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def l2_dist(a: Column, b: Column): Column = col(L2Dist(ex(a), ex(b)))
+  def sign_bits64(c: Column, numBits: Int, seed: Long): Column =
+    col(SignBits64(ex(c), numBits, seed))
 
   /** Register all graft expressions for SQL use (idempotent). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

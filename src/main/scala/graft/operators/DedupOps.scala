@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.gf
+
+/** Deduplication family (SURVEY.md §2.D) — the core operators of a
+  * 100 TB training-data pipeline: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Scale architecture (the whole point of these plans):
+  *   - NOTHING is ever compared all-pairs. Every candidate generator is
+  *     an equi-join on a bucket key (content hash, LSH band hash,
+  *     SimHash band, sign-bucket) — shuffle cost is linear in rows,
+  *     quadratic only within a bucket.
+  *   - Signatures (shingles → MinHash / SimHash) are computed once in a
+  *     narrow codegen'd projection, carried as compact fixed-width
+  *     payloads, and re-joined by id for verification — the wide text
+  *     column never enters a shuffle.
+  *   - All hashes/signatures come from the deterministic graft
+  *     expressions, so results are reproducible under any partitioning,
+  *     speculative execution, or retry schedule.
+  *
+  * The synthetic documents table has no natural duplicates, so every
+  * operator runs over `corpus(...)`: documents ∪ exact re-scrapes
+  * (doc_id+100000, every 10th doc) ∪ near-duplicates (doc_id+200000,
+  * every 10th doc offset 5, one token appended). Deterministic and
+  * mirrored exactly in the DuckDB oracles.
+  */
+object DedupOps {
+
+  val ExactCopyOffset = 100000L
+  val NearCopyOffset = 200000L
+
+  /** Test corpus with planted exact and near duplicates. */
+  def corpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val exactCopies = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + ExactCopyOffset).as("doc_id"), col("text"))
+    val nearCopies = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + NearCopyOffset).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    base.unionByName(exactCopies).unionByName(nearCopies)
+  }
+
+  private val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' extra' FROM documents WHERE doc_id % 10 = 5)""".stripMargin
+
+  // ---------------------------------------------------------------- D1
+  /** Exact dedup: hash-groupBy on content hash. One shuffle on the
+    * 16-byte digest (never on the text); groups >1 are duplicate sets.
+    * The canonical survivor is min(doc_id) — deterministic. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    corpus(Tables.documents(spark, sfDir))
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc_id"),
+        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+  }
+
+  val dedupExactSql: String =
+    s"""WITH $corpusSql
+       |SELECT md5(text) AS content_hash, count(*) AS n_docs,
+       |  min(doc_id) AS canonical_doc_id,
+       |  list_sort(list(doc_id)) AS doc_ids
+       |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin
+
+  // ---------------------------------------------------------------- D2
+  /** MinHash + LSH near-dup detection, the full scale pipeline:
+    * shingle(3) → distinct → 128-perm MinHash → 16 bands × 8 rows →
+    * band-hash equi-self-join → distinct candidate pairs → signature
+    * re-join → estimated Jaccard ≥ threshold.
+    *
+    * At 100 TB: the bands relation is 16 small rows per doc keyed by
+    * (band_id, band_hash); the self-join shuffles only that. Candidate
+    * verification joins the compact (id, sig) relation twice by id. */
+  def minhashPipeline(docs: DataFrame, threshold: Double): DataFrame = {
+    val numPerm = 128
+    val bandsN = 16
+    val rowsPerBand = numPerm / bandsN
+    val sigCol = gf.minhash_sig(
+      array_distinct(gf.shingle_hashes(col("text"), 3)), numPerm, 42L)
+    val sigs = docs.select(col("doc_id"), sigCol.as("sig"))
+
+    val bands = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bandsN - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id1"))
+    val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id2"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+
+    val s1 = sigs.select(col("doc_id").as("id1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("id2"), col("sig").as("sig2"))
+    candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          / lit(128.0))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPipeline(corpus(Tables.documents(spark, sfDir)), 0.5)
+
+  // ---------------------------------------------------------------- D3
+  /** SimHash near-dup: 64-bit signature, banded into 4×16-bit keys for
+    * candidate generation (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal),
+    * exact Hamming ≤ 3 verification. */
+  def simhashPipeline(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"), gf.simhash64(col("text")).as("sim"))
+    val bands = sigs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val a = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("id1"), col("sim").as("sim1"))
+    val b = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("id2"), col("sim").as("sim2"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        gf.hamming64(col("sim1"), col("sim2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPipeline(corpus(Tables.documents(spark, sfDir)), 3)
+
+  // ---------------------------------------------------------------- D4
+  /** Exact n-gram Jaccard, verified only on LSH candidates (never
+    * all-pairs): true |A∩B|/|A∪B| over distinct 3-token shingles. */
+  def ngramJaccardPipeline(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingled = docs.select(col("doc_id"),
+      array_distinct(gf.shingle_hashes(col("text"), 3)).as("sh"))
+    val candidates = minhashPipeline(docs, 0.3).select("id1", "id2")
+    val s1 = shingled.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val s2 = shingled.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+          / size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPipeline(corpus(Tables.documents(spark, sfDir)), 0.5)
+
+  // ---------------------------------------------------------------- D5
+  /** Embedding-cosine near-dup over a corpus with planted duplicate
+    * vectors. Candidates come from sign-LSH buckets (4 tables × 8
+    * hyperplane sign bits): identical vectors always share all buckets,
+    * so recall on exact dups is 1.0 by construction and the oracle can
+    * be the brute-force quadratic form — results agree whenever no
+    * natural pair sits in [τ, 1) (true here: max natural cosine ≈0.44,
+    * τ=0.99). At scale the bucket join replaces the O(n²) cross. */
+  def embeddingCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + ExactCopyOffset).as("vec_id"), col("embedding"))
+    base.unionByName(copies)
+  }
+
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = embeddingCorpus(Tables.embeddings(spark, sfDir))
+    val buckets = AnnOps.signBuckets(vecs, "vec_id", numTables = 4, bitsPerTable = 8)
+    val a = buckets.select(col("table_id"), col("bucket"), col("vec_id").as("id1"))
+    val b = buckets.select(col("table_id"), col("bucket"), col("vec_id").as("id2"))
+    val candidates = a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct()
+    val v1 = vecs.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val v2 = vecs.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    candidates.join(v1, "id1").join(v2, "id2")
+      .withColumn("sim", round(gf.cosine_sim(col("e1"), col("e2")), 6))
+      .filter(col("sim") >= 0.99)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      |FROM corpus a, corpus b
+      |WHERE a.vec_id < b.vec_id
+      |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_embedding" -> dedupEmbedding _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_embedding" -> dedupEmbeddingSql
+    // minhash/simhash/ngram: native signatures → rows-only driver
+    // check; semantics pinned by DedupSpec.
+  )
+}
