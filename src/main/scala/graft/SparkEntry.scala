@@ -21,11 +21,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ EtlOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ AnnOps.queries
+      DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ EtlOps.oracleSql ++ TextOps.oracleSql ++
-      DedupOps.oracleSql ++ AnnOps.oracleSql
+      DedupOps.oracleSql ++ AnnOps.oracleSql ++ MultimodalOps.oracleSql
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, MultimodalOps}
+import graft.streaming.StreamingOps
+
+class MultimodalSpec extends SparkSuite {
+
+  test("mm_meta: digest/magic/n_bytes consistent with the raw text") {
+    val r = MultimodalOps.mmMeta(spark, sf).filter(col("doc_id") === 0).collect().head
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    assert(r.getAs[Int]("n_bytes") == text.getBytes("UTF-8").length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("digest") == md)
+    assert(r.getAs[String]("magic") ==
+      text.take(4).getBytes("UTF-8").map("%02X".format(_)).mkString)
+  }
+
+  test("frame sampling: every 10th index, count = ceil(n_frames/10)") {
+    val rows = MultimodalOps.mmFrameSample(spark, sf)
+      .groupBy("doc_id", "n_frames").agg(count(lit(1)).as("n"),
+        max("frame_idx").as("max_idx")).collect()
+    rows.foreach { r =>
+      val nf = r.getAs[Int]("n_frames")
+      assert(r.getAs[Long]("n") == (nf + 9) / 10)
+      assert(r.getAs[Int]("max_idx") < nf)
+    }
+  }
+
+  test("batched feature extraction: deterministic stub features, full batches") {
+    import spark.implicits._
+    val media = MultimodalOps.mediaDataset(spark, sf).repartition(2)
+    val out = MultimodalOps.extractFeatures(media, batchSize = 32).collect()
+    assert(out.length == 500)
+    // batching: per partition, all but the last batch are full
+    // (batch ids restart per partition, so global count per id is a
+    // multiple of what two partitions contribute)
+    assert(out.map(_.batch_id).max >= 6) // ~250 rows/partition / 32
+    // determinism + stub semantics
+    val one = out.find(_.doc_id == 0).get
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    assert(one.features.toSeq == MultimodalOps.fakeDecode(text.getBytes("UTF-8")).toSeq)
+    assert(one.features.length == 8)
+  }
+}
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Write the events table into `n` time-ordered parquet files so the
+    * file stream source replays them as separate micro-batches. */
+  private def stageEvents(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val cuts = if (n <= 1) Array.empty[Double]
+      else ev.stat.approxQuantile("event_id", (1 to n - 1).map(_.toDouble / n).toArray, 0.0)
+    val bounds = (Array(Long.MinValue.toDouble) ++ cuts :+ Long.MaxValue.toDouble).map(_.toLong)
+    bounds.sliding(2).zipWithIndex.foreach { case (Array(lo, hi), i) =>
+      ev.filter($"event_id" >= lo && $"event_id" < hi)
+        .coalesce(1).write.parquet(s"$dir/batch_$i")
+      Thread.sleep(1100) // distinct mtimes → deterministic replay order
+    }
+    dir
+  }
+
+  private val streamSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  private def readStreamFrom(dir: String) =
+    spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir + "/batch_*")
+
+  test("G1: streaming windowed counts match the batch twin on finalized windows") {
+    val dir = stageEvents(3)
+    val q = StreamingOps.windowCounts(readStreamFrom(dir))
+      .writeStream.format("memory").queryName("g1").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("g1").collect()
+    assert(got.nonEmpty, "no windows finalized — watermark never advanced")
+    val batch = Analytics.qEventsWindow(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("hour"), r.getAs[String]("event_type"))
+        -> r.getAs[Long]("n_events")).toMap
+    got.foreach { r =>
+      val key = (r.getAs[java.sql.Timestamp]("window_start").toLocalDateTime,
+        r.getAs[String]("event_type"))
+      assert(batch.get(key).contains(r.getAs[Long]("n_events")),
+        s"window $key: streaming=${r.getAs[Long]("n_events")} batch=${batch.get(key)}")
+    }
+  }
+
+  test("G2: stateful sessionization emits exactly the closed sessions") {
+    val dir = stageEvents(1)
+    val evStream = spark.readStream.schema(streamSchema).parquet(dir + "/batch_*")
+      .select($"event_id", $"ts", $"user_id").as[StreamingOps.Ev]
+    val q = StreamingOps.sessionize(evStream)
+      .writeStream.format("memory").queryName("g2").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("g2").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[Long]("n_events"))).toSet
+    // batch twin: all sessions minus each user's last (still open in state)
+    val all = Analytics.qEventsSessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_seq"),
+        r.getAs[java.time.LocalDateTime]("session_start")
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getAs[Long]("n_events")))
+    val lastSeq = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // sessions closed by a later event MUST be emitted; each user's
+    // final session MAY also appear if the event-time timeout fired
+    // (global watermark passed its end+gap) — so: superset of the
+    // gap-closed sessions, subset of all true sessions.
+    val gapClosed = all.filter(s => s._2 != lastSeq(s._1))
+      .map(s => (s._1, s._3, s._4)).toSet
+    val allSet = all.map(s => (s._1, s._3, s._4)).toSet
+    assert(gapClosed.subsetOf(got), s"missing=${(gapClosed -- got).take(3)}")
+    assert(got.subsetOf(allSet), s"phantom=${(got -- allSet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("G3: streaming dedup drops replayed duplicates within the watermark") {
+    val dir = stageEvents(1)
+    // replay the same file twice → every event duplicated
+    val f = new java.io.File(dir).listFiles().filter(_.getName.startsWith("batch_")).head
+    val dup = new java.io.File(dir, "batch_dup")
+    org.apache.commons.io.FileUtils.copyDirectory(f, dup)
+    val q = StreamingOps.dedupStream(readStreamFrom(dir))
+      .writeStream.format("memory").queryName("g3").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("g3").count()
+    val expected = Tables.events(spark, sf).count()
+    assert(n == expected, s"got $n, want $expected")
+  }
+}
