@@ -86,7 +86,9 @@ object Analytics {
       .filter($"l_shipdate" > cutoff)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     val one = lit(1).cast(DecimalType(12, 2))
-    li.join(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey"),
+    // no broadcast hint on customer: at warehouse scale it is a big
+    // table — Catalyst/AQE picks broadcast locally from actual sizes
+    li.join(ord.join(cust, $"o_custkey" === $"c_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount")))
@@ -125,9 +127,12 @@ object Analytics {
         $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, sfDir)
     val one = lit(1).cast(DecimalType(12, 2))
+    // broadcast hints only on the guaranteed-small dims (region,
+    // nation); customer/supplier scale with the warehouse — AQE decides
+    // their join strategy from runtime sizes
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .join(broadcast(sup),
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup,
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")

@@ -88,7 +88,12 @@ object DedupOps {
     val rowsPerBand = numPerm / bandsN
     val sigCol = gf.minhash_sig(
       array_distinct(gf.shingle_hashes(col("text"), 3)), numPerm, 42L)
+    // signatures feed three plan branches (banding + both sides of the
+    // verification join); persist so shingling+hashing runs once per
+    // doc, not three times. At warehouse scale this is a checkpoint of
+    // the compact (id, 128×8B) relation — the wide text never recurs.
     val sigs = docs.select(col("doc_id"), sigCol.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bandsN - 1)),
@@ -148,6 +153,7 @@ object DedupOps {
   def ngramJaccardPipeline(docs: DataFrame, threshold: Double): DataFrame = {
     val shingled = docs.select(col("doc_id"),
       array_distinct(gf.shingle_hashes(col("text"), 3)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = minhashPipeline(docs, 0.3).select("id1", "id2")
     val s1 = shingled.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val s2 = shingled.select(col("doc_id").as("id2"), col("sh").as("sh2"))
