@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
+import graft.plans.AsOf
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -21,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ EtlOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries
+      DedupOps.queries ++ AnnOps.queries ++ MultimodalOps.queries ++
+      ExtendedAnalytics.queries ++ AsOf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ EtlOps.oracleSql ++ TextOps.oracleSql ++
-      DedupOps.oracleSql ++ AnnOps.oracleSql ++ MultimodalOps.oracleSql
+      DedupOps.oracleSql ++ AnnOps.oracleSql ++ MultimodalOps.oracleSql ++
+      ExtendedAnalytics.oracleSql ++ AsOf.oracleSql
 }

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Second analytics wave: reshaping (pivot/cube), interval-range
+  * windows, semi-structured JSON extraction, date arithmetic, argmin/
+  * argmax aggregates, and set operations — the remainder of the query
+  * surface a consumer of the reference's warehouse tables uses.
+  * Same determinism conventions as [[Analytics]].
+  */
+object ExtendedAnalytics {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  // ---------------------------------------------------------------- B13
+  /** Pivot: account balance by nation × market segment. Explicit value
+    * list → no extra distinct-values job at scale. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .pivot("c_mktsegment", segments)
+      .agg(sum(dec($"c_acctbal")).cast("double"))
+  }
+
+  val qPivotSql: String = {
+    val cols = segments.map { s =>
+      s"""  CAST(SUM(CASE WHEN c_mktsegment = '$s'
+         |    THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS "$s"""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT n_name,
+       |$cols
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B14
+  /** Cube: all grouping-set combinations of (region, segment). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+      .cube($"r_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec($"c_acctbal")).cast("double").as("total_acctbal"))
+  }
+
+  val qCubeSql: String =
+    """SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, c_mktsegment)""".stripMargin
+
+  // ---------------------------------------------------------------- B15
+  /** Interval-range window: 30-day trailing revenue per supplier.
+    * RANGE frame over epoch seconds — numeric range semantics are
+    * identical in both engines regardless of tie order. */
+  def qRangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy(col("ship_epoch"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.lineitem(spark, sfDir)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        unix_timestamp($"l_shipdate").as("ship_epoch"),
+        dec($"l_extendedprice").as("price"))
+      .withColumn("trailing_30d_revenue", sum($"price").over(w).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"ship_epoch",
+        $"price".cast("double").as("price"), $"trailing_30d_revenue")
+  }
+
+  val qRangeWindowSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  epoch(l_shipdate)::BIGINT AS ship_epoch,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)::BIGINT
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_30d_revenue
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- B16
+  /** Semi-structured extraction: pull the numeric `k` out of the JSON
+    * props column — scan-time, codegen'd, no UDF. */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k_val"))
+      .groupBy(($"k_val" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min($"k_val").as("k_min"), max($"k_val").as("k_max"))
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- B17
+  /** Date/time arithmetic surface: component extraction, offsets,
+    * day differences. */
+  def qDateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir).select(
+      $"o_orderkey",
+      year($"o_orderdate").as("yr"),
+      quarter($"o_orderdate").as("qtr"),
+      month($"o_orderdate").as("mon"),
+      dayofmonth($"o_orderdate").as("dom"),
+      date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+      datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+        .as("days_since_epoch_start"))
+  }
+
+  val qDateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      |  month(o_orderdate) AS mon, day(o_orderdate) AS dom,
+      |  (o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS due_date,
+      |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::INT
+      |    AS days_since_epoch_start
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- B18
+  /** argmin/argmax aggregates: per segment, the customers holding the
+    * extreme unique keys (max_by/min_by ≡ DuckDB arg_max/arg_min;
+    * the ordering key is unique so the result is well-defined). */
+  def qArgExtremes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        max_by($"c_name", $"c_custkey").as("newest_customer"),
+        min_by($"c_name", $"c_custkey").as("oldest_customer"),
+        count(lit(1)).as("n"))
+  }
+
+  val qArgExtremesSql: String =
+    """SELECT c_mktsegment,
+      |  arg_max(c_name, c_custkey) AS newest_customer,
+      |  arg_min(c_name, c_custkey) AS oldest_customer,
+      |  COUNT(*) AS n
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- B19
+  /** Set operations: customers with open orders ∩ customers with
+    * pending orders, minus customers with any finished order
+    * (INTERSECT / EXCEPT distinct semantics). */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+    def byStatus(s: String) =
+      ord.filter($"o_orderstatus" === s).select($"o_custkey")
+    byStatus("O").intersect(byStatus("P")).except(byStatus("F"))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot _,
+    "q_cube" -> qCube _,
+    "q_range_window" -> qRangeWindow _,
+    "q_json_extract" -> qJsonExtract _,
+    "q_date_funcs" -> qDateFuncs _,
+    "q_arg_extremes" -> qArgExtremes _,
+    "q_set_ops" -> qSetOps _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
+    "q_cube" -> qCubeSql,
+    "q_range_window" -> qRangeWindowSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_date_funcs" -> qDateFuncsSql,
+    "q_arg_extremes" -> qArgExtremesSql,
+    "q_set_ops" -> qSetOpsSql
+  )
+}

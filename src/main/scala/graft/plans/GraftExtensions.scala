@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions._
+
+/** Session extensions registering graft's native expressions as SQL
+  * functions and an optimizer rule, via the public
+  * `SparkSessionExtensions` hook:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions).…
+  *   // or: spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(fn("graft_rolling_hash64", es => RollingHash64(es.head)))
+    e.injectFunction(fn("graft_simhash64", es => SimHash64(es.head)))
+    e.injectFunction(fn("graft_shingle_hashes",
+      es => ShingleHashes(es.head, es(1) match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      })))
+    e.injectFunction(fn("graft_hamming64", es => HammingDist64(es.head, es(1))))
+    e.injectFunction(fn("graft_cosine_sim", es => CosineSim(es.head, es(1))))
+    e.injectFunction(fn("graft_l2_dist", es => L2Dist(es.head, es(1))))
+    e.injectOptimizerRule(_ => SimplifySelfSimilarity)
+  }
+}
+
+/** Optimizer rule: self-comparisons of graft metrics are constants —
+  * `hamming(x, x) = 0` and `l2_dist(x, x) = 0.0` for any non-null x.
+  * Arises naturally when a self-join's `id1 = id2` diagonal survives
+  * into the similarity computation; folding it avoids evaluating the
+  * vector loop per row. (Cosine is NOT folded: cosine(x,x) is 0, not
+  * 1, for zero-norm vectors.) */
+object SimplifySelfSimilarity extends Rule[LogicalPlan] {
+  private def fold(a: Expression, zero: Literal): Expression =
+    // hamming/l2 are null-intolerant: null input → null output, so a
+    // nullable input folds to If(IsNull, null, 0) — still skips the
+    // per-row vector loop
+    if (a.nullable) If(IsNull(a), Literal.create(null, zero.dataType), zero)
+    else zero
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case HammingDist64(a, b) if a.semanticEquals(b) && a.deterministic =>
+      fold(a, Literal(0))
+    case L2Dist(a, b) if a.semanticEquals(b) && a.deterministic =>
+      fold(a, Literal(0.0))
+  }
+}
