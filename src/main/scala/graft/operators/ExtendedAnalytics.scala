@@ -173,7 +173,96 @@ object ExtendedAnalytics {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
+  // ---------------------------------------------------------------- B20
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20%
+    * of their part's average quantity. The DataFrame lowering is the
+    * scalable one — aggregate once per part, broadcast/shuffle-join
+    * back — rather than a per-row subquery. The threshold is computed
+    * in exact decimal→double so the comparison is bit-deterministic
+    * across engines. */
+  def qSmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg(((sum(dec($"l_quantity")).cast("double") / count(lit(1))) * lit(0.2))
+        .as("qty_threshold"))
+    li.join(perPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < $"qty_threshold")
+      .agg((sum(dec($"l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  val qSmallQuantitySql: String =
+    """WITH t AS (
+      |  SELECT l_partkey AS pk,
+      |    (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) * 0.2
+      |      AS qty_threshold
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_small_lines
+      |FROM lineitem JOIN t ON l_partkey = pk
+      |WHERE l_quantity < qty_threshold""".stripMargin
+
+  // ---------------------------------------------------------------- B21
+  /** String-function surface over customer names — the transforms the
+    * reference applies to filenames/headers, exercised broadly. All
+    * ASCII-safe pairs with identical semantics in both engines. */
+  def qStringSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir).select(
+      $"c_custkey",
+      upper($"c_name").as("u"),
+      lower($"c_name").as("l"),
+      length($"c_name").as("len"),
+      regexp_replace($"c_name", "Customer", "Cust").as("repl"),
+      lpad($"c_custkey".cast("string"), 10, "0").as("padded"),
+      substring($"c_name", 1, 8).as("prefix"),
+      instr($"c_name", "#").as("hash_pos"),
+      concat_ws("-", $"c_mktsegment", $"c_custkey".cast("string")).as("tagged"),
+      reverse($"c_name").as("rev"),
+      translate($"c_name", "#0", "_x").as("translated"))
+  }
+
+  val qStringSurfaceSql: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS u, lower(c_name) AS l,
+      |  length(c_name) AS len,
+      |  regexp_replace(c_name, 'Customer', 'Cust', 'g') AS repl,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+      |  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tagged,
+      |  reverse(c_name) AS rev,
+      |  translate(c_name, '#0', '_x') AS translated
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- B22
+  /** Decile assignment via ntile over a total order (unique tiebreak →
+    * identical bucket boundaries in both engines). */
+  def qNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_acctbal", ntile(10).over(w).as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"c_acctbal").as("min_bal"), max($"c_acctbal").as("max_bal"))
+  }
+
+  val qNtileSql: String =
+    """SELECT decile, COUNT(*) AS n,
+      |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+      |FROM (
+      |  SELECT c_custkey, c_acctbal,
+      |    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |  FROM customer)
+      |GROUP BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_small_quantity" -> qSmallQuantity _,
+    "q_string_surface" -> qStringSurface _,
+    "q_ntile" -> qNtile _,
     "q_pivot" -> qPivot _,
     "q_cube" -> qCube _,
     "q_range_window" -> qRangeWindow _,
@@ -184,6 +273,9 @@ object ExtendedAnalytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_small_quantity" -> qSmallQuantitySql,
+    "q_string_surface" -> qStringSurfaceSql,
+    "q_ntile" -> qNtileSql,
     "q_pivot" -> qPivotSql,
     "q_cube" -> qCubeSql,
     "q_range_window" -> qRangeWindowSql,

@@ -89,6 +89,16 @@ class AnalyticsSpec extends SparkSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("approx_percentile tracks exact percentile within 2%") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
+      .collect().head
+    val exact = r.getDouble(0); val approx = r.getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+
   test("top-k per group emits at most 3 rows per brand, rank-ordered") {
     val out = Analytics.qTopkPerGroup(spark, sf)
     assert(out.groupBy("p_brand").count().filter(col("count") > 3).count() == 0)
