@@ -133,18 +133,24 @@ object EtlOps {
   def changeMissing(live: DataFrame, state: DataFrame, key: String): DataFrame =
     live.join(broadcast(state), Seq(key), "left_anti")
 
+  /** Live side = all customers with any order; state side = customers
+    * known before 1996 (a stale state file) — later-arriving customers
+    * are "missing from state" and selected for processing. */
   def etlChangeMissing(spark: SparkSession, sfDir: String): DataFrame = {
     val customer = Tables.customer(spark, sfDir)
     val orders = Tables.orders(spark, sfDir)
-    changeMissing(
-      customer.select(col("c_custkey"), col("c_name")),
-      orders.select(col("o_custkey").as("c_custkey")).distinct(),
-      "c_custkey")
+    val live = customer.select(col("c_custkey"), col("c_name"))
+      .join(orders.select(col("o_custkey").as("c_custkey")).distinct(), Seq("c_custkey"), "left_semi")
+    val state = orders.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    changeMissing(live, state, "c_custkey")
   }
 
   val etlChangeMissingSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin
 
   // ---------------------------------------------------------------- A5
   /** Reference: hotels whose lst_optimization in the DB differs from

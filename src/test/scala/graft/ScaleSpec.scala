@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-technique demonstrations: bucketed co-located joins (the
+  * shuffle-elimination tool for repeated big-big joins) and
+  * stream-stream interval joins with watermark-bounded state. */
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed tables join with no shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets")
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$dir/o").mode("overwrite").saveAsTable("graft_bucketed_orders")
+    customer.withColumnRenamed("c_custkey", "o_custkey")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$dir/c").mode("overwrite").saveAsTable("graft_bucketed_cust")
+    try {
+      val j = spark.table("graft_bucketed_orders")
+        .join(spark.table("graft_bucketed_cust").hint("merge"), "o_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      // bucketing co-locates both sides: sort-merge join with ZERO
+      // shuffle exchanges (the at-scale win for repeated key joins)
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() == orders.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
+    }
+  }
+
+  test("stream-stream interval join matches the batch twin") {
+    // purchases joined to errors by the same user within the next 6
+    // hours — watermarks bound both sides' state
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/f0")
+    Thread.sleep(1100)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/f1")
+
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id".as("pu"), $"ts".as("pts"))
+    def errors(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"event_type" === "error")
+        .select($"event_id".as("eid"), $"user_id".as("eu"), $"ts".as("ets"))
+    val joined = purchases(stream).withWatermark("pts", "2 hours")
+      .join(errors(stream).withWatermark("ets", "2 hours"),
+        expr("pu = eu AND ets >= pts AND ets <= pts + interval 6 hours"))
+      .select($"pid", $"eid")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = purchases(ev)
+      .join(errors(ev), expr("pu = eu AND ets >= pts AND ets <= pts + interval 6 hours"))
+      .select($"pid", $"eid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty)
+  }
+}
