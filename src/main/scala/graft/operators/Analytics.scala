@@ -68,6 +68,83 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** B24 (TPC-H Q6 shape): single-scan filtered aggregate — the
+    * predicate trio pushes entirely into the parquet scan. */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount"))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** B25 (TPC-H Q12 shape): join + conditional aggregation into
+    * priority buckets. */
+  def q12ShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q12ShipPrioritySql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** B26 (TPC-H Q14 shape): conditional revenue ratio — both numerator
+    * and denominator exact-decimal, divided once in double. */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val one = lit(1).cast(DecimalType(12, 2))
+    val disc = dec($"l_extendedprice") * (one - dec($"l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .agg((lit(100.0) *
+        sum(when($"p_type".startsWith("PROMO"), disc)
+          .otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double") /
+        sum(disc).cast("double")).as("promo_revenue_pct"))
+  }
+
+  val q14PromoRevenueSql: String =
+    """SELECT 100.0 *
+      |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |  AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
+
   // ---------------------------------------------------------------- B2
   /** 3-way join + agg + deterministic top-N (TPC-H Q3 shape).
     * Scale: customer filter pushed to scan; customer side broadcast
@@ -362,6 +439,9 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q12_ship_priority" -> q12ShipPriority _,
+    "q14_promo_revenue" -> q14PromoRevenue _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -376,6 +456,9 @@ object Analytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q12_ship_priority" -> q12ShipPrioritySql,
+    "q14_promo_revenue" -> q14PromoRevenueSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q3_shipping_priority" -> q3ShippingPrioritySql,
     "q5_local_supplier" -> q5LocalSupplierSql,

@@ -62,7 +62,9 @@ object DedupOps {
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("canonical_doc_id"),
-        sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+        // canonical string form (not an array column): avoids
+        // engine-specific array stringification in the hash compare
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("doc_ids"))
       .filter(col("n_docs") > 1)
   }
 
@@ -70,7 +72,7 @@ object DedupOps {
     s"""WITH $corpusSql
        |SELECT md5(text) AS content_hash, count(*) AS n_docs,
        |  min(doc_id) AS canonical_doc_id,
-       |  list_sort(list(doc_id)) AS doc_ids
+       |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
        |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin
 
   // ---------------------------------------------------------------- D2

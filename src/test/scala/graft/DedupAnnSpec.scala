@@ -16,7 +16,7 @@ class DedupSpec extends SparkSuite {
     assert(out.length == planted.size)
     out.foreach { r =>
       assert(r.getAs[Long]("n_docs") == 2)
-      val ids = r.getSeq[Long](r.fieldIndex("doc_ids"))
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
       assert(r.getAs[Long]("canonical_doc_id") == ids.min)
     }
   }
