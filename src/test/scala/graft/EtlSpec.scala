@@ -4,6 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.EtlOps
 import graft.sources.Sources
 
+/** Per-key attempt counters for the fake fetcher (same-JVM in local
+  * mode, so the closure sees this shared map). */
+object FetchCounters {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+
 class EtlSpec extends SparkSuite {
 
   test("enrich adds the four reference metadata columns") {
@@ -92,6 +98,32 @@ class EtlSpec extends SparkSuite {
     val back = Sources.readJsonState(spark, f.toString, multiLine = true)
     assert(back.count() == 2)
     assert(back.columns.sorted.toSeq == Seq("hotel_cd", "lst_optimization"))
+  }
+
+  test("distributed fetch: retries flaky keys, ledgers permanent failures") {
+    import spark.implicits._
+    import graft.sources.ScrapeOps
+    val keys = (1 to 100).map(i => s"HOTEL$i").toDS().repartition(4)
+    // deterministic fake fetcher: every 5th key fails on attempt 1
+    // (recoverable), every 10th key always fails (permanent)
+    val fetcher: String => Array[Byte] = { key =>
+      val n = key.stripPrefix("HOTEL").toInt
+      if (n % 10 == 0) throw new IllegalStateException("site down")
+      val attempt: Int = FetchCounters.counts.merge(key, 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      if (n % 5 == 0 && attempt == 1) throw new RuntimeException("timeout")
+      s"payload:$key".getBytes("UTF-8")
+    }
+    val out = ScrapeOps.fetchAll(keys, fetcher, maxAttempts = 3).collect()
+    assert(out.length == 100)
+    val byKey = out.map(r => r.key -> r).toMap
+    assert(byKey("HOTEL7").ok && byKey("HOTEL7").attempts == 1)
+    assert(byKey("HOTEL15").ok && byKey("HOTEL15").attempts == 2) // flaky, recovered
+    assert(!byKey("HOTEL20").ok && byKey("HOTEL20").attempts == 3) // permanent
+    assert(byKey("HOTEL20").error.contains("site down"))
+    assert(new String(byKey("HOTEL3").payload, "UTF-8") == "payload:HOTEL3")
+    val failed = out.filter(!_.ok).map(_.key).toSet
+    assert(failed == (10 to 100 by 10).map(i => s"HOTEL$i").toSet)
   }
 
   test("retry ledger caps attempts at 3 per user, time-ordered") {
