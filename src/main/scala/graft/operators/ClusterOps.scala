@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Duplicate-cluster formation: connected components over the
+  * near-duplicate pair graph (SURVEY.md §2.D6). Pair generation
+  * (MinHash LSH) finds edges; retention policy needs the transitive
+  * closure — "keep one document per duplicate CLUSTER".
+  *
+  * Algorithm: iterative minimum-label propagation (the standard
+  * large-scale connected-components formulation — cf. Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+  * node's label starts as its own id; every round each node adopts the
+  * minimum label in its neighborhood; converges in O(diameter) rounds,
+  * each round = one join + one aggregation (all equi-joins on ids —
+  * scales linearly per round). Duplicate clusters are tiny (pairs /
+  * small cliques), so 3-5 rounds close almost any real dedup graph;
+  * the loop exits early when labels stop changing.
+  */
+object ClusterOps {
+
+  /** pairs(id1, id2) → (doc_id, cluster_id = min reachable id).
+    * Nodes not in any pair are absent (singletons are their own
+    * cluster by definition). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // iterative plans MUST truncate lineage each round
+    // (localCheckpoint), or the logical plan grows per iteration and
+    // the analyzer/optimizer blows up long before the data does. In a
+    // fault-tolerant cluster job use checkpoint() on reliable storage.
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** dedup_clusters: MinHash near-dup pairs → duplicate clusters with
+    * sizes and canonical (minimum) member. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupOps.minhashPipeline(
+      DedupOps.corpus(Tables.documents(spark, sfDir)), 0.5)
+    connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("members"))
+      .filter(col("n_members") > 1)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters _
+  )
+
+  /** Graph closure over native-signature pairs → rows-only check;
+    * exactness pinned by ClusterSpec against a brute-force union-find. */
+  def oracleSql: Map[String, String] = Map.empty
+}
