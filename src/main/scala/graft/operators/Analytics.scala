@@ -145,6 +145,34 @@ object Analytics {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin
 
+  /** B30 (TPC-H Q19 shape): disjunctive multi-attribute join
+    * predicates — the optimizer must keep the equi-join key join-able
+    * and evaluate the OR-of-ANDs as a post-join filter. */
+  def q19DiscountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cond =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 20)) ||
+      ($"p_brand" === "Brand#7" && $"p_size".between(1, 25) && $"l_quantity".between(10, 30)) ||
+      ($"p_brand" === "Brand#13" && $"p_size".between(1, 35) && $"l_quantity".between(20, 40))
+    val one = lit(1).cast(DecimalType(12, 2))
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), $"l_partkey" === $"p_partkey")
+      .filter(cond)
+      .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19DiscountedRevenueSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   // ---------------------------------------------------------------- B2
   /** 3-way join + agg + deterministic top-N (TPC-H Q3 shape).
     * Scale: customer filter pushed to scan; customer side broadcast
@@ -442,6 +470,7 @@ object Analytics {
     "q6_forecast_revenue" -> q6ForecastRevenue _,
     "q12_ship_priority" -> q12ShipPriority _,
     "q14_promo_revenue" -> q14PromoRevenue _,
+    "q19_discounted_revenue" -> q19DiscountedRevenue _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
@@ -459,6 +488,7 @@ object Analytics {
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q12_ship_priority" -> q12ShipPrioritySql,
     "q14_promo_revenue" -> q14PromoRevenueSql,
+    "q19_discounted_revenue" -> q19DiscountedRevenueSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q3_shipping_priority" -> q3ShippingPrioritySql,
     "q5_local_supplier" -> q5LocalSupplierSql,

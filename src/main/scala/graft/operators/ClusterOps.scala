@@ -46,13 +46,16 @@ object ClusterOps {
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("nmin"))
+      // carry the previous label through the checkpoint so the
+      // convergence test is a filter on the in-memory relation, not
+      // another join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("__old")).limit(1).count()
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }

@@ -31,6 +31,30 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("foreachBatch sink: idempotent partitioned upsert per micro-batch") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fb_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    ev.filter($"event_id" < 500).coalesce(1).write.parquet(s"$srcDir/b0")
+    Thread.sleep(1100)
+    ev.filter($"event_id" >= 500).coalesce(1).write.parquet(s"$srcDir/b1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/b*")
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // idempotent: one overwrite-able partition per micro-batch —
+        // replaying a batch replaces, never duplicates
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+    }.start()
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(s"$outDir/batch_id=*")
+    assert(back.count() == ev.count())
+    assert(back.select("event_id").distinct().count() == ev.count())
+  }
+
   test("stream-stream interval join matches the batch twin") {
     // purchases joined to errors by the same user within the next 6
     // hours — watermarks bound both sides' state
