@@ -259,7 +259,37 @@ object ExtendedAnalytics {
       |  FROM customer)
       |GROUP BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- B31
+  /** Explicit GROUPING SETS (neither rollup nor cube): exactly the
+    * (region), (segment), and () groupings — plus grouping_id so
+    * consumers can tell the levels apart. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val joined = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)), $"n_regionkey" === $"r_regionkey")
+    joined.createOrReplaceTempView("graft_gs_cust")
+    spark.sql(
+      """SELECT r_name, c_mktsegment,
+        |  CAST(grouping_id(r_name, c_mktsegment) AS INT) AS gid,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+        |FROM graft_gs_cust
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT r_name, c_mktsegment,
+      |  CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS INT) AS gid,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> qGroupingSets _,
     "q_small_quantity" -> qSmallQuantity _,
     "q_string_surface" -> qStringSurface _,
     "q_ntile" -> qNtile _,
@@ -273,6 +303,7 @@ object ExtendedAnalytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_small_quantity" -> qSmallQuantitySql,
     "q_string_surface" -> qStringSurfaceSql,
     "q_ntile" -> qNtileSql,

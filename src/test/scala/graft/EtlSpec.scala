@@ -71,9 +71,13 @@ class EtlSpec extends SparkSuite {
     Sources.writePartitioned(EtlOps.enrich(docs), dir, Seq("loc_id"), mode = "overwrite")
     val back = spark.read.parquet(dir)
     assert(back.count() == 100)
-    // partition filter prunes to one directory
+    // partition filter must prune at the scan (PartitionFilters), not
+    // post-scan — the 100 TB difference between reading one directory
+    // and reading everything
     val one = back.filter(col("loc_id") === "SRC1")
     val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(loc_id"), scan)
     assert(one.count() > 0)
   }
 

@@ -31,6 +31,48 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> conf.getOption("spark.sql.adaptive.enabled"),
+      "spark.sql.adaptive.skewJoin.enabled" -> conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" -> conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 95% of the fact rows share one hot key — the classic skew
+      // shape (sf0.01 so the hot shuffle partition clears the
+      // detection threshold even compressed)
+      val sf01 = "/root/testdata/sf0.01"
+      // repartition first: AQE splits a skewed reduce partition at MAP
+      // OUTPUT granularity — a single-file scan is one mapper, which
+      // can never be split (the subtle prerequisite of skew-join
+      // handling: skew relief needs many upstream map tasks)
+      val fact = Tables.lineitem(spark, sf01)
+        .repartition(16)
+        .select(when($"l_orderkey" % 20 =!= 0, lit(0L))
+          .otherwise($"l_orderkey").as("k"), $"l_extendedprice")
+      val dim = Tables.orders(spark, sf01)
+        .select(($"o_orderkey" % 6000).as("k"), $"o_totalprice").distinct()
+      val joined = fact.join(dim.hint("merge"), "k")
+      joined.collect() // execute THIS queryExecution so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("foreachBatch sink: idempotent partitioned upsert per micro-batch") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_fb_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
