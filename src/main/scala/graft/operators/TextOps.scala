@@ -160,7 +160,51 @@ object TextOps {
       gf.simhash64($"text").as("simhash64"))
   }
 
+  // ---------------------------------------------------------------- C6
+  /** PII redaction: mask email-shaped tokens, long digit runs (ids /
+    * card numbers), and phone-shaped sequences. ASCII-safe patterns
+    * identical under Java regex and RE2. The corpus has no real PII —
+    * a deterministic salted copy plants some so the operator's effect
+    * is visible and oracled. */
+  def redact(c: Column): Column = {
+    val email = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
+    regexp_replace(phone, "[0-9]{9,}", "<NUM>")
+  }
+
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val salted = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 500000).as("doc_id"),
+        concat($"text", lit(" contact bob@example.com or 555-123-4567 ref 1234567890123")).as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionByName(salted)
+    corpus.select($"doc_id", $"text", redact($"text").as("clean_text"))
+      .select($"doc_id", $"clean_text",
+        ($"clean_text" =!= $"text").as("was_redacted"))
+  }
+
+  val textRedactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |    text || ' contact bob@example.com or 555-123-4567 ref 1234567890123'
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |red AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+      |      '[0-9]{9,}', '<NUM>', 'g') AS clean_text
+      |  FROM corpus)
+      |SELECT doc_id, clean_text, clean_text <> text AS was_redacted
+      |FROM red""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> textRedact _,
     "text_token_count" -> textTokenCount _,
     "text_quality_score" -> textQualityScore _,
     "text_lang_id" -> textLangId _,
@@ -169,6 +213,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_redact" -> textRedactSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality_score" -> textQualityScoreSql,
     "text_lang_id" -> textLangIdSql,
