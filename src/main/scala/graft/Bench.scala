@@ -22,6 +22,10 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate queries: drop persisted relations from the previous
+      // query so timings are honest and cache pressure doesn't build
+      // across the 70+-query session
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -369,8 +369,74 @@ object EtlOps {
       |  FROM events WHERE event_type = 'error')
       |WHERE attempt_no <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- A17
+  /** SCD type-2 history: the full-history generalization of the
+    * reference's CURRENT_IND flag (gcp_processes.py:29-47) — every
+    * version of a key gets [valid_from, valid_to) bounds via lead()
+    * over the version timestamp; the open version has valid_to NULL
+    * and current_ind 'Y'. One shuffle on the key. */
+  def scd2History(df: DataFrame, key: Column, version: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(version, tiebreak)
+    df.withColumn("valid_from", version)
+      .withColumn("valid_to", lead(version, 1).over(w))
+      .withColumn("current_ind",
+        when(col("valid_to").isNull, lit("Y")).otherwise(lit(null).cast("string")))
+  }
+
+  def etlScd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    scd2History(orders, col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntz(col("valid_from")).as("valid_from"),
+        ntz(col("valid_to")).as("valid_to"),
+        col("current_ind"))
+  }
+
+  val etlScd2HistorySql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 'Y' END AS current_ind
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------- A18
+  /** First/last-touch attribution: for each user's purchases, the
+    * first and most recent preceding non-purchase event — windowed
+    * carry-forward, single shuffle on the user key. */
+  def etlAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    events
+      .withColumn("last_touch",
+        last(touch, ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("first_touch",
+        first(touch, ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+        col("first_touch"), col("last_touch"), col("value"))
+  }
+
+  val etlAttributionSql: String =
+    """SELECT event_id, user_id, ts, first_touch, last_touch, value FROM (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+      |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      |  FROM events)
+      |WHERE event_type = 'purchase'""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2_history" -> etlScd2History _,
+    "etl_attribution" -> etlAttribution _,
     "etl_enrich" -> etlEnrich _,
     "etl_normalize_cols" -> etlNormalizeCols _,
     "etl_filename_ts" -> etlFilenameTs _,
@@ -386,6 +452,8 @@ object EtlOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "etl_scd2_history" -> etlScd2HistorySql,
+    "etl_attribution" -> etlAttributionSql,
     "etl_enrich" -> etlEnrichSql,
     "etl_normalize_cols" -> etlNormalizeColsSql,
     "etl_filename_ts" -> etlFilenameTsSql,
