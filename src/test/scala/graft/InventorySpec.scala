@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keeps SURVEY.md §2 (the declared operator inventory) and
+  * SparkEntry.queries (the implemented surface) from drifting apart:
+  * every backticked op name in §2 that looks like a query key must
+  * exist, and every query key must be claimed in the survey. */
+class InventorySpec extends AnyFunSuite {
+
+  private val survey =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+
+  private val claimed: Set[String] =
+    "`([a-z0-9_]+)`".r.findAllMatchIn(survey).map(_.group(1))
+      .filter(n => n.contains("_")).toSet
+
+  test("every SparkEntry query key is declared in SURVEY §2") {
+    val missing = SparkEntry.queries.keySet.filterNot(claimed.contains)
+    assert(missing.isEmpty, s"implemented but not in SURVEY: $missing")
+  }
+
+  test("every oracle key has a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("inventory size matches the survey status line") {
+    val statusRe = "\\*\\*Status \\(round 1\\).*?(\\d+) `queries`\\n?entries; (\\d+) DuckDB-oracled".r
+    statusRe.findFirstMatchIn(survey.replace("\n", "\n")) match {
+      case Some(m) =>
+        assert(m.group(1).toInt == SparkEntry.queries.size,
+          s"survey says ${m.group(1)} queries, code has ${SparkEntry.queries.size}")
+        assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+          s"survey says ${m.group(2)} oracled, code has ${SparkEntry.oracleSql.size}")
+      case None => fail("SURVEY status line not found/parsable")
+    }
+  }
+}
