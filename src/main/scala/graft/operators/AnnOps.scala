@@ -115,13 +115,15 @@ object AnnOps {
       .select(col("label").as("cell"), col("centroid"))
 
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cell"))
+    // argmin via min_by aggregation (hash-agg, partial map-side) —
+    // no per-vector sort; ties broken by cell id like the window form
     emb.crossJoin(broadcast(cents))
       .withColumn("dist", gf.l2_dist(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("embedding")),
+        struct(col("dist"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.embedding").as("embedding"))
   }
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
