@@ -49,11 +49,13 @@ object ClusterOps {
       // carry the previous label through the checkpoint so the
       // convergence test is a filter on the in-memory relation, not
       // another join
+      // lazy checkpoint + count: ONE job both materializes the round's
+      // checkpoint and evaluates convergence
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("__old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("__old")).limit(1).count()
       labels = next.select(col("id"), col("label"))
       converged = changed == 0

@@ -433,8 +433,47 @@ object EtlOps {
       |  FROM events)
       |WHERE event_type = 'purchase'""".stripMargin
 
+  // ---------------------------------------------------------------- A19
+  /** The reference's whole main() flow (main.py:30-112) as ONE fused
+    * lazy plan: enrich → quality gate → latest-wins per location →
+    * per-location ingest log joined with the surviving record.
+    * No materialization boundaries — Catalyst optimizes across all
+    * four stages (the per-file/pandas version runs them as separate
+    * materialized passes). */
+  def etlPipelineComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val enriched = enrich(Tables.documents(spark, sfDir))
+    val qualified = enriched.filter(col("n_chars") >= 100)
+    val current = latestWins(qualified, col("loc_id"),
+      Seq(col("lst_updt_ts"), col("doc_id")))
+      .select(col("loc_id"), col("doc_id").as("current_doc_id"),
+        ntz(col("lst_updt_ts")).as("current_ts"))
+    val log = qualified.groupBy(col("loc_id"))
+      .agg(count(lit(1)).as("data_amt"), sum(col("n_chars")).as("total_chars"))
+    log.join(current, "loc_id").orderBy(col("loc_id"))
+  }
+
+  val etlPipelineCompositeSql: String =
+    """WITH enriched AS (
+      |  SELECT upper(source) AS loc_id, doc_id, n_chars,
+      |    TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS lst_updt_ts
+      |  FROM documents),
+      |qualified AS (SELECT * FROM enriched WHERE n_chars >= 100),
+      |current AS (
+      |  SELECT loc_id, doc_id AS current_doc_id, lst_updt_ts AS current_ts
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY loc_id
+      |          ORDER BY lst_updt_ts DESC, doc_id DESC) AS rn
+      |        FROM qualified) WHERE rn = 1),
+      |log AS (
+      |  SELECT loc_id, count(*) AS data_amt,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |  FROM qualified GROUP BY loc_id)
+      |SELECT l.loc_id, l.data_amt, l.total_chars, c.current_doc_id, c.current_ts
+      |FROM log l JOIN current c ON l.loc_id = c.loc_id
+      |ORDER BY l.loc_id""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_pipeline_composite" -> etlPipelineComposite _,
     "etl_scd2_history" -> etlScd2History _,
     "etl_attribution" -> etlAttribution _,
     "etl_enrich" -> etlEnrich _,
@@ -452,6 +491,7 @@ object EtlOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "etl_pipeline_composite" -> etlPipelineCompositeSql,
     "etl_scd2_history" -> etlScd2HistorySql,
     "etl_attribution" -> etlAttributionSql,
     "etl_enrich" -> etlEnrichSql,
