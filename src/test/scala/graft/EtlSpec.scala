@@ -81,6 +81,19 @@ class EtlSpec extends SparkSuite {
     assert(one.count() > 0)
   }
 
+  test("orc sink/source round-trips with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sf).limit(200)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 200)
+    val filtered = back.filter(col("n_chars") > 300).select("doc_id", "n_chars")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("n_chars"), scan)
+    assert(filtered.count() ==
+      docs.filter(col("n_chars") > 300).count())
+  }
+
   test("json state round-trip (optimizations.json analog)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toFile.getAbsolutePath + "/state"
