@@ -32,6 +32,58 @@ class AsOfSpec extends SparkSuite {
   }
 }
 
+class AsOfExecSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.plans.AsOfExec
+
+  test("custom exec result equals the window lowering on real tables") {
+    val events = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, sf)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(org.apache.spark.sql.functions.max($"o_orderkey").as("o_orderkey"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+    val a = AsOfExec.join(events, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select($"event_id", $"o_orderkey").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val b = graft.plans.AsOf.join(events, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select($"event_id", $"o_orderkey").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("physical plan uses AsOfJoinExec with one exchange+sort per side") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "t", "v")
+    val r = Seq((1L, 8L, 100.0), (1L, 15L, 101.0)).toDF("rk", "rt", "px")
+    val df = AsOfExec.join(l, r, "k", "rk", "t", "rt")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix; AQE prints the final
+    // and initial plans — count exchanges in the final section only
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.contains("AsOfJoin"), plan)
+    assert(!finalSection.contains("Window"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).length == 2, plan)
+  }
+
+  test("edge cases: equal timestamps inclusive, unmatched keys null, " +
+    "many keys across partitions") {
+    val n = 500
+    val l = (1 to n).map(i => (i.toLong % 37, i.toLong * 10, i.toLong)).toDF("k", "t", "lid")
+    val r = (1 to n / 2).map(i => (i.toLong % 37, i.toLong * 20, i.toLong)).toDF("rk", "rt", "rid")
+    val exec = AsOfExec.join(l.repartition(7), r.repartition(3), "k", "rk", "t", "rt")
+      .select($"lid", $"rid").collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val window = graft.plans.AsOf.join(l, r, "k", "rk", "t", "rt")
+      .select($"lid", $"rid").collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(exec == window)
+    // inclusive-equality case
+    val eq = AsOfExec.join(
+      Seq((1L, 10L)).toDF("k", "t"), Seq((1L, 10L, "hit")).toDF("rk", "rt", "v"),
+      "k", "rk", "t", "rt").collect().head
+    assert(eq.getAs[String]("v") == "hit")
+  }
+}
+
 class ExtensionsSpec extends SparkSuite {
 
   private lazy val extSpark: SparkSession = {
