@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_cosine_sim", es => CosineSim(es.head, es(1))))
     e.injectFunction(fn("graft_l2_dist", es => L2Dist(es.head, es(1))))
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

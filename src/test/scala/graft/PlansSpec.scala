@@ -88,7 +88,10 @@ class ExtensionsSpec extends SparkSuite {
 
   private lazy val extSpark: SparkSession = {
     // build a sibling session (shared SparkContext) with the graft
-    // extensions installed
+    // extensions installed. Initialize the shared base session FIRST:
+    // otherwise its lazy getOrCreate could resolve to the extensions
+    // session we are about to create (default-session capture).
+    val base = SparkSuite.session
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -129,6 +132,23 @@ class ExtensionsSpec extends SparkSuite {
     // nullable input folds to If(IsNull(...), null, 0) — hamming gone
     assert(!optimized.contains("graft_hamming64"), optimized)
     assert(df.collect().forall(_.getInt(0) == 0))
+  }
+
+  test("extension session plans AsOfJoinNode without imperative registration") {
+    import extSpark.implicits._
+    // no AsOfExec.ensureStrategy call: the injected planner strategy
+    // must resolve the custom node on its own
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, 9.0)).toDF("rk", "rt", "px")
+    val node = graft.plans.AsOfJoinNode(
+      org.apache.spark.sql.graftshim.Bridge.planOf(l),
+      org.apache.spark.sql.graftshim.Bridge.planOf(r),
+      org.apache.spark.sql.graftshim.Bridge.planOf(l).output.head,
+      org.apache.spark.sql.graftshim.Bridge.planOf(r).output.head,
+      org.apache.spark.sql.graftshim.Bridge.planOf(l).output(1),
+      org.apache.spark.sql.graftshim.Bridge.planOf(r).output(1))
+    val out = org.apache.spark.sql.graftshim.Bridge.ofRows(extSpark, node).collect()
+    assert(out.length == 1 && out.head.getDouble(5) == 9.0)
   }
 
   test("rule does not fire without the extension installed") {
