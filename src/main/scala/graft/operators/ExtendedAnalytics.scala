@@ -288,7 +288,31 @@ object ExtendedAnalytics {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())""".stripMargin
 
+  // ---------------------------------------------------------------- B33x
+  /** Exact interpolated percentiles per group. Spark's `percentile`
+    * and DuckDB's `quantile_cont` both sort and linearly interpolate
+    * in double — empirically bit-identical on this data (validated by
+    * the oracle gate). */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> qPercentiles _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_small_quantity" -> qSmallQuantity _,
     "q_string_surface" -> qStringSurface _,
@@ -303,6 +327,7 @@ object ExtendedAnalytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_percentiles" -> qPercentilesSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_small_quantity" -> qSmallQuantitySql,
     "q_string_surface" -> qStringSurfaceSql,

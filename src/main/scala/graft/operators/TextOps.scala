@@ -203,7 +203,34 @@ object TextOps {
       |SELECT doc_id, clean_text, clean_text <> text AS was_redacted
       |FROM red""".stripMargin
 
+  // ---------------------------------------------------------------- C7
+  /** Corpus-wide n-gram frequency table (word bigrams, top 20) — the
+    * n-gram counting stage of language-model data prep. Explode is
+    * pipelined (no shuffle until the count), count is map-side
+    * partial-aggregated on the bigram key. */
+  def textNgramFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(trim($"text"), wsPat)
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    Tables.documents(spark, sfDir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  val textNgramFreqSql: String =
+    """SELECT bg AS bigram, count(*) AS n FROM (
+      |  SELECT l[g] || ' ' || l[g+1] AS bg
+      |  FROM (SELECT string_split_regex(trim(text), '\s+') AS l
+      |        FROM documents) t,
+      |       unnest(range(1, len(t.l))) AS u(g))
+      |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq" -> textNgramFreq _,
     "text_redact" -> textRedact _,
     "text_token_count" -> textTokenCount _,
     "text_quality_score" -> textQualityScore _,
@@ -213,6 +240,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_ngram_freq" -> textNgramFreqSql,
     "text_redact" -> textRedactSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality_score" -> textQualityScoreSql,
