@@ -71,10 +71,14 @@ case class AsOfJoinExec(
       .asInstanceOf[Ordering[Any]]
     val timeOrd = PhysicalDataType.ordering(leftTime.dataType)
       .asInstanceOf[Ordering[Any]]
-    val lKeyExpr = BindReferences.bindReference(leftKey, left.output)
-    val lTimeExpr = BindReferences.bindReference(leftTime, left.output)
-    val rKeyExpr = BindReferences.bindReference(rightKey, right.output)
-    val rTimeExpr = BindReferences.bindReference(rightTime, right.output)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    val lKeyTime = Seq(
+      BindReferences.bindReference(leftKey, left.output),
+      BindReferences.bindReference(leftTime, left.output))
+    val rKeyTime = Seq(
+      BindReferences.bindReference(rightKey, right.output),
+      BindReferences.bindReference(rightTime, right.output))
     val rightSchema = right.output
     val allOutput = output
 
@@ -83,6 +87,9 @@ case class AsOfJoinExec(
         .GenericInternalRow(rightSchema.length)
       val joined = new JoinedRow
       val project = UnsafeProjection.create(allOutput, allOutput)
+      // generated (codegen'd) extractors for the (key, time) pair
+      val lProj = UnsafeProjection.create(lKeyTime.toIndexedSeq)
+      val rProj = UnsafeProjection.create(rKeyTime.toIndexedSeq)
       val rBuf = rIter.buffered
 
       // candidate: latest right row (copied) for the current left key
@@ -90,31 +97,34 @@ case class AsOfJoinExec(
       var cand: InternalRow = null
 
       lIter.map { lRow =>
-        val lk = lKeyExpr.eval(lRow)
-        val lt = lTimeExpr.eval(lRow)
+        val lkt = lProj(lRow)
+        val lk = lkt.get(0, keyType)
+        val lt = lkt.get(1, timeType)
         if (lk == null || lt == null) {
           // SQL semantics: null key/time never matches
           project(joined(lRow, nullRight))
         } else {
           if (candKey == null || keyOrd.compare(candKey, lk) != 0) {
-            candKey = lk; cand = null
+            // copy: lk may point into the projection's reused buffer
+            // (matters for string/binary keys)
+            candKey = InternalRow.copyValue(lk); cand = null
           }
           // advance right while its (key,time) <= (lk, lt); null right
           // keys/times sort first and are skipped
           var continue = true
           while (continue && rBuf.hasNext) {
-            val rRow = rBuf.head
-            val rk = rKeyExpr.eval(rRow)
+            val rkt = rProj(rBuf.head)
+            val rk = rkt.get(0, keyType)
             if (rk == null) { rBuf.next() }
             else {
               val kc = keyOrd.compare(rk, lk)
               if (kc < 0) { rBuf.next() } // right key behind: skip
               else if (kc == 0) {
-                val rt = rTimeExpr.eval(rRow)
+                val rt = rkt.get(1, timeType)
                 if (rt == null) { rBuf.next() }
                 else if (timeOrd.compare(rt, lt) <= 0) {
                   cand = rBuf.next().copy()
-                  candKey = lk
+                  candKey = InternalRow.copyValue(lk)
                 } else continue = false
               } else continue = false // right key ahead: stop
             }
