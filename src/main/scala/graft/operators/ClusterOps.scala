@@ -26,21 +26,31 @@ object ClusterOps {
     * Nodes not in any pair are absent (singletons are their own
     * cluster by definition). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list ONCE with truncated lineage: persist()
+    // alone keeps the whole pair-generation pipeline (MinHash LSH) in the
+    // logical plan, so every round re-optimizes — and on cache eviction
+    // re-executes — the full upstream. After checkpointing, each round's
+    // plan starts from a leaf relation.
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // iterative plans MUST truncate lineage each round
     // (localCheckpoint), or the logical plan grows per iteration and
     // the analyzer/optimizer blows up long before the data does. In a
     // fault-tolerant cluster job use checkpoint() on reliable storage.
-    var labels = edges.select(col("a").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    // fold the first propagation round into initialization:
+    // label₀(v) = min(v, min(N(v))) instead of v — pair/star clusters
+    // (the common dedup shape) then converge on the first loop round
+    var labels = edges.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .select(col("a").as("id"), col("label"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
       // each node adopts min(own label, neighbors' labels)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
@@ -60,6 +70,7 @@ object ClusterOps {
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
+      if (dbg) println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s changed=$changed")
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
