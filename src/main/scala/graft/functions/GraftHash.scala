@@ -113,6 +113,116 @@ object GraftHash {
     new GenericArrayData(sig)
   }
 
+  // ------------------------------------------------------------------
+  // Portable kernels: exact integer arithmetic reproducible in ANSI-ish
+  // SQL (DuckDB), so the pipelines built on them are fully
+  // oracle-checkable. Element hashes are 32-bit (md5-derived, computed
+  // upstream with built-in expressions); permutations are universal
+  // hashes mod the Mersenne prime 2^61-1 — every intermediate fits in a
+  // signed 64-bit integer in both engines.
+  // ------------------------------------------------------------------
+
+  /** Mersenne prime 2^61-1: modulus of the portable permutations. */
+  val P61: Long = 2305843009213693951L
+
+  /** Portable per-permutation multiplier: 1 + ((j+1)*2654435761) mod 2^30.
+    * < 2^30, so a*h < 2^62 for 32-bit h — no overflow. */
+  def permA(j: Int): Long = 1L + ((j + 1L) * 2654435761L) % 1073741824L
+
+  /** Portable per-permutation offset: ((j+1)*1099511628211) mod P61. */
+  def permB(j: Int): Long = ((j + 1L) * 1099511628211L) % P61
+
+  /** Portable MinHash signature over 32-bit element hashes:
+    * sig(j) = min over x of (permA(j)*x + permB(j)) mod P61.
+    * Empty input → all P61 (so empty docs never fake similarity). */
+  def minhashMod(elems: ArrayData, numPerm: Int): ArrayData = {
+    val n = elems.numElements()
+    val sig = new Array[Long](numPerm)
+    var j = 0
+    while (j < numPerm) {
+      val a = permA(j)
+      val b = permB(j)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * elems.getLong(i) + b) % P61
+        if (v < best) best = v
+        i += 1
+      }
+      sig(j) = if (n == 0) P61 else best
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Portable SimHash over pre-hashed elements: accumulate ±1 per bit
+    * of each element hash over the low `bits` bits, emit sign bits.
+    * Empty input → 0. */
+  def simhashInts(elems: ArrayData, bits: Int): Long = {
+    val n = elems.numElements()
+    val acc = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = elems.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Squared L2 distance of two long vectors (exact integer). */
+  def l2sqLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return Long.MaxValue
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Portable ±1 hyperplane coefficient for (global plane p, dim d):
+    * +1 iff ((p*4096+d)*2654435761) mod 2^31 < 2^30. Pure integer —
+    * both engines agree exactly. */
+  def planeCoeff(p: Int, d: Int): Int =
+    if (((p * 4096L + d) * 2654435761L) % 2147483648L < 1073741824L) 1 else -1
+
+  /** Portable sign-LSH bucket of a float vector: dims quantized to
+    * floor(x*1e6) longs (identical in any engine from the same float),
+    * integer dot with planeCoeff hyperplanes, bit j = (dot > 0).
+    * `planeBase` offsets the global plane index per hash table. */
+  def signBitsQ(v: ArrayData, numBits: Int, planeBase: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var j = 0
+    while (j < numBits) {
+      val p = planeBase + j
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        val q = math.floor(v.getFloat(i).toDouble * 1000000.0).toLong
+        dot += q * planeCoeff(p, i)
+        i += 1
+      }
+      if (dot > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(s: UTF8String): Long = {
     val toks = tokenHashes(s)

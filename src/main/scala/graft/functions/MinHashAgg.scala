@@ -29,6 +29,7 @@ case class MinHashAgg(
     child: Expression,
     numPerm: Int,
     seed: Long,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -40,8 +41,11 @@ case class MinHashAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_agg"
 
+  // portable mode: values live in [0, P61) → signed compare; empty
+  // groups (impossible under groupBy, but kept consistent with
+  // GraftHash.minhashMod) evaluate to P61
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(numPerm)(-1L) // unsigned max
+    Array.fill(numPerm)(if (portable) GraftHash.P61 else -1L) // unsigned max
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -49,10 +53,15 @@ case class MinHashAgg(
       val x = v.asInstanceOf[Long]
       var p = 0
       while (p < numPerm) {
-        val a = GraftHash.mix64(seed + 2L * p) | 1L
-        val b = GraftHash.mix64(seed + 2L * p + 1)
-        val h = a * x + b
-        if (java.lang.Long.compareUnsigned(h, buf(p)) < 0) buf(p) = h
+        if (portable) {
+          val h = (GraftHash.permA(p) * x + GraftHash.permB(p)) % GraftHash.P61
+          if (h < buf(p)) buf(p) = h
+        } else {
+          val a = GraftHash.mix64(seed + 2L * p) | 1L
+          val b = GraftHash.mix64(seed + 2L * p + 1)
+          val h = a * x + b
+          if (java.lang.Long.compareUnsigned(h, buf(p)) < 0) buf(p) = h
+        }
         p += 1
       }
     }
@@ -62,7 +71,8 @@ case class MinHashAgg(
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var p = 0
     while (p < numPerm) {
-      if (java.lang.Long.compareUnsigned(b(p), a(p)) < 0) a(p) = b(p)
+      if (portable) { if (b(p) < a(p)) a(p) = b(p) }
+      else if (java.lang.Long.compareUnsigned(b(p), a(p)) < 0) a(p) = b(p)
       p += 1
     }
     a
@@ -96,5 +106,11 @@ object MinHashAgg {
   /** Column API: minhash_agg over a LongType element-hash column. */
   def minhash_agg(c: Column, numPerm: Int, seed: Long): Column =
     Bridge.column(MinHashAgg(Bridge.expression(c), numPerm, seed)
+      .toAggregateExpression())
+
+  /** Portable variant: mod-(2^61-1) permutations over 32-bit element
+    * hashes — exactly GraftHash.minhashMod's family, SQL-replicable. */
+  def minhash_agg_mod(c: Column, numPerm: Int): Column =
+    Bridge.column(MinHashAgg(Bridge.expression(c), numPerm, 0L, portable = true)
       .toAggregateExpression())
 }

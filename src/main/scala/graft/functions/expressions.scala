@@ -132,6 +132,67 @@ case class SignBits64(child: Expression, numBits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): SignBits64 = copy(child = c)
 }
 
+/** Portable MinHash signature (mod-2^61-1 universal hashing over
+  * 32-bit element hashes) — exact-integer math a SQL oracle replicates
+  * bit-for-bit; see GraftHash.minhashMod. */
+case class MinHashSigMod(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+  require(numPerm >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig_mod"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.minhashMod(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.minhashMod($c, $numPerm)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigMod = copy(child = c)
+}
+
+/** Portable SimHash over pre-hashed elements (low `bits` bits). */
+case class SimHashInts(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash_ints"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.simhashInts(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhashInts($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SimHashInts = copy(child = c)
+}
+
+/** Exact squared L2 distance of two long vectors. */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2sq_long"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.l2sqLong(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftHash.l2sqLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqLong =
+    copy(left = l, right = r)
+}
+
+/** Portable sign-LSH bucket: quantized integer dot products against
+  * deterministic ±1 hyperplanes (GraftHash.planeCoeff). */
+case class SignBitsQ(child: Expression, numBits: Int, planeBase: Int)
+    extends UnaryExpression {
+  require(numBits >= 1 && numBits <= 64)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sign_bits_q"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.signBitsQ(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numBits, planeBase)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.signBitsQ($c, $numBits, $planeBase)")
+  override protected def withNewChildInternal(c: Expression): SignBitsQ = copy(child = c)
+}
+
 /** Column-API façade for the graft expressions. */
 object gf {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -147,6 +208,20 @@ object gf {
   def l2_dist(a: Column, b: Column): Column = col(L2Dist(ex(a), ex(b)))
   def sign_bits64(c: Column, numBits: Int, seed: Long): Column =
     col(SignBits64(ex(c), numBits, seed))
+  def minhash_sig_mod(c: Column, numPerm: Int): Column =
+    col(MinHashSigMod(ex(c), numPerm))
+  def simhash_ints(c: Column, bits: Int): Column = col(SimHashInts(ex(c), bits))
+  def l2sq_long(a: Column, b: Column): Column = col(L2SqLong(ex(a), ex(b)))
+  def sign_bits_q(c: Column, numBits: Int, planeBase: Int): Column =
+    col(SignBitsQ(ex(c), numBits, planeBase))
+
+  /** Portable 32-bit string hash shared with the DuckDB oracles:
+    * first 8 hex chars of md5 as an integer. Built-in expressions only
+    * (md5/substring/conv are all codegen'd). */
+  def h32(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  }
 
   /** Register all graft expressions for SQL use (idempotent). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

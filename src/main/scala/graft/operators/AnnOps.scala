@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -69,14 +69,29 @@ object AnnOps {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |  FROM pairs) WHERE rank <= 5""".stripMargin
 
+  /** Portable sign-LSH bucket assignment: quantized integer dot
+    * products against deterministic ±1 hyperplanes (gf.sign_bits_q) —
+    * exactly reproducible by the SQL oracle, unlike the seeded
+    * float-hyperplane signBuckets (which dedup_embedding keeps, since
+    * its oracle is the brute-force equivalence). */
+  def signBucketsQ(vecs: DataFrame, idCol: String,
+      numTables: Int, bitsPerTable: Int): DataFrame = {
+    val bucketCols = array((0 until numTables).map { t =>
+      gf.sign_bits_q(col("embedding"), bitsPerTable, t * bitsPerTable)
+    }: _*)
+    vecs.select(col(idCol), posexplode(bucketCols))
+      .withColumnRenamed("pos", "table_id")
+      .withColumnRenamed("col", "bucket")
+  }
+
   // ---------------------------------------------------------------- E2
   /** Sign-LSH ANN: candidates share a bucket in ≥1 of L tables; exact
     * cosine re-rank within candidates. Identical vectors are always
     * candidates (same buckets under every seed). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
-    val cb = signBuckets(corpus, "vec_id", numTables, bitsPerTable)
-    val qb = signBuckets(
+    val cb = signBucketsQ(corpus, "vec_id", numTables, bitsPerTable)
+    val qb = signBucketsQ(
       queries.select(col("qid").as("vec_id"), col("qv").as("embedding")),
       "vec_id", numTables, bitsPerTable)
       .withColumnRenamed("vec_id", "qid")
@@ -100,28 +115,80 @@ object AnnOps {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** DuckDB mirror of the portable sign-LSH: same quantization
+    * (floor(x*1e6) of the same float→double values), same ±1 plane
+    * coefficients, same bucket bit packing, same rounded-cosine
+    * re-rank with id tie-break. 8 tables × 4 bits = 32 planes. */
+  val annLshSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM embeddings, range(64) d(dim)),
+      |plane AS (
+      |  SELECT p, dim,
+      |    CASE WHEN ((p*4096 + dim) * 2654435761) % 2147483648 < 1073741824
+      |         THEN 1 ELSE -1 END AS c
+      |  FROM range(32) pp(p), range(64) dd(dim)),
+      |dots AS (
+      |  SELECT v.vec_id, p.p, CAST(sum(v.q * p.c) AS BIGINT) AS dot
+      |  FROM qv v JOIN plane p ON p.dim = v.dim
+      |  GROUP BY v.vec_id, p.p),
+      |buck AS (
+      |  SELECT vec_id, p // 4 AS table_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 4),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+      |  FROM buck qb JOIN buck cb
+      |    ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+      |  WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+      |scored AS (
+      |  SELECT c.qid, c.nid,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+      |      e.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.qid
+      |  JOIN embeddings e ON e.vec_id = c.nid)
+      |SELECT qid, rank, nid, sim FROM (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
   // ---------------------------------------------------------------- E3
   /** IVF cells: centroid per `label` built in one aggregation pass
     * (at scale: a k-means iteration is exactly this agg repeated);
     * every vector assigned to its nearest centroid; queries probe the
     * `nprobe` nearest cells only. */
+  /** Quantize a float vector to exact longs: floor(x·10⁶). Both
+    * engines compute the identical double from the same stored float,
+    * so the quantized grid — and every distance/centroid derived from
+    * it — is bit-identical, making the IVF layout oracle-checkable.
+    * (The 1e-6 grid loses nothing that matters to cell assignment:
+    * cells are a coarse partition to begin with.) */
+  private def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** IVF cell centroids on the quantized grid: per-dimension
+    * floor(sum/count) — pure integer/exact-double arithmetic. */
   def ivfCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")))
+    emb.select(col("label"), posexplode(quantize(col("embedding"))))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("v"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("v"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v").cast("float")).as("centroid"))
-      .select(col("label").as("cell"), col("centroid"))
+        s => s.getField("v")).as("centroid_q"))
+      .select(col("label").as("cell"), col("centroid_q"))
 
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     // argmin via min_by aggregation (hash-agg, partial map-side) —
-    // no per-vector sort; ties broken by cell id like the window form
+    // no per-vector sort; ties broken by cell id like the window form.
+    // Distance is exact integer squared-L2 on the quantized grid.
     emb.crossJoin(broadcast(cents))
-      .withColumn("dist", gf.l2_dist(col("embedding"), col("centroid")))
+      .withColumn("dist2", gf.l2sq_long(quantize(col("embedding")), col("centroid_q")))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("cell"), col("embedding")),
-        struct(col("dist"), col("cell"))).as("best"))
+        struct(col("dist2"), col("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.embedding").as("embedding"))
   }
@@ -129,9 +196,9 @@ object AnnOps {
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val cents = ivfCentroids(emb).cache()
     val assigned = ivfAssign(emb, cents)
-    val qw = Window.partitionBy(col("qid")).orderBy(col("qdist"), col("cell"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("qdist2"), col("cell"))
     val probeCells = queries.crossJoin(broadcast(cents))
-      .withColumn("qdist", gf.l2_dist(col("qv"), col("centroid")))
+      .withColumn("qdist2", gf.l2sq_long(quantize(col("qv")), col("centroid_q")))
       .withColumn("qrn", row_number().over(qw))
       .filter(col("qrn") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
@@ -152,6 +219,50 @@ object AnnOps {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** DuckDB mirror of the quantized IVF: same floor(x·1e6) grid, same
+    * floor(sum/count) centroids, same integer squared-L2 with (dist,
+    * cell) tie-breaks, same nprobe=3 probe set and rounded-cosine
+    * re-rank. */
+  val annIvfSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM embeddings, range(64) d(dim)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    floor(CAST(sum(q) AS DOUBLE) / count(*))::BIGINT AS c
+      |  FROM qv GROUP BY label, dim),
+      |dist AS (
+      |  SELECT v.vec_id, c.label AS cell,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      |  FROM qv v JOIN cent c ON c.dim = v.dim
+      |  GROUP BY v.vec_id, c.label),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, a.vec_id AS nid
+      |  FROM probe p JOIN assign a ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.qid),
+      |scored AS (
+      |  SELECT c.qid, c.nid,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+      |      e.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.qid
+      |  JOIN embeddings e ON e.vec_id = c.nid)
+      |SELECT qid, rank, nid, sim FROM (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
@@ -159,8 +270,8 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql
-    // ann_lsh / ann_ivf are approximate → rows-only driver check;
-    // recall vs ann_bruteforce pinned in AnnSpec.
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql
   )
 }

@@ -91,7 +91,27 @@ object ClusterOps {
     "dedup_clusters" -> dedupClusters _
   )
 
-  /** Graph closure over native-signature pairs → rows-only check;
-    * exactness pinned by ClusterSpec against a brute-force union-find. */
-  def oracleSql: Map[String, String] = Map.empty
+  /** DuckDB oracle: replay the portable MinHash pair pipeline, then
+    * take the transitive closure with a recursive CTE and label each
+    * node with its component minimum — exactly what the iterative
+    * min-label propagation converges to. Exactness additionally pinned
+    * by ClusterSpec against a brute-force union-find. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${DedupOps.minhashSqlCtes},
+       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  array_to_string(list_sort(list(doc_id)), ',') AS members
+       |FROM lab GROUP BY cluster_id HAVING count(*) > 1""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql
+  )
 }

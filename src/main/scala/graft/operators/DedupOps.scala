@@ -88,8 +88,14 @@ object DedupOps {
     val numPerm = 128
     val bandsN = 16
     val rowsPerBand = numPerm / bandsN
-    val sigCol = gf.minhash_sig(
-      array_distinct(gf.shingle_hashes(col("text"), 3)), numPerm, 42L)
+    // Portable signature: md5-derived 32-bit shingle hashes + mod-(2^61-1)
+    // permutations (gf.minhash_sig_mod) — the DuckDB oracle reproduces the
+    // signatures bit-for-bit, so the whole LSH pipeline is hash-checked.
+    // (gf.minhash_sig over gf.shingle_hashes is the engine-private fast
+    // path: same plan shape, ~2-3× cheaper signatures, spec-pinned.)
+    val sigCol = gf.minhash_sig_mod(
+      array_distinct(transform(TextOps.shingleStrings(col("text")),
+        s => gf.h32(s))), numPerm)
     // signatures feed three plan branches (banding + both sides of the
     // verification join); persist so shingling+hashing runs once per
     // doc, not three times. At warehouse scale this is a checkpoint of
@@ -127,10 +133,16 @@ object DedupOps {
     * candidate generation (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal),
     * exact Hamming ≤ 3 verification. */
   def simhashPipeline(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"), gf.simhash64(col("text")).as("sim"))
+    // Portable 32-bit SimHash over md5-derived token hashes (the oracle
+    // recomputes it in SQL); 4 bands × 8 bits — pigeonhole still gives
+    // recall 1.0 for hamming ≤ 3. gf.simhash64 is the engine-private
+    // 64-bit fast path (spec-pinned).
+    val tokens = split(trim(col("text")), "\\s+")
+    val sigs = docs.select(col("doc_id"),
+      gf.simhash_ints(transform(tokens, t => gf.h32(t)), 32).as("sim"))
     val bands = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
+        shiftrightunsigned(col("sim"), b * 8).bitwiseAND(lit(0xffL))
       }: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
@@ -154,7 +166,8 @@ object DedupOps {
     * all-pairs): true |A∩B|/|A∪B| over distinct 3-token shingles. */
   def ngramJaccardPipeline(docs: DataFrame, threshold: Double): DataFrame = {
     val shingled = docs.select(col("doc_id"),
-      array_distinct(gf.shingle_hashes(col("text"), 3)).as("sh"))
+      array_distinct(transform(TextOps.shingleStrings(col("text")),
+        s => gf.h32(s))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = minhashPipeline(docs, 0.3).select("id1", "id2")
     val s1 = shingled.select(col("doc_id").as("id1"), col("sh").as("sh1"))
@@ -211,6 +224,86 @@ object DedupOps {
       |WHERE a.vec_id < b.vec_id
       |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99""".stripMargin
 
+  /** DuckDB mirror of the portable MinHash LSH pipeline, as a chain of
+    * CTEs ending in `est(id1, id2, est_jaccard)` — shared by the
+    * minhash / ngram-jaccard / cluster oracles. Replays every stage:
+    * shingling, md5-h32, mod-(2^61-1) permutations, 16×8 banding,
+    * candidate join, signature-agreement estimate. */
+  val minhashSqlCtes: String =
+    s"""$corpusSql,
+       |tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
+       |         ELSE l[g] || ' ' || l[g+1] || ' ' || l[g+2] END AS s
+       |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g)),
+       |shh AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+       |  FROM sh),
+       |perm AS (
+       |  SELECT j, 1 + ((j+1) * 2654435761) % 1073741824 AS a,
+       |         ((j+1) * 1099511628211) % 2305843009213693951 AS b
+       |  FROM range(128) t(j)),
+       |mh AS (
+       |  SELECT doc_id, j, min((a * h + b) % 2305843009213693951) AS m
+       |  FROM shh, perm GROUP BY doc_id, j),
+       |band AS (
+       |  SELECT doc_id, j // 8 AS band_id, list(m ORDER BY j) AS key
+       |  FROM mh GROUP BY doc_id, j // 8),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+       |  FROM band b1 JOIN band b2
+       |    ON b1.band_id = b2.band_id AND b1.key = b2.key
+       |   AND b1.doc_id < b2.doc_id),
+       |est AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(sum(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS DOUBLE) / 128
+       |      AS est_jaccard
+       |  FROM cand c
+       |  JOIN mh m1 ON m1.doc_id = c.id1
+       |  JOIN mh m2 ON m2.doc_id = c.id2 AND m2.j = m1.j
+       |  GROUP BY c.id1, c.id2)""".stripMargin
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $minhashSqlCtes
+       |SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+
+  val dedupSimhashSql: String =
+    s"""WITH $corpusSql,
+       |tokh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |        FROM corpus) u),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN (1::BIGINT << j) ELSE 0 END AS v
+       |  FROM tokh, range(32) r(j) GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $minhashSqlCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT e.id1, e.id2, count(*) AS i
+       |  FROM est e
+       |  JOIN shh h1 ON h1.doc_id = e.id1
+       |  JOIN shh h2 ON h2.doc_id = e.id2 AND h2.h = h1.h
+       |  WHERE e.est_jaccard >= 0.3
+       |  GROUP BY e.id1, e.id2)
+       |SELECT i.id1, i.id2,
+       |  CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) AS jaccard
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.id1
+       |JOIN sizes s2 ON s2.doc_id = i.id2
+       |WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -221,8 +314,9 @@ object DedupOps {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_embedding" -> dedupEmbeddingSql
-    // minhash/simhash/ngram: native signatures → rows-only driver
-    // check; semantics pinned by DedupSpec.
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql
   )
 }

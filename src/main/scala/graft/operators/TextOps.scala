@@ -145,20 +145,52 @@ object TextOps {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- C5
-  /** Shingle statistics + 64-bit content hashes via the native graft
-    * expressions (rolling hash, SimHash). Not ANSI-SQL-expressible →
-    * rows-only driver check; semantics pinned by TextSpec. */
+  /** 3-token shingle strings of `text`: windows of 3 consecutive
+    * whitespace tokens (fewer than 3 tokens → one shingle of all
+    * tokens). Built by zipping the token array against its own two
+    * tails — constant split evaluations per row, linear work, and the
+    * construction is mirrored exactly in the DuckDB oracles. */
+  def shingleStrings(text: Column): Column = {
+    val toks = split(trim(text), wsPat)
+    val n = size(toks)
+    val m = greatest(n - 2, lit(0))
+    when(n < 3, array(concat_ws(" ", toks)))
+      .otherwise(zip_with(
+        slice(toks, lit(1), m),
+        zip_with(slice(toks, lit(2), m), slice(toks, lit(3), m),
+          (b, c) => concat_ws(" ", b, c)),
+        (a, bc) => concat_ws(" ", a, bc)))
+  }
+
+  /** Shingle statistics over the portable string shingles — the
+    * k-shingle profile stage of a dedup pipeline. Fully oracled; the
+    * native hashed-shingle kernel (gf.shingle_hashes) remains the
+    * production fast path, semantics pinned by TextSpec. */
   def textShingles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = gf.shingle_hashes($"text", 3)
+    val sh = shingleStrings($"text")
     Tables.documents(spark, sfDir).select(
       $"doc_id",
       size(split(trim($"text"), wsPat)).as("n_ws_tokens"),
       size(sh).as("n_shingles"),
-      size(array_distinct(sh)).as("n_distinct_shingles"),
-      gf.rolling_hash64($"text").as("rolling_hash64"),
-      gf.simhash64($"text").as("simhash64"))
+      size(array_distinct(sh)).as("n_distinct_shingles"))
   }
+
+  val textShinglesSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
+      |         ELSE l[g] || ' ' || l[g+1] || ' ' || l[g+2] END AS s
+      |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g))
+      |SELECT doc_id,
+      |  CAST(any_value(len(l)) AS INT) AS n_ws_tokens,
+      |  CAST(count(*) AS INT) AS n_shingles,
+      |  CAST(count(DISTINCT s) AS INT) AS n_distinct_shingles
+      |FROM sh JOIN tok USING (doc_id)
+      |GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C6
   /** PII redaction: mask email-shaped tokens, long digit runs (ids /
@@ -251,7 +283,7 @@ object TextOps {
     "text_token_count" -> textTokenCountSql,
     "text_quality_score" -> textQualityScoreSql,
     "text_lang_id" -> textLangIdSql,
-    "text_fingerprint" -> textFingerprintSql
-    // text_shingles: native expressions, rows-only check
+    "text_fingerprint" -> textFingerprintSql,
+    "text_shingles" -> textShinglesSql
   )
 }
