@@ -223,6 +223,132 @@ object GraftHash {
     out
   }
 
+  // ------------------------------------------------------------------
+  // Fused md5-portable kernels. Bit-identical to the built-in
+  // expression compositions they replace (verified by KernelSpec
+  // property tests against the composed forms):
+  //   md5H32(s)           == conv(substr(md5(s), 1, 8), 16, 10)
+  //   shingleMd5H32(s, k) == array_distinct(transform(shingleStrings(s), h32))
+  //   simhashMd5(s)       == simhash of md5-h32 halves of split(trim(s),'\s+')
+  // One md5 digest per token/shingle via a thread-local MessageDigest —
+  // no hex strings, no conv parse, no intermediate string arrays.
+  // ------------------------------------------------------------------
+
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 4 digest bytes as an unsigned 32-bit value (== the first 8
+    * hex chars of md5 parsed base-16). */
+  private def beU32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+
+  /** md5-h32 of a string's UTF-8 bytes — the portable 32-bit hash the
+    * DuckDB oracles share: ('0x' || substr(md5(s),1,8))::BIGINT. */
+  def md5H32(s: UTF8String): Long = {
+    val md = md5TL.get()
+    md.reset()
+    md.update(s.getBytes)
+    beU32(md.digest(), 0)
+  }
+
+  /** Byte ranges of split(trim(s), "\s+") with Java limit=-1 semantics
+    * over ASCII whitespace: trim strips 0x20 only; a leading whitespace
+    * run yields a leading empty token, a trailing run a trailing empty
+    * one; empty/space-only input yields one empty token. Multi-byte
+    * UTF-8 is safe (continuation bytes are >= 0x80, never whitespace).
+    * Returns flattened (offset, length) pairs. */
+  private def splitRanges(bytes: Array[Byte]): Array[Int] = {
+    var s = 0
+    var e = bytes.length
+    while (s < e && bytes(s) == ' ') s += 1
+    while (e > s && bytes(e - 1) == ' ') e -= 1
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    if (s == e) { out += s; out += 0 }
+    else {
+      var cur = s
+      var i = s
+      while (i < e) {
+        if (isSpace(bytes(i))) {
+          out += cur; out += (i - cur)
+          while (i < e && isSpace(bytes(i))) i += 1
+          cur = i
+        } else i += 1
+      }
+      out += cur; out += (e - cur)
+    }
+    out.toArray
+  }
+
+  /** Distinct (first-occurrence order) md5-h32 hashes of the k-token
+    * shingles of s: tokens joined by single spaces per window; fewer
+    * than k tokens → one shingle of all tokens. Fused equivalent of
+    * array_distinct(transform(shingleStrings(s), h32)). */
+  def shingleMd5H32(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val r = splitRanges(bytes)
+    val ntok = r.length / 2
+    val kk = math.min(k, ntok)
+    val m = ntok - kk + 1
+    val md = md5TL.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w < m) {
+      md.reset()
+      var j = 0
+      while (j < kk) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes, r(2 * (w + j)), r(2 * (w + j) + 1))
+        j += 1
+      }
+      seen.add(beU32(md.digest(), 0))
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit portable SimHash: two 32-bit SimHashes packed (hi << 32 |
+    * lo), where per token the hi half accumulates md5 digest bytes 0-3
+    * (== h32) and the lo half bytes 4-7 (hex chars 9-16). Band-friendly
+    * (4×16-bit slices) and exactly reproducible in SQL from
+    * substr(md5(t),1,8) / substr(md5(t),9,8). Empty token set → 0. */
+  def simhashMd5(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val r = splitRanges(bytes)
+    val ntok = r.length / 2
+    val acc = new Array[Int](64) // 0-31 lo half, 32-63 hi half
+    val md = md5TL.get()
+    var t = 0
+    while (t < ntok) {
+      md.reset()
+      md.update(bytes, r(2 * t), r(2 * t + 1))
+      val d = md.digest()
+      val hHi = beU32(d, 0)
+      val hLo = beU32(d, 4)
+      var j = 0
+      while (j < 32) {
+        if (((hLo >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        if (((hHi >>> j) & 1L) == 1L) acc(32 + j) += 1 else acc(32 + j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over whitespace tokens. */
   def simhash64(s: UTF8String): Long = {
     val toks = tokenHashes(s)

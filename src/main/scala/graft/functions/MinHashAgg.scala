@@ -35,6 +35,11 @@ case class MinHashAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   require(numPerm >= 1)
+  // the portable permutation family (permA/permB) is seed-free: reject
+  // a non-zero seed rather than silently ignore it — two "independent"
+  // portable sketches with different seeds would be identical
+  require(!portable || seed == 0L,
+    "portable MinHashAgg ignores the seed; pass seed = 0")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

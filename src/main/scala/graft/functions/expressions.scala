@@ -193,6 +193,51 @@ case class SignBitsQ(child: Expression, numBits: Int, planeBase: Int)
   override protected def withNewChildInternal(c: Expression): SignBitsQ = copy(child = c)
 }
 
+/** Portable md5-h32 string hash as a single native kernel:
+  * == conv(substr(md5(s),1,8),16,10) (KernelSpec-pinned) but with no
+  * hex-string materialization or base-16 parse per value. */
+case class Md5H32(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5_h32"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.md5H32(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.md5H32($c)")
+  override protected def withNewChildInternal(c: Expression): Md5H32 = copy(c)
+}
+
+/** Fused tokenize→shingle→md5-h32→distinct kernel: the portable
+  * MinHash front end in one codegen call per document (KernelSpec pins
+  * equality with the composed shingleStrings+h32 form). */
+case class ShingleMd5H32(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_md5_h32"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.shingleMd5H32(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.shingleMd5H32($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleMd5H32 = copy(child = c)
+}
+
+/** 64-bit portable SimHash (two packed 32-bit md5-derived halves) in
+  * one codegen call per document. */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash_md5"
+  protected override def nullSafeEval(v: Any): Any =
+    GraftHash.simhashMd5(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.simhashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(c)
+}
+
 /** Column-API façade for the graft expressions. */
 object gf {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -216,12 +261,18 @@ object gf {
     col(SignBitsQ(ex(c), numBits, planeBase))
 
   /** Portable 32-bit string hash shared with the DuckDB oracles:
-    * first 8 hex chars of md5 as an integer. Built-in expressions only
-    * (md5/substring/conv are all codegen'd). */
-  def h32(c: Column): Column = {
+    * first 8 hex chars of md5 as an integer — native kernel. */
+  def h32(c: Column): Column = col(Md5H32(ex(c)))
+
+  /** h32 as the original built-in composition (md5/substring/conv) —
+    * kept as the KernelSpec reference for the native kernel. */
+  def h32_builtin(c: Column): Column = {
     import org.apache.spark.sql.functions._
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
   }
+
+  def shingle_md5_h32(c: Column, k: Int): Column = col(ShingleMd5H32(ex(c), k))
+  def simhash_md5(c: Column): Column = col(SimHashMd5(ex(c)))
 
   /** Register all graft expressions for SQL use (idempotent). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -89,13 +89,16 @@ object DedupOps {
     val bandsN = 16
     val rowsPerBand = numPerm / bandsN
     // Portable signature: md5-derived 32-bit shingle hashes + mod-(2^61-1)
-    // permutations (gf.minhash_sig_mod) — the DuckDB oracle reproduces the
-    // signatures bit-for-bit, so the whole LSH pipeline is hash-checked.
-    // (gf.minhash_sig over gf.shingle_hashes is the engine-private fast
-    // path: same plan shape, ~2-3× cheaper signatures, spec-pinned.)
+    // permutations — the DuckDB oracle reproduces the signatures
+    // bit-for-bit, so the whole LSH pipeline is hash-checked. The
+    // shingle→md5→h32→distinct front end is ONE fused codegen kernel
+    // (gf.shingle_md5_h32; KernelSpec pins equality with the composed
+    // shingleStrings+h32 form) — no shingle-string arrays or hex
+    // parsing materialize per row. (gf.minhash_sig over
+    // gf.shingle_hashes is the engine-private fast path: same plan
+    // shape, spec-pinned.)
     val sigCol = gf.minhash_sig_mod(
-      array_distinct(transform(TextOps.shingleStrings(col("text")),
-        s => gf.h32(s))), numPerm)
+      gf.shingle_md5_h32(col("text"), 3), numPerm)
     // signatures feed three plan branches (banding + both sides of the
     // verification join); persist so shingling+hashing runs once per
     // doc, not three times. At warehouse scale this is a checkpoint of
@@ -103,15 +106,21 @@ object DedupOps {
     val sigs = docs.select(col("doc_id"), sigCol.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Band key = the RAW signature slice (8 longs), not a hash of it:
+    // Spark shuffles/joins array<bigint> keys directly, and this keeps
+    // the candidate set bit-identical to the DuckDB oracle's
+    // raw-list band join (a band-hash collision could otherwise admit
+    // a Spark-only candidate). 64 B/band-row vs 8 B — negligible
+    // against the linear-in-rows shuffle it rides.
     val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bandsN - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_key")
 
-    val a = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id1"))
-    val b = bands.select(col("band_id"), col("band_hash"), col("doc_id").as("id2"))
-    val candidates = a.join(b, Seq("band_id", "band_hash"))
+    val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("id1"))
+    val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("id2"))
+    val candidates = a.join(b, Seq("band_id", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
 
@@ -129,20 +138,21 @@ object DedupOps {
     minhashPipeline(corpus(Tables.documents(spark, sfDir)), 0.5)
 
   // ---------------------------------------------------------------- D3
-  /** SimHash near-dup: 64-bit signature, banded into 4×16-bit keys for
-    * candidate generation (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal),
-    * exact Hamming ≤ 3 verification. */
+  /** SimHash near-dup: 64-bit portable signature (two packed 32-bit
+    * md5-derived halves, gf.simhash_md5 — one fused codegen kernel per
+    * doc), banded into 4×16-bit keys for candidate generation
+    * (pigeonhole: hamming ≤ 3 ⇒ ≥1 band equal), exact Hamming ≤ 3
+    * verification. 16-bit bands (65536 buckets) keep candidate
+    * generation sub-quadratic as the corpus grows — the earlier 8-bit
+    * portable banding saturated at 256 buckets (ScaleProbe ratio 3.4)
+    * and the 32-bit signature admitted false-similar pairs.
+    * gf.simhash64 is the engine-private fast path (spec-pinned). */
   def simhashPipeline(docs: DataFrame, maxHamming: Int): DataFrame = {
-    // Portable 32-bit SimHash over md5-derived token hashes (the oracle
-    // recomputes it in SQL); 4 bands × 8 bits — pigeonhole still gives
-    // recall 1.0 for hamming ≤ 3. gf.simhash64 is the engine-private
-    // 64-bit fast path (spec-pinned).
-    val tokens = split(trim(col("text")), "\\s+")
     val sigs = docs.select(col("doc_id"),
-      gf.simhash_ints(transform(tokens, t => gf.h32(t)), 32).as("sim"))
+      gf.simhash_md5(col("text")).as("sim"))
     val bands = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("sim"), b * 8).bitwiseAND(lit(0xffL))
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
       }: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
@@ -154,8 +164,9 @@ object DedupOps {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         gf.hamming64(col("sim1"), col("sim2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: the
+      // dedup shuffle carries only surviving pairs
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -166,8 +177,7 @@ object DedupOps {
     * all-pairs): true |A∩B|/|A∪B| over distinct 3-token shingles. */
   def ngramJaccardPipeline(docs: DataFrame, threshold: Double): DataFrame = {
     val shingled = docs.select(col("doc_id"),
-      array_distinct(transform(TextOps.shingleStrings(col("text")),
-        s => gf.h32(s))).as("sh"))
+      gf.shingle_md5_h32(col("text"), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = minhashPipeline(docs, 0.3).select("id1", "id2")
     val s1 = shingled.select(col("doc_id").as("id1"), col("sh").as("sh1"))
@@ -273,19 +283,26 @@ object DedupOps {
   val dedupSimhashSql: String =
     s"""WITH $corpusSql,
        |tokh AS (
-       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_hi,
+       |    ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_lo
        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
        |        FROM corpus) u),
        |bits AS (
        |  SELECT doc_id, j,
-       |    CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-       |         THEN (1::BIGINT << j) ELSE 0 END AS v
+       |    CASE WHEN sum(CASE WHEN ((h_hi >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN (1::BIGINT << j) ELSE 0 END AS v_hi,
+       |    CASE WHEN sum(CASE WHEN ((h_lo >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN (1::BIGINT << j) ELSE 0 END AS v_lo
        |  FROM tokh, range(32) r(j) GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s FROM bits GROUP BY doc_id)
+       |sig AS (
+       |  SELECT doc_id, CAST(sum(v_hi) AS BIGINT) AS s_hi,
+       |         CAST(sum(v_lo) AS BIGINT) AS s_lo
+       |  FROM bits GROUP BY doc_id)
        |SELECT a.doc_id AS id1, b.doc_id AS id2,
-       |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       |  CAST(bit_count(xor(a.s_hi, b.s_hi)) + bit_count(xor(a.s_lo, b.s_lo)) AS INT) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin
+       |WHERE bit_count(xor(a.s_hi, b.s_hi)) + bit_count(xor(a.s_lo, b.s_lo)) <= 3""".stripMargin
 
   val dedupNgramJaccardSql: String =
     s"""WITH $minhashSqlCtes,

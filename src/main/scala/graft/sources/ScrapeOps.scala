@@ -40,12 +40,22 @@ object ScrapeOps {
       delayMs: Long = 0L): Dataset[FetchResult] = {
     import keys.sparkSession.implicits._
     keys.mapPartitions { it =>
+      // Politeness budget: at most one request per delayMs per executor
+      // slot, across ALL requests in the partition — first attempts
+      // included. A fleet-wide budget is then delayMs / numPartitions.
+      var lastRequestAt = Long.MinValue
+      def politeWait(): Unit = if (delayMs > 0) {
+        val wakeAt = lastRequestAt + delayMs
+        val now = System.currentTimeMillis()
+        if (wakeAt > now) Thread.sleep(wakeAt - now)
+        lastRequestAt = System.currentTimeMillis()
+      }
       it.map { key =>
         var attempt = 0
         var result: FetchResult = null
         while (result == null || (!result.ok && attempt < maxAttempts)) {
           attempt += 1
-          if (delayMs > 0 && attempt > 1) Thread.sleep(delayMs)
+          politeWait()
           result =
             try FetchResult(key, fetcher(key), ok = true, attempt, null)
             catch {

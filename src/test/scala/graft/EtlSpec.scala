@@ -10,6 +10,11 @@ object FetchCounters {
   val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
 
+/** Wall-clock request timestamps for the rate-limit spec (same-JVM). */
+object FetchTimes {
+  val times = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+}
+
 class EtlSpec extends SparkSuite {
 
   test("enrich adds the four reference metadata columns") {
@@ -141,6 +146,33 @@ class EtlSpec extends SparkSuite {
     assert(new String(byKey("HOTEL3").payload, "UTF-8") == "payload:HOTEL3")
     val failed = out.filter(!_.ok).map(_.key).toSet
     assert(failed == (10 to 100 by 10).map(i => s"HOTEL$i").toSet)
+  }
+
+  test("distributed fetch: rate limit spaces EVERY request, not just retries") {
+    import spark.implicits._
+    import graft.sources.ScrapeOps
+    // 4 keys in ONE partition; record each request's wall-clock time.
+    val keys = (1 to 4).map(i => s"RATE$i").toDS().coalesce(1)
+    FetchTimes.times.clear()
+    val fetcher: String => Array[Byte] = { key =>
+      FetchTimes.times.add(System.currentTimeMillis())
+      s"ok:$key".getBytes("UTF-8")
+    }
+    val delayMs = 120L
+    val out = ScrapeOps.fetchAll(keys, fetcher, maxAttempts = 1, delayMs = delayMs).collect()
+    assert(out.length == 4 && out.forall(_.ok))
+    val ts = {
+      val a = new java.util.ArrayList(FetchTimes.times)
+      java.util.Collections.sort(a)
+      (0 until a.size).map(a.get(_).longValue())
+    }
+    assert(ts.size == 4)
+    // every consecutive pair of first-attempt requests >= delayMs apart
+    // (small tolerance for Thread.sleep/currentTimeMillis granularity)
+    ts.zip(ts.tail).foreach { case (a, b) =>
+      assert(b - a >= delayMs - 20,
+        s"requests only ${b - a}ms apart; politeness budget is ${delayMs}ms")
+    }
   }
 
   test("retry ledger caps attempts at 3 per user, time-ordered") {

@@ -27,7 +27,7 @@ class InventorySpec extends AnyFunSuite {
   }
 
   test("inventory size matches the survey status line") {
-    val statusRe = "\\*\\*Status \\(round 1\\).*?(\\d+) `queries`\\n?entries; (\\d+) DuckDB-oracled".r
+    val statusRe = "\\*\\*Status \\(round \\d+\\).*?(\\d+) `queries`\\n?entries; (\\d+) DuckDB-oracled".r
     statusRe.findFirstMatchIn(survey.replace("\n", "\n")) match {
       case Some(m) =>
         assert(m.group(1).toInt == SparkEntry.queries.size,
