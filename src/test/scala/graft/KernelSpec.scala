@@ -55,8 +55,9 @@ class KernelSpec extends SparkSuite {
       TextOps.shingleStrings(col("text")), s => gf.h32_builtin(s)))
     val pairs = runBoth(sampleTexts, gf.shingle_md5_h32(col("text"), 3), composed)
     pairs.foreach { case (t, f, c) =>
-      assert(f.asInstanceOf[Seq[Long]] == c.asInstanceOf[Seq[Long]],
-        s"text=[${escape(t)}] fused=$f composed=$c")
+      // row.get returns mutable.ArraySeq for array columns; Seq == compares
+      // elementwise across mutable/immutable, so no cast needed.
+      assert(f == c, s"text=[${escape(t)}] fused=$f composed=$c")
     }
   }
 
