@@ -56,15 +56,25 @@ object ClusterOps {
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("nmin"))
+      val prop = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("__old"))
+      // pointer-jump: label(v) := label(label(v)). One extra equi-join
+      // per round turns O(diameter) convergence into O(log diameter) —
+      // a chain of length 2^maxIter still closes, so maxIter=10 covers
+      // any graph a dedup pipeline can produce.
       // carry the previous label through the checkpoint so the
       // convergence test is a filter on the in-memory relation, not
       // another join
       // lazy checkpoint + count: ONE job both materializes the round's
       // checkpoint and evaluates convergence
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("__old"))
+      val next = prop.as("p")
+        .join(prop.select(col("id").as("ptr"), col("label").as("plabel")),
+          col("p.label") === col("ptr"), "left")
+        .select(col("p.id").as("id"),
+          least(col("p.label"), coalesce(col("plabel"), col("p.label"))).as("label"),
+          col("__old"))
         .localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("__old")).limit(1).count()
       labels = next.select(col("id"), col("label"))
@@ -72,6 +82,13 @@ object ClusterOps {
       i += 1
       if (dbg) println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s changed=$changed")
     }
+    // The DuckDB oracle takes the exact transitive closure; returning a
+    // partially-propagated labeling would diverge from it silently.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "with pointer-jumping this needs component diameter > 2^maxIter; " +
+          "raise maxIter or inspect the pair graph")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -39,6 +39,16 @@ class ClusterSpec extends SparkSuite {
     assert(got.size == 13)
   }
 
+  test("diameter-300 chain converges within default maxIter via pointer-jumping") {
+    // one-hop propagation alone needs ~300 rounds here; pointer-jumping
+    // closes it in O(log d). Would previously exit unconverged at 10.
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    val got = ClusterOps.connectedComponents(chain.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 301)
+  }
+
   test("dedup_clusters equals union-find closure of the minhash pairs") {
     val pairs = DedupOps.minhashPipeline(
       DedupOps.corpus(Tables.documents(spark, sf)), 0.5)
