@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Oracled batch twins of the Structured Streaming operators
+  * (SURVEY.md §2.G): each runs a REAL streaming query (file source →
+  * stateful transform → memory sink) to completion on the bounded
+  * events table and returns the sink contents as a DataFrame, so the
+  * driver's DuckDB gate covers the streaming engine itself — not just
+  * the ScalaTest specs.
+  *
+  * Determinism notes:
+  *   - `streaming_window_counts` runs the windowed aggregation in
+  *     Complete output mode: the final trigger's state IS the full
+  *     grouped result, independent of micro-batch boundaries.
+  *   - `streaming_sessionize` runs the flatMapGroupsWithState session
+  *     operator in Append mode. Open sessions only emit when the event
+  *     time watermark passes their gap timeout, so two far-future
+  *     sentinel files (user_id = -1, years 2100/2101) are replayed as
+  *     ordered micro-batches after the data: the first drives the
+  *     watermark past every real session's timeout, the second gives
+  *     the engine a data-batch in which those timeouts fire (no
+  *     reliance on no-data micro-batch scheduling). The emitted set is
+  *     then exactly ALL real-user sessions — the batch twin — with
+  *     millisecond-floor timestamps (session state tracks epoch millis,
+  *     the same floor the oracle applies via epoch_ms).
+  */
+object StreamingTwins {
+
+  private val streamSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stage the events table as time-ordered parquet batch dirs so the
+    * file stream source replays them as separate micro-batches
+    * (maxFilesPerTrigger=1; FileStreamSource orders by mtime). The two
+    * sentinel batches carry one far-future event each for user -1. */
+  private def stageWithSentinels(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_twin").toString
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.parquet(s"$dir/batch_0")
+    // epoch millis for 2100-01-01 / 2101-01-01 UTC — tz-independent
+    Seq((4102444800000L, 1L), (4133980800000L, 2L))
+      .zipWithIndex.foreach { case ((ms, id), i) =>
+        Seq((-id, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0d, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(s"$dir/batch_${i + 1}")
+      }
+    // distinct, strictly increasing mtimes → deterministic replay order
+    val t0 = System.currentTimeMillis()
+    (0 to 2).foreach { i =>
+      val d = new java.io.File(s"$dir/batch_$i")
+      (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+    }
+    dir
+  }
+
+  private def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = "twin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  // ---------------------------------------------------------------- G1
+  /** Streaming twin of Analytics.qEventsWindow (minus countDistinct,
+    * which streaming aggregation forbids): tumbling hourly counts over
+    * the event stream, Complete mode. */
+  def streamingWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch_*")
+    val agg = src
+      .filter($"user_id" >= 0)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("total_value"))
+    runToCompletion(agg, "complete")
+      .select($"hour".cast("timestamp_ntz").as("hour"), $"event_type",
+        $"n_events", $"total_value")
+  }
+
+  val streamingWindowCountsSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- G2
+  /** Streaming twin of Analytics.qEventsSessionize: the stateful
+    * flatMapGroupsWithState session operator run to watermark-flushed
+    * completion. Gap/bound arithmetic is epoch-millis (session state),
+    * which the oracle mirrors with epoch_ms floors. */
+  def streamingSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val ev = spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch_*")
+      .select($"event_id", $"ts", $"user_id").as[StreamingOps.Ev]
+    runToCompletion(StreamingOps.sessionize(ev).toDF(), "append")
+      .filter($"user_id" >= 0)
+      .select($"user_id",
+        $"session_start".cast("timestamp_ntz").as("session_start"),
+        $"session_end".cast("timestamp_ntz").as("session_end"),
+        $"n_events")
+  }
+
+  val streamingSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id,
+      |  make_timestamp(min(epoch_ms(ts)) * 1000) AS session_start,
+      |  make_timestamp(max(epoch_ms(ts)) * 1000) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_seq""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_window_counts" -> streamingWindowCounts _,
+    "streaming_sessionize" -> streamingSessionize _)
+
+  def oracleSql: Map[String, String] = Map(
+    "streaming_window_counts" -> streamingWindowCountsSql,
+    "streaming_sessionize" -> streamingSessionizeSql)
+}
