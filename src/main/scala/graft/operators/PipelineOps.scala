@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.gf
+
+/** Training-data pipeline operators beyond the dedup/ANN families
+  * (SURVEY.md §2.J): deterministic dataset splitting and sampling,
+  * sequence packing, benchmark decontamination, and embedding
+  * quantization — the assembly stages between "cleaned corpus" and
+  * "training shards".
+  *
+  * Scale notes (100 TB):
+  *   - Splits/sampling key on a portable md5-derived hash of the
+  *     document id (gf.h32, the same kernel the dedup oracles replay),
+  *     so assignment is stable across runs, engines, and repartitions —
+  *     never `rand()`, which re-rolls per task retry.
+  *   - `sample_stratified` and `pack_sequences` shuffle once on
+  *     `source` (the stratum / shard key); no global sort anywhere.
+  *   - `contamination` broadcasts the benchmark side (eval sets are
+  *     tiny vs the corpus) and joins on shingle hash — linear shuffle,
+  *     quadratic only within identical-shingle buckets.
+  */
+object PipelineOps {
+
+  // ---------------------------------------------------------------- J1
+  /** Deterministic train/val/test split: md5-hash bucket per doc_id
+    * (90/5/5). The idiom every large corpus uses for reproducible
+    * membership — adding documents never reshuffles earlier ones. */
+  def sampleSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", (gf.h32($"doc_id".cast("string")) % 100).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val")
+          .otherwise("test"))
+  }
+
+  val sampleSplitSql: String =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+      |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- J2
+  /** Stratified 20% sample per source: rank docs within each source by
+    * hash (deterministic "random" order) and keep the top ceil(20%).
+    * One shuffle on the stratum key; no global sort. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = Window.partitionBy($"source")
+    val ranked = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", gf.h32($"doc_id".cast("string")).as("h"))
+      .withColumn("sample_rank",
+        row_number().over(bySource.orderBy($"h", $"doc_id")))
+      .withColumn("n_source", count(lit(1)).over(bySource))
+    ranked.filter($"sample_rank" <= expr("(n_source + 4) DIV 5"))
+      .select($"source", $"doc_id", $"sample_rank", $"n_source")
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id)
+      |      AS sample_rank,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+      |  FROM documents)
+      |SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank, n_source
+      |FROM ranked WHERE sample_rank <= (n_source + 4) // 5""".stripMargin
+
+  // ---------------------------------------------------------------- J3
+  /** Sequence packing (concat-and-chunk): docs are laid out in a
+    * deterministic order per source, token offsets accumulated, and
+    * each doc assigned to the 512-token context chunk its offset lands
+    * in — the GPT-style packing layout, computed with one window over
+    * the shard key (each source packs independently; at 100 TB the
+    * cumsum never crosses executors for more than one source). */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("end_off", sum($"n_tok").over(bySource))
+      .select($"source", $"doc_id", $"n_tok",
+        ($"end_off" - $"n_tok").as("tok_offset"),
+        expr("(end_off - n_tok) DIV 512").as("chunk_id"))
+  }
+
+  val packSequencesSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok
+      |      AS tok_offset
+      |  FROM toks)
+      |SELECT source, doc_id, n_tok, tok_offset, tok_offset // 512 AS chunk_id
+      |FROM packed""".stripMargin
+
+  // ---------------------------------------------------------------- J4
+  /** Benchmark decontamination: flag corpus documents sharing ≥2
+    * distinct 3-token shingles with any benchmark document (here the
+    * doc_id % 50 == 0 subset stands in for the eval set). The
+    * benchmark side is broadcast; the corpus never self-joins. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val arr = Tables.documents(spark, sfDir)
+      .select($"doc_id", gf.shingle_md5_h32($"text", 3).as("sh"))
+    val corp = arr.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", size($"sh").cast("long").as("n_shingles"),
+        explode($"sh").as("h"))
+    val bench = arr.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("bench_id"), explode($"sh").as("h"))
+    corp.join(broadcast(bench), "h")
+      .groupBy($"doc_id", $"bench_id", $"n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter($"n_overlap" >= 2)
+      .select($"doc_id", $"bench_id", $"n_overlap",
+        round($"n_overlap" / $"n_shingles", 6).as("contam_frac"))
+  }
+
+  val contaminationSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
+      |       ELSE l[g] || ' ' || l[g+1] || ' ' || l[g+2] END AS s
+      |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g)),
+      |shh AS (
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM sh),
+      |cnt AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |  FROM shh GROUP BY doc_id),
+      |bench AS (SELECT doc_id AS bench_id, h FROM shh WHERE doc_id % 50 = 0),
+      |corp AS (
+      |  SELECT s.doc_id, c.n_shingles, s.h
+      |  FROM shh s JOIN cnt c USING (doc_id) WHERE s.doc_id % 50 <> 0)
+      |SELECT corp.doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_overlap,
+      |  round(CAST(count(*) AS BIGINT) / n_shingles, 6) AS contam_frac
+      |FROM corp JOIN bench USING (h)
+      |GROUP BY corp.doc_id, bench_id, n_shingles
+      |HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- J5
+  /** Embedding normalize + int8 quantize: per-vector L2 norm and the
+    * symmetric scalar quantization q_i = floor(127·x_i/‖x‖ + 0.5) —
+    * the storage layout ANN indexes serve at scale (4× smaller than
+    * f32). Narrow projection, zero shuffle; quantized vector emitted
+    * as a CSV string (arrays don't hash portably across engines). */
+  def embQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .withColumn("l2_norm", round(sqrt(aggregate($"embedding", lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 6))
+      .select($"vec_id", $"label", $"l2_norm",
+        array_join(transform($"embedding",
+          x => floor(x.cast("double") * 127 / $"l2_norm" + 0.5).cast("int")
+            .cast("string")), ",").as("q8"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH normed AS (
+      |  SELECT vec_id, label,
+      |    round(sqrt(list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+      |    embedding
+      |  FROM embeddings)
+      |SELECT vec_id, label, l2_norm,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / l2_norm + 0.5) AS INT)), ',')
+      |    AS q8
+      |FROM normed""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split" -> sampleSplit _,
+    "sample_stratified" -> sampleStratified _,
+    "pack_sequences" -> packSequences _,
+    "contamination_check" -> contamination _,
+    "emb_quantize" -> embQuantize _)
+
+  def oracleSql: Map[String, String] = Map(
+    "sample_split" -> sampleSplitSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "pack_sequences" -> packSequencesSql,
+    "contamination_check" -> contaminationSql,
+    "emb_quantize" -> embQuantizeSql)
+}
