@@ -44,28 +44,33 @@ object StreamingTwins {
   /** Stage the events table as time-ordered parquet batch dirs so the
     * file stream source replays them as separate micro-batches
     * (maxFilesPerTrigger=1; FileStreamSource orders by mtime). The two
-    * sentinel batches carry one far-future event each for user -1. */
-  private def stageWithSentinels(spark: SparkSession, sfDir: String): String = {
-    import spark.implicits._
-    val dir = Files.createTempDirectory("graft_stream_twin").toString
-    Tables.events(spark, sfDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
-      .coalesce(1).write.parquet(s"$dir/batch_0")
-    // epoch millis for 2100-01-01 / 2101-01-01 UTC — tz-independent
-    Seq((4102444800000L, 1L), (4133980800000L, 2L))
-      .zipWithIndex.foreach { case ((ms, id), i) =>
-        Seq((-id, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0d, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(s"$dir/batch_${i + 1}")
+    * sentinel batches carry one far-future event each for user -1.
+    * Staging is deterministic, so the dir is built once per (session,
+    * sfDir) and reused by later invocations in the same JVM. */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageWithSentinels(spark: SparkSession, sfDir: String): String =
+    staged.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val dir = Files.createTempDirectory("graft_stream_twin").toString
+      Tables.events(spark, sfDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1).write.parquet(s"$dir/batch_0")
+      // epoch millis for 2100-01-01 / 2101-01-01 UTC — tz-independent
+      Seq((4102444800000L, 1L), (4133980800000L, 2L))
+        .zipWithIndex.foreach { case ((ms, id), i) =>
+          Seq((-id, new java.sql.Timestamp(ms), -1L, "sentinel", 0.0d, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.parquet(s"$dir/batch_${i + 1}")
+        }
+      // distinct, strictly increasing mtimes → deterministic replay order
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val d = new java.io.File(s"$dir/batch_$i")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
       }
-    // distinct, strictly increasing mtimes → deterministic replay order
-    val t0 = System.currentTimeMillis()
-    (0 to 2).foreach { i =>
-      val d = new java.io.File(s"$dir/batch_$i")
-      (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
-    }
-    dir
-  }
+      dir
+    })
 
   private def runToCompletion(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
@@ -82,9 +87,11 @@ object StreamingTwins {
     * the event stream, Complete mode. */
   def streamingWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Complete mode emits the full grouped state regardless of batch
+    // boundaries or watermark, so no per-file triggering is needed:
+    // one micro-batch over all staged files (sentinels filtered).
     val dir = stageWithSentinels(spark, sfDir)
-    val src = spark.readStream.schema(streamSchema)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch_*")
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
     val agg = src
       .filter($"user_id" >= 0)
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
