@@ -3,15 +3,26 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-behavior probe: runs headline operators on 1× and 5×
+/** Scale-behavior probe: runs headline operators on 1× and N×
   * replicas of the sf tables (ids offset per replica so keys stay
   * distinct) and reports the runtime ratio. A scalable plan should
-  * grow ≈linearly (ratio ≈ 5, usually less thanks to fixed overhead);
-  * a quadratic one explodes. Usage: runMain graft.ScaleProbe [sfDir]
+  * grow ≈linearly (ratio ≈ N, usually less thanks to fixed overhead);
+  * a quadratic one explodes.
+  *
+  * Document replicas are SALTED (every token suffixed with the replica
+  * index) so cross-replica texts share no shingles: growing the corpus
+  * must hold duplicate DENSITY constant, not multiply every duplicate
+  * cluster by the replica count — identical-text replication turns
+  * each cluster into an R²-pair clique and measures that worst-case
+  * corpus, not the operator's scaling.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [factor...]  (default 5 10)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors: Seq[Int] =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(5, 10)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,6 +37,14 @@ object ScaleProbe {
         idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * offset)))
       }.reduce(_ unionByName _)
 
+    /** Replicate documents with per-replica token salting: same size and
+      * in-replica duplicate structure, zero cross-replica shingle overlap. */
+    def replicateDocs(df: DataFrame, times: Int): DataFrame =
+      (0 until times).map { i =>
+        df.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + i))
+      }.reduce(_ unionByName _)
+
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -36,33 +55,34 @@ object ScaleProbe {
     // warmup
     li.count(); docs.count()
 
-    val results = Seq(
-      "q1_agg" -> {
-        def run(d: DataFrame) = time(d.groupBy("l_returnflag", "l_linestatus")
-          .agg(sum(col("l_quantity").cast("decimal(12,2)")), count(lit(1))).count())
-        (run(li), run(replicate(li, 5, Seq("l_orderkey"), 10000000L)))
-      },
-      "window_scd" -> {
-        import org.apache.spark.sql.expressions.Window
-        def run(d: DataFrame) = time(d.withColumn("rn",
-          row_number().over(Window.partitionBy("l_suppkey")
-            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")))
-          .filter(col("rn") === 1).count())
-        (run(li), run(replicate(li, 5, Seq("l_orderkey"), 10000000L)))
-      },
-      "minhash_lsh" -> {
-        def run(d: DataFrame) = time(
-          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5).count())
-        (run(docs), run(replicate(docs, 5, Seq("doc_id"), 1000000L)))
-      },
-      "simhash" -> {
-        def run(d: DataFrame) = time(
-          operators.DedupOps.simhashPipeline(d.select("doc_id", "text"), 3).count())
-        (run(docs), run(replicate(docs, 5, Seq("doc_id"), 1000000L)))
-      }
-    )
-    results.foreach { case (name, (t1, t5)) =>
-      println(f"PROBE $name%-12s 1x=${t1}%.2fs 5x=${t5}%.2fs ratio=${t5 / t1}%.1f")
+    val probes: Seq[(String, DataFrame => Double, Int => DataFrame, DataFrame)] = Seq(
+      ("q1_agg",
+        (d: DataFrame) => time(d.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")), count(lit(1))).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      ("window_scd",
+        (d: DataFrame) => {
+          import org.apache.spark.sql.expressions.Window
+          time(d.withColumn("rn",
+            row_number().over(Window.partitionBy("l_suppkey")
+              .orderBy("l_shipdate", "l_orderkey", "l_linenumber")))
+            .filter(col("rn") === 1).count())
+        },
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      ("minhash_lsh",
+        (d: DataFrame) => time(
+          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      ("simhash",
+        (d: DataFrame) => time(
+          operators.DedupOps.simhashPipeline(d.select("doc_id", "text"), 3).count()),
+        (n: Int) => replicateDocs(docs, n), docs))
+    probes.foreach { case (name, run, mk, base) =>
+      val t1 = run(base)
+      val scaled = factors.map(n => n -> run(mk(n)))
+      val s = scaled.map { case (n, t) =>
+        f"${n}x=$t%.2fs r=${t / t1}%.1f" }.mkString(" ")
+      println(f"PROBE $name%-12s 1x=$t1%.2fs $s")
     }
     spark.stop()
   }
