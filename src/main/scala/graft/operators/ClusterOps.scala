@@ -104,17 +104,34 @@ object ClusterOps {
       .filter(col("n_members") > 1)
   }
 
+  /** dedup_canonical: the retention list a dedup pipeline actually
+    * ships — every corpus document labeled with its cluster's
+    * canonical (minimum) member and a keep/drop flag. Singletons are
+    * their own canonical. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val pairs = DedupOps.minhashPipeline(corpus, 0.5)
+    corpus.select(col("doc_id"))
+      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep_flag",
+        when(col("doc_id") === col("canonical_id"), "Y").otherwise("N"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> dedupClusters _
+    "dedup_clusters" -> dedupClusters _,
+    "dedup_canonical" -> dedupCanonical _
   )
 
-  /** DuckDB oracle: replay the portable MinHash pair pipeline, then
-    * take the transitive closure with a recursive CTE and label each
-    * node with its component minimum — exactly what the iterative
-    * min-label propagation converges to. Exactness additionally pinned
-    * by ClusterSpec against a brute-force union-find. */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE ${DedupOps.minhashSqlCtes},
+  /** Shared oracle CTE chain: replay the portable MinHash pair
+    * pipeline, then take the transitive closure with a recursive CTE
+    * and label each node with its component minimum — exactly what the
+    * iterative min-label propagation converges to. Exactness
+    * additionally pinned by ClusterSpec against a brute-force
+    * union-find. */
+  private val componentsSqlCtes: String =
+    s"""${DedupOps.minhashSqlCtes},
        |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
        |edges AS (
        |  SELECT id1 AS a, id2 AS b FROM pairs
@@ -123,12 +140,24 @@ object ClusterOps {
        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $componentsSqlCtes
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
        |  array_to_string(list_sort(list(doc_id)), ',') AS members
        |FROM lab GROUP BY cluster_id HAVING count(*) > 1""".stripMargin
 
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $componentsSqlCtes
+       |SELECT c.doc_id,
+       |  coalesce(lab.cluster_id, c.doc_id) AS canonical_id,
+       |  CASE WHEN coalesce(lab.cluster_id, c.doc_id) = c.doc_id
+       |    THEN 'Y' ELSE 'N' END AS keep_flag
+       |FROM corpus c LEFT JOIN lab ON c.doc_id = lab.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "dedup_clusters" -> dedupClustersSql
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_canonical" -> dedupCanonicalSql
   )
 }

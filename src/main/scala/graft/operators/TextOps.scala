@@ -267,6 +267,42 @@ object TextOps {
       |       unnest(range(1, len(t.l))) AS u(g))
       |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- C8
+  /** Token-entropy repetition signal: per-doc Shannon entropy of the
+    * token distribution plus type-token ratio — the standard
+    * repetition/diversity filter a quality pipeline runs next to C2.
+    * H = log2(N) − (Σ c·log2 c)/N computed in one two-level
+    * aggregation (explode → (doc,token) partial counts → per-doc agg);
+    * shuffle is linear in tokens. round(…, 6) bridges libm ulp skew
+    * between engines (same convention as the cosine oracles). */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), wsPat)).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    tf.groupBy($"doc_id").agg(
+      sum($"c").as("n_tok"),
+      count(lit(1)).as("n_distinct"),
+      round(log2(sum($"c").cast("double"))
+        - sum($"c".cast("double") * log2($"c".cast("double"))) / sum($"c"), 6)
+        .as("token_entropy"),
+      round(count(lit(1)).cast("double") / sum($"c"), 6).as("ttr"))
+  }
+
+  val textEntropySql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)
+      |  GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  round(log2(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+      |    AS token_entropy,
+      |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+      |FROM tf GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_freq" -> textNgramFreq _,
     "text_redact" -> textRedact _,
@@ -274,7 +310,8 @@ object TextOps {
     "text_quality_score" -> textQualityScore _,
     "text_lang_id" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
-    "text_shingles" -> textShingles _
+    "text_shingles" -> textShingles _,
+    "text_entropy" -> textEntropy _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -284,6 +321,7 @@ object TextOps {
     "text_quality_score" -> textQualityScoreSql,
     "text_lang_id" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_shingles" -> textShinglesSql
+    "text_shingles" -> textShinglesSql,
+    "text_entropy" -> textEntropySql
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, PipelineOps}
+import graft.streaming.StreamingTwins
+
+/** Dataset-assembly operators (SURVEY.md §2.J) and the streaming
+  * oracle twins (§2.G): property checks the DuckDB hash compare can't
+  * express (fraction bounds, budget invariants, batch/stream parity). */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sample_split: exhaustive, disjoint, roughly 90/5/5") {
+    val split = PipelineOps.sampleSplit(spark, sf).cache()
+    val n = split.count()
+    assert(n == Tables.documents(spark, sf).count())
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / n
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train frac $trainFrac")
+    // deterministic: same membership on recompute
+    assert(PipelineOps.sampleSplit(spark, sf).except(split).count() == 0)
+    split.unpersist()
+  }
+
+  test("sample_stratified: exactly ceil(20%) of every source") {
+    val sizes = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = PipelineOps.sampleStratified(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == sizes.keySet)
+    kept.foreach { case (src, k) =>
+      assert(k == (sizes(src) + 4) / 5, s"source $src: kept $k of ${sizes(src)}")
+    }
+  }
+
+  test("pack_sequences: offsets contiguous per source, chunk = offset/512") {
+    val rows = PipelineOps.packSequences(spark, sf)
+      .orderBy("source", "doc_id").collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      var expectOff = 0L
+      rs.foreach { r =>
+        assert(r.getAs[Long]("tok_offset") == expectOff)
+        assert(r.getAs[Long]("chunk_id") == expectOff / 512)
+        expectOff += r.getAs[Long]("n_tok")
+      }
+    }
+  }
+
+  test("contamination_check: overlap bounded by doc shingle count, no bench-bench pairs") {
+    val rows = PipelineOps.contamination(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 0)
+      assert(r.getAs[Long]("bench_id") % 50 == 0)
+      assert(r.getAs[Long]("n_overlap") >= 2)
+      val frac = r.getAs[Double]("contam_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("emb_quantize: q8 values within int8 range, norm positive") {
+    val rows = PipelineOps.embQuantize(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("l2_norm") > 0)
+      val qs = r.getAs[String]("q8").split(",").map(_.toInt)
+      assert(qs.length == 64)
+      assert(qs.forall(q => q >= -128 && q <= 127))
+    }
+  }
+
+  test("streaming twins equal their batch counterparts") {
+    // window counts: batch twin minus the streaming-forbidden countDistinct
+    val batchW = Analytics.qEventsWindow(spark, sf)
+      .select($"hour", $"event_type", $"n_events", $"total_value")
+    val streamW = StreamingTwins.streamingWindowCounts(spark, sf)
+    assert(streamW.except(batchW).count() == 0)
+    assert(batchW.except(streamW).count() == 0)
+    // sessionize: session count and event totals match per user
+    val batchS = Analytics.qEventsSessionize(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"))
+    val streamS = StreamingTwins.streamingSessionize(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"))
+    assert(streamS.except(batchS).count() == 0)
+    assert(batchS.except(streamS).count() == 0)
+  }
+}
