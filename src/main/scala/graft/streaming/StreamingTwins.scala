@@ -146,11 +146,68 @@ object StreamingTwins {
       |  COUNT(*) AS n_events
       |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
+  // ---------------------------------------------------------------- G3
+  /** Streaming exact dedup run to completion: the events table staged
+    * TWICE into one micro-batch (two part files, every event
+    * duplicated) → dropDuplicatesWithinWatermark keeps exactly one
+    * occurrence per event_id. Single-batch staging is deliberate:
+    * duplicates split across micro-batches could straddle the
+    * watermark's state-eviction horizon and re-emit, which is the
+    * documented semantics of the operator, not a stable oracle. */
+  private val stagedDup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stagedDup.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft_stream_dedup").toString
+      val ev = Tables.events(spark, sfDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1)
+      ev.write.parquet(s"$d/batch_0")
+      ev.write.mode("append").parquet(s"$d/batch_0") // second copy, same batch
+      d
+    })
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+    val deduped = StreamingOps.dedupStream(src)
+    runToCompletion(deduped, "append")
+      .select($"event_id", $"ts".cast("timestamp_ntz").as("ts"), $"user_id",
+        $"event_type", $"value")
+  }
+
+  val streamingDedupSql: String =
+    """SELECT event_id, ts, user_id, event_type, value FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- G4
+  /** Stream-static join: the event stream enriched against the static
+    * customer dimension — Structured Streaming broadcasts the static
+    * side per micro-batch; stateless, so Append emits rows as they
+    * arrive. The twin of the batch star-join enrichment. */
+  def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+      .filter($"user_id" >= 0)
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val joined = src.join(cust, src("user_id") === cust("c_custkey"))
+      .select($"event_id", $"ts".cast("timestamp_ntz").as("ts"), $"user_id",
+        $"event_type", $"c_name", $"c_mktsegment", $"value")
+    runToCompletion(joined, "append")
+  }
+
+  val streamingEnrichSql: String =
+    """SELECT event_id, ts, user_id, event_type, c_name, c_mktsegment, value
+      |FROM events JOIN customer ON user_id = c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_window_counts" -> streamingWindowCounts _,
-    "streaming_sessionize" -> streamingSessionize _)
+    "streaming_sessionize" -> streamingSessionize _,
+    "streaming_dedup" -> streamingDedup _,
+    "streaming_enrich" -> streamingEnrich _)
 
   def oracleSql: Map[String, String] = Map(
     "streaming_window_counts" -> streamingWindowCountsSql,
-    "streaming_sessionize" -> streamingSessionizeSql)
+    "streaming_sessionize" -> streamingSessionizeSql,
+    "streaming_dedup" -> streamingDedupSql,
+    "streaming_enrich" -> streamingEnrichSql)
 }
