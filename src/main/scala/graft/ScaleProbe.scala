@@ -76,6 +76,16 @@ object ScaleProbe {
       ("simhash",
         (d: DataFrame) => time(
           operators.DedupOps.simhashPipeline(d.select("doc_id", "text"), 3).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // decontamination: corpus grows, benchmark (eval set) stays fixed —
+      // the realistic shape; broadcast side is constant
+      ("contamination",
+        (d: DataFrame) => time(operators.PipelineOps.contaminationPipeline(
+          d, docs.filter(col("doc_id") % 50 === 0)).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // packing: source cardinality fixed, rows per stratum grow linearly
+      ("pack_seq",
+        (d: DataFrame) => time(operators.PipelineOps.packPipeline(d).count()),
         (n: Int) => replicateDocs(docs, n), docs))
     probes.foreach { case (name, run, mk, base) =>
       val t1 = run(base)

@@ -81,18 +81,20 @@ object PipelineOps {
     * in — the GPT-style packing layout, computed with one window over
     * the shard key (each source packs independently; at 100 TB the
     * cumsum never crosses executors for more than one source). */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val bySource = Window.partitionBy($"source").orderBy($"doc_id")
+  def packPipeline(docs: DataFrame): DataFrame = {
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
-      .select($"source", $"doc_id",
-        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
-      .withColumn("end_off", sum($"n_tok").over(bySource))
-      .select($"source", $"doc_id", $"n_tok",
-        ($"end_off" - $"n_tok").as("tok_offset"),
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("end_off", sum(col("n_tok")).over(bySource))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        (col("end_off") - col("n_tok")).as("tok_offset"),
         expr("(end_off - n_tok) DIV 512").as("chunk_id"))
   }
+
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packPipeline(Tables.documents(spark, sfDir))
 
   val packSequencesSql: String =
     """WITH toks AS (
@@ -113,21 +115,27 @@ object PipelineOps {
     * distinct 3-token shingles with any benchmark document (here the
     * doc_id % 50 == 0 subset stands in for the eval set). The
     * benchmark side is broadcast; the corpus never self-joins. */
-  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val arr = Tables.documents(spark, sfDir)
-      .select($"doc_id", gf.shingle_md5_h32($"text", 3).as("sh"))
-    val corp = arr.filter($"doc_id" % 50 =!= 0)
-      .select($"doc_id", size($"sh").cast("long").as("n_shingles"),
-        explode($"sh").as("h"))
-    val bench = arr.filter($"doc_id" % 50 === 0)
-      .select($"doc_id".as("bench_id"), explode($"sh").as("h"))
+  def contaminationPipeline(corpDocs: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val shingled = (d: DataFrame) =>
+      d.select(col("doc_id"), gf.shingle_md5_h32(col("text"), 3).as("sh"))
+    val corp = shingled(corpDocs)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("h"))
+    val bench = shingled(benchDocs)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
     corp.join(broadcast(bench), "h")
-      .groupBy($"doc_id", $"bench_id", $"n_shingles")
+      .groupBy(col("doc_id"), col("bench_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_overlap"))
-      .filter($"n_overlap" >= 2)
-      .select($"doc_id", $"bench_id", $"n_overlap",
-        round($"n_overlap" / $"n_shingles", 6).as("contam_frac"))
+      .filter(col("n_overlap") >= 2)
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"),
+        round(col("n_overlap") / col("n_shingles"), 6).as("contam_frac"))
+  }
+
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    contaminationPipeline(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
   }
 
   val contaminationSql: String =
