@@ -64,8 +64,11 @@ object Bench {
       "\"" + n + "\":{\"min\":" + mn + ",\"mean\":" + mean + "}"
     }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_2","queries":$detailQ,"sf":"$sfDir"}"""
+    // arg-filtered runs must not clobber the full-surface snapshot
+    val detailFile =
+      if (args.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_partial.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
         detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // The driver tail-captures only the last 2000 chars of output; a

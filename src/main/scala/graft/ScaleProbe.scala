@@ -38,11 +38,16 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
 
     /** Replicate documents with per-replica token salting: same size and
-      * in-replica duplicate structure, zero cross-replica shingle overlap. */
+      * in-replica duplicate structure, zero cross-replica shingle overlap.
+      * Replica 0 keeps the ORIGINAL text so probes that join the scaled
+      * corpus against a fixed unsalted set (contamination's bench side)
+      * retain their 1× match structure — salting replica 0 would turn
+      * those joins into zero-match runs and probe nothing. */
     def replicateDocs(df: DataFrame, times: Int): DataFrame =
       (0 until times).map { i =>
-        df.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + i))
+        val ids = df.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        if (i == 0) ids
+        else ids.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + i))
       }.reduce(_ unionByName _)
 
     def time(f: => Long): Double = {

@@ -239,11 +239,16 @@ object DedupOps {
     * minhash / ngram-jaccard / cluster oracles. Replays every stage:
     * shingling, md5-h32, mod-(2^61-1) permutations, 16×8 banding,
     * candidate join, signature-agreement estimate. */
-  val minhashSqlCtes: String =
-    s"""$corpusSql,
-       |tok AS (
+  /** Portable 3-token-shingle → md5-h32 CTE chain (tok/sh/shh) over an
+    * arbitrary `src(doc_id, text)` relation — the SQL mirror of
+    * `gf.shingle_md5_h32(text, 3)`. ONE definition shared by every
+    * oracle that shingles (minhash family here, decontamination in
+    * PipelineOps): a change to shingle semantics must land exactly
+    * once or engine and oracles silently diverge. */
+  def shingleSqlCtes(src: String): String =
+    s"""tok AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-       |  FROM corpus),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
@@ -251,7 +256,11 @@ object DedupOps {
        |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g)),
        |shh AS (
        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
-       |  FROM sh),
+       |  FROM sh)""".stripMargin
+
+  val minhashSqlCtes: String =
+    s"""$corpusSql,
+       |${shingleSqlCtes("corpus")},
        |perm AS (
        |  SELECT j, 1 + ((j+1) * 2654435761) % 1073741824 AS a,
        |         ((j+1) * 1099511628211) % 2305843009213693951 AS b

