@@ -56,10 +56,14 @@ object ClusterOps {
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nl")).as("nmin"))
+      // persist: prop feeds BOTH sides of the pointer-jump self-join
+      // below — without it the edges-join + min-aggregation plan
+      // executes twice per round (once per join input)
       val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("__old"))
+        .persist()
       // pointer-jump: label(v) := label(label(v)). One extra equi-join
       // per round turns O(diameter) convergence into O(log diameter) —
       // a chain of length 2^maxIter still closes, so maxIter=10 covers
@@ -77,6 +81,7 @@ object ClusterOps {
           col("__old"))
         .localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("__old")).limit(1).count()
+      prop.unpersist(false) // next is materialized; round cache released
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
