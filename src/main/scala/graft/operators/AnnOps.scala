@@ -263,15 +263,96 @@ object AnnOps {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- E4
+  /** Deterministic k-means (Lloyd) over the embeddings, the clustering
+    * stage a data-curation pipeline runs for topic balancing: centroids
+    * seeded from the label partition, then `iters` assign/recompute
+    * rounds on the floor(x·1e6) integer grid — every distance,
+    * centroid, and tie-break is exact integer/exact-double arithmetic,
+    * so the full iteration history replays bit-identically in the
+    * oracle. Per round: one broadcast argmin (map-side min_by, no
+    * per-vector sort) + one centroid aggregation — at 100 TB each
+    * round is exactly two linear shuffle-free/one-shuffle jobs, the
+    * canonical scalable k-means shape. */
+  def kmeansCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("q")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("v"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("centroid_q"))
+
+  def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", gf.l2sq_long(col("q"), col("centroid_q")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cluster"), col("q")),
+        struct(col("d2"), col("cluster"))).as("best"),
+        min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.q").as("q"), col("m.d2").as("d2"))
+
+  def embKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"),
+        col("label").cast("long").as("cluster"))
+      .persist()
+    var assigned = vecs // seed assignment: the label partition
+    (1 to 2).foreach { _ =>
+      assigned = kmeansAssign(
+        assigned.select(col("vec_id"), col("q")),
+        kmeansCentroids(assigned))
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("d2"))
+  }
+
+  /** DuckDB mirror: same grid, same floor(sum/count) centroids, same
+    * (d2, cluster) tie-break, two unrolled Lloyd rounds. */
+  val embKmeansSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS cluster, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM embeddings, range(64) d(dim)),
+      |cent0 AS (
+      |  SELECT cluster, dim,
+      |    floor(CAST(sum(q) AS DOUBLE) / count(*))::BIGINT AS c
+      |  FROM qv GROUP BY cluster, dim),
+      |dist0 AS (
+      |  SELECT v.vec_id, c.cluster,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      |  FROM qv v JOIN cent0 c ON c.dim = v.dim
+      |  GROUP BY v.vec_id, c.cluster),
+      |assign0 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM dist0) WHERE rn = 1),
+      |cent1 AS (
+      |  SELECT a.cluster, v.dim,
+      |    floor(CAST(sum(v.q) AS DOUBLE) / count(*))::BIGINT AS c
+      |  FROM qv v JOIN assign0 a ON a.vec_id = v.vec_id
+      |  GROUP BY a.cluster, v.dim),
+      |dist1 AS (
+      |  SELECT v.vec_id, c.cluster,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      |  FROM qv v JOIN cent1 c ON c.dim = v.dim
+      |  GROUP BY v.vec_id, c.cluster)
+      |SELECT vec_id, cluster, d2 FROM (
+      |  SELECT vec_id, cluster, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |  FROM dist1) WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
-    "ann_ivf" -> annIvf _
+    "ann_ivf" -> annIvf _,
+    "emb_kmeans" -> embKmeans _
   )
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql
+    "ann_ivf" -> annIvfSql,
+    "emb_kmeans" -> embKmeansSql
   )
 }
