@@ -303,8 +303,84 @@ object TextOps {
       |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
       |FROM tf GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C9
+  /** Sliding-window chunking (RAG/context layout): 128-token windows
+    * with stride 96; the last window is clipped to the doc end. Pure
+    * integer arithmetic over the token count — a narrow explode, no
+    * shuffle; chunk boundaries are identical in both engines. */
+  def textChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = 128L; val S = 96L
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split(trim($"text"), wsPat)).cast("long").as("n_tok"))
+      .withColumn("n_chunks",
+        when($"n_tok" <= W, 1L)
+          .otherwise(lit(1L) + expr(s"(n_tok - $W + ${S - 1}) DIV $S")))
+      .select($"doc_id", $"n_tok", $"n_chunks",
+        explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_idx"))
+      .withColumn("start_tok", $"chunk_idx" * S)
+      .withColumn("end_tok", least($"start_tok" + W, $"n_tok"))
+  }
+
+  val textChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok <= 128 THEN 1
+      |         ELSE 1 + (n_tok - 128 + 95) // 96 END AS n_chunks
+      |  FROM t)
+      |SELECT doc_id, n_tok, CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  g AS chunk_idx, g * 96 AS start_tok,
+      |  least(g * 96 + 128, n_tok) AS end_tok
+      |FROM c, unnest(range(n_chunks)) u(g)""".stripMargin
+
+  // ---------------------------------------------------------------- C10
+  /** Bigram-LM quality score (perplexity proxy): corpus-wide bigram and
+    * prefix-unigram counts, add-1 smoothing over the prefix vocabulary,
+    * per-doc mean log-probability. The KenLM-style filter stage of a
+    * data pipeline, as three linear aggregations + two equi-joins —
+    * counts shuffle on the n-gram key, never on documents. Docs with
+    * fewer than 2 tokens have no bigrams and are absent (no score). */
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(trim($"text"), wsPat)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val docBg = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(bigrams).as("bg"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
+    val cb = docBg.groupBy($"bg").agg(count(lit(1)).as("cb"))
+    val cu = docBg.groupBy($"w1").agg(count(lit(1)).as("cu"))
+    val v = docBg.select($"w1").agg(countDistinct($"w1").as("v"))
+    docBg.join(cb, "bg").join(cu, "w1").crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(($"cb" + lit(1.0)) / ($"cu" + $"v"))), 6).as("lm_score"))
+  }
+
+  val textLmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |bg AS (
+      |  SELECT doc_id, l[g] AS w1, l[g] || ' ' || l[g+1] AS b
+      |  FROM tok, unnest(range(1, greatest(len(l), 1))) u(g)),
+      |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w1) AS v FROM bg)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(ln((cb.cb + 1.0) / (cu.cu + v.v))), 6) AS lm_score
+      |FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_freq" -> textNgramFreq _,
+    "text_chunks" -> textChunks _,
+    "text_lm_score" -> textLmScore _,
     "text_redact" -> textRedact _,
     "text_token_count" -> textTokenCount _,
     "text_quality_score" -> textQualityScore _,
@@ -316,6 +392,8 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "text_ngram_freq" -> textNgramFreqSql,
+    "text_chunks" -> textChunksSql,
+    "text_lm_score" -> textLmScoreSql,
     "text_redact" -> textRedactSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality_score" -> textQualityScoreSql,

@@ -73,6 +73,36 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("emb_kmeans: total partition, seeded clusters, deterministic") {
+    import graft.operators.AnnOps
+    val km = AnnOps.embKmeans(spark, sf).cache()
+    assert(km.count() == Tables.embeddings(spark, sf).count())
+    assert(km.select("vec_id").distinct().count() == km.count())
+    val clusters = km.select("cluster").distinct().collect().map(_.getLong(0))
+    assert(clusters.forall(c => c >= 0 && c <= 9)) // label-seeded ids
+    assert(km.agg(min($"d2")).collect().head.getLong(0) >= 0)
+    assert(AnnOps.embKmeans(spark, sf).except(km).count() == 0)
+    km.unpersist()
+  }
+
+  test("text_chunks: windows cover every token with stride 96") {
+    import graft.operators.TextOps
+    TextOps.textChunks(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+        val n = rs.head.getAs[Long]("n_tok")
+        val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+        assert(sorted.head.getAs[Long]("start_tok") == 0)
+        assert(sorted.last.getAs[Long]("end_tok") == n)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => // consecutive windows overlap by 32 tokens
+            assert(b.getAs[Long]("start_tok") ==
+              a.getAs[Long]("start_tok") + 96)
+            assert(b.getAs[Long]("start_tok") < a.getAs[Long]("end_tok"))
+          case _ =>
+        }
+      }
+  }
+
   test("streaming twins equal their batch counterparts") {
     // window counts: batch twin minus the streaming-forbidden countDistinct
     val batchW = Analytics.qEventsWindow(spark, sf)
