@@ -377,10 +377,67 @@ object TextOps {
       |FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v
       |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C11
+  /** Fused quality gate: the keep/drop decision a filtering pipeline
+    * ships, combining the heuristic score (C2), token entropy (C8),
+    * and bigram-LM score (C10) in ONE lazy plan — Catalyst fuses the
+    * three signal subtrees; nothing materializes between stages. Docs
+    * without bigrams (< 2 tokens) fail the LM leg via the left join. */
+  def textQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = textQualityScore(spark, sfDir).select($"doc_id", $"quality_score")
+    val e = textEntropy(spark, sfDir).select($"doc_id", $"token_entropy")
+    val l = textLmScore(spark, sfDir).select($"doc_id", $"lm_score")
+    q.join(e, "doc_id").join(l, Seq("doc_id"), "left")
+      .select($"doc_id", $"quality_score", $"token_entropy", $"lm_score",
+        when($"quality_score" >= 0.72 && $"token_entropy" >= 4.0
+          && coalesce($"lm_score", lit(-99.0)) >= -3.42, "Y").otherwise("N")
+          .as("pass_flag"))
+  }
+
+  val textQualityGateSql: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
+      |    + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text))
+      |    + 0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) / 100.0)
+      |      AS quality_score
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)
+      |  GROUP BY doc_id, tok),
+      |ent AS (
+      |  SELECT doc_id,
+      |    round(log2(CAST(sum(c) AS DOUBLE))
+      |      - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+      |      AS token_entropy
+      |  FROM tf GROUP BY doc_id),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |bg AS (
+      |  SELECT doc_id, l[g] AS w1, l[g] || ' ' || l[g+1] AS b
+      |  FROM tok, unnest(range(1, greatest(len(l), 1))) u(g)),
+      |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+      |lm AS (
+      |  SELECT doc_id, round(avg(ln((cb.cb + 1.0) / (cu.cu + v.v))), 6) AS lm_score
+      |  FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v
+      |  GROUP BY doc_id)
+      |SELECT q.doc_id, quality_score, token_entropy, lm_score,
+      |  CASE WHEN quality_score >= 0.72 AND token_entropy >= 4.0
+      |        AND coalesce(lm_score, -99.0) >= -3.42
+      |    THEN 'Y' ELSE 'N' END AS pass_flag
+      |FROM q JOIN ent ON q.doc_id = ent.doc_id
+      |LEFT JOIN lm ON q.doc_id = lm.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_freq" -> textNgramFreq _,
     "text_chunks" -> textChunks _,
     "text_lm_score" -> textLmScore _,
+    "text_quality_gate" -> textQualityGate _,
     "text_redact" -> textRedact _,
     "text_token_count" -> textTokenCount _,
     "text_quality_score" -> textQualityScore _,
@@ -394,6 +451,7 @@ object TextOps {
     "text_ngram_freq" -> textNgramFreqSql,
     "text_chunks" -> textChunksSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_quality_gate" -> textQualityGateSql,
     "text_redact" -> textRedactSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality_score" -> textQualityScoreSql,
