@@ -172,12 +172,8 @@ object AnnOps {
   /** IVF cell centroids on the quantized grid: per-dimension
     * floor(sum/count) — pure integer/exact-double arithmetic. */
   def ivfCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(quantize(col("embedding"))))
-      .groupBy(col("label"), col("pos"))
-      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("v"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        s => s.getField("v")).as("centroid_q"))
+    centroidAgg(emb.select(col("label"), quantize(col("embedding")).as("q")),
+      "label")
       .select(col("label").as("cell"), col("centroid_q"))
 
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
@@ -274,34 +270,47 @@ object AnnOps {
     * per-vector sort) + one centroid aggregation — at 100 TB each
     * round is exactly two linear shuffle-free/one-shuffle jobs, the
     * canonical scalable k-means shape. */
-  def kmeansCentroids(assigned: DataFrame): DataFrame =
-    assigned.select(col("cluster"), posexplode(col("q")))
-      .groupBy(col("cluster"), col("pos"))
+  /** Shared quantized-grid centroid aggregation (floor(sum/count) per
+    * dimension) — ONE definition for the IVF cell layout and every
+    * k-means round, so the grid convention the oracles replay can
+    * never diverge between the two operators. */
+  private def centroidAgg(assigned: DataFrame, key: String): DataFrame =
+    assigned.select(col(key), posexplode(col("q")))
+      .groupBy(col(key), col("pos"))
       .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("v"))
-      .groupBy(col("cluster"))
+      .groupBy(col(key))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("centroid_q"))
+
+  def kmeansCentroids(assigned: DataFrame): DataFrame =
+    centroidAgg(assigned, "cluster")
 
   def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("d2", gf.l2sq_long(col("q"), col("centroid_q")))
       .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cluster"), col("q")),
-        struct(col("d2"), col("cluster"))).as("best"),
-        min(struct(col("d2"), col("cluster"))).as("m"))
+      // d2 rides in the min_by value struct: the ordering's primary key
+      // IS d2, so the winner's d2 is the minimum — no second aggregate
+      .agg(min_by(struct(col("cluster"), col("q"), col("d2")),
+        struct(col("d2"), col("cluster"))).as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
-        col("best.q").as("q"), col("m.d2").as("d2"))
+        col("best.q").as("q"), col("best.d2").as("d2"))
 
   def embKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), quantize(col("embedding")).as("q"),
         col("label").cast("long").as("cluster"))
-      .persist()
-    var assigned = vecs // seed assignment: the label partition
+    // Each round's assignment feeds BOTH the next centroid aggregation
+    // and the next assign — persist it or the crossJoin+argmin subtree
+    // executes twice per round (Catalyst dedups Exchanges, not whole agg
+    // subtrees). Locally the caches are released by Bench's clearCache /
+    // session end; a production-scale job would checkpoint each round
+    // (same pattern as ClusterOps).
+    var assigned = vecs.persist() // seed assignment: the label partition
     (1 to 2).foreach { _ =>
       assigned = kmeansAssign(
         assigned.select(col("vec_id"), col("q")),
-        kmeansCentroids(assigned))
+        kmeansCentroids(assigned)).persist()
     }
     assigned.select(col("vec_id"), col("cluster"), col("d2"))
   }

@@ -289,16 +289,42 @@ object TextOps {
       round(count(lit(1)).cast("double") / sum($"c"), 6).as("ttr"))
   }
 
-  val textEntropySql: String =
-    """WITH tf AS (
+  /** Shared oracle fragments — ONE definition each for the token-count
+    * CTE, the entropy expression, and the bigram-LM CTE chain, composed
+    * by both the standalone oracles and the fused quality gate (C11) so
+    * the signal definitions can never diverge between them. */
+  private val tfCteSql: String =
+    """tf AS (
       |  SELECT doc_id, tok, count(*) AS c FROM (
       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
       |    FROM documents)
-      |  GROUP BY doc_id, tok)
+      |  GROUP BY doc_id, tok)""".stripMargin
+
+  private val entropyExprSql: String =
+    """round(log2(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6)""".stripMargin
+
+  private val lmCtesSql: String =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |bg AS (
+      |  SELECT doc_id, l[g] AS w1, l[g] || ' ' || l[g+1] AS b
+      |  FROM tok, unnest(range(1, greatest(len(l), 1))) u(g)),
+      |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w1) AS v FROM bg)""".stripMargin
+
+  private val lmSelectSql: String =
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(ln((cb.cb + 1.0) / (cu.cu + v.v))), 6) AS lm_score
+      |FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
+
+  val textEntropySql: String =
+    s"""WITH $tfCteSql
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
       |  CAST(count(*) AS BIGINT) AS n_distinct,
-      |  round(log2(CAST(sum(c) AS DOUBLE))
-      |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+      |  $entropyExprSql
       |    AS token_entropy,
       |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
       |FROM tf GROUP BY doc_id""".stripMargin
@@ -364,18 +390,8 @@ object TextOps {
   }
 
   val textLmScoreSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
-      |bg AS (
-      |  SELECT doc_id, l[g] AS w1, l[g] || ' ' || l[g+1] AS b
-      |  FROM tok, unnest(range(1, greatest(len(l), 1))) u(g)),
-      |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
-      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
-      |v AS (SELECT count(DISTINCT w1) AS v FROM bg)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  round(avg(ln((cb.cb + 1.0) / (cu.cu + v.v))), 6) AS lm_score
-      |FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v
-      |GROUP BY doc_id""".stripMargin
+    s"""WITH $lmCtesSql
+      |$lmSelectSql""".stripMargin
 
   // ---------------------------------------------------------------- C11
   /** Fused quality gate: the keep/drop decision a filtering pipeline
@@ -396,36 +412,22 @@ object TextOps {
   }
 
   val textQualityGateSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id,
       |    0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text))
       |    + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text))
-      |    + 0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) / 100.0)
+      |    + 0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) / 100.0)
       |      AS quality_score
       |  FROM documents),
-      |tf AS (
-      |  SELECT doc_id, tok, count(*) AS c FROM (
-      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |    FROM documents)
-      |  GROUP BY doc_id, tok),
+      |$tfCteSql,
       |ent AS (
       |  SELECT doc_id,
-      |    round(log2(CAST(sum(c) AS DOUBLE))
-      |      - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+      |    $entropyExprSql
       |      AS token_entropy
       |  FROM tf GROUP BY doc_id),
-      |tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
-      |bg AS (
-      |  SELECT doc_id, l[g] AS w1, l[g] || ' ' || l[g+1] AS b
-      |  FROM tok, unnest(range(1, greatest(len(l), 1))) u(g)),
-      |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
-      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
-      |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+      |$lmCtesSql,
       |lm AS (
-      |  SELECT doc_id, round(avg(ln((cb.cb + 1.0) / (cu.cu + v.v))), 6) AS lm_score
-      |  FROM bg JOIN cb USING (b) JOIN cu USING (w1) CROSS JOIN v
-      |  GROUP BY doc_id)
+      |  $lmSelectSql)
       |SELECT q.doc_id, quality_score, token_entropy, lm_score,
       |  CASE WHEN quality_score >= 0.72 AND token_entropy >= 4.0
       |        AND coalesce(lm_score, -99.0) >= -3.42
