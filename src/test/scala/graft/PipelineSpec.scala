@@ -103,6 +103,38 @@ class PipelineSpec extends SparkSuite {
       }
   }
 
+  test("q_events_funnel: step timestamps strictly ordered, depth consistent") {
+    import graft.operators.ExtendedAnalytics
+    val rows = ExtendedAnalytics.qEventsFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("funnel_depth") == 3L), "no full conversions")
+    rows.foreach { r =>
+      val (t1, t2, t3) = (r.getAs[java.time.LocalDateTime]("t1"),
+        r.getAs[java.time.LocalDateTime]("t2"),
+        r.getAs[java.time.LocalDateTime]("t3"))
+      val depth = r.getAs[Long]("funnel_depth")
+      assert(t1 != null)
+      assert((t2 != null) == (depth >= 2) || (t2 != null && depth == 3))
+      assert((t3 != null) == (depth == 3))
+      if (t2 != null) assert(t1.isBefore(t2))
+      if (t3 != null) assert(t2.isBefore(t3))
+    }
+  }
+
+  test("text_quality_gate: flag agrees with the recomputed signal conjunction") {
+    import graft.operators.TextOps
+    val rows = TextOps.textQualityGate(spark, sf).collect()
+    val passes = rows.count(_.getAs[String]("pass_flag") == "Y")
+    assert(passes > 0 && passes < rows.length, s"degenerate gate: $passes/${rows.length}")
+    rows.foreach { r =>
+      val expected = r.getAs[Double]("quality_score") >= 0.72 &&
+        r.getAs[Double]("token_entropy") >= 4.0 &&
+        !r.isNullAt(r.fieldIndex("lm_score")) &&
+        r.getAs[Double]("lm_score") >= -3.42
+      assert((r.getAs[String]("pass_flag") == "Y") == expected)
+    }
+  }
+
   test("streaming twins equal their batch counterparts") {
     // window counts: batch twin minus the streaming-forbidden countDistinct
     val batchW = Analytics.qEventsWindow(spark, sf)
