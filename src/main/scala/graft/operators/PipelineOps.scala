@@ -185,7 +185,91 @@ object PipelineOps {
       |    AS q8
       |FROM normed""".stripMargin
 
+  // ---------------------------------------------------------------- J6
+  /** Vocabulary coverage: build the corpus top-20 word vocabulary
+    * (count desc, word asc tie-break) and report each document's
+    * out-of-vocabulary token fraction — the tokenizer-coverage
+    * analysis run before committing to a vocab size. Two linear
+    * aggregations + one broadcast semi-join on the token key. */
+  def textVocabOov(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(20).select($"tok")
+    toks.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tok", $"n_oov",
+        round($"n_oov" / $"n_tok", 6).as("oov_rate"))
+  }
+
+  val textVocabOovSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+      |    ORDER BY n DESC, tok LIMIT 20)),
+      |flagged AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  round(CAST(sum(oov) AS BIGINT) / count(*), 6) AS oov_rate
+      |FROM flagged GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- J7
+  /** Mixture rebalancing: sample each source toward a TARGET mixture —
+    * here target share ∝ a deterministic per-source weight
+    * w = 1 + h32(source) % 3, standing in for the curated mixture
+    * table a real pipeline supplies — with rate_s = min(1,
+    * (w_s·N/Σw)/n_s), selecting rows by the same stable hash as the
+    * other samplers. The data-mixing stage that reweights
+    * over-represented sources; rates derive from one count aggregation
+    * broadcast back onto the scan. */
+  def mixRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+      .withColumn("w", gf.h32($"source") % 3 + 1)
+      .withColumn("n_total", sum($"n_source").over(Window.partitionBy()))
+      .withColumn("sum_w", sum($"w").over(Window.partitionBy()))
+      .select($"source", $"n_source",
+        least(lit(1.0), ($"w" * $"n_total" / $"sum_w") / $"n_source").as("rate"))
+    docs.select($"doc_id", $"source",
+        (gf.h32($"doc_id".cast("string")) % 1000000).as("h"))
+      .join(broadcast(counts), "source")
+      .filter($"h" < $"rate" * 1000000)
+      .select($"source", $"doc_id", $"n_source", round($"rate", 6).as("rate"))
+  }
+
+  val mixRebalanceSql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM documents
+      |  GROUP BY source),
+      |weighted AS (
+      |  SELECT source, n_source,
+      |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 3 + 1 AS w
+      |  FROM counts),
+      |rates AS (
+      |  SELECT source, n_source,
+      |    least(1.0,
+      |      (w * (SELECT CAST(sum(n_source) AS BIGINT) FROM counts)
+      |         / (SELECT CAST(sum(w) AS BIGINT) FROM weighted)) / n_source)
+      |      AS rate
+      |  FROM weighted)
+      |SELECT d.source, d.doc_id, r.n_source, round(r.rate, 6) AS rate
+      |FROM documents d JOIN rates r ON d.source = r.source
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+      |      < r.rate * 1000000""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_oov" -> textVocabOov _,
+    "mix_rebalance" -> mixRebalance _,
     "sample_split" -> sampleSplit _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequences _,
@@ -193,6 +277,8 @@ object PipelineOps {
     "emb_quantize" -> embQuantize _)
 
   def oracleSql: Map[String, String] = Map(
+    "text_vocab_oov" -> textVocabOovSql,
+    "mix_rebalance" -> mixRebalanceSql,
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_sequences" -> packSequencesSql,
