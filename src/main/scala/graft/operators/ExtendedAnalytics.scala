@@ -355,7 +355,33 @@ object ExtendedAnalytics {
       |    AS funnel_depth
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
 
+  // ---------------------------------------------------------------- B42
+  /** B9's top-3-per-brand computed with the bounded TopKAgg aggregate
+    * instead of a row_number window: the window form shuffles and
+    * sorts EVERY part row; the aggregate's map-side partial combine
+    * ships at most k rows per (partition, brand) into the exchange —
+    * the shape that survives a 100 TB scan. Same oracle as B9 modulo
+    * the carried columns. */
+  def qTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.part(spark, sfDir)
+      .groupBy($"p_brand")
+      .agg(graft.functions.TopKAgg.top_k($"p_retailprice", $"p_partkey", 3).as("top"))
+      .select($"p_brand", posexplode($"top"))
+      .select($"p_brand", ($"pos" + 1).cast("long").as("price_rank"),
+        $"col.id".as("p_partkey"), $"col.v".as("p_retailprice"))
+  }
+
+  val qTopkAggSql: String =
+    """SELECT p_brand, CAST(price_rank AS BIGINT) AS price_rank,
+      |  p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+      |  FROM part) WHERE price_rank <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_agg" -> qTopkAgg _,
     "q_events_funnel" -> qEventsFunnel _,
     "q_percentiles" -> qPercentiles _,
     "q_grouping_sets" -> qGroupingSets _,
@@ -372,6 +398,7 @@ object ExtendedAnalytics {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_topk_agg" -> qTopkAggSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_percentiles" -> qPercentilesSql,
     "q_grouping_sets" -> qGroupingSetsSql,

@@ -135,6 +135,27 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("top_k aggregate equals the window top-k and is partitioning-independent") {
+    import graft.operators.ExtendedAnalytics
+    import graft.functions.TopKAgg
+    val agg = ExtendedAnalytics.qTopkAgg(spark, sf).cache()
+    val win = Analytics.qTopkPerGroup(spark, sf)
+      .select($"p_brand", $"price_rank".cast("long").as("price_rank"),
+        $"p_partkey", $"p_retailprice")
+    assert(agg.except(win).count() == 0)
+    assert(win.except(agg).count() == 0)
+    // merge-order independence: a hostile repartitioning gives the same rows
+    val repart = Tables.part(spark, sf).repartition(7)
+      .groupBy($"p_brand")
+      .agg(TopKAgg.top_k($"p_retailprice", $"p_partkey", 3).as("top"))
+      .select($"p_brand", posexplode($"top"))
+      .select($"p_brand", ($"pos" + 1).cast("long").as("price_rank"),
+        $"col.id".as("p_partkey"), $"col.v".as("p_retailprice"))
+    assert(repart.except(agg).count() == 0)
+    assert(agg.except(repart).count() == 0)
+    agg.unpersist()
+  }
+
   test("streaming twins equal their batch counterparts") {
     // window counts: batch twin minus the streaming-forbidden countDistinct
     val batchW = Analytics.qEventsWindow(spark, sf)
