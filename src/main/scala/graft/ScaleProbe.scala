@@ -91,7 +91,25 @@ object ScaleProbe {
       // packing: source cardinality fixed, rows per stratum grow linearly
       ("pack_seq",
         (d: DataFrame) => time(operators.PipelineOps.packPipeline(d).count()),
-        (n: Int) => replicateDocs(docs, n), docs))
+        (n: Int) => replicateDocs(docs, n), docs),
+      // top-3 lineitems per supplier, window form vs bounded aggregate:
+      // the window shuffles+sorts every row; the aggregate's map-side
+      // combine ships at most k rows per (partition, supplier)
+      ("topk_window",
+        (d: DataFrame) => {
+          import org.apache.spark.sql.expressions.Window
+          time(d.withColumn("rn", row_number().over(
+            Window.partitionBy("l_suppkey")
+              .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+            .filter(col("rn") <= 3).count())
+        },
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      ("topk_agg",
+        (d: DataFrame) => time(d.groupBy(col("l_suppkey"))
+          .agg(functions.TopKAgg.top_k(col("l_extendedprice"),
+            col("l_orderkey") * 10 + col("l_linenumber"), 3).as("top"))
+          .select(col("l_suppkey"), explode(col("top"))).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li))
     probes.foreach { case (name, run, mk, base) =>
       val t1 = run(base)
       val scaled = factors.map(n => n -> run(mk(n)))
