@@ -81,9 +81,24 @@ object StreamingTwins {
   private def runToCompletion(df: DataFrame, mode: String, name: String): DataFrame = {
     val spark = df.sparkSession
     spark.catalog.dropTempView(name) // idempotent; frees the prior run's rows
+    // State-store instance count = shuffle partition count at the first
+    // micro-batch, and each instance maintains its own delta-file
+    // directory per batch — so size it to the STATE, not the CPU count.
+    // The bounded replay's state (hourly windows / open sessions /
+    // in-watermark event ids) is tiny; 4 stores cut the per-batch
+    // state-commit file I/O 8x vs inheriting local[32]'s 32. At real
+    // scale this is the same knob sized upward with state volume.
+    // Scoped: restore the session's setting after the run.
+    val sp = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.getOption(sp)
+    spark.conf.set(sp, "4")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      prior.fold(spark.conf.unset(sp))(spark.conf.set(sp, _))
+    }
     spark.table(name)
   }
 
