@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.gf
+
+/** Round-6 corpus additions (SURVEY.md §2: C12, D8, D9, E5).
+  *
+  * Scale notes:
+  *   - `text_tfidf` keeps both aggregations linear (term counts, then
+  *     doc-frequency counts over the term table); the idf side is a
+  *     broadcast at test SF and a shuffle join on the term key at
+  *     corpus scale — the text column never enters either shuffle.
+  *   - `dedup_containment` verifies DIRECTIONAL overlap only on LSH
+  *     candidates (never all-pairs): containment |A∩B|/|A| catches
+  *     quote/prefix duplication that symmetric Jaccard under-scores
+  *     when one document is much longer.
+  *   - `dedup_incremental` is the ingest-time shape: only NEW-batch
+  *     bands join OLD-corpus bands, so a day's increment costs
+  *     O(batch) + one probe of the standing band index, not a full
+  *     corpus self-join.
+  *   - `ann_rerank` is the two-stage layout every quantized vector
+  *     index serves: a cheap int8 dot-product scan (4× less data
+  *     moved than f32) selects 50 coarse candidates per query, exact
+  *     float cosine reranks only those.
+  */
+object DedupMore {
+
+  // --------------------------------------------------------------- C12
+  /** Top-5 TF-IDF terms per document (idf = ln((N+1)/(df+1)) + 1,
+    * rank ties broken by term). */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val tf = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"term",
+        round($"tf" * (log(($"n_docs" + 1) / ($"df" + 1)) + 1), 6).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"term", $"score")
+  }
+
+  val textTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+      |SELECT doc_id, rank, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  // --------------------------------------------------------------- D8
+  /** Directional shingle containment on MinHash-LSH candidates:
+    * cont12 = |S1∩S2|/|S1| flags documents fully contained in another
+    * (prefix/quote duplication) even when Jaccard is low. Exact
+    * verification never leaves the candidate set. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val shingled = docs.select(col("doc_id"),
+      gf.shingle_md5_h32(col("text"), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = DedupOps.minhashPipeline(docs, 0.3).select("id1", "id2")
+    val s1 = shingled.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val s2 = shingled.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    candidates.join(s1, "id1").join(s2, "id2")
+      .withColumn("ix", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("cont12", col("ix") / size(col("sh1")))
+      .withColumn("cont21", col("ix") / size(col("sh2")))
+      .filter(greatest(col("cont12"), col("cont21")) >= 0.9)
+      .select(col("id1"), col("id2"),
+        round(col("cont12"), 6).as("cont12"),
+        round(col("cont21"), 6).as("cont21"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |cand2 AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.3),
+       |sz AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM shh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, CAST(count(*) AS DOUBLE) AS ix
+       |  FROM cand2 c
+       |  JOIN shh a ON a.doc_id = c.id1
+       |  JOIN shh b ON b.doc_id = c.id2 AND b.h = a.h
+       |  GROUP BY c.id1, c.id2)
+       |SELECT i.id1, i.id2,
+       |  round(i.ix / z1.n, 6) AS cont12,
+       |  round(i.ix / z2.n, 6) AS cont21
+       |FROM inter i
+       |JOIN sz z1 ON z1.doc_id = i.id1
+       |JOIN sz z2 ON z2.doc_id = i.id2
+       |WHERE greatest(i.ix / z1.n, i.ix / z2.n) >= 0.9""".stripMargin
+
+  // --------------------------------------------------------------- D9
+  /** Incremental (batch-vs-corpus) near-dup detection: the corpus is
+    * split by a deterministic id-hash into a standing OLD partition
+    * and an incoming NEW batch; only new×old band pairs join. This is
+    * the shape an ingest pipeline runs daily — cost O(batch size),
+    * the standing corpus is probed, never self-joined. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+      .withColumn("is_new", gf.h32(col("doc_id").cast("string")) % 10 === 0)
+    val sigs = DedupOps.minhashSigs(docs)
+      .join(docs.select(col("doc_id"), col("is_new")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = DedupOps.minhashBands(sigs.select(col("doc_id"), col("sig")))
+      .join(sigs.select(col("doc_id"), col("is_new")), "doc_id")
+    val newB = bands.filter(col("is_new"))
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_new"))
+    val oldB = bands.filter(!col("is_new"))
+      .select(col("band_id"), col("band_key"), col("doc_id").as("id_old"))
+    val cand = newB.join(oldB, Seq("band_id", "band_key"))
+      .select("id_new", "id_old").distinct()
+    val s1 = sigs.select(col("doc_id").as("id_new"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("id_old"), col("sig").as("sig2"))
+    cand.join(s1, "id_new").join(s2, "id_old")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          / lit(128.0))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_new"), col("id_old"), col("est_jaccard"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH ${DedupOps.minhashSigSqlCtes},
+       |flag AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+       |      AS is_new
+       |  FROM corpus),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS id_new, b2.doc_id AS id_old
+       |  FROM band b1
+       |  JOIN flag f1 ON b1.doc_id = f1.doc_id AND f1.is_new
+       |  JOIN band b2 ON b1.band_id = b2.band_id AND b1.key = b2.key
+       |  JOIN flag f2 ON b2.doc_id = f2.doc_id AND NOT f2.is_new),
+       |est AS (
+       |  SELECT c.id_new, c.id_old,
+       |    CAST(sum(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS DOUBLE) / 128
+       |      AS est_jaccard
+       |  FROM cand c
+       |  JOIN mh m1 ON m1.doc_id = c.id_new
+       |  JOIN mh m2 ON m2.doc_id = c.id_old AND m2.j = m1.j
+       |  GROUP BY c.id_new, c.id_old)
+       |SELECT id_new, id_old, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+
+  // --------------------------------------------------------------- E5
+  /** Two-stage quantized ANN: int8 symmetric quantization (the same
+    * layout emb_quantize ships) powers a coarse integer dot-product
+    * scan → top-50 candidates per query → exact float cosine rerank →
+    * top-5. Integer arithmetic is exactly portable, so the ENTIRE
+    * candidate selection is oracle-replayed, not just the final
+    * ranking. */
+  def annRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q8 = emb
+      .withColumn("l2", round(sqrt(aggregate($"embedding", lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 6))
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 127 / $"l2" + 0.5).cast("int")).as("q"))
+    val queriesQ = q8.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"))
+    val coarse = q8.join(broadcast(queriesQ), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        aggregate(zip_with($"q", $"qq", (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("idot"))
+    val wCoarse = Window.partitionBy($"qid").orderBy($"idot".desc, $"nid")
+    val top50 = coarse.withColumn("r", row_number().over(wCoarse))
+      .filter($"r" <= 50).select($"qid", $"nid")
+    val exact = top50
+      .join(emb.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+      .select($"qid", $"nid", round(gf.cosine_sim($"qe", $"ne"), 6).as("sim"))
+    val wExact = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+    exact.withColumn("rank", row_number().over(wExact)).filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"sim")
+  }
+
+  val annRerankSql: String =
+    """WITH normed AS (
+      |  SELECT vec_id,
+      |    round(sqrt(list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2,
+      |    embedding
+      |  FROM embeddings),
+      |q8 AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / l2 + 0.5) AS INT)) AS q
+      |  FROM normed),
+      |qs AS (SELECT vec_id AS qid, q AS qq FROM q8 WHERE vec_id < 10),
+      |coarse AS (
+      |  SELECT qid, c.vec_id AS nid,
+      |    CAST(list_inner_product(qq, c.q) AS BIGINT) AS idot
+      |  FROM qs, q8 c WHERE c.vec_id <> qid),
+      |top50 AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, nid) AS r
+      |    FROM coarse) WHERE r <= 50),
+      |exact AS (
+      |  SELECT t.qid, t.nid,
+      |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+      |      ne.embedding::DOUBLE[]), 6) AS sim
+      |  FROM top50 t
+      |  JOIN embeddings qe ON qe.vec_id = t.qid
+      |  JOIN embeddings ne ON ne.vec_id = t.nid)
+      |SELECT qid, rank, nid, sim FROM (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM exact) WHERE rank <= 5""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> textTfidf _,
+    "dedup_containment" -> dedupContainment _,
+    "dedup_incremental" -> dedupIncremental _,
+    "ann_rerank" -> annRerank _)
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tfidf" -> textTfidfSql,
+    "dedup_containment" -> dedupContainmentSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "ann_rerank" -> annRerankSql)
+}

@@ -84,10 +84,22 @@ object DedupOps {
     * At 100 TB: the bands relation is 16 small rows per doc keyed by
     * (band_id, band_hash); the self-join shuffles only that. Candidate
     * verification joins the compact (id, sig) relation twice by id. */
+  /** (doc_id, sig): the portable 128-perm MinHash signature as one
+    * narrow fused-codegen projection. Shared with DedupMore. */
+  private[operators] def minhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      gf.minhash_sig_mod(gf.shingle_md5_h32(col("text"), 3), 128).as("sig"))
+
+  /** (doc_id, band_id, band_key): 16 bands × 8 signature rows, band
+    * key = the raw signature slice (see minhashPipeline's rationale). */
+  private[operators] def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => slice(col("sig"), b * 8 + 1, lit(8)))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+
   def minhashPipeline(docs: DataFrame, threshold: Double): DataFrame = {
-    val numPerm = 128
-    val bandsN = 16
-    val rowsPerBand = numPerm / bandsN
     // Portable signature: md5-derived 32-bit shingle hashes + mod-(2^61-1)
     // permutations — the DuckDB oracle reproduces the signatures
     // bit-for-bit, so the whole LSH pipeline is hash-checked. The
@@ -97,13 +109,11 @@ object DedupOps {
     // parsing materialize per row. (gf.minhash_sig over
     // gf.shingle_hashes is the engine-private fast path: same plan
     // shape, spec-pinned.)
-    val sigCol = gf.minhash_sig_mod(
-      gf.shingle_md5_h32(col("text"), 3), numPerm)
     // signatures feed three plan branches (banding + both sides of the
     // verification join); persist so shingling+hashing runs once per
     // doc, not three times. At warehouse scale this is a checkpoint of
     // the compact (id, 128×8B) relation — the wide text never recurs.
-    val sigs = docs.select(col("doc_id"), sigCol.as("sig"))
+    val sigs = minhashSigs(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band key = the RAW signature slice (8 longs), not a hash of it:
@@ -112,11 +122,7 @@ object DedupOps {
     // raw-list band join (a band-hash collision could otherwise admit
     // a Spark-only candidate). 64 B/band-row vs 8 B — negligible
     // against the linear-in-rows shuffle it rides.
-    val bands = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bandsN - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_key")
+    val bands = minhashBands(sigs)
 
     val a = bands.select(col("band_id"), col("band_key"), col("doc_id").as("id1"))
     val b = bands.select(col("band_id"), col("band_key"), col("doc_id").as("id2"))
@@ -258,7 +264,11 @@ object DedupOps {
        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
        |  FROM sh)""".stripMargin
 
-  val minhashSqlCtes: String =
+  /** The signature half of the oracle chain (corpus → shingles → 128
+    * mod-prime permutations → 16-band keys), ending at `band`/`mh` —
+    * shared by the self-join pipeline below and the cross-partition
+    * incremental pipeline (DedupMore). */
+  val minhashSigSqlCtes: String =
     s"""$corpusSql,
        |${shingleSqlCtes("corpus")},
        |perm AS (
@@ -270,7 +280,10 @@ object DedupOps {
        |  FROM shh, perm GROUP BY doc_id, j),
        |band AS (
        |  SELECT doc_id, j // 8 AS band_id, list(m ORDER BY j) AS key
-       |  FROM mh GROUP BY doc_id, j // 8),
+       |  FROM mh GROUP BY doc_id, j // 8)""".stripMargin
+
+  val minhashSqlCtes: String =
+    s"""$minhashSigSqlCtes,
        |cand AS (
        |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
        |  FROM band b1 JOIN band b2

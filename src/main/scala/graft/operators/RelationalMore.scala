@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-6 relational additions (SURVEY.md §2.B43-B45, A20).
+  *
+  * Scale notes:
+  *   - `q21_late_supplier` re-expresses TPC-H Q21's double-EXISTS as a
+  *     single groupBy over the order key: one shuffle computes, per
+  *     order, the distinct-supplier and distinct-late-supplier counts
+  *     plus the unique late supplier — the correlated-subquery form
+  *     would walk lineitem three times.
+  *   - `q_stats_moments` derives stddev/corr from exact decimal power
+  *     sums: the partial aggregation is map-side combinable and the
+  *     float formula runs once per GROUP, so results are independent
+  *     of partitioning and merge order (plain stddev/corr over doubles
+  *     is not engine-portable).
+  *   - `q_hopping_window` uses Spark's native sliding `window()` —
+  *     each event expands to exactly size/slide rows before the
+  *     partial agg, so shuffle volume is 4x the GROUP count, not 4x
+  *     the data.
+  *   - `etl_merge_upsert` is the MERGE INTO shape (the reference's
+  *     WRITE_APPEND + current-flag maintenance generalized): one full
+  *     outer join on the business key classifies every row as
+  *     insert / update / keep.
+  */
+object RelationalMore {
+
+  // --------------------------------------------------------------- B43
+  /** TPC-H Q21 shape (adapted: no l_receiptdate in this schema —
+    * "late" = shipped more than 60 days after the order date):
+    * suppliers who were the SOLE late shipper on a multi-supplier
+    * finalized order, ranked by how often. */
+  def q21LateSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val ord = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val flagged = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+    val perOrder = flagged.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"),
+        max(when($"late", $"l_suppkey")).as("late_supp"))
+      .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+    perOrder.groupBy($"late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select($"s_suppkey", $"s_name")), $"late_supp" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  val q21LateSupplierSql: String =
+    """WITH flagged AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |per_order AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp,
+      |    max(CASE WHEN late THEN l_suppkey END) AS late_supp
+      |  FROM flagged GROUP BY l_orderkey)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- B44
+  /** Distribution statistics per return flag — mean / sample stddev /
+    * Pearson correlation — computed from exact decimal power sums
+    * (n, Σx, Σx², Σy, Σy², Σxy) so the distributed result is
+    * bit-portable: the decimal partials merge exactly under any
+    * partitioning, and the closed-form float math runs once per group
+    * with an expression tree the oracle mirrors verbatim. */
+  def qStatsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity".cast(DecimalType(14, 2))
+    val p = $"l_extendedprice".cast(DecimalType(14, 2))
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("sq"),
+        sum(p).cast("double").as("sp"),
+        sum(q * q).cast("double").as("sqq"),
+        sum(p * p).cast("double").as("spp"),
+        sum(q * p).cast("double").as("sqp"))
+      .select($"l_returnflag", $"n",
+        round($"sq" / $"n", 6).as("mean_qty"),
+        round(sqrt(($"sqq" - $"sq" * $"sq" / $"n") / ($"n" - 1)), 6).as("stddev_qty"),
+        round(sqrt(($"spp" - $"sp" * $"sp" / $"n") / ($"n" - 1)), 6).as("stddev_price"),
+        round(($"sqp" - $"sq" * $"sp" / $"n")
+          / sqrt(($"sqq" - $"sq" * $"sq" / $"n") * ($"spp" - $"sp" * $"sp" / $"n")), 6)
+          .as("corr_qty_price"))
+  }
+
+  val qStatsMomentsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sq,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sp,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sqq,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS spp,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sqp
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(sq / n, 6) AS mean_qty,
+      |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+      |  round(sqrt((spp - sp * sp / n) / (n - 1)), 6) AS stddev_price,
+      |  round((sqp - sq * sp / n)
+      |    / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 6) AS corr_qty_price
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- B45
+  /** Hopping (sliding) window aggregation: 1-hour windows every
+    * 15 minutes over the event stream — each event lands in exactly 4
+    * windows. Native `window(ts, size, slide)`; the oracle enumerates
+    * the same 4 hop starts arithmetically. */
+  def qHoppingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select($"window.start".cast("timestamp_ntz").as("hop_start"),
+        $"event_type", $"n_events", $"total_value")
+  }
+
+  val qHoppingWindowSql: String =
+    """SELECT make_timestamp(((epoch_ms(ts) // 900000) - k) * 900000000) AS hop_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events, range(0, 4) t(k)
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- A20
+  /** MERGE INTO semantics as one full-outer join: a warehouse snapshot
+    * (orders through 1997-06-30) merged with a source batch (orders
+    * from 1997-01-01, totals repriced 5%). Matched keys update,
+    * source-only keys insert, target-only keys keep — every row
+    * labeled with its action. At scale both sides shuffle once on the
+    * business key (or co-locate for free if bucketed on it). */
+  def etlMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+    val target = ord.filter($"o_orderdate" <= lit("1997-06-30").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val source = ord.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey".as("s_orderkey"), $"o_custkey".as("s_custkey"),
+        $"o_orderdate".as("s_orderdate"),
+        ($"o_totalprice".cast(DecimalType(14, 2)) * lit(1.05).cast(DecimalType(4, 2)))
+          .as("s_totalprice"))
+    target.join(source, $"o_orderkey" === $"s_orderkey", "full_outer")
+      .select(
+        coalesce($"o_orderkey", $"s_orderkey").as("order_key"),
+        coalesce($"s_custkey", $"o_custkey").as("cust_key"),
+        coalesce($"s_orderdate", $"o_orderdate").cast("timestamp_ntz").as("order_date"),
+        coalesce($"s_totalprice".cast("double"), $"o_totalprice").as("total_price"),
+        when($"o_orderkey".isNull, "insert")
+          .when($"s_orderkey".isNull, "keep")
+          .otherwise("update").as("action"))
+  }
+
+  val etlMergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      |  FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-30'),
+      |source AS (
+      |  SELECT o_orderkey AS s_orderkey, o_custkey AS s_custkey,
+      |    o_orderdate AS s_orderdate,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) * 1.05 AS s_totalprice
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      |SELECT
+      |  coalesce(o_orderkey, s_orderkey) AS order_key,
+      |  coalesce(s_custkey, o_custkey) AS cust_key,
+      |  coalesce(s_orderdate, o_orderdate) AS order_date,
+      |  coalesce(CAST(s_totalprice AS DOUBLE), o_totalprice) AS total_price,
+      |  CASE WHEN o_orderkey IS NULL THEN 'insert'
+      |       WHEN s_orderkey IS NULL THEN 'keep'
+      |       ELSE 'update' END AS action
+      |FROM target FULL OUTER JOIN source ON o_orderkey = s_orderkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_late_supplier" -> q21LateSupplier _,
+    "q_stats_moments" -> qStatsMoments _,
+    "q_hopping_window" -> qHoppingWindow _,
+    "etl_merge_upsert" -> etlMergeUpsert _)
+
+  def oracleSql: Map[String, String] = Map(
+    "q21_late_supplier" -> q21LateSupplierSql,
+    "q_stats_moments" -> qStatsMomentsSql,
+    "q_hopping_window" -> qHoppingWindowSql,
+    "etl_merge_upsert" -> etlMergeUpsertSql)
+}
