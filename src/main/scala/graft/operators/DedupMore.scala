@@ -116,12 +116,17 @@ object DedupMore {
     * the standing corpus is probed, never self-joined. */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
-      .withColumn("is_new", gf.h32(col("doc_id").cast("string")) % 10 === 0)
-    val sigs = DedupOps.minhashSigs(docs)
-      .join(docs.select(col("doc_id"), col("is_new")), "doc_id")
+    // signature + partition flag in ONE narrow projection — the flag
+    // rides the compact sig relation into banding, no id re-joins
+    val sigs = docs.select(col("doc_id"),
+      (gf.h32(col("doc_id").cast("string")) % 10 === 0).as("is_new"),
+      gf.minhash_sig_mod(gf.shingle_md5_h32(col("text"), 3), 128).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = DedupOps.minhashBands(sigs.select(col("doc_id"), col("sig")))
-      .join(sigs.select(col("doc_id"), col("is_new")), "doc_id")
+    val bands = sigs.select(col("doc_id"), col("is_new"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => slice(col("sig"), b * 8 + 1, lit(8)))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
     val newB = bands.filter(col("is_new"))
       .select(col("band_id"), col("band_key"), col("doc_id").as("id_new"))
     val oldB = bands.filter(!col("is_new"))

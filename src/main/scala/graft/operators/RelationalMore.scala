@@ -44,9 +44,15 @@ object RelationalMore {
       .select($"o_orderkey", $"o_orderdate")
     val flagged = li.join(ord, $"l_orderkey" === $"o_orderkey")
       .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-    val perOrder = flagged.groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"),
+    // two-level agg instead of two COUNT(DISTINCT)s in one pass: the
+    // distinct-agg form Expands the joined lineitem 2x before its
+    // shuffle; collapsing to (order, supplier) first keeps the shuffle
+    // linear and map-side combinable
+    val perSupp = flagged.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("late"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when($"late", 1L).otherwise(0L)).as("n_late_supp"),
         max(when($"late", $"l_suppkey")).as("late_supp"))
       .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
     perOrder.groupBy($"late_supp")

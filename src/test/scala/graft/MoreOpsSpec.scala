@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupMore, DedupOps, RelationalMore, AnnOps}
+
+/** Property checks for the round-6 operators — semantic invariants the
+  * DuckDB hash oracles don't express directly. */
+class MoreOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkSuite.session
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("etl_merge_upsert classifies every key exactly once") {
+    val out = RelationalMore.etlMergeUpsert(spark, sf).cache()
+    val ord = Tables.orders(spark, sf)
+    val nTarget = ord.filter($"o_orderdate" <= lit("1997-06-30").cast("timestamp")).count()
+    val nSource = ord.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")).count()
+    val nOverlap = ord.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
+      && $"o_orderdate" <= lit("1997-06-30").cast("timestamp")).count()
+    val byAction = out.groupBy($"action").count().as[(String, Long)].collect().toMap
+    assert(byAction("update") == nOverlap)
+    assert(byAction("insert") == nSource - nOverlap)
+    assert(byAction("keep") == nTarget - nOverlap)
+    // one output row per distinct business key across both sides
+    assert(out.count() == out.select($"order_key").distinct().count())
+    out.unpersist()
+  }
+
+  test("q_stats_moments matches Spark's built-in stddev/corr to 1e-6") {
+    val ours = RelationalMore.qStatsMoments(spark, sf)
+      .select($"l_returnflag", $"stddev_qty", $"corr_qty_price")
+      .as[(String, Double, Double)].collect()
+      .map { case (k, s, c) => k -> ((s, c)) }.toMap
+    val ref = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(stddev_samp($"l_quantity").as("s"),
+        corr($"l_quantity", $"l_extendedprice").as("c"))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, s, c) => k -> ((s, c)) }.toMap
+    for ((flag, (s, c)) <- ours) {
+      assert(math.abs(s - ref(flag)._1) < 1e-6, s"stddev mismatch for $flag")
+      assert(math.abs(c - ref(flag)._2) < 1e-6, s"corr mismatch for $flag")
+    }
+  }
+
+  test("q_hopping_window replicates every event into exactly 4 hops") {
+    val out = RelationalMore.qHoppingWindow(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    val total = out.agg(sum($"n_events")).as[Long].head()
+    assert(total == 4 * nEvents)
+  }
+
+  test("q21_late_supplier is deterministically ordered and bounded") {
+    val rows = RelationalMore.q21LateSupplier(spark, sf)
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.sameElements(rows.sortBy { case (n, w) => (-w, n) }))
+  }
+
+  test("dedup_containment scores planted near-copies as full containment") {
+    // doc X's text is a strict prefix of doc X+200000 (" extra" appended),
+    // so every shingle of X appears in the copy: cont(orig ⊆ copy) = 1.0
+    val out = DedupMore.dedupContainment(spark, sf)
+      .filter($"id2" === $"id1" + DedupOps.NearCopyOffset)
+      .select($"cont12").as[Double].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_ == 1.0))
+  }
+
+  test("dedup_incremental pairs always cross the new/old partition") {
+    val docs = DedupOps.corpus(Tables.documents(spark, sf))
+      .select($"doc_id",
+        (graft.functions.gf.h32($"doc_id".cast("string")) % 10 === 0).as("is_new"))
+    val pairs = DedupMore.dedupIncremental(spark, sf)
+    assert(pairs.count() > 0)
+    val wrongNew = pairs.join(docs, pairs("id_new") === docs("doc_id"))
+      .filter(!$"is_new").count()
+    val wrongOld = pairs.join(docs, pairs("id_old") === docs("doc_id"))
+      .filter($"is_new").count()
+    assert(wrongNew == 0 && wrongOld == 0)
+  }
+
+  test("ann_rerank recall vs exact brute force is >= 0.9") {
+    val exact = AnnOps.annBruteforce(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val reranked = DedupMore.annRerank(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(reranked.size == exact.size)
+    val recall = (exact intersect reranked).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("text_tfidf emits at most 5 strictly-ranked terms per doc") {
+    val out = DedupMore.textTfidf(spark, sf).cache()
+    val bad = out.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mx"),
+        min($"rank").as("mn"))
+      .filter($"n" > 5 || $"mx" =!= $"n" || $"mn" =!= 1)
+      .count()
+    assert(bad == 0)
+    // scores non-increasing with rank within each doc
+    val inversions = out.as("a").join(out.as("b"),
+      $"a.doc_id" === $"b.doc_id" && $"a.rank" === $"b.rank" - 1)
+      .filter($"a.score" < $"b.score").count()
+    assert(inversions == 0)
+    out.unpersist()
+  }
+}
