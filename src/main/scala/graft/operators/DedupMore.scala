@@ -233,15 +233,48 @@ object DedupMore {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |  FROM exact) WHERE rank <= 5""".stripMargin
 
+  // --------------------------------------------------------------- C13
+  /** Corpus novelty profile: per document, the fraction of its
+    * distinct 3-shingles whose FIRST occurrence (minimum doc_id) is
+    * this document — the redundancy curve dedup teams plot before
+    * choosing thresholds. Planted exact copies score 0.0 novelty by
+    * construction. Two linear shuffles (shingle-key agg, shingle-key
+    * join); the text column never shuffles. */
+  def textNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = DedupOps.corpus(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
+    val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_first"))
+      .select(col("doc_id"), col("n_shingles"),
+        round(col("n_first") / col("n_shingles"), 6).as("novelty"))
+  }
+
+  val textNoveltySql: String =
+    s"""WITH ${DedupOps.corpusSql},
+       |${DedupOps.shingleSqlCtes("corpus")},
+       |firsts AS (SELECT h, min(doc_id) AS first_doc FROM shh GROUP BY h)
+       |SELECT s.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(count(*) AS BIGINT), 6) AS novelty
+       |FROM shh s JOIN firsts f ON s.h = f.h
+       |GROUP BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> textTfidf _,
     "dedup_containment" -> dedupContainment _,
     "dedup_incremental" -> dedupIncremental _,
-    "ann_rerank" -> annRerank _)
+    "ann_rerank" -> annRerank _,
+    "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
     "text_tfidf" -> textTfidfSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "ann_rerank" -> annRerankSql)
+    "ann_rerank" -> annRerankSql,
+    "text_novelty" -> textNoveltySql)
 }

@@ -45,7 +45,7 @@ object DedupOps {
     base.unionByName(exactCopies).unionByName(nearCopies)
   }
 
-  private val corpusSql: String =
+  private[operators] val corpusSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -197,15 +198,116 @@ object RelationalMore {
       |       ELSE 'update' END AS action
       |FROM target FULL OUTER JOIN source ON o_orderkey = s_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- B46
+  /** TPC-H Q4 shape (adapted lateness as in B43): order-priority
+    * distribution of one quarter's orders that had at least one late
+    * line. EXISTS = left-semi join; the lineitem side is pre-filtered
+    * to late lines only, so the semi-join probe carries the minimal
+    * relation. */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1997-07-01").cast("timestamp")
+        && $"o_orderdate" < lit("1997-10-01").cast("timestamp"))
+    val late = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_shipdate")
+    val withLate = ord.join(late,
+      $"o_orderkey" === $"l_orderkey"
+        && $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+      "left_semi")
+    withLate.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- B47
+  /** Distribution-position analytics: percent_rank and cume_dist of
+    * every customer's total spend within their market segment.
+    * Rank ordering carries a unique tiebreak key so both engines see
+    * identical rank sequences. */
+  def qPercentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(14, 2))).cast("double").as("spend"))
+    val seg = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"spend".desc, $"c_custkey")
+    spend.join(seg, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"c_custkey", $"spend",
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  val qPercentRankSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_mktsegment, c_custkey, spend,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM spend JOIN customer ON o_custkey = c_custkey
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey)""".stripMargin
+
+  // --------------------------------------------------------------- A21
+  /** Data-quality routing: every event classified valid/quarantine
+    * with a deterministic, ordered reason list — the split a pipeline
+    * uses to load clean rows and park the rest for inspection (the
+    * reference validates before load; this is that gate as data). */
+  def etlQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val reasons = array(
+      when($"value" > 300, lit("value_out_of_range")),
+      when($"event_type" === "error", lit("error_event")),
+      when(get_json_object($"props", "$.k").cast("int") >= 90, lit("bad_props")))
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value",
+        array_join(filter(reasons, r => r.isNotNull), ";").as("reasons"))
+      .withColumn("status",
+        when(length($"reasons") > 0, "quarantine").otherwise("valid"))
+  }
+
+  val etlQuarantineSql: String =
+    """SELECT event_id, event_type, value, reasons,
+      |  CASE WHEN len(reasons) > 0 THEN 'quarantine' ELSE 'valid' END AS status
+      |FROM (
+      |  SELECT event_id, event_type, value,
+      |    coalesce(array_to_string(list_filter([
+      |      CASE WHEN value > 300 THEN 'value_out_of_range' END,
+      |      CASE WHEN event_type = 'error' THEN 'error_event' END,
+      |      CASE WHEN json_extract_string(props, '$.k')::INT >= 90 THEN 'bad_props' END
+      |    ], r -> r IS NOT NULL), ';'), '') AS reasons
+      |  FROM events)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_late_supplier" -> q21LateSupplier _,
     "q_stats_moments" -> qStatsMoments _,
     "q_hopping_window" -> qHoppingWindow _,
-    "etl_merge_upsert" -> etlMergeUpsert _)
+    "etl_merge_upsert" -> etlMergeUpsert _,
+    "q4_order_priority" -> q4OrderPriority _,
+    "q_percent_rank" -> qPercentRank _,
+    "etl_quarantine" -> etlQuarantine _)
 
   def oracleSql: Map[String, String] = Map(
     "q21_late_supplier" -> q21LateSupplierSql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_hopping_window" -> qHoppingWindowSql,
-    "etl_merge_upsert" -> etlMergeUpsertSql)
+    "etl_merge_upsert" -> etlMergeUpsertSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q_percent_rank" -> qPercentRankSql,
+    "etl_quarantine" -> etlQuarantineSql)
 }
