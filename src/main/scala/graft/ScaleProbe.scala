@@ -109,7 +109,20 @@ object ScaleProbe {
           .agg(functions.TopKAgg.top_k(col("l_extendedprice"),
             col("l_orderkey") * 10 + col("l_linenumber"), 3).as("top"))
           .select(col("l_suppkey"), explode(col("top"))).count()),
-        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li))
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // incremental dedup: the NEW batch stays fixed (a slice of the
+      // original docs) while the standing OLD corpus grows — the
+      // realistic daily-ingest shape; cost should track the probe side
+      ("dedup_incr",
+        (d: DataFrame) => time(operators.DedupMore.incrementalPipeline(
+          d.withColumn("is_new", col("doc_id") < 1000000L
+            && abs(hash(col("doc_id"))) % 10 === 0)).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // novelty: two shingle-key linear shuffles; ratio should stay ≈N
+      ("novelty",
+        (d: DataFrame) => time(
+          operators.DedupMore.noveltyPipeline(d).count()),
+        (n: Int) => replicateDocs(docs, n), docs))
     probes.foreach { case (name, run, mk, base) =>
       val t1 = run(base)
       val scaled = factors.map(n => n -> run(mk(n)))

@@ -114,12 +114,15 @@ object DedupMore {
     * and an incoming NEW batch; only new×old band pairs join. This is
     * the shape an ingest pipeline runs daily — cost O(batch size),
     * the standing corpus is probed, never self-joined. */
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    incrementalPipeline(DedupOps.corpus(Tables.documents(spark, sfDir))
+      .withColumn("is_new", gf.h32(col("doc_id").cast("string")) % 10 === 0))
+
+  /** docs must carry (doc_id, text, is_new). */
+  def incrementalPipeline(docs: DataFrame): DataFrame = {
     // signature + partition flag in ONE narrow projection — the flag
     // rides the compact sig relation into banding, no id re-joins
-    val sigs = docs.select(col("doc_id"),
-      (gf.h32(col("doc_id").cast("string")) % 10 === 0).as("is_new"),
+    val sigs = docs.select(col("doc_id"), col("is_new"),
       gf.minhash_sig_mod(gf.shingle_md5_h32(col("text"), 3), 128).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), col("is_new"),
@@ -240,10 +243,12 @@ object DedupMore {
     * choosing thresholds. Planted exact copies score 0.0 novelty by
     * construction. Two linear shuffles (shingle-key agg, shingle-key
     * join); the text column never shuffles. */
-  def textNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = DedupOps.corpus(Tables.documents(spark, sfDir))
-      .select(col("doc_id"),
-        explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
+  def textNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyPipeline(DedupOps.corpus(Tables.documents(spark, sfDir)))
+
+  def noveltyPipeline(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
     val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(firsts, "h")
       .groupBy(col("doc_id"))
