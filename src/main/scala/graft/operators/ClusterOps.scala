@@ -31,6 +31,8 @@ object ClusterOps {
     // logical plan, so every round re-optimizes — and on cache eviction
     // re-executes — the full upstream. After checkpointing, each round's
     // plan starts from a leaf relation.
+    // checkpointed: the squarings below expand edges1 into many plan
+    // leaves (measured 2x slower relying on ReuseExchange instead)
     val edges1 = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
@@ -49,8 +51,10 @@ object ClusterOps {
       .distinct()
     // two squarings → 4-hop reach: real dedup graphs (pairs, stars,
     // chains of a handful of near-identical revisions) converge at
-    // initialization and the loop runs exactly one verification round
-    val edges = square(square(edges1)).localCheckpoint(true)
+    // initialization and the loop runs exactly one verification round.
+    // Each squaring output is checkpointed before reuse (3 references
+    // each — union + both join sides).
+    val edges = square(square(edges1).localCheckpoint(true)).localCheckpoint(true)
     // iterative plans MUST truncate lineage each round
     // (localCheckpoint), or the logical plan grows per iteration and
     // the analyzer/optimizer blows up long before the data does. In a

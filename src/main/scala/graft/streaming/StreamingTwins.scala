@@ -129,6 +129,34 @@ object StreamingTwins {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- G5
+  /** Streaming twin of RelationalMore.qHoppingWindow: the SLIDING
+    * window aggregation run as a real stream in Complete mode — each
+    * event expands into its 4 hops inside the streaming agg, final
+    * state = the batch result regardless of micro-batch boundaries. */
+  def streamingHopping(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+    val agg = src
+      .filter($"user_id" >= 0)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("total_value"))
+    runToCompletion(agg, "complete", "twin_hopping")
+      .select($"window.start".cast("timestamp_ntz").as("hop_start"),
+        $"event_type", $"n_events", $"total_value")
+  }
+
+  /** Same oracle as the batch hopping query — the stream must converge
+    * to the batch answer. */
+  val streamingHoppingSql: String =
+    """SELECT make_timestamp(((epoch_ms(ts) // 900000) - k) * 900000000) AS hop_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events, range(0, 4) t(k)
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- G2
   /** Streaming twin of Analytics.qEventsSessionize: the stateful
     * flatMapGroupsWithState session operator run to watermark-flushed
@@ -224,11 +252,13 @@ object StreamingTwins {
     "streaming_window_counts" -> streamingWindowCounts _,
     "streaming_sessionize" -> streamingSessionize _,
     "streaming_dedup" -> streamingDedup _,
-    "streaming_enrich" -> streamingEnrich _)
+    "streaming_enrich" -> streamingEnrich _,
+    "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
     "streaming_window_counts" -> streamingWindowCountsSql,
     "streaming_sessionize" -> streamingSessionizeSql,
     "streaming_dedup" -> streamingDedupSql,
-    "streaming_enrich" -> streamingEnrichSql)
+    "streaming_enrich" -> streamingEnrichSql,
+    "streaming_hopping" -> streamingHoppingSql)
 }
