@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-6 statistical / stream-profiling operators.
+  *
+  * Scale notes:
+  *   - `q_outliers_zscore` is the classic two-pass anomaly scan: pass
+  *     1 reduces the fact table to one stats row per group (exact
+  *     decimal power sums, map-side combinable), pass 2 re-scans with
+  *     the tiny stats relation broadcast — no sort, no window, no
+  *     state proportional to data.
+  *   - `event_transitions` shuffles once on user_id for the lead()
+  *     window; the transition matrix it emits is |event_types|² rows,
+  *     so the second aggregation is negligible at any scale.
+  *   - `text_pmi` reuses the zip_with bigram kernel (O(tokens) per
+  *     row — see TextOps.textNgramFreq for why not transform/index),
+  *     and joins bigram counts against the two unigram marginals;
+  *     at scale the unigram side is Zipf-small and broadcastable.
+  *   - `sketch_heavy_hitters` builds a count-min sketch as data: the
+  *     sketch is D×W = 128 cells REGARDLESS of input size (the whole
+  *     point — at 100 TB the sketch still fits in a broadcast), built
+  *     in one map-side-combinable aggregation over the 4-way hash
+  *     expansion. The probe joins candidate keys to the broadcast
+  *     sketch and takes the min over the D rows. Estimates are
+  *     biased high, never low; the oracle replays the identical
+  *     integer hash kernel in SQL (same portable-kernel technique as
+  *     the MinHash/SimHash oracles).
+  */
+object StatsOps {
+
+  // --------------------------------------------------------------- B48
+  /** Per-event-type z-score outliers: |z| > 2 events flagged against
+    * group mean/stddev derived from exact decimal power sums (the
+    * distributed-moments discipline of q_stats_moments), so the float
+    * math runs once per GROUP and the flagging is partition-order
+    * independent. */
+  def qOutliersZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = $"value".cast(DecimalType(14, 2))
+    val stats = Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("sv"),
+        sum(v * v).cast("double").as("svv"))
+      .select($"event_type",
+        ($"sv" / $"n").as("mean"),
+        sqrt(($"svv" - $"sv" * $"sv" / $"n") / ($"n" - 1)).as("std"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(stats), "event_type")
+      .select($"event_id", $"event_type", $"value",
+        round(($"value" - $"mean") / $"std", 6).as("zscore"))
+      .filter(abs($"zscore") > 2.0)
+  }
+
+  val qOutliersZscoreSql: String =
+    """WITH stats AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS svv
+      |  FROM events GROUP BY 1),
+      |scored AS (
+      |  SELECT event_id, e.event_type, value,
+      |    round((value - sv / n) / sqrt((svv - sv * sv / n) / (n - 1)), 6) AS zscore
+      |  FROM events e JOIN stats s ON e.event_type = s.event_type)
+      |SELECT * FROM scored WHERE abs(zscore) > 2.0""".stripMargin
+
+  // --------------------------------------------------------------- B49
+  /** First-order Markov transition matrix over each user's event
+    * sequence: count and conditional probability of every
+    * (from_event → to_event) step. lead() over (ts, event_id) — the
+    * unique tiebreak keeps rank order identical across engines. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_event", lead($"event_type", 1).over(w))
+      .filter($"to_event".isNotNull)
+    val wf = Window.partitionBy($"from_event")
+    steps.groupBy($"event_type".as("from_event"), $"to_event")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", round($"n" / sum($"n").over(wf), 6))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_event,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_event
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_event, to_event, CAST(count(*) AS BIGINT) AS n
+      |  FROM steps WHERE to_event IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_event, to_event, n,
+      |  round(n / CAST(sum(n) OVER (PARTITION BY from_event) AS BIGINT), 6) AS prob
+      |FROM counts""".stripMargin
+
+  // --------------------------------------------------------------- C15
+  /** Collocation mining: pointwise mutual information of corpus
+    * bigrams — PMI = ln(p(xy) / (p(x)·p(y))) with bigram and unigram
+    * probabilities over their own totals. Top 50, count ≥ 5. The
+    * float expression keeps every operand near 1 (divide-first) so
+    * no count product overflows double exactness at scale. */
+  def textPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val docs = Tables.documents(spark, sfDir)
+    val bg = docs.select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n_xy"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+      .withColumn("w2", substring_index($"bigram", " ", -1))
+    val uni = docs.select(explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val totals = bg.agg(sum($"n_xy").as("nb"))
+      .crossJoin(uni.agg(sum($"c").as("nu")))
+    bg.join(broadcast(uni.select($"tok".as("w1"), $"c".as("c1"))), "w1")
+      .join(broadcast(uni.select($"tok".as("w2"), $"c".as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .filter($"n_xy" >= 5)
+      .select($"bigram", $"n_xy",
+        round(log(($"n_xy" / $"nb") / (($"c1" / $"nu") * ($"c2" / $"nu"))), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"bigram")
+      .limit(50)
+  }
+
+  val textPmiSql: String =
+    """WITH bg AS (
+      |  SELECT l[g] || ' ' || l[g+1] AS bigram, l[g] AS w1, l[g+1] AS w2
+      |  FROM (SELECT string_split_regex(trim(text), '\s+') AS l FROM documents) t,
+      |       unnest(range(1, len(t.l))) AS u(g)),
+      |bgc AS (
+      |  SELECT bigram, any_value(w1) AS w1, any_value(w2) AS w2,
+      |    CAST(count(*) AS BIGINT) AS n_xy
+      |  FROM bg GROUP BY bigram),
+      |uni AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |totals AS (
+      |  SELECT (SELECT CAST(sum(n_xy) AS BIGINT) FROM bgc) AS nb,
+      |         (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu)
+      |SELECT bigram, n_xy,
+      |  round(ln((n_xy / nb) / ((u1.c / nu) * (u2.c / nu))), 6) AS pmi
+      |FROM bgc
+      |JOIN uni u1 ON bgc.w1 = u1.tok
+      |JOIN uni u2 ON bgc.w2 = u2.tok
+      |CROSS JOIN totals
+      |WHERE n_xy >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- I4
+  /** Count-min-sketch heavy hitters over the event stream's user_id:
+    * D=4 portable integer hash rows × W=32 buckets; estimate(k) =
+    * min over rows of the bucket count. Top 20 estimated-heaviest
+    * users, with the exact count alongside (CMS overestimates under
+    * collision, never underestimates — visible in the output). */
+  private val cmsP = 2147483647L // 2^31 - 1 (prime)
+  private val cmsW = 32
+  private val cmsHashes: Seq[(Int, Long, Long)] = Seq(
+    (0, 1000003L, 12345L), (1, 1000033L, 54321L),
+    (2, 1000037L, 7L), (3, 1000039L, 99991L))
+
+  def sketchHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def bucket(k: org.apache.spark.sql.Column, a: Long, b: Long) =
+      (k * lit(a) + lit(b)) % lit(cmsP) % lit(cmsW)
+    val hashCells = array(cmsHashes.map { case (i, a, b) =>
+      struct(lit(i).as("h"), bucket($"user_id", a, b).as("bucket"))
+    }: _*)
+    val events = Tables.events(spark, sfDir)
+    // build: 4-way expand → 128-cell sketch (fixed size at any SF)
+    val sketch = events.select(explode(hashCells).as("hb"))
+      .groupBy($"hb.h".as("h"), $"hb.bucket".as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    // probe: distinct keys (with exact counts for comparison) against
+    // the broadcast sketch; estimate = min cell over the 4 rows
+    val keys = events.groupBy($"user_id").agg(count(lit(1)).as("exact"))
+    keys.select($"user_id", $"exact", explode(hashCells).as("hb"))
+      .join(broadcast(sketch),
+        $"hb.h" === $"h" && $"hb.bucket" === $"bucket")
+      .groupBy($"user_id", $"exact")
+      .agg(min($"cell").as("est"))
+      .select($"user_id", $"est", $"exact")
+      .orderBy($"est".desc, $"user_id")
+      .limit(20)
+  }
+
+  val sketchHeavyHittersSql: String = {
+    val hashValues = cmsHashes
+      .map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH hashes(i, a, b) AS (VALUES $hashValues),
+       |cells AS (
+       |  SELECT i, ((user_id * a + b) % $cmsP) % $cmsW AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cell
+       |  FROM events CROSS JOIN hashes GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+       |  FROM events GROUP BY 1)
+       |SELECT user_id, CAST(min(cell) AS BIGINT) AS est, exact
+       |FROM exact CROSS JOIN hashes
+       |JOIN cells ON cells.i = hashes.i
+       |  AND cells.bucket = ((user_id * a + b) % $cmsP) % $cmsW
+       |GROUP BY user_id, exact
+       |ORDER BY est DESC, user_id LIMIT 20""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outliers_zscore" -> qOutliersZscore _,
+    "event_transitions" -> eventTransitions _,
+    "text_pmi" -> textPmi _,
+    "sketch_heavy_hitters" -> sketchHeavyHitters _)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_outliers_zscore" -> qOutliersZscoreSql,
+    "event_transitions" -> eventTransitionsSql,
+    "text_pmi" -> textPmiSql,
+    "sketch_heavy_hitters" -> sketchHeavyHittersSql)
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{StatsOps, TpchFinal}
+
+/** Semantic invariants for the round-6 batch-2 operators (the DuckDB
+  * hash oracles pin exact values; these pin the properties that must
+  * survive any refactor). */
+class Round6Spec extends AnyFunSuite {
+
+  private val spark = SparkSuite.session
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("q_outliers_zscore flags exactly the |z|>2 rows vs built-in stddev") {
+    val ours = StatsOps.qOutliersZscore(spark, sf)
+    // independent recompute with Spark's own stddev_samp/avg
+    val stats = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(avg($"value").as("m"), stddev_samp($"value").as("s"))
+    val ref = Tables.events(spark, sf)
+      .join(stats, "event_type")
+      .filter(abs(($"value" - $"m") / $"s") > 2.0)
+    assert(ours.count() == ref.count())
+    val z = ours.agg(min(abs($"zscore"))).as[Double].head()
+    assert(z > 2.0)
+  }
+
+  test("event_transitions probabilities sum to 1 per from_event; steps conserve") {
+    val out = StatsOps.eventTransitions(spark, sf).cache()
+    val sums = out.groupBy($"from_event").agg(sum($"prob").as("p"))
+      .as[(String, Double)].collect()
+    for ((k, p) <- sums)
+      assert(math.abs(p - 1.0) < 1e-4, s"probs for $k sum to $p")
+    // total steps = events - users-with-events (each user contributes n-1)
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(out.agg(sum($"n")).as[Long].head() == expected)
+    out.unpersist()
+  }
+
+  test("text_pmi agrees with a hand-computed PMI on its top row") {
+    val top = StatsOps.textPmi(spark, sf).head()
+    val bigram = top.getString(0)
+    val Array(w1, w2) = bigram.split(" ", 2)
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(explode(split(trim($"text"), "\\s+")).as("t")).cache()
+    val nu = toks.count().toDouble
+    val c1 = toks.filter($"t" === w1).count().toDouble
+    val c2 = toks.filter($"t" === w2).count().toDouble
+    val bgs = docs.select(explode(zip_with(
+      slice(split(trim($"text"), "\\s+"), lit(1), greatest(size(split(trim($"text"), "\\s+")) - 1, lit(0))),
+      slice(split(trim($"text"), "\\s+"), lit(2), greatest(size(split(trim($"text"), "\\s+")) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))).as("bg")).cache()
+    val nb = bgs.count().toDouble
+    val nxy = bgs.filter($"bg" === bigram).count().toDouble
+    val want = math.log((nxy / nb) / ((c1 / nu) * (c2 / nu)))
+    assert(math.abs(top.getDouble(2) - want) < 1e-5)
+    assert(top.getLong(1) >= 5)
+    toks.unpersist(); bgs.unpersist()
+  }
+
+  test("sketch_heavy_hitters never underestimates (est >= exact)") {
+    val rows = StatsOps.sketchHeavyHitters(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val nUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(rows.length == math.min(20L, nUsers))
+    for ((_, est, exact) <- rows) assert(est >= exact)
+    // sketch must stay fixed-size: estimates are the min over 4 rows of
+    // a 128-cell table, so every est is bounded by the total event count
+    val n = Tables.events(spark, sf).count()
+    for ((_, est, _) <- rows) assert(est <= n)
+  }
+
+  test("q2_min_cost_supplier rows carry the per-part minimum cost") {
+    val out = TpchFinal.q2MinCostSupplier(spark, sf).cache()
+    // within the result, every (part, cost) pair must equal the min
+    // cost listed for that part (no dominated offer survives)
+    val bad = out.groupBy($"p_partkey")
+      .agg(min($"cost").as("lo"), max($"cost").as("hi"))
+      .filter($"lo" =!= $"hi")
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("q11_important_parts all exceed 1.5x the mean share") {
+    val out = TpchFinal.q11ImportantParts(spark, sf).cache()
+    assert(out.count() > 0)
+    // share > 1.5 / n_parts-of-the-FULL-relation is not recoverable
+    // from the output alone; check monotone ordering + share sanity
+    val shares = out.select($"share").as[Double].collect()
+    assert(shares.forall(s => s > 0 && s < 1))
+    val vals = out.select($"value").as[Double].collect()
+    assert(vals.sameElements(vals.sortBy(-_)))
+    out.unpersist()
+  }
+
+  test("q16_supplier_count excludes low-balance suppliers") {
+    val out = TpchFinal.q16SupplierCount(spark, sf)
+    assert(out.agg(min($"supplier_cnt")).as[Long].head() >= 1)
+    // recompute one bucket by hand including the exclusion
+    val pairs = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val okSupp = Tables.supplier(spark, sf).filter($"s_acctbal" >= 1000)
+      .select($"s_suppkey")
+    val parts = Tables.part(spark, sf)
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO"
+        && $"p_size".isin(5, 10, 15, 20))
+    val want = pairs.join(okSupp, $"l_suppkey" === $"s_suppkey")
+      .join(parts, $"l_partkey" === $"p_partkey")
+      .select($"l_suppkey").distinct().count()
+    val got = out.agg(sum($"supplier_cnt")).as[Long].head()
+    assert(got >= want) // suppliers may count in several buckets
+  }
+
+  test("q20_promo_suppliers satisfies the 20% threshold exactly") {
+    val rows = TpchFinal.q20PromoSuppliers(spark, sf)
+      .select($"qty_1997", $"qty_total").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((q97, tot) <- rows) assert(q97 * 5 > tot)
+  }
+}
