@@ -216,15 +216,107 @@ object StatsOps {
        |ORDER BY est DESC, user_id LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------- B54
+  /** Robust (median/MAD) outlier scan — the heavy-tail-safe complement
+    * to q_outliers_zscore: modified z = 0.6745·(x − med)/MAD, flag
+    * |M| > 2. Two sequential aggregations (median pass, then median
+    * of absolute deviations), each map-side reducible to one row per
+    * group; the tiny stats relation broadcasts into the final scan.
+    * Exact `percentile` here for the oracle (it matches DuckDB's
+    * quantile_cont interpolation); at 100 TB swap in
+    * approx_percentile — same plan shape, sketch-sized state. */
+  def qMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val med = events.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = events.join(broadcast(med), "event_type")
+      .groupBy($"event_type", $"med")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    events.join(broadcast(mad), "event_type")
+      .select($"event_id", $"event_type", $"value",
+        round(lit(0.6745) * ($"value" - $"med") / $"mad", 6).as("robust_z"))
+      .filter(abs($"robust_z") > 2.0)
+  }
+
+  val qMadOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, med,
+      |    quantile_cont(abs(value - med), 0.5) AS mad
+      |  FROM events e JOIN med USING (event_type) GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_id, e.event_type, value,
+      |    round(0.6745 * (value - med) / mad, 6) AS robust_z
+      |  FROM events e JOIN mad ON e.event_type = mad.event_type)
+      |SELECT * FROM scored WHERE abs(robust_z) > 2.0""".stripMargin
+
+  // --------------------------------------------------------------- B55
+  /** Event-type co-occurrence mining: for every unordered pair of
+    * event types, how many users exhibit BOTH, with support and lift
+    * vs independence. The fact table reduces to DISTINCT (user, type)
+    * FIRST (one shuffle; ≤ |users|·|types| rows), so the per-user
+    * self-join fans out at most |types|² per user and the marginals
+    * are |types|-sized broadcasts. */
+  def eventCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct()
+    val nUsers = ut.select($"user_id").distinct()
+      .agg(count(lit(1)).as("nu"))
+    val marginal = ut.groupBy($"event_type").agg(count(lit(1)).as("c"))
+    val pairs = ut.as("x")
+      .join(ut.as("y"), Seq("user_id"))
+      .filter($"x.event_type" < $"y.event_type")
+      .groupBy($"x.event_type".as("type_a"), $"y.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(marginal.select($"event_type".as("type_a"), $"c".as("ca"))), "type_a")
+      .join(broadcast(marginal.select($"event_type".as("type_b"), $"c".as("cb"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select($"type_a", $"type_b", $"n_users",
+        round($"n_users" / $"nu", 6).as("support"),
+        round(($"n_users" / $"nu") / (($"ca" / $"nu") * ($"cb" / $"nu")), 6)
+          .as("lift"))
+      .orderBy($"n_users".desc, $"type_a", $"type_b")
+  }
+
+  val eventCooccurrenceSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+      |marginal AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+      |    AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_users,
+      |  round(n_users / nu, 6) AS support,
+      |  round((n_users / nu) / ((ma.c / nu) * (mb.c / nu)), 6) AS lift
+      |FROM pairs
+      |JOIN marginal ma ON ma.event_type = type_a
+      |JOIN marginal mb ON mb.event_type = type_b
+      |CROSS JOIN nu
+      |ORDER BY n_users DESC, type_a, type_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outliers_zscore" -> qOutliersZscore _,
     "event_transitions" -> eventTransitions _,
     "text_pmi" -> textPmi _,
-    "sketch_heavy_hitters" -> sketchHeavyHitters _)
+    "sketch_heavy_hitters" -> sketchHeavyHitters _,
+    "q_mad_outliers" -> qMadOutliers _,
+    "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
     "q_outliers_zscore" -> qOutliersZscoreSql,
     "event_transitions" -> eventTransitionsSql,
     "text_pmi" -> textPmiSql,
-    "sketch_heavy_hitters" -> sketchHeavyHittersSql)
+    "sketch_heavy_hitters" -> sketchHeavyHittersSql,
+    "q_mad_outliers" -> qMadOutliersSql,
+    "event_cooccurrence" -> eventCooccurrenceSql)
 }

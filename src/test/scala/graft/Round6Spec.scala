@@ -115,6 +115,37 @@ class Round6Spec extends AnyFunSuite {
     assert(got >= want) // suppliers may count in several buckets
   }
 
+  test("q_mad_outliers is threshold-consistent and a subset-sane scan") {
+    val out = StatsOps.qMadOutliers(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.agg(min(abs($"robust_z"))).as[Double].head() > 2.0)
+    // robust and classical scans must agree on the extreme tail: every
+    // |z| > 4 classical outlier is also a robust outlier here
+    val extreme = StatsOps.qOutliersZscore(spark, sf)
+      .filter(abs($"zscore") > 4.0).select($"event_id")
+    val missed = extreme.join(out, Seq("event_id"), "left_anti").count()
+    assert(missed == 0)
+    out.unpersist()
+  }
+
+  test("event_cooccurrence counts match an independent recompute") {
+    val out = StatsOps.eventCooccurrence(spark, sf).cache()
+    // pick the top pair, recompute its user count directly
+    val top = out.head()
+    val (a, b) = (top.getString(0), top.getString(1))
+    val ev = Tables.events(spark, sf)
+    val ua = ev.filter($"event_type" === a).select($"user_id").distinct()
+    val ub = ev.filter($"event_type" === b).select($"user_id").distinct()
+    assert(top.getLong(2) == ua.join(ub, "user_id").count())
+    // support/lift sanity: support in (0,1]; pairs are strictly ordered
+    val rows = out.select($"type_a", $"type_b", $"support").collect()
+    for (r <- rows) {
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1)
+    }
+    out.unpersist()
+  }
+
   test("q20_promo_suppliers satisfies the 20% threshold exactly") {
     val rows = TpchFinal.q20PromoSuppliers(spark, sf)
       .select($"qty_1997", $"qty_total").as[(Double, Double)].collect()
