@@ -28,6 +28,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as long (pruned
+      // away anyway — probes only use ids/type)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,9 +59,12 @@ object ScaleProbe {
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // nanos ts column pruned away — probes only need ids/type
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id", "event_type")
 
     // warmup
-    li.count(); docs.count()
+    li.count(); docs.count(); ev.count()
 
     val probes: Seq[(String, DataFrame => Double, Int => DataFrame, DataFrame)] = Seq(
       ("q1_agg",
@@ -122,7 +128,22 @@ object ScaleProbe {
       ("novelty",
         (d: DataFrame) => time(
           operators.DedupMore.noveltyPipeline(d).count()),
-        (n: Int) => replicateDocs(docs, n), docs))
+        (n: Int) => replicateDocs(docs, n), docs),
+      // count-min heavy hitters: the sketch stays 128 cells at ANY
+      // size — the build agg is linear, the probe joins a fixed-key
+      // relation against the broadcast sketch; ratio should stay ≈N
+      // for the scan and the probe side should not grow
+      ("cms_hh",
+        (d: DataFrame) => time(
+          operators.StatsOps.heavyHittersPipeline(d).count()),
+        (n: Int) => replicate(ev, n, Seq("event_id"), 10000000L), ev),
+      // co-occurrence: replicas repeat (user,type) rows — the DISTINCT
+      // reduction must absorb the growth before the quadratic pair
+      // step, so runtime tracks the scan, not the pair fanout
+      ("cooccur",
+        (d: DataFrame) => time(
+          operators.StatsOps.cooccurrencePipeline(d).count()),
+        (n: Int) => replicate(ev, n, Seq("event_id"), 10000000L), ev))
     probes.foreach { case (name, run, mk, base) =>
       val t1 = run(base)
       val scaled = factors.map(n => n -> run(mk(n)))

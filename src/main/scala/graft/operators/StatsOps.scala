@@ -115,12 +115,18 @@ object StatsOps {
     val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => concat_ws(" ", a, b))
     val docs = Tables.documents(spark, sfDir)
+    // both count relations are vocab-sized but have 2-3 consumers each
+    // (marginal joins + totals); persisted so the corpus explodes once
+    // per relation instead of once per consumer (5 corpus scans were
+    // visible in the unpersisted physical plan)
     val bg = docs.select(explode(bigrams).as("bigram"))
       .groupBy($"bigram").agg(count(lit(1)).as("n_xy"))
       .withColumn("w1", substring_index($"bigram", " ", 1))
       .withColumn("w2", substring_index($"bigram", " ", -1))
+      .persist()
     val uni = docs.select(explode(split(trim($"text"), "\\s+")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .persist()
     val totals = bg.agg(sum($"n_xy").as("nb"))
       .crossJoin(uni.agg(sum($"c").as("nu")))
     bg.join(broadcast(uni.select($"tok".as("w1"), $"c".as("c1"))), "w1")
@@ -172,14 +178,18 @@ object StatsOps {
     (0, 1000003L, 12345L), (1, 1000033L, 54321L),
     (2, 1000037L, 7L), (3, 1000039L, 99991L))
 
-  def sketchHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def sketchHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHittersPipeline(Tables.events(spark, sfDir))
+
+  /** The CMS build+probe on an arbitrary events relation (needs
+    * user_id); separated so ScaleProbe can drive it on replicas. */
+  def heavyHittersPipeline(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     def bucket(k: org.apache.spark.sql.Column, a: Long, b: Long) =
       (k * lit(a) + lit(b)) % lit(cmsP) % lit(cmsW)
     val hashCells = array(cmsHashes.map { case (i, a, b) =>
       struct(lit(i).as("h"), bucket($"user_id", a, b).as("bucket"))
     }: _*)
-    val events = Tables.events(spark, sfDir)
     // build: 4-way expand → 128-cell sketch (fixed size at any SF)
     val sketch = events.select(explode(hashCells).as("hb"))
       .groupBy($"hb.h".as("h"), $"hb.bucket".as("bucket"))
@@ -260,10 +270,19 @@ object StatsOps {
     * FIRST (one shuffle; ≤ |users|·|types| rows), so the per-user
     * self-join fans out at most |types|² per user and the marginals
     * are |types|-sized broadcasts. */
-  def eventCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val ut = Tables.events(spark, sfDir)
-      .select($"user_id", $"event_type").distinct()
+  def eventCooccurrence(spark: SparkSession, sfDir: String): DataFrame =
+    cooccurrencePipeline(Tables.events(spark, sfDir))
+
+  /** Pair mining on an arbitrary events relation (needs user_id,
+    * event_type); separated so ScaleProbe can drive it on replicas. */
+  def cooccurrencePipeline(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    // ut has four consumers (both self-join sides, marginal, nu);
+    // persist so the fact-table scan + distinct shuffle runs ONCE —
+    // the cached relation is ≤ |users|·|types| rows, far smaller than
+    // the events it reduces (verified: no ReusedExchange otherwise)
+    val ut = events
+      .select($"user_id", $"event_type").distinct().persist()
     val nUsers = ut.select($"user_id").distinct()
       .agg(count(lit(1)).as("nu"))
     val marginal = ut.groupBy($"event_type").agg(count(lit(1)).as("c"))

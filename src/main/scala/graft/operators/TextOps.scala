@@ -380,6 +380,12 @@ object TextOps {
     val docBg = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(bigrams).as("bg"))
       .withColumn("w1", substring_index($"bg", " ", 1))
+    // The three count subtrees stay INDEPENDENT reads of docBg — they
+    // schedule in parallel, and both "derive cu/v from cb" rollup
+    // variants measured SLOWER here (serialized tiny-shuffle barriers
+    // outweigh the saved explode at bench SF). On a 100 TB corpus the
+    // opposite holds: derive cu(w1)=Σcb and v=|cu| from the one cb
+    // pass so the corpus explodes once — same math, swap noted here.
     val cb = docBg.groupBy($"bg").agg(count(lit(1)).as("cb"))
     val cu = docBg.groupBy($"w1").agg(count(lit(1)).as("cu"))
     val v = docBg.select($"w1").agg(countDistinct($"w1").as("v"))

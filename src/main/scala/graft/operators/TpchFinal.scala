@@ -58,9 +58,14 @@ object TpchFinal {
       .groupBy($"l_partkey", $"l_suppkey",
         $"s_name", $"s_acctbal", $"nation", $"p_partkey", $"p_name")
       .agg(min(dec($"l_extendedprice")).as("cost"))
-    val minPerPart = offers.groupBy($"p_partkey".as("mk"))
-      .agg(min($"cost").as("min_cost"))
-    offers.join(minPerPart, $"p_partkey" === $"mk" && $"cost" === $"min_cost")
+    // "cost = min cost for this part" as a window min over the pair
+    // relation: the offers subtree runs ONCE and the per-part minimum
+    // rides the same p_partkey shuffle (a groupBy-min + equality
+    // self-join form computes the whole offers plan twice — seen in
+    // the physical plan — and adds a sort-merge join)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"p_partkey")
+    offers.withColumn("min_cost", min($"cost").over(w))
+      .filter($"cost" === $"min_cost")
       .select($"s_acctbal", $"s_name", $"nation", $"p_partkey", $"p_name",
         $"cost".cast("double").as("cost"))
       .orderBy($"s_acctbal".desc, $"nation", $"s_name", $"p_partkey")
@@ -99,11 +104,16 @@ object TpchFinal {
         $"n_regionkey" === $"r_regionkey")
       .select($"s_suppkey")
     val one = lit(1).cast(DecimalType(12, 2))
+    // perPart feeds BOTH the threshold filter and the 1-row totals —
+    // without persist the whole lineitem join+agg executes twice
+    // (verified: no ReusedExchange fires across the two consumers).
+    // The persisted relation is |parts|-sized, not fact-sized.
     val perPart = Tables.lineitem(spark, sfDir)
       .join(broadcast(supp9), $"l_suppkey" === $"s_suppkey")
       .groupBy($"l_partkey".as("p_partkey"))
       .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount")))
         .cast("double").as("value"))
+      .persist()
     val totals = perPart.agg(
       count(lit(1)).as("n_parts"),
       sum(dec($"value")).cast("double").as("tot"))
