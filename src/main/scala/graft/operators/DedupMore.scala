@@ -38,9 +38,14 @@ object DedupMore {
     val tf = docs
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // df(term) = |(doc,term) rows| as a count window over the term
+    // key: tf is computed ONCE (the agg + broadcast-join form re-ran
+    // the corpus explode on both consumers — no ReuseExchange), and
+    // the term-key shuffle replaces a vocab-sized broadcast that
+    // would not hold at 100 TB anyway (Heaps-law vocabulary).
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term",
         round($"tf" * (log(($"n_docs" + 1) / ($"df" + 1)) + 1), 6).as("score"))
@@ -247,13 +252,21 @@ object DedupMore {
     noveltyPipeline(DedupOps.corpus(Tables.documents(spark, sfDir)))
 
   def noveltyPipeline(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
-    val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(firsts, "h")
+    // One corpus explode, collapsed to (shingle, doc, multiplicity)
+    // first; "first doc for this shingle" is then a min window over
+    // the shingle key instead of an agg + self-join that re-ran the
+    // whole explode on both sides (measured 3.8x at the x10 probe —
+    // worst in the table — before this form; ReuseExchange does not
+    // dedupe the two consumers).
+    val g = docs.select(col("doc_id"),
+        explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val firstW = Window.partitionBy(col("h"))
+    g.withColumn("first_doc", min(col("doc_id")).over(firstW))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_first"))
+      .agg(sum(col("c")).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), col("c")).otherwise(0L))
+          .as("n_first"))
       .select(col("doc_id"), col("n_shingles"),
         round(col("n_first") / col("n_shingles"), 6).as("novelty"))
   }

@@ -189,6 +189,10 @@ object TpchMore {
       .groupBy($"l_suppkey")
       .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount")))
         .cast("double").as("total_revenue"))
+      // rev feeds the max AND the equality join back; persisted (it is
+      // supplier-sized) so the filtered lineitem agg runs once —
+      // ReuseExchange does not dedupe the two consumers
+      .persist()
     val best = rev.agg(max($"total_revenue").as("mx"))
     rev.join(broadcast(best), $"total_revenue" === $"mx")
       .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
