@@ -216,7 +216,11 @@ object DedupOps {
 
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = embeddingCorpus(Tables.embeddings(spark, sfDir))
+    // both sides of the bucket self-join consume the signature
+    // relation; persisted (3 int cols × 4 tables per vector) so the
+    // sign-projection runs once — ReuseExchange does not dedupe it
     val buckets = AnnOps.signBuckets(vecs, "vec_id", numTables = 4, bitsPerTable = 8)
+      .persist()
     val a = buckets.select(col("table_id"), col("bucket"), col("vec_id").as("id1"))
     val b = buckets.select(col("table_id"), col("bucket"), col("vec_id").as("id2"))
     val candidates = a.join(b, Seq("table_id", "bucket"))

@@ -322,11 +322,15 @@ object ExtendedAnalytics {
   def qEventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
+    // s1 and f12 each feed two downstream funnel steps; persisted
+    // (user-sized aggregates) so each step's shuffle runs once instead
+    // of re-deriving the upstream funnel per consumer
     val s1 = ev.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"ts").as("t1"))
+      .persist()
     val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
       .filter($"ts" > $"t1").groupBy($"user_id").agg(min($"ts").as("t2"))
-    val f12 = s1.join(s2, Seq("user_id"), "left")
+    val f12 = s1.join(s2, Seq("user_id"), "left").persist()
     val s3 = ev.filter($"event_type" === "purchase")
       .join(f12.filter($"t2".isNotNull).select($"user_id", $"t2"), "user_id")
       .filter($"ts" > $"t2").groupBy($"user_id").agg(min($"ts").as("t3"))

@@ -172,11 +172,22 @@ object StatsOps {
     * min over rows of the bucket count. Top 20 estimated-heaviest
     * users, with the exact count alongside (CMS overestimates under
     * collision, never underestimates — visible in the output). */
-  private val cmsP = 2147483647L // 2^31 - 1 (prime)
-  private val cmsW = 32
-  private val cmsHashes: Seq[(Int, Long, Long)] = Seq(
+  private[graft] val cmsP = 2147483647L // 2^31 - 1 (prime)
+  private[graft] val cmsW = 32
+  private[graft] val cmsHashes: Seq[(Int, Long, Long)] = Seq(
     (0, 1000003L, 12345L), (1, 1000033L, 54321L),
     (2, 1000037L, 7L), (3, 1000039L, 99991L))
+
+  /** The D×W hash-cell expansion of a user_id column — shared by the
+    * batch sketch, its probe, and the streaming twin (the sketch IS
+    * this aggregation's state: 128 cells at any input size). */
+  private[graft] def cmsCellArray(key: org.apache.spark.sql.Column) = {
+    def bucket(a: Long, b: Long) =
+      (key * lit(a) + lit(b)) % lit(cmsP) % lit(cmsW)
+    array(cmsHashes.map { case (i, a, b) =>
+      struct(lit(i).as("h"), bucket(a, b).as("bucket"))
+    }: _*)
+  }
 
   def sketchHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
     heavyHittersPipeline(Tables.events(spark, sfDir))
@@ -185,11 +196,7 @@ object StatsOps {
     * user_id); separated so ScaleProbe can drive it on replicas. */
   def heavyHittersPipeline(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    def bucket(k: org.apache.spark.sql.Column, a: Long, b: Long) =
-      (k * lit(a) + lit(b)) % lit(cmsP) % lit(cmsW)
-    val hashCells = array(cmsHashes.map { case (i, a, b) =>
-      struct(lit(i).as("h"), bucket($"user_id", a, b).as("bucket"))
-    }: _*)
+    val hashCells = cmsCellArray($"user_id")
     // build: 4-way expand → 128-cell sketch (fixed size at any SF)
     val sketch = events.select(explode(hashCells).as("hb"))
       .groupBy($"hb.h".as("h"), $"hb.bucket".as("bucket"))

@@ -248,7 +248,39 @@ object StreamingTwins {
     """SELECT event_id, ts, user_id, event_type, c_name, c_mktsegment, value
       |FROM events JOIN customer ON user_id = c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- G6
+  /** Count-min sketch maintained OVER the stream (the canonical
+    * "sketch the firehose" shape): each event expands to its D=4 hash
+    * cells inside the streaming aggregation, so the aggregation state
+    * is the 128-cell sketch itself — fixed size no matter how long
+    * the stream runs, and mergeable across partitions/batches by
+    * construction. Complete mode emits the final sketch; the batch
+    * oracle replays the same integer hash kernel. */
+  def streamingCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+    val cells = src
+      .filter($"user_id" >= 0)
+      .select(explode(graft.operators.StatsOps.cmsCellArray($"user_id")).as("hb"))
+      .groupBy($"hb.h".as("h"), $"hb.bucket".as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    runToCompletion(cells, "complete", "twin_cms")
+  }
+
+  val streamingCmsSql: String = {
+    val hashValues = graft.operators.StatsOps.cmsHashes
+      .map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH hashes(i, a, b) AS (VALUES $hashValues)
+       |SELECT i AS h,
+       |  ((user_id * a + b) % ${graft.operators.StatsOps.cmsP})
+       |    % ${graft.operators.StatsOps.cmsW} AS bucket,
+       |  CAST(count(*) AS BIGINT) AS cell
+       |FROM events CROSS JOIN hashes GROUP BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_cms" -> streamingCms _,
     "streaming_window_counts" -> streamingWindowCounts _,
     "streaming_sessionize" -> streamingSessionize _,
     "streaming_dedup" -> streamingDedup _,
@@ -256,6 +288,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_cms" -> streamingCmsSql,
     "streaming_window_counts" -> streamingWindowCountsSql,
     "streaming_sessionize" -> streamingSessionizeSql,
     "streaming_dedup" -> streamingDedupSql,

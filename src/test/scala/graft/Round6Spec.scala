@@ -74,6 +74,18 @@ class Round6Spec extends AnyFunSuite {
     for ((_, est, _) <- rows) assert(est <= n)
   }
 
+  test("streaming_cms state is the fixed-size sketch, equal to the batch cells") {
+    val streamed = graft.streaming.StreamingTwins.streamingCms(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // bounded by D*W regardless of input size
+    assert(streamed.size <= 4 * 32)
+    val batch = Tables.events(spark, sf)
+      .select(explode(graft.operators.StatsOps.cmsCellArray($"user_id")).as("hb"))
+      .groupBy($"hb.h", $"hb.bucket").agg(count(lit(1)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("q2_min_cost_supplier rows carry the per-part minimum cost") {
     val out = TpchFinal.q2MinCostSupplier(spark, sf).cache()
     // within the result, every (part, cost) pair must equal the min
