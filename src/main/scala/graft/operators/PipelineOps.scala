@@ -267,7 +267,40 @@ object PipelineOps {
       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
       |      < r.rate * 1000000""".stripMargin
 
+  // ---------------------------------------------------------------- J8
+  /** Per-document importance-weighted sampling (quality-weighted data
+    * mixing): each doc's keep probability scales with its length
+    * proxy — w_ppm = 100000 + 800000·min(n_chars,500)/500, i.e. 10%
+    * floor rising to 90% for long docs — and the keep decision is the
+    * deterministic hash draw u = h32(doc_id) mod 1e6 < w_ppm. ALL
+    * arithmetic is integer (parts-per-million), so the boundary is
+    * bit-exact across engines and re-runs are reproducible (same
+    * draw per doc forever — the property a training pipeline needs
+    * for incremental rebuilds). Narrow projection: no shuffle, pure
+    * codegen, trivially linear at any scale. */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars",
+        (lit(100000L) + lit(800000L) * least($"n_chars", lit(500L)).cast("long") / 500L)
+          .cast("long").as("w_ppm"),
+        (gf.h32($"doc_id".cast("string")) % 1000000L).as("u"))
+      .filter($"u" < $"w_ppm")
+      .select($"doc_id", $"source", $"n_chars", $"w_ppm")
+  }
+
+  val sampleWeightedSql: String =
+    """SELECT doc_id, source, n_chars, w_ppm
+      |FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    100000 + 800000 * least(n_chars, 500) // 500 AS w_ppm,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 AS u
+      |  FROM documents)
+      |WHERE u < w_ppm""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> sampleWeighted _,
     "text_vocab_oov" -> textVocabOov _,
     "mix_rebalance" -> mixRebalance _,
     "sample_split" -> sampleSplit _,
@@ -277,6 +310,7 @@ object PipelineOps {
     "emb_quantize" -> embQuantize _)
 
   def oracleSql: Map[String, String] = Map(
+    "sample_weighted" -> sampleWeightedSql,
     "text_vocab_oov" -> textVocabOovSql,
     "mix_rebalance" -> mixRebalanceSql,
     "sample_split" -> sampleSplitSql,

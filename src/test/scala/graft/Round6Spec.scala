@@ -158,6 +158,22 @@ class Round6Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("sample_weighted keep rate rises with doc length and is reproducible") {
+    val out = graft.operators.PipelineOps.sampleWeighted(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    // short docs keep ~ their ppm weight; long docs keep more often
+    val keptLong = out.filter($"n_chars" >= 500).count().toDouble /
+      math.max(1, docs.filter($"n_chars" >= 500).count())
+    val keptShort = out.filter($"n_chars" < 200).count().toDouble /
+      math.max(1, docs.filter($"n_chars" < 200).count())
+    assert(keptLong > keptShort)
+    // deterministic: a second run selects the identical doc set
+    val again = graft.operators.PipelineOps.sampleWeighted(spark, sf)
+    assert(out.select($"doc_id").except(again.select($"doc_id")).count() == 0)
+    assert(again.select($"doc_id").except(out.select($"doc_id")).count() == 0)
+    out.unpersist()
+  }
+
   test("q20_promo_suppliers satisfies the 20% threshold exactly") {
     val rows = TpchFinal.q20PromoSuppliers(spark, sf)
       .select($"qty_1997", $"qty_total").as[(Double, Double)].collect()
