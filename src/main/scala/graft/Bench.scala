@@ -83,7 +83,9 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
       "ann_bruteforce", "ann_ivf", "q_asof_join", "q_range_join",
       "sketch_bloom_prefilter", "typed_customer_journey",
-      "streaming_sessionize", "contamination_check", "pack_sequences")
+      "streaming_sessionize", "contamination_check", "pack_sequences",
+      "q2_min_cost_supplier", "sketch_heavy_hitters", "text_pmi",
+      "streaming_cms", "sample_weighted")
     val compact = jsonMap(results.filter(r => headline.contains(r._1)), v => f"$v%.3f")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
