@@ -282,7 +282,92 @@ object DedupMore {
        |FROM shh s JOIN firsts f ON s.h = f.h
        |GROUP BY s.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- D10
+  /** Degree profile of the near-duplicate pair graph: how many docs
+    * have 1, 2, … near-dup partners. The standing LSH-quality
+    * diagnostic a dedup pipeline monitors — a fat tail means a
+    * banding collision hotspot (or boilerplate cluster) about to
+    * blow up the within-bucket quadratic term. Cost: the pair list
+    * is duplicate-sized, so both aggregations are negligible next to
+    * the LSH itself. */
+  def dedupGraphDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupOps.minhashPipeline(
+      DedupOps.corpus(Tables.documents(spark, sfDir)), 0.5)
+    pairs.select(col("id1").as("doc_id"))
+      .unionByName(pairs.select(col("id2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
+  val dedupGraphDegreeSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |deg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM (SELECT id1 AS doc_id FROM pairs
+       |        UNION ALL SELECT id2 FROM pairs)
+       |  GROUP BY 1)
+       |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
+  // --------------------------------------------------------------- D11
+  /** Cross-source shingle-overlap matrix: pairwise Jaccard between
+    * each source's distinct-shingle set — the corpus-forensics view
+    * ("which feeds syndicate which") that decides source-level dedup
+    * priorities. The corpus reduces to DISTINCT (source, shingle)
+    * first (linear shuffle on the shingle key, ≤ |sources|·|shingle
+    * space| rows); the self-join fans out per shingle only by the
+    * number of sources sharing it, and the totals are a |sources|-row
+    * broadcast. Text never shuffles. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select($"source", explode(gf.shingle_md5_h32($"text", 3)).as("h"))
+      .distinct()
+      .persist() // three consumers: both join sides + totals
+    val tot = d.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = d.as("a")
+      .join(d.as("b"), Seq("h"))
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("sa"), $"b.source".as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(tot.select($"source".as("sa"), $"n".as("na"))), "sa")
+      .join(broadcast(tot.select($"source".as("sb"), $"n".as("nb"))), "sb")
+      .select($"sa", $"sb", $"shared",
+        round($"shared" / ($"na" + $"nb" - $"shared"), 6).as("jaccard"))
+      .orderBy($"jaccard".desc, $"sa", $"sb")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH tok AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source,
+      |    CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
+      |         ELSE l[g] || ' ' || l[g+1] || ' ' || l[g+2] END AS s
+      |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g)),
+      |d AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM sh),
+      |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |pair AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM d a JOIN d b USING (h)
+      |  WHERE a.source < b.source GROUP BY 1, 2)
+      |SELECT sa, sb, shared,
+      |  round(shared / (ta.n + tb.n - shared), 6) AS jaccard
+      |FROM pair
+      |JOIN tot ta ON ta.source = sa
+      |JOIN tot tb ON tb.source = sb
+      |ORDER BY jaccard DESC, sa, sb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap" -> sourceOverlap _,
+    "dedup_graph_degree" -> dedupGraphDegree _,
     "text_tfidf" -> textTfidf _,
     "dedup_containment" -> dedupContainment _,
     "dedup_incremental" -> dedupIncremental _,
@@ -290,6 +375,8 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "source_overlap" -> sourceOverlapSql,
+    "dedup_graph_degree" -> dedupGraphDegreeSql,
     "text_tfidf" -> textTfidfSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -158,6 +158,29 @@ class Round6Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("dedup_graph_degree conserves the handshake sum (Σ degree·n = 2·|pairs|)") {
+    val corpus = graft.operators.DedupOps.corpus(Tables.documents(spark, sf))
+    val nPairs = graft.operators.DedupOps.minhashPipeline(corpus, 0.5).count()
+    val prof = graft.operators.DedupMore.dedupGraphDegree(spark, sf)
+    val hand = prof.agg(sum($"degree" * $"n_docs")).as[Long].head()
+    assert(hand == 2 * nPairs)
+    assert(nPairs > 0) // planted near-dups must produce edges
+  }
+
+  test("source_overlap is a valid half-matrix of Jaccards") {
+    val out = graft.operators.DedupMore.sourceOverlap(spark, sf).cache()
+    val nSources = Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    assert(out.count() <= nSources * (nSources - 1) / 2)
+    val rows = out.select($"sa", $"sb", $"jaccard")
+      .as[(String, String, Double)].collect()
+    for ((sa, sb, j) <- rows) {
+      assert(sa < sb)
+      assert(j > 0 && j <= 1)
+    }
+    out.unpersist()
+  }
+
   test("sample_weighted keep rate rises with doc length and is reproducible") {
     val out = graft.operators.PipelineOps.sampleWeighted(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
