@@ -293,7 +293,57 @@ object RelationalMore {
       |    ], r -> r IS NOT NULL), ';'), '') AS reasons
       |  FROM events)""".stripMargin
 
+  // --------------------------------------------------------------- B56
+  /** Closed-form simple linear regression per group — price regressed
+    * on quantity per return flag: slope, intercept, R². Same
+    * distributed-stats discipline as B44: ONE map-side-combinable
+    * pass of exact decimal power sums, float math once per group —
+    * merge- and partition-order-independent, so the result is
+    * bit-stable at any parallelism. The shape `regr_slope/intercept/
+    * r2` would take three passes of float accumulation. */
+  def qLinreg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity".cast(DecimalType(14, 2))
+    val y = $"l_extendedprice".cast(DecimalType(14, 2))
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(($"sxy" - $"sx" * $"sy" / $"n") / ($"sxx" - $"sx" * $"sx" / $"n"), 6)
+          .as("slope"),
+        round($"sy" / $"n" -
+          (($"sxy" - $"sx" * $"sy" / $"n") / ($"sxx" - $"sx" * $"sx" / $"n")) * $"sx" / $"n", 6)
+          .as("intercept"),
+        round(pow(($"sxy" - $"sx" * $"sy" / $"n"), 2)
+          / (($"sxx" - $"sx" * $"sx" / $"n") * ($"syy" - $"sy" * $"sy" / $"n")), 6)
+          .as("r2"))
+  }
+
+  val qLinregSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+      |  round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n, 6)
+      |    AS intercept,
+      |  round(pow(sxy - sx * sy / n, 2)
+      |    / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linreg" -> qLinreg _,
     "q21_late_supplier" -> q21LateSupplier _,
     "q_stats_moments" -> qStatsMoments _,
     "q_hopping_window" -> qHoppingWindow _,
@@ -303,6 +353,7 @@ object RelationalMore {
     "etl_quarantine" -> etlQuarantine _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_linreg" -> qLinregSql,
     "q21_late_supplier" -> q21LateSupplierSql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_hopping_window" -> qHoppingWindowSql,

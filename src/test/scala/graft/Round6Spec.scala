@@ -167,6 +167,20 @@ class Round6Spec extends AnyFunSuite {
     assert(nPairs > 0) // planted near-dups must produce edges
   }
 
+  test("q_linreg matches Spark's built-in regr_slope/regr_r2 to 1e-6") {
+    val ours = graft.operators.RelationalMore.qLinreg(spark, sf)
+      .select($"l_returnflag", $"slope", $"r2")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val ref = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(regr_slope($"l_extendedprice", $"l_quantity").as("s"),
+        regr_r2($"l_extendedprice", $"l_quantity").as("r"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((flag, (s, r)) <- ours) {
+      assert(math.abs(s - ref(flag)._1) < 1e-6, s"slope mismatch for $flag")
+      assert(math.abs(r - ref(flag)._2) < 1e-6, s"r2 mismatch for $flag")
+    }
+  }
+
   test("source_overlap is a valid half-matrix of Jaccards") {
     val out = graft.operators.DedupMore.sourceOverlap(spark, sf).cache()
     val nSources = Tables.documents(spark, sf)
