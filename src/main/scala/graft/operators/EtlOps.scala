@@ -471,8 +471,92 @@ object EtlOps {
       |FROM log l JOIN current c ON l.loc_id = c.loc_id
       |ORDER BY l.loc_id""".stripMargin
 
+  // --------------------------------------------------------------- A20
+  /** Column profiler — the standard pre-ingest data-quality report:
+    * per column of orders, null count, distinct count, min and max
+    * (string-normalized). ONE pass over the table: all per-column
+    * aggregates ride a single map-side-combinable aggregation, then a
+    * stack() unpivots the 1-row result — no per-column rescans. Exact
+    * distinct counts here because the oracle needs them; the 100 TB
+    * path swaps approx_count_distinct into the same plan. */
+  def etlProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val ts = date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    val one = ord.agg(
+      count(lit(1)).as("n_rows"),
+      // o_orderkey
+      sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("nn_orderkey"),
+      countDistinct($"o_orderkey").as("nd_orderkey"),
+      s(min($"o_orderkey")).as("mn_orderkey"), s(max($"o_orderkey")).as("mx_orderkey"),
+      // o_custkey
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("nn_custkey"),
+      countDistinct($"o_custkey").as("nd_custkey"),
+      s(min($"o_custkey")).as("mn_custkey"), s(max($"o_custkey")).as("mx_custkey"),
+      // o_orderstatus
+      sum(when($"o_orderstatus".isNull, 1L).otherwise(0L)).as("nn_status"),
+      countDistinct($"o_orderstatus").as("nd_status"),
+      min($"o_orderstatus").as("mn_status"), max($"o_orderstatus").as("mx_status"),
+      // o_totalprice (2-dp string so float formatting can't skew)
+      sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("nn_price"),
+      countDistinct($"o_totalprice").as("nd_price"),
+      s(round(min($"o_totalprice"), 2)).as("mn_price"),
+      s(round(max($"o_totalprice"), 2)).as("mx_price"),
+      // o_orderdate
+      sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("nn_date"),
+      countDistinct($"o_orderdate").as("nd_date"),
+      date_format(min($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("mn_date"),
+      date_format(max($"o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("mx_date"))
+    one.select($"n_rows", expr(
+      """stack(5,
+        |'o_orderkey', nn_orderkey, nd_orderkey, mn_orderkey, mx_orderkey,
+        |'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey,
+        |'o_orderstatus', nn_status, nd_status, mn_status, mx_status,
+        |'o_totalprice', nn_price, nd_price, mn_price, mx_price,
+        |'o_orderdate', nn_date, nd_date, mn_date, mx_date)
+        |AS (col_name, n_null, n_distinct, min_val, max_val)""".stripMargin))
+      .select($"col_name", $"n_rows", $"n_null", $"n_distinct",
+        $"min_val", $"max_val")
+      .orderBy($"col_name")
+  }
+
+  val etlProfileSql: String =
+    """WITH s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_orderkey,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_orderkey,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS mn_orderkey,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS mx_orderkey,
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+      |    CAST(min(o_custkey) AS VARCHAR) AS mn_custkey,
+      |    CAST(max(o_custkey) AS VARCHAR) AS mx_custkey,
+      |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+      |    min(o_orderstatus) AS mn_status, max(o_orderstatus) AS mx_status,
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
+      |    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+      |    CAST(round(min(o_totalprice), 2) AS VARCHAR) AS mn_price,
+      |    CAST(round(max(o_totalprice), 2) AS VARCHAR) AS mx_price,
+      |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_date,
+      |    CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+      |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_date,
+      |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_date
+      |  FROM orders)
+      |SELECT u.col_name, s.n_rows, u.n_null, u.n_distinct, u.min_val, u.max_val
+      |FROM s, (
+      |  SELECT 'o_orderkey' AS col_name, nn_orderkey AS n_null,
+      |    nd_orderkey AS n_distinct, mn_orderkey AS min_val, mx_orderkey AS max_val FROM s
+      |  UNION ALL SELECT 'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey FROM s
+      |  UNION ALL SELECT 'o_orderstatus', nn_status, nd_status, mn_status, mx_status FROM s
+      |  UNION ALL SELECT 'o_totalprice', nn_price, nd_price, mn_price, mx_price FROM s
+      |  UNION ALL SELECT 'o_orderdate', nn_date, nd_date, mn_date, mx_date FROM s) u
+      |ORDER BY u.col_name""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_profile" -> etlProfile _,
     "etl_pipeline_composite" -> etlPipelineComposite _,
     "etl_scd2_history" -> etlScd2History _,
     "etl_attribution" -> etlAttribution _,
@@ -491,6 +575,7 @@ object EtlOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "etl_profile" -> etlProfileSql,
     "etl_pipeline_composite" -> etlPipelineCompositeSql,
     "etl_scd2_history" -> etlScd2HistorySql,
     "etl_attribution" -> etlAttributionSql,
