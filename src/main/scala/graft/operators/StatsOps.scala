@@ -330,7 +330,41 @@ object StatsOps {
       |CROSS JOIN nu
       |ORDER BY n_users DESC, type_a, type_b""".stripMargin
 
+  // --------------------------------------------------------------- B57
+  /** Inter-arrival statistics: gaps between consecutive events of the
+    * same user (unique-key tiebroken ordering), aggregated per the
+    * later event's type — the latency/engagement profile behind
+    * session-gap tuning. One user_id shuffle for the lag window;
+    * gap sums stay integer milliseconds (exact, merge-order-
+    * independent) with the float division once per group. */
+  def qInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("gap_ms", unix_millis($"ts") - unix_millis(lag($"ts", 1).over(w)))
+      .filter($"gap_ms".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum($"gap_ms") / count(lit(1)) / 1000.0, 6).as("mean_gap_s"),
+        max($"gap_ms").as("max_gap_ms"))
+      .orderBy($"event_type")
+  }
+
+  val qInterarrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  round(CAST(sum(gap_ms) AS BIGINT) / count(*) / 1000.0, 6) AS mean_gap_s,
+      |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interarrival" -> qInterarrival _,
     "q_outliers_zscore" -> qOutliersZscore _,
     "event_transitions" -> eventTransitions _,
     "text_pmi" -> textPmi _,
@@ -339,6 +373,7 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_interarrival" -> qInterarrivalSql,
     "q_outliers_zscore" -> qOutliersZscoreSql,
     "event_transitions" -> eventTransitionsSql,
     "text_pmi" -> textPmiSql,
