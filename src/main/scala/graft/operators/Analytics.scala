@@ -290,11 +290,17 @@ object Analytics {
     * frame — the at-scale shape for cumulative metrics. */
   def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // (l_orderkey, l_linenumber) is NOT unique in the driver data at
+    // sf0.1 (true duplicate line rows exist) — the ordering must
+    // extend through quantity/price/partkey, which IS unique at every
+    // SF (verified), or running sums diverge between engines on ties
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_partkey")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
       .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_partkey",
         dec($"l_quantity").as("qty"))
       .withColumn("running_qty", sum($"qty").over(cum).cast("double"))
       .withColumn("line_rank", row_number().over(w))
@@ -310,7 +316,8 @@ object Analytics {
       |  ROW_NUMBER() OVER w AS line_rank
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+      |    l_quantity, l_extendedprice, l_partkey
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ---------------------------------------------------------------- B6
