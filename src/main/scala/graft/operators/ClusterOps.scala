@@ -136,8 +136,10 @@ object ClusterOps {
   def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = DedupOps.corpus(Tables.documents(spark, sfDir))
     val pairs = DedupOps.minhashPipeline(corpus, 0.5)
+    // labels exist only for docs in ≥1 near-dup pair — duplicate-
+    // sized, orders of magnitude smaller than the corpus → broadcast
     corpus.select(col("doc_id"))
-      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .join(broadcast(connectedComponents(pairs)), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
       .withColumn("keep_flag",

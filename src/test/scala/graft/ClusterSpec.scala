@@ -31,6 +31,22 @@ class ClusterSpec extends SparkSuite {
     assert(got(4L) == 1L && got(11L) == 10L && got(22L) == 20L)
   }
 
+  test("connected components match union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(421L)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40 // nodes
+      val m = n * 3 / 2       // edges: supercritical, mixed components
+      val pairs = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = ClusterOps.connectedComponents(pairs.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(pairs), s"trial $trial (n=$n) mismatch")
+    }
+  }
+
   test("long chain converges (worst-case diameter)") {
     val chain = (0L until 12L).map(i => (i, i + 1))
     val got = ClusterOps.connectedComponents(chain.toDF("id1", "id2"), maxIter = 20)
