@@ -156,12 +156,16 @@ object DedupOps {
   def simhashPipeline(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sigs = docs.select(col("doc_id"),
       gf.simhash_md5(col("text")).as("sim"))
+    // both self-join sides consume the band relation — persist so the
+    // text scan + simhash runs once (4 numeric cols × 4 rows/doc;
+    // ReuseExchange does not dedupe the two consumers)
     val bands = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))
       }: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("band_id"), col("band_val"),
       col("doc_id").as("id1"), col("sim").as("sim1"))
     val b = bands.select(col("band_id"), col("band_val"),
