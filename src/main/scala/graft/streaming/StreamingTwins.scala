@@ -279,7 +279,35 @@ object StreamingTwins {
        |FROM events CROSS JOIN hashes GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- G7
+  /** Top-k over the stream: per-user event counts ranked and limited
+    * INSIDE the streaming query (Complete mode permits sorting), so
+    * the emitted result is the live leaderboard after each trigger.
+    * State is the per-user count map — O(|users|), the documented
+    * trade: a CMS (G6) bounds state when exact per-key counts can be
+    * approximate; this twin keeps them exact. */
+  def streamingTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+    val ranked = src
+      .filter($"user_id" >= 0)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .orderBy($"n_events".desc, $"user_id")
+      .limit(10)
+    runToCompletion(ranked, "complete", "twin_topk")
+  }
+
+  val streamingTopkSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1
+      |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_topk" -> streamingTopk _,
     "streaming_cms" -> streamingCms _,
     "streaming_window_counts" -> streamingWindowCounts _,
     "streaming_sessionize" -> streamingSessionize _,
@@ -288,6 +316,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_topk" -> streamingTopkSql,
     "streaming_cms" -> streamingCmsSql,
     "streaming_window_counts" -> streamingWindowCountsSql,
     "streaming_sessionize" -> streamingSessionizeSql,
