@@ -363,7 +363,64 @@ object StatsOps {
       |FROM g WHERE gap_ms IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- I5
+  /** Mergeable log-histogram quantile sketch: per event_type, counts
+    * in power-of-two value buckets, plus the approximate median read
+    * back off the histogram. State is ≤64 buckets per group REGARDLESS
+    * of input size (the quantile analogue of the CMS), and the bucket
+    * index is computed with INTEGER-ONLY arithmetic —
+    * length(bin(floor(value·100))) − 1, i.e. the bit length of the
+    * centi-value — so unlike a float log2 there is no boundary ulp and
+    * the oracle replays it bit-exactly. Merge = cell-wise add (the agg
+    * is an ordinary map-side-combinable count). */
+  def sketchLogHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = floor($"value" * 100).cast("long")
+    val bucket = when(iv <= 0, lit(-1L))
+      .otherwise(length(bin(iv)).cast("long") - 1)
+    val cells = Tables.events(spark, sfDir)
+      .select($"event_type", bucket.as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+    // approx median: smallest bucket whose cumulative count reaches
+    // half the group total; its lower bound 2^b/100 is the estimate
+    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"event_type")
+    cells
+      .withColumn("cum", sum($"n").over(w))
+      .withColumn("half", (sum($"n").over(tot) + 1) / 2)
+      .withColumn("is_median_bucket",
+        when($"cum" >= $"half" && $"cum" - $"n" < $"half", "Y").otherwise("N"))
+      .select($"event_type", $"bucket", $"n", $"is_median_bucket",
+        when($"bucket" < 0, 0.0)
+          .otherwise(pow(lit(2.0), $"bucket") / 100.0).as("bucket_lo"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val sketchLogHistogramSql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(floor(value * 100) AS BIGINT) <= 0 THEN -1
+      |         ELSE length(bin(CAST(floor(value * 100) AS BIGINT))) - 1
+      |    END AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT event_type, bucket, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    (CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) + 1) / 2 AS half
+      |  FROM cells)
+      |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, n,
+      |  CASE WHEN cum >= half AND cum - n < half THEN 'Y' ELSE 'N' END
+      |    AS is_median_bucket,
+      |  CASE WHEN bucket < 0 THEN 0.0 ELSE pow(2.0, bucket) / 100.0 END
+      |    AS bucket_lo
+      |FROM c2 ORDER BY event_type, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_log_histogram" -> sketchLogHistogram _,
     "q_interarrival" -> qInterarrival _,
     "q_outliers_zscore" -> qOutliersZscore _,
     "event_transitions" -> eventTransitions _,
@@ -373,6 +430,7 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "sketch_log_histogram" -> sketchLogHistogramSql,
     "q_interarrival" -> qInterarrivalSql,
     "q_outliers_zscore" -> qOutliersZscoreSql,
     "event_transitions" -> eventTransitionsSql,

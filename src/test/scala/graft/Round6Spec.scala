@@ -167,6 +167,29 @@ class Round6Spec extends AnyFunSuite {
     assert(nPairs > 0) // planted near-dups must produce edges
   }
 
+  test("sketch_log_histogram brackets the exact median in its median bucket") {
+    val out = graft.operators.StatsOps.sketchLogHistogram(spark, sf).cache()
+    // exactly one median bucket per group; ≤64 buckets per group
+    val perGroup = out.groupBy($"event_type")
+      .agg(sum(when($"is_median_bucket" === "Y", 1).otherwise(0)).as("ny"),
+        count(lit(1)).as("nb"))
+      .as[(String, Long, Long)].collect()
+    for ((t, ny, nb) <- perGroup) {
+      assert(ny == 1, s"$t has $ny median buckets"); assert(nb <= 64)
+    }
+    // the exact median must fall in [bucket_lo, 2*bucket_lo) of the
+    // flagged bucket (for positive-value buckets)
+    val med = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    val flagged = out.filter($"is_median_bucket" === "Y" && $"bucket" >= 0)
+      .select($"event_type", $"bucket_lo").as[(String, Double)].collect()
+    for ((t, lo) <- flagged)
+      assert(med(t) >= lo * 0.99 && med(t) < lo * 2 * 1.01,
+        s"$t median ${med(t)} outside [$lo, ${lo * 2})")
+    out.unpersist()
+  }
+
   test("q_linreg matches Spark's built-in regr_slope/regr_r2 to 1e-6") {
     val ours = graft.operators.RelationalMore.qLinreg(spark, sf)
       .select($"l_returnflag", $"slope", $"r2")
