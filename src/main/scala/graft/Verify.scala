@@ -27,6 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release each query's operator-internal persists (cached tables
+      // AND localCheckpoint RDD blocks) before the next one — the full
+      // 129-query sweep in one session would otherwise accumulate
+      // every cached relation until LRU/spill pressure
+      CacheHygiene.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -201,9 +201,13 @@ object RelationalMore {
   // --------------------------------------------------------------- B46
   /** TPC-H Q4 shape (adapted lateness as in B43): order-priority
     * distribution of one quarter's orders that had at least one late
-    * line. EXISTS = left-semi join; the lineitem side is pre-filtered
-    * to late lines only, so the semi-join probe carries the minimal
-    * relation. */
+    * line. EXISTS = left-semi join. Lateness depends on o_orderdate,
+    * so it can't be evaluated on lineitem alone — but the quarter
+    * bound IMPLIES a static lineitem bound: o_orderdate >= 1997-07-01
+    * and l_shipdate > o_orderdate + 30 days together force
+    * l_shipdate > 1997-07-31. That derived predicate is pushed to the
+    * lineitem scan (PushedFilters), shrinking the semi-join build side
+    * to the possibly-late tail (~85% smaller) before the join runs. */
   def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ord = Tables.orders(spark, sfDir)
@@ -211,6 +215,9 @@ object RelationalMore {
         && $"o_orderdate" < lit("1997-10-01").cast("timestamp"))
     val late = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_shipdate")
+      // statically implied by the orders-side quarter filter + 30-day
+      // lateness: every qualifying line ships after July 31
+      .filter($"l_shipdate" > lit("1997-07-31").cast("timestamp"))
     val withLate = ord.join(late,
       $"o_orderkey" === $"l_orderkey"
         && $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),

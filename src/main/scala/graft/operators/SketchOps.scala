@@ -95,13 +95,246 @@ object SketchOps {
     """SELECT c_custkey, c_name FROM customer
       |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin
 
+  // ---------------------------------------------------------------- I6
+  /** HLL-style distinct-count sketch AS DATA (completes the sketch
+    * triad: CMS = frequency, log-histogram = quantiles, this =
+    * cardinality): per group, m=32 max-rank registers materialized as
+    * columns, plus the estimate read off them and the exact count
+    * alongside.
+    *
+    * Portable kernel (same discipline as the MinHash/CMS oracles): the
+    * element hash is md5 split into two 32-bit halves — hex 1-8 mod m
+    * is the register index, hex 9-16's leading-zero rank
+    * (33 − bit-length, integer-only — no float log) feeds the
+    * register max. Register state is INTEGER and merge = elementwise
+    * max (associative/commutative ⇒ map-side combinable, and two
+    * sketches over disjoint data merge into the union's sketch —
+    * property-pinned in SketchSpec). The float estimator runs once per
+    * group from exact integers: the power sum Σ 2^(40−M[j]) is itself
+    * a BIGINT (2^40 scaling keeps every addend integral), so
+    * raw = α·m²·2^40 / S and the small-range linear-counting branch
+    * m·ln(m/V) are bit-replayable in DuckDB.
+    *
+    * m=32 keeps the oracle readable (±1.04/√32 ≈ 18% standard error);
+    * at 100 TB the same plan runs with m=2^14 registers — state is
+    * STILL one ~16 KB row per group, the whole point of sketch-as-data:
+    * a nightly job materializes per-(source, day) sketches once, and
+    * any later rollup (per-source, per-month, global) is a register-max
+    * re-aggregation of sketch rows, never a re-scan of the corpus. */
+  private[graft] val hllM = 32
+
+  /** (group, idx, m): max leading-zero rank per register — the sketch
+    * in its mergeable form. */
+  private[graft] def hllRegisters(rows: DataFrame, group: Column, key: Column): DataFrame = {
+    val hex = md5(key.cast("string").cast("binary"))
+    val idx = conv(substring(hex, 1, 8), 16, 10).cast("long") % hllM
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val rank = when(lo === 0, lit(33L))
+      .otherwise(lit(33L) - length(bin(lo)).cast("long"))
+    rows.select(group.as("g"), idx.as("idx"), rank.as("rank"))
+      .groupBy(col("g"), col("idx"))
+      .agg(max(col("rank")).as("m"))
+  }
+
+  /** Registers → one sketch row per group: zero-filled register
+    * vector, zero-register count V, exact integer power sum S, and the
+    * HLL estimate (linear counting below 2.5m when V>0). */
+  private[graft] def hllSketch(regs: DataFrame): DataFrame = {
+    val spark = regs.sparkSession
+    // zero-fill absent registers: groups × range(m) is |groups|·32 rows
+    val grid = regs.select(col("g")).distinct()
+      .crossJoin(broadcast(spark.range(hllM).select(col("id").as("idx"))))
+    grid.join(regs, Seq("g", "idx"), "left")
+      .select(col("g"), col("idx"), coalesce(col("m"), lit(0L)).as("m"))
+      .groupBy(col("g"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("idx"), col("m")))),
+          x => x.getField("m").cast("string")), ",").as("registers"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"),
+        sum(pow(lit(2.0), lit(40L) - col("m")).cast("long")).as("s_pow"))
+      // α_32·m²·2^40 and the 2.5m cutoff, written identically in the
+      // oracle so both engines evaluate the same double expression
+      .withColumn("raw", lit(0.697 * 1024 * 1099511627776.0) / col("s_pow"))
+      .withColumn("est_distinct",
+        round(when(col("v_zero") > 0 && col("raw") <= 80.0,
+          lit(32.0) * log(lit(32.0) / col("v_zero")))
+          .otherwise(col("raw")), 4))
+      .drop("raw")
+  }
+
+  def sketchHllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val exact = events.groupBy(col("event_type").as("g"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    hllSketch(hllRegisters(events, col("event_type"), col("user_id")))
+      .join(exact, "g")
+      .select(col("g").as("event_type"), col("registers"), col("v_zero"),
+        col("s_pow"), col("est_distinct"), col("exact"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchHllDistinctSql: String =
+    """WITH h AS (
+      |  SELECT event_type AS g,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS idx,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+      |  FROM events),
+      |regs AS (
+      |  SELECT g, idx,
+      |    max(CASE WHEN lo = 0 THEN 33 ELSE 33 - length(bin(lo)) END) AS m
+      |  FROM h GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT gs.g, r.idx
+      |  FROM (SELECT DISTINCT g FROM regs) gs,
+      |       (SELECT unnest(range(0, 32)) AS idx) r),
+      |filled AS (
+      |  SELECT grid.g, grid.idx, coalesce(regs.m, 0) AS m
+      |  FROM grid LEFT JOIN regs ON grid.g = regs.g AND grid.idx = regs.idx),
+      |sk AS (
+      |  SELECT g,
+      |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY idx), ',') AS registers,
+      |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+      |    CAST(sum(CAST(pow(2.0, 40 - m) AS BIGINT)) AS BIGINT) AS s_pow
+      |  FROM filled GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type AS g, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+      |  FROM events GROUP BY 1)
+      |SELECT sk.g AS event_type, registers, v_zero, s_pow,
+      |  round(CASE WHEN v_zero > 0
+      |      AND CAST(0.697 AS DOUBLE) * 1024 * 1099511627776.0 / s_pow <= 80.0
+      |    THEN 32.0 * ln(32.0 / v_zero)
+      |    ELSE CAST(0.697 AS DOUBLE) * 1024 * 1099511627776.0 / s_pow END, 4) AS est_distinct,
+      |  exact
+      |FROM sk JOIN ex USING (g)
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- I7
+  /** KMV (k-minimum-values) sketch for SET-OPERATION cardinalities —
+    * the estimate HLL registers can't give: per source, the k=64
+    * smallest distinct shingle hashes; any pair's union/intersection/
+    * Jaccard cardinality then comes from the two 64-value sketches
+    * alone. The sketch counterpart of D11 (`source_overlap`, the exact
+    * forensics): D11 self-joins the full distinct (source, shingle)
+    * relation — shuffle proportional to the corpus vocabulary — while
+    * this plan reduces each source to 64 longs once and every pairwise
+    * estimate is array arithmetic on broadcastable rows. At 100 TB:
+    * nightly per-(source, day) KMV rows; any later "how much does feed
+    * X syndicate feed Y" is a sketch-row join, never a corpus re-scan.
+    *
+    * Estimator (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD 2007): with U the k
+    * smallest of sketch(A) ∪ sketch(B) and K its k-th value scaled to
+    * the 2^32 hash space, D_union ≈ (k−1)·2^32/K; the fraction c/k of
+    * U's values present in BOTH sketches estimates Jaccard, and
+    * D_inter ≈ (c/k)·D_union. When both sources carry ≤ k distinct
+    * values the sketches are exhaustive and the counts are exact —
+    * both engines take that branch on the same integer comparison.
+    * Everything is integer selection (distinct → k smallest → array
+    * intersections); floats appear once per pair, bit-replayed by the
+    * oracle. */
+  private val kmvK = 64
+
+  def sketchKmvSetops(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    // one shuffle on source: total distinct count + the k smallest
+    // hashes per source, in the same pass
+    val kmv = d
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tot", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rn") <= kmvK)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("sk"),
+        max(col("n_tot")).as("n_tot"))
+    val a = kmv.select(col("source").as("src1"), col("sk").as("ska"),
+      col("n_tot").as("na"))
+    val b = kmv.select(col("source").as("src2"), col("sk").as("skb"),
+      col("n_tot").as("nb"))
+    a.join(b, col("src1") < col("src2"))
+      .withColumn("u_all", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("ku", least(lit(kmvK), size(col("u_all"))).cast("long"))
+      .withColumn("u", slice(col("u_all"), lit(1), col("ku").cast("int")))
+      .withColumn("c", size(array_intersect(
+        array_intersect(col("u"), col("ska")), col("skb"))).cast("long"))
+      .withColumn("kth", expr("element_at(u, cast(ku as int))"))
+      // exhaustive ⟺ both sources have ≤ k distinct values ⟹ exact
+      .withColumn("exhaustive", col("na") <= kmvK && col("nb") <= kmvK)
+      .withColumn("est_union", round(
+        when(col("exhaustive"), size(col("u_all")).cast("double"))
+          .otherwise(lit((kmvK - 1) * 4294967296.0) / col("kth")), 4))
+      .withColumn("est_jaccard", round(col("c") / col("ku"), 6))
+      .withColumn("est_inter", round(
+        when(col("exhaustive"), col("c").cast("double"))
+          .otherwise(col("c") / col("ku")
+            * (lit((kmvK - 1) * 4294967296.0) / col("kth"))), 4))
+      .select(col("src1"), col("src2"), col("est_union"), col("est_inter"),
+        col("est_jaccard"))
+      .orderBy(col("src1"), col("src2"))
+  }
+
+  val sketchKmvSetopsSql: String =
+    """WITH tok AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source,
+      |    CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
+      |         ELSE l[g] || ' ' || l[g+1] || ' ' || l[g+2] END AS s
+      |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g)),
+      |d AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM sh),
+      |ranked AS (
+      |  SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n_tot
+      |  FROM d),
+      |sk AS (
+      |  SELECT source, list(h ORDER BY h) AS sk, max(n_tot) AS n_tot
+      |  FROM ranked WHERE rn <= 64 GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src1, b.source AS src2,
+      |    a.sk AS ska, b.sk AS skb, a.n_tot AS na, b.n_tot AS nb
+      |  FROM sk a JOIN sk b ON a.source < b.source),
+      |c1 AS (
+      |  SELECT src1, src2, ska, skb, na, nb,
+      |    list_sort(list_distinct(list_concat(ska, skb))) AS u_all
+      |  FROM pairs),
+      |c2 AS (
+      |  SELECT src1, src2, ska, skb, na, nb, u_all,
+      |    least(64, len(u_all)) AS ku,
+      |    u_all[1:least(64, len(u_all))] AS u
+      |  FROM c1),
+      |c3 AS (
+      |  SELECT src1, src2, na, nb, u_all, ku,
+      |    len(list_filter(u, x -> list_contains(ska, x)
+      |      AND list_contains(skb, x))) AS c,
+      |    u[ku] AS kth,
+      |    (na <= 64 AND nb <= 64) AS exhaustive
+      |  FROM c2)
+      |SELECT src1, src2,
+      |  round(CASE WHEN exhaustive THEN CAST(len(u_all) AS DOUBLE)
+      |    ELSE 63 * 4294967296.0 / kth END, 4) AS est_union,
+      |  round(CASE WHEN exhaustive THEN CAST(c AS DOUBLE)
+      |    ELSE c / ku * (63 * 4294967296.0 / kth) END, 4) AS est_inter,
+      |  round(c / ku, 6) AS est_jaccard
+      |FROM c3 ORDER BY src1, src2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_source_similarity" -> sketchSourceSimilarity _,
-    "sketch_bloom_prefilter" -> bloomPrefilter _
+    "sketch_bloom_prefilter" -> bloomPrefilter _,
+    "sketch_hll_distinct" -> sketchHllDistinct _,
+    "sketch_kmv_setops" -> sketchKmvSetops _
   )
 
   def oracleSql: Map[String, String] = Map(
     "sketch_source_similarity" -> sketchSourceSimilaritySql,
-    "sketch_bloom_prefilter" -> bloomPrefilterSql
+    "sketch_bloom_prefilter" -> bloomPrefilterSql,
+    "sketch_hll_distinct" -> sketchHllDistinctSql,
+    "sketch_kmv_setops" -> sketchKmvSetopsSql
   )
 }

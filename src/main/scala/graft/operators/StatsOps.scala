@@ -48,9 +48,17 @@ object StatsOps {
       .agg(count(lit(1)).as("n"),
         sum(v).cast("double").as("sv"),
         sum(v * v).cast("double").as("svv"))
-      .select($"event_type",
-        ($"sv" / $"n").as("mean"),
-        sqrt(($"svv" - $"sv" * $"sv" / $"n") / ($"n" - 1)).as("std"))
+      // zero-dispersion guard, applied BEFORE the sqrt/divide so both
+      // engines take the same branch: n=1 (no sample stddev) or a
+      // constant group (m2=0) would otherwise produce NaN/Inf in Spark
+      // but NULL in DuckDB, silently diverging the |z|>2 gate. Groups
+      // with no dispersion have no z-outliers by definition — drop them
+      // with plain integer/double comparisons (never compare a NaN).
+      .select($"event_type", $"n", ($"sv" / $"n").as("mean"),
+        ($"svv" - $"sv" * $"sv" / $"n").as("m2"))
+      .filter($"n" > 1 && $"m2" > 0)
+      .select($"event_type", $"mean",
+        sqrt($"m2" / ($"n" - 1)).as("std"))
     Tables.events(spark, sfDir)
       .join(broadcast(stats), "event_type")
       .select($"event_id", $"event_type", $"value",
@@ -59,15 +67,18 @@ object StatsOps {
   }
 
   val qOutliersZscoreSql: String =
-    """WITH stats AS (
+    """WITH sums AS (
       |  SELECT event_type,
       |    CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv,
       |    CAST(sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS svv
       |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT event_type, n, sv / n AS mean, svv - sv * sv / n AS m2
+      |  FROM sums WHERE n > 1 AND svv - sv * sv / n > 0),
       |scored AS (
       |  SELECT event_id, e.event_type, value,
-      |    round((value - sv / n) / sqrt((svv - sv * sv / n) / (n - 1)), 6) AS zscore
+      |    round((value - mean) / sqrt(m2 / (n - 1)), 6) AS zscore
       |  FROM events e JOIN stats s ON e.event_type = s.event_type)
       |SELECT * FROM scored WHERE abs(zscore) > 2.0""".stripMargin
 
@@ -250,6 +261,12 @@ object StatsOps {
     val mad = events.join(broadcast(med), "event_type")
       .groupBy($"event_type", $"med")
       .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      // zero-dispersion guard: a group where >50% of values equal the
+      // median has MAD=0 — Spark's x/0.0 is ±Inf (kept by |z|>2) while
+      // DuckDB may yield NULL (dropped), so gate the divisor the same
+      // way in both engines. MAD=0 ⇒ the robust z is undefined; the
+      // group has no robust outliers to report.
+      .filter($"mad" > 0)
     events.join(broadcast(mad), "event_type")
       .select($"event_id", $"event_type", $"value",
         round(lit(0.6745) * ($"value" - $"med") / $"mad", 6).as("robust_z"))
@@ -261,9 +278,11 @@ object StatsOps {
       |  SELECT event_type, quantile_cont(value, 0.5) AS med
       |  FROM events GROUP BY 1),
       |mad AS (
-      |  SELECT e.event_type, med,
-      |    quantile_cont(abs(value - med), 0.5) AS mad
-      |  FROM events e JOIN med USING (event_type) GROUP BY 1, 2),
+      |  SELECT event_type, med, mad FROM (
+      |    SELECT e.event_type, med,
+      |      quantile_cont(abs(value - med), 0.5) AS mad
+      |    FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+      |  WHERE mad > 0),
       |scored AS (
       |  SELECT event_id, e.event_type, value,
       |    round(0.6745 * (value - med) / mad, 6) AS robust_z

@@ -89,15 +89,21 @@ object StreamingTwins {
     // state-commit file I/O 8x vs inheriting local[32]'s 32. At real
     // scale this is the same knob sized upward with state volume.
     // Scoped: restore the session's setting after the run.
-    val sp = "spark.sql.shuffle.partitions"
-    val prior = spark.conf.getOption(sp)
-    spark.conf.set(sp, "4")
-    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    // Scoped: BOTH overrides are captured and restored after the run —
+    // a leaked minBatchesToRetain would silently apply to every later
+    // streaming query in the shared session.
+    val overrides = Seq(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.minBatchesToRetain" -> "2")
+    val prior = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try q.processAllAvailable() finally {
       q.stop()
-      prior.fold(spark.conf.unset(sp))(spark.conf.set(sp, _))
+      prior.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     }
     spark.table(name)
   }
@@ -306,7 +312,53 @@ object StreamingTwins {
       |FROM events GROUP BY 1
       |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- G8
+  /** Stream-STREAM join (the one Structured Streaming join mode G1-G7
+    * don't cover): purchases joined to the same user's views within the
+    * preceding hour, both sides unbounded streams. The event-time range
+    * condition plus per-side watermarks is what makes this feasible
+    * forever: each side buffers only rows younger than
+    * watermark − range, so state is O(events per hour), not O(stream).
+    * Inner join in Append mode — every match emits exactly once, and on
+    * the bounded replay the emitted set equals the batch interval join
+    * (the DuckDB oracle). The staged files land in one micro-batch, so
+    * no match can straddle a state-eviction horizon (same determinism
+    * reasoning as streaming_dedup); the sentinel batches then advance
+    * both watermarks and flush the state stores empty, exercising
+    * eviction itself. */
+  def streamingIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    def side(tpe: String) = spark.readStream.schema(streamSchema)
+      .parquet(s"$dir/batch_*").filter($"user_id" >= 0 && $"event_type" === tpe)
+    val views = side("view")
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"),
+        $"event_id".as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = side("purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value")
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(views,
+      $"v_user" === $"user_id"
+        && $"view_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR")
+        && $"view_ts" <= $"purchase_ts")
+    runToCompletion(joined, "append", "twin_interval_join")
+      .select($"user_id", $"purchase_id",
+        $"purchase_ts".cast("timestamp_ntz").as("purchase_ts"),
+        $"view_id", $"view_ts".cast("timestamp_ntz").as("view_ts"), $"value")
+  }
+
+  val streamingIntervalJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts, p.value
+      |FROM events p JOIN events v
+      |  ON v.user_id = p.user_id
+      |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+      |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_interval_join" -> streamingIntervalJoin _,
     "streaming_topk" -> streamingTopk _,
     "streaming_cms" -> streamingCms _,
     "streaming_window_counts" -> streamingWindowCounts _,
@@ -316,6 +368,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_interval_join" -> streamingIntervalJoinSql,
     "streaming_topk" -> streamingTopkSql,
     "streaming_cms" -> streamingCmsSql,
     "streaming_window_counts" -> streamingWindowCountsSql,

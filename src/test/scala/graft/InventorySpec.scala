@@ -26,6 +26,16 @@ class InventorySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("survey §2 row ids are unique") {
+    // every inventory row leads with `| <ID> |` where ID is a section
+    // letter + number (+ optional suffix, e.g. A20b/B23b). A duplicate
+    // id (round 6 numbered two rows A20) makes the checklist ambiguous.
+    val ids = "(?m)^\\| ([A-J]\\d+[a-z]?) \\|".r
+      .findAllMatchIn(survey).map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate SURVEY §2 row ids: $dups")
+  }
+
   test("inventory size matches the survey status line") {
     val statusRe = "\\*\\*Status \\(round \\d+\\).*?(\\d+) `queries`\\n?entries; (\\d+) DuckDB-oracled".r
     statusRe.findFirstMatchIn(survey.replace("\n", "\n")) match {

@@ -81,4 +81,60 @@ class SketchSpec extends SparkSuite {
     val est = matches / 256.0
     assert(math.abs(est - 1.0 / 3.0) < 0.12, s"est=$est true=0.333")
   }
+
+  test("HLL registers merge: sketch(A) max sketch(B) == sketch(A ∪ B)") {
+    // the property that makes the sketch USEFUL as data: per-partition
+    // (or per-day) sketches re-aggregate by register max into exactly
+    // the sketch the union of the raw data would produce
+    val events = Tables.events(spark, sf)
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 === 1)
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ra = regMap(SketchOps.hllRegisters(a, col("event_type"), col("user_id")))
+    val rb = regMap(SketchOps.hllRegisters(b, col("event_type"), col("user_id")))
+    val merged = (ra.keySet ++ rb.keySet).map { k =>
+      k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))
+    }.toMap
+    val full = regMap(SketchOps.hllRegisters(events, col("event_type"), col("user_id")))
+    assert(merged == full)
+  }
+
+  test("KMV set-op estimates track exact union/intersection/jaccard") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sf)
+      .select(col("source"), explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
+      .distinct()
+    val sets = d.collect().groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.map(_.getLong(1)).toSet }
+    val out = SketchOps.sketchKmvSetops(spark, sf).collect()
+    assert(out.length == sets.size * (sets.size - 1) / 2)
+    out.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (a, b) = (sets(s1), sets(s2))
+      val exactU = (a ++ b).size.toDouble
+      val exactJ = (a & b).size.toDouble / exactU
+      val estU = r.getAs[Double]("est_union")
+      val estJ = r.getAs[Double]("est_jaccard")
+      // k=64 ⇒ ~1/√62 ≈ 13% standard error on the union; allow ~3σ
+      assert(math.abs(estU - exactU) <= math.max(5.0, 0.45 * exactU),
+        s"$s1×$s2 union: est=$estU exact=$exactU")
+      assert(math.abs(estJ - exactJ) <= 0.25,
+        s"$s1×$s2 jaccard: est=$estJ exact=$exactJ")
+    }
+  }
+
+  test("HLL estimate tracks exact distinct within sketch error bounds") {
+    val out = SketchOps.sketchHllDistinct(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact")
+      // m=32 ⇒ ~18% standard error; allow 3σ
+      assert(est > 0 && math.abs(est - exact) <= math.max(3.0, 0.55 * exact),
+        s"${r.getString(0)}: est=$est exact=$exact")
+      // register vector is the materialized sketch: exactly 32 cells
+      assert(r.getAs[String]("registers").split(",").length == 32)
+    }
+  }
 }
