@@ -143,8 +143,23 @@ object ScaleProbe {
       ("cooccur",
         (d: DataFrame) => time(
           operators.StatsOps.cooccurrencePipeline(d).count()),
-        (n: Int) => replicate(ev, n, Seq("event_id"), 10000000L), ev))
-    probes.foreach { case (name, run, mk, base) =>
+        (n: Int) => replicate(ev, n, Seq("event_id"), 10000000L), ev),
+      // full duplicate-cluster closure (LSH pairs → connected
+      // components): per-replica duplicate density is constant, so the
+      // pair graph grows linearly and each CC round is a linear
+      // equi-join — ratio should track the LSH probe, with the
+      // fixed per-round job overhead amortizing as data grows
+      ("cc_closure",
+        (d: DataFrame) => time(operators.ClusterOps.connectedComponents(
+          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5))
+          .count()),
+        (n: Int) => replicateDocs(docs, n), docs))
+    // GRAFT_PROBES=name1,name2 runs a subset (A/B iteration)
+    val selected = sys.env.get("GRAFT_PROBES")
+      .map(_.split(",").toSet)
+      .map(want => probes.filter(p => want.contains(p._1)))
+      .getOrElse(probes)
+    selected.foreach { case (name, run, mk, base) =>
       val t1 = run(base)
       val scaled = factors.map(n => n -> run(mk(n)))
       val s = scaled.map { case (n, t) =>

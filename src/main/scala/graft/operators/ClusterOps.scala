@@ -49,17 +49,26 @@ object ClusterOps {
         .filter(col("a") =!= col("c"))
         .select(col("a"), col("c").as("b")))
       .distinct()
-    // two squarings → 4-hop reach: real dedup graphs (pairs, stars,
-    // chains of a handful of near-identical revisions) converge at
-    // initialization and the loop runs exactly one verification round.
-    // Each squaring output is checkpointed before reuse (3 references
-    // each — union + both join sides).
-    val edges = square(square(edges1).localCheckpoint(true)).localCheckpoint(true)
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    // Squaring count is GRAPH-SIZE conditional: each squaring doubles
+    // per-round reach (fewer loop rounds — each round is ~1 s of fixed
+    // job overhead locally) but materializes a checkpointed self-join
+    // whose size grows with within-cluster fanout. Measured both ways
+    // (round 7, fixed-isolation bench): at sf0.1 (~small edge list) two
+    // squarings win (3.8 s vs 4.5 s — the saved round dominates); at
+    // ×20 replicas one squaring wins (16.3 s vs 25.0 s — the squared
+    // edge set costs more than the extra round). edges1 is already
+    // checkpointed, so the deciding count() is a near-free cached scan.
+    val nEdges = edges1.count()
+    val nSq = sys.env.get("GRAFT_CC_SQUARINGS").map(_.toInt)
+      .getOrElse(if (nEdges <= 50000L) 2 else 1)
+    if (dbg) println(s"[cc] edges=$nEdges squarings=$nSq")
+    val edges = (1 to nSq).foldLeft(edges1)((e, _) =>
+      square(e).localCheckpoint(true))
     // iterative plans MUST truncate lineage each round
     // (localCheckpoint), or the logical plan grows per iteration and
     // the analyzer/optimizer blows up long before the data does. In a
     // fault-tolerant cluster job use checkpoint() on reliable storage.
-    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     // fold the first propagation round into initialization:
     // label₀(v) = min(v, min(N(v))) instead of v — pair/star clusters
     // (the common dedup shape) then converge on the first loop round
