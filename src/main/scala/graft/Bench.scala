@@ -117,7 +117,8 @@ object Bench {
       "sketch_bloom_prefilter", "typed_customer_journey",
       "streaming_sessionize", "contamination_check", "pack_sequences",
       "q2_min_cost_supplier", "sketch_heavy_hitters", "text_pmi",
-      "streaming_cms", "sample_weighted")
+      "streaming_cms", "sample_weighted", "sketch_hll_distinct",
+      "streaming_interval_join", "sketch_kmv_setops")
     val compact = jsonMap(results.filter(r => headline.contains(r._1)), v => f"$v%.3f")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()

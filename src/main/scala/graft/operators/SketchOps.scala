@@ -139,8 +139,13 @@ object SketchOps {
   /** Registers → one sketch row per group: zero-filled register
     * vector, zero-register count V, exact integer power sum S, and the
     * HLL estimate (linear counting below 2.5m when V>0). */
-  private[graft] def hllSketch(regs: DataFrame): DataFrame = {
-    val spark = regs.sparkSession
+  private[graft] def hllSketch(regsIn: DataFrame): DataFrame = {
+    val spark = regsIn.sparkSession
+    // regs feeds two consumers (the group grid and the zero-fill join);
+    // without the persist the whole upstream — including the fact-table
+    // scan — re-executes per consumer (diamond rule, SURVEY §5). The
+    // cached relation is |groups|·32 rows.
+    val regs = regsIn.persist()
     // zero-fill absent registers: groups × range(m) is |groups|·32 rows
     val grid = regs.select(col("g")).distinct()
       .crossJoin(broadcast(spark.range(hllM).select(col("id").as("idx"))))
@@ -243,6 +248,9 @@ object SketchOps {
     val w = Window.partitionBy(col("source")).orderBy(col("h"))
     // one shuffle on source: total distinct count + the k smallest
     // hashes per source, in the same pass
+    // persisted: the sketch relation feeds BOTH sides of the pair join
+    // (diamond rule, SURVEY §5) — without it the corpus shingle
+    // pipeline executes twice. |sources| rows of 64 longs.
     val kmv = d
       .withColumn("rn", row_number().over(w))
       .withColumn("n_tot", count(lit(1)).over(Window.partitionBy(col("source"))))
@@ -250,6 +258,7 @@ object SketchOps {
       .groupBy(col("source"))
       .agg(sort_array(collect_list(col("h"))).as("sk"),
         max(col("n_tot")).as("n_tot"))
+      .persist()
     val a = kmv.select(col("source").as("src1"), col("sk").as("ska"),
       col("n_tot").as("na"))
     val b = kmv.select(col("source").as("src2"), col("sk").as("skb"),
