@@ -351,17 +351,182 @@ object AnnOps {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
       |  FROM dist1) WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- E6
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the layout a 100 TB vector
+    * store actually scans: each 64-dim float vector (256 bytes)
+    * compresses to M=8 sub-space code bytes (32× less data moved than
+    * E1's float scan, 4× less than E5's int8), and query distance is
+    * 8 integer lookup-adds per vector instead of 64 float multiplies.
+    *
+    * Codebook training runs ENTIRELY on the floor(x·10⁶) integer grid
+    * (the E4 k-means convention): K=16 anchors sampled deterministically
+    * by md5 rank (the portable analogue of random init), one Lloyd
+    * refinement per subspace (argmin assign → per-dim floor(sum/count)
+    * centroids), then the final encode — every distance, centroid, and
+    * (d2, c) tie-break is exact integer arithmetic, so codebook, codes,
+    * LUTs, and the whole candidate selection replay bit-identically in
+    * the oracle. No float math touches the corpus until the ≤50·|Q|
+    * exact cosine rerank rows (rounded, the E5 convention).
+    *
+    * ADC scan: per-query LUT[j][c] (8×16 integer partial distances)
+    * joins the codes table on (j, c); distance accumulation is a BIGINT
+    * sum — merge-order-independent. At scale: codes are 8 bytes/vector,
+    * LUTs broadcast at |Q|·128 cells, the scan is one equi-join with
+    * map-side partial sums, and the 2-round training is two broadcast
+    * argmin passes + one centroid agg — the same linear shapes E4
+    * iterates. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = 8; val D = 8; val K = 16
+    val emb = Tables.embeddings(spark, sfDir)
+    def subspaces(v: Column): Column = array((0 until M).map { j =>
+      struct(lit(j).as("j"), slice(v, j * D + 1, D).as("sub"))
+    }: _*)
+    // quantized sub-vectors: (vec_id, j, 8 longs). Persisted — feeds
+    // the initial assignment, the centroid refinement, the final
+    // encode, AND the query LUTs (diamond rule).
+    val vsubs = emb
+      .select($"vec_id", explode(subspaces(quantize($"embedding"))).as("s"))
+      .select($"vec_id", $"s.j".as("j"), $"s.sub".as("vsub"))
+      .persist()
+    // init codebook: 16 smallest md5-rank vectors' sub-vectors —
+    // TakeOrdered (parallel per-partition top-k), never a global sort
+    val anch = emb
+      .select($"vec_id", quantize($"embedding").as("q"),
+        gf.h32($"vec_id".cast("string")).as("hr"))
+      .orderBy($"hr", $"vec_id").limit(K)
+    val codebook0 = anch
+      .withColumn("c", row_number().over(Window.orderBy($"hr", $"vec_id")) - 1)
+      .select($"c", explode(subspaces($"q")).as("s"))
+      .select($"c", $"s.j".as("j"), $"s.sub".as("csub"))
+    // argmin assignment against a broadcast codebook — map-side min_by,
+    // no per-vector sort (same shape as kmeansAssign)
+    def assign(cb: DataFrame): DataFrame = vsubs
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2", gf.l2sq_long($"vsub", $"csub"))
+      .groupBy($"vec_id", $"j")
+      .agg(min_by(struct($"c", $"vsub"), struct($"d2", $"c")).as("b"))
+      .select($"vec_id", $"j", $"b.c".as("c"), $"b.vsub".as("vsub"))
+    // one Lloyd refinement per subspace on the integer grid (the E4
+    // centroid convention: per-dim floor(sum/count)) — cells that lose
+    // all members drop out, identically in both engines
+    val cent1 = assign(codebook0)
+      .select($"j", $"c", posexplode($"vsub"))
+      .groupBy($"j", $"c", $"pos")
+      .agg(floor(sum($"col").cast("double") / count(lit(1))).cast("long").as("v"))
+      .groupBy($"j", $"c")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"v"))),
+        s => s.getField("v")).as("csub"))
+    val codes = assign(cent1).select($"vec_id", $"j", $"c")
+    // per-query lookup tables: 8×16 integer partial distances per query
+    val lut = vsubs.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"j", $"vsub".as("qsub"))
+      .join(broadcast(cent1), Seq("j"))
+      .select($"qid", $"j", $"c", gf.l2sq_long($"qsub", $"csub").as("pdi"))
+    val adc = codes.join(broadcast(lut), Seq("j", "c"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"pdi").as("adist"))
+    val wAdc = Window.partitionBy($"qid").orderBy($"adist", $"vec_id")
+    val cands = adc.withColumn("r", row_number().over(wAdc))
+      .filter($"r" <= 50).select($"qid", $"vec_id".as("nid"), $"adist")
+    val exact = cands
+      .join(emb.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+      .select($"qid", $"nid", $"adist",
+        round(gf.cosine_sim($"qe", $"ne"), 6).as("sim"))
+    val wExact = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
+    exact.withColumn("rank", row_number().over(wExact)).filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"adist", $"sim")
+  }
+
+  val annPqSql: String =
+    """WITH qg AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |vsubs AS (
+      |  SELECT vec_id, j, list_slice(q, j*8 + 1, j*8 + 8) AS vsub
+      |  FROM qg, js),
+      |anch AS (
+      |  SELECT q, row_number() OVER (ORDER BY hr, vec_id) - 1 AS c
+      |  FROM (
+      |    SELECT vec_id, q,
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hr
+      |    FROM qg ORDER BY hr, vec_id LIMIT 16)),
+      |cb0 AS (
+      |  SELECT c, j, list_slice(q, j*8 + 1, j*8 + 8) AS csub
+      |  FROM anch, js),
+      |d0 AS (
+      |  SELECT v.vec_id, v.j, cb.c, v.vsub,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vsubs v JOIN cb0 cb ON v.j = cb.j),
+      |a0 AS (
+      |  SELECT vec_id, j, c, vsub FROM (
+      |    SELECT vec_id, j, c, vsub,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d0) WHERE r = 1),
+      |cent1 AS (
+      |  SELECT j, c, list(v ORDER BY d) AS csub FROM (
+      |    SELECT j, c, d,
+      |      CAST(floor(CAST(sum(vsub[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |    FROM a0, (SELECT unnest(range(1, 9)) AS d) ds
+      |    GROUP BY j, c, d)
+      |  GROUP BY j, c),
+      |d1 AS (
+      |  SELECT v.vec_id, v.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vsubs v JOIN cent1 cb ON v.j = cb.j),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d1) WHERE r = 1),
+      |lut AS (
+      |  SELECT vec_id AS qid, j, c, d2 AS pdi
+      |  FROM d1 WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT qid, vec_id, CAST(sum(pdi) AS BIGINT) AS adist
+      |  FROM codes JOIN lut USING (j, c)
+      |  WHERE vec_id <> qid GROUP BY 1, 2),
+      |cands AS (
+      |  SELECT qid, vec_id AS nid, adist FROM (
+      |    SELECT qid, vec_id, adist,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
+      |    FROM adc) WHERE r <= 50),
+      |exact AS (
+      |  SELECT t.qid, t.nid, t.adist,
+      |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+      |      ne.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cands t
+      |  JOIN embeddings qe ON qe.vec_id = t.qid
+      |  JOIN embeddings ne ON ne.vec_id = t.nid)
+      |SELECT qid, rank, nid, adist, sim FROM (
+      |  SELECT qid, nid, adist, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM exact) WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
-    "emb_kmeans" -> embKmeans _
+    "emb_kmeans" -> embKmeans _,
+    "ann_pq" -> annPq _
   )
 
   def oracleSql: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
-    "emb_kmeans" -> embKmeansSql
+    "emb_kmeans" -> embKmeansSql,
+    "ann_pq" -> annPqSql
   )
 }
