@@ -357,7 +357,65 @@ object StreamingTwins {
       |  AND p.event_type = 'purchase' AND v.event_type = 'view'
       |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin
 
+  // ---------------------------------------------------------------- G9
+  /** LEFT OUTER stream-stream join — G8's inner join only emits
+    * matches; the outer variant also emits every purchase with NO view
+    * in its preceding hour (null view columns), which is the shape
+    * attribution pipelines need ("conversions without a touchpoint").
+    * Null-side rows can only emit once the WATERMARK passes the
+    * purchase's join window — so unlike G8 the sentinels must flow
+    * THROUGH the watermark nodes: both sides keep the user -1 sentinel
+    * rows (type-filtering the real rows only), the far-future batches
+    * advance both watermarks past every real window and the second
+    * gives the engine a data batch in which the flushes fire, and the
+    * sentinel rows themselves are dropped AFTER the join (a sentinel
+    * "purchase" would surface as an unmatched left row; view-side
+    * sentinels just expire in state). The emitted set is then exactly
+    * the batch LEFT JOIN — the DuckDB oracle. */
+  def streamingLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    // keep rows of the wanted type OR any sentinel (user_id < 0): the
+    // sentinel must reach the watermark node or it can't advance it
+    def side(tpe: String) = spark.readStream.schema(streamSchema)
+      .parquet(s"$dir/batch_*")
+      .filter($"user_id" < 0 || $"event_type" === tpe)
+    val views = side("view")
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"),
+        $"event_id".as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = side("purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value")
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(views,
+      $"v_user" === $"user_id"
+        && $"view_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR")
+        && $"view_ts" <= $"purchase_ts",
+      "leftOuter")
+    runToCompletion(joined, "append", "twin_left_join")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"purchase_id",
+        $"purchase_ts".cast("timestamp_ntz").as("purchase_ts"),
+        $"view_id", $"view_ts".cast("timestamp_ntz").as("view_ts"),
+        $"value",
+        when($"view_id".isNull, "unattributed").otherwise("attributed")
+          .as("touch"))
+  }
+
+  val streamingLeftJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts, p.value,
+      |  CASE WHEN v.event_id IS NULL THEN 'unattributed'
+      |       ELSE 'attributed' END AS touch
+      |FROM events p LEFT JOIN events v
+      |  ON v.user_id = p.user_id
+      |  AND v.event_type = 'view'
+      |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+      |WHERE p.event_type = 'purchase'""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_left_join" -> streamingLeftJoin _,
     "streaming_interval_join" -> streamingIntervalJoin _,
     "streaming_topk" -> streamingTopk _,
     "streaming_cms" -> streamingCms _,
@@ -368,6 +426,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_left_join" -> streamingLeftJoinSql,
     "streaming_interval_join" -> streamingIntervalJoinSql,
     "streaming_topk" -> streamingTopkSql,
     "streaming_cms" -> streamingCmsSql,
