@@ -307,7 +307,60 @@ object PipelineOps {
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequences _,
     "contamination_check" -> contamination _,
-    "emb_quantize" -> embQuantize _)
+    "emb_quantize" -> embQuantize _,
+    "sample_quality_mix" -> sampleQualityMix _)
+
+  // ---------------------------------------------------------------- J9
+  /** Quality-stratified sampling — the curriculum/mixing step between
+    * scoring and packing: documents are ranked into quality DECILES
+    * within their source (per-source calibration, so one boilerplate-
+    * heavy feed can't monopolize the top bucket), and the keep rate
+    * rises with the decile (decile d keeps d·10%) via the same
+    * deterministic h32 draw every sampler here uses — reproducible
+    * across runs/engines/repartitions, never `rand()`. Composite
+    * quality is the C2 signal (identical expression tree, so the same
+    * doubles order both engines' ntile). One shuffle on source; ntile
+    * within a source partition — the J2 window shape. */
+  def sampleQualityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nChars = length($"text")
+    val nAlpha = length(regexp_replace($"text", "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace($"text", "[^.,;:!?]", ""))
+    val nToks = size(split(trim($"text"), "\\s+"))
+    // C2's composite, inlined with the same operation tree
+    val score = (lit(0.4) * (nAlpha / nChars)) +
+      (lit(0.3) * (lit(1.0) - nPunct / nChars)) +
+      (lit(0.3) * least(lit(1.0), nToks / lit(100.0)))
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality_score", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", score.as("quality_score"))
+      .withColumn("decile", ntile(10).over(w))
+      .select($"doc_id", $"source", $"decile",
+        when((gf.h32($"doc_id".cast("string")) % 1000000)
+          < $"decile" * 100000, "Y").otherwise("N").as("keep_flag"))
+  }
+
+  val sampleQualityMixSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |           / length(text))
+      |    + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+      |             / length(text))
+      |    + 0.3 * least(1.0,
+      |        CAST(len(string_split_regex(trim(text), '\s+')) AS INT) / 100.0)
+      |      AS quality_score
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source,
+      |    ntile(10) OVER (PARTITION BY source
+      |      ORDER BY quality_score, doc_id) AS decile
+      |  FROM scored)
+      |SELECT doc_id, source, decile,
+      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |    % 1000000 < decile * 100000 THEN 'Y' ELSE 'N' END AS keep_flag
+      |FROM ranked""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "sample_weighted" -> sampleWeightedSql,
@@ -317,5 +370,6 @@ object PipelineOps {
     "sample_stratified" -> sampleStratifiedSql,
     "pack_sequences" -> packSequencesSql,
     "contamination_check" -> contaminationSql,
-    "emb_quantize" -> embQuantizeSql)
+    "emb_quantize" -> embQuantizeSql,
+    "sample_quality_mix" -> sampleQualityMixSql)
 }
