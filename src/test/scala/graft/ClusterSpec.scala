@@ -65,6 +65,25 @@ class ClusterSpec extends SparkSuite {
     assert(got.size == 301)
   }
 
+  test("diameter-4000 chain: maxIter knob extends reach; guard throws below it") {
+    // A 4000-long chain (well past the 50k-edge threshold is NOT hit —
+    // 8k directed edges — so this also exercises the two-squaring
+    // branch on a pathological graph). Pointer-jumping doubles reach
+    // per round, so maxIter=16 gives 2^16 ≫ 4000; the default 10 is
+    // sized for dedup graphs, and the convergence guard must throw —
+    // not silently return a partial labeling — when a graph exceeds it.
+    val chain = (0L until 4000L).map(i => (i, i + 1))
+    val got = ClusterOps.connectedComponents(chain.toDF("id1", "id2"),
+      maxIter = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 4001)
+    intercept[IllegalStateException] {
+      ClusterOps.connectedComponents(chain.toDF("id1", "id2"), maxIter = 2)
+        .collect()
+    }
+  }
+
   test("dedup_clusters equals union-find closure of the minhash pairs") {
     val pairs = DedupOps.minhashPipeline(
       DedupOps.corpus(Tables.documents(spark, sf)), 0.5)
