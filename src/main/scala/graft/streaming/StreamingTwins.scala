@@ -414,8 +414,41 @@ object StreamingTwins {
       |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
       |WHERE p.event_type = 'purchase'""".stripMargin
 
+  // --------------------------------------------------------------- G10
+  /** HLL registers maintained OVER the stream (the cardinality
+    * analogue of G6's CMS): the I6 register kernel — md5-split index,
+    * integer leading-zero rank — runs INSIDE the streaming aggregation,
+    * so the state IS the register table (≤ |groups|·32 rows, fixed for
+    * an unbounded stream; a per-key distinct would grow with the
+    * stream). Complete mode emits the final registers; estimate
+    * read-off is the batch I6 operator's job — sketch state and
+    * estimator deliberately decouple, which is what makes the sketch
+    * USEFUL as data (G6 makes the same split for frequency). Oracle =
+    * the register half of I6's CTE chain. */
+  def streamingHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+      .filter($"user_id" >= 0)
+    val regs = graft.operators.SketchOps.hllRegisters(
+      src, $"event_type", $"user_id")
+    runToCompletion(regs, "complete", "twin_hll")
+      .select($"g".as("event_type"), $"idx", $"m")
+  }
+
+  val streamingHllSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS idx,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+      |  FROM events)
+      |SELECT event_type, idx,
+      |  max(CASE WHEN lo = 0 THEN 33 ELSE 33 - length(bin(lo)) END) AS m
+      |FROM h GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_left_join" -> streamingLeftJoin _,
+    "streaming_hll" -> streamingHll _,
     "streaming_interval_join" -> streamingIntervalJoin _,
     "streaming_topk" -> streamingTopk _,
     "streaming_cms" -> streamingCms _,
@@ -427,6 +460,7 @@ object StreamingTwins {
 
   def oracleSql: Map[String, String] = Map(
     "streaming_left_join" -> streamingLeftJoinSql,
+    "streaming_hll" -> streamingHllSql,
     "streaming_interval_join" -> streamingIntervalJoinSql,
     "streaming_topk" -> streamingTopkSql,
     "streaming_cms" -> streamingCmsSql,
