@@ -153,7 +153,28 @@ object ScaleProbe {
         (d: DataFrame) => time(operators.ClusterOps.connectedComponents(
           operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5))
           .count()),
-        (n: Int) => replicateDocs(docs, n), docs))
+        (n: Int) => replicateDocs(docs, n), docs),
+      // HLL registers: the agg state is ≤ |groups|·32 rows at ANY
+      // size — cost should track the scan only
+      ("hll_registers",
+        (d: DataFrame) => time(operators.SketchOps.hllRegisters(
+          d, col("event_type"), col("user_id")).count()),
+        (n: Int) => replicate(ev, n, Seq("event_id"), 10000000L), ev),
+      // KMV set-op sketches: salted replicas grow each source's
+      // distinct shingle set ~linearly; the pairwise stage stays
+      // |sources|²·k regardless — cost should track the distinct
+      ("kmv_setops",
+        (d: DataFrame) => time(operators.SketchOps.kmvPipeline(d).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // PQ ANN: fixed query set (vec_id < 10 — replicas carry offset
+      // ids), corpus codes grow linearly; ADC join + partial sums
+      // should track the corpus scan
+      ("ann_pq",
+        (d: DataFrame) => time(operators.AnnOps.annPqPipeline(d).count()),
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")))
     // GRAFT_PROBES=name1,name2 runs a subset (A/B iteration)
     val selected = sys.env.get("GRAFT_PROBES")
       .map(_.split(",").toSet)

@@ -376,10 +376,16 @@ object AnnOps {
     * map-side partial sums, and the 2-round training is two broadcast
     * argmin passes + one centroid agg — the same linear shapes E4
     * iterates. */
-  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def annPq(spark: SparkSession, sfDir: String): DataFrame =
+    annPqPipeline(Tables.embeddings(spark, sfDir))
+
+  /** The PQ pipeline on an arbitrary embeddings relation (needs
+    * vec_id, embedding); separated so ScaleProbe can drive it on
+    * replicas (query set stays vec_id < 10 — fixed — while the corpus
+    * grows). */
+  def annPqPipeline(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     val M = 8; val D = 8; val K = 16
-    val emb = Tables.embeddings(spark, sfDir)
     def subspaces(v: Column): Column = array((0 until M).map { j =>
       struct(lit(j).as("j"), slice(v, j * D + 1, D).as("sub"))
     }: _*)

@@ -240,9 +240,14 @@ object SketchOps {
     * oracle. */
   private val kmvK = 64
 
-  def sketchKmvSetops(spark: SparkSession, sfDir: String): DataFrame = {
+  def sketchKmvSetops(spark: SparkSession, sfDir: String): DataFrame =
+    kmvPipeline(Tables.documents(spark, sfDir))
+
+  /** The KMV pipeline on an arbitrary documents relation (needs
+    * source, text); separated so ScaleProbe can drive it on replicas. */
+  def kmvPipeline(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, sfDir)
+    val d = docs
       .select(col("source"), explode(gf.shingle_md5_h32(col("text"), 3)).as("h"))
       .distinct()
     val w = Window.partitionBy(col("source")).orderBy(col("h"))
