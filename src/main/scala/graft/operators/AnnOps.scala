@@ -383,7 +383,12 @@ object AnnOps {
     * vec_id, embedding); separated so ScaleProbe can drive it on
     * replicas (query set stays vec_id < 10 — fixed — while the corpus
     * grows). */
-  def annPqPipeline(emb: DataFrame): DataFrame = {
+  /** Shared PQ train/encode: quantized sub-vectors, the Lloyd-refined
+    * codebook, codes, and the per-query LUTs — ONE definition for E6's
+    * flat ADC scan and E7's IVF-pruned scan, so the code layout the
+    * oracles replay can never diverge between the two. */
+  private def pqEncode(emb: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     import emb.sparkSession.implicits._
     val M = 8; val D = 8; val K = 16
     def subspaces(v: Column): Column = array((0 until M).map { j =>
@@ -430,10 +435,12 @@ object AnnOps {
       .select($"vec_id".as("qid"), $"j", $"vsub".as("qsub"))
       .join(broadcast(cent1), Seq("j"))
       .select($"qid", $"j", $"c", gf.l2sq_long($"qsub", $"csub").as("pdi"))
-    val adc = codes.join(broadcast(lut), Seq("j", "c"))
-      .filter($"vec_id" =!= $"qid")
-      .groupBy($"qid", $"vec_id")
-      .agg(sum($"pdi").as("adist"))
+    (codes, lut, vsubs)
+  }
+
+  /** ADC top-50 → exact cosine rerank → top-5 (the E5/E6 tail). */
+  private def pqRerank(emb: DataFrame, adc: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     val wAdc = Window.partitionBy($"qid").orderBy($"adist", $"vec_id")
     val cands = adc.withColumn("r", row_number().over(wAdc))
       .filter($"r" <= 50).select($"qid", $"vec_id".as("nid"), $"adist")
@@ -446,6 +453,16 @@ object AnnOps {
     val wExact = Window.partitionBy($"qid").orderBy($"sim".desc, $"nid")
     exact.withColumn("rank", row_number().over(wExact)).filter($"rank" <= 5)
       .select($"qid", $"rank", $"nid", $"adist", $"sim")
+  }
+
+  def annPqPipeline(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val (codes, lut, _) = pqEncode(emb)
+    val adc = codes.join(broadcast(lut), Seq("j", "c"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"pdi").as("adist"))
+    pqRerank(emb, adc)
   }
 
   val annPqSql: String =
@@ -520,12 +537,148 @@ object AnnOps {
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |  FROM exact) WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- E7
+  /** IVF+PQ — the composition a 100 TB vector store actually deploys
+    * (the FAISS IVFPQ layout, Jégou et al. 2011): E3's inverted-file
+    * cells prune WHICH vectors are scanned, E6's 8-byte codes prune
+    * HOW MUCH is read per vector. The ADC join runs only over codes
+    * whose cell one of the query's nprobe=3 probed cells matches —
+    * nprobe/k of the corpus instead of all of it — and every stage
+    * (cell centroids, cell assignment, probe set, codebook, codes,
+    * LUTs, integer distance sums) reuses the exact quantized-grid
+    * kernels of E3/E6, so the whole candidate selection replays in the
+    * oracle. At scale the codes table is clustered by cell (the
+    * inverted file): a query touches nprobe cell partitions of 8-byte
+    * codes — this is the minimum-I/O ANN layout this engine offers. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val (codes, lut, _) = pqEncode(emb)
+    val cents = ivfCentroids(emb)
+    val assigned = ivfAssign(emb, cents).select($"vec_id", $"cell")
+    // queries probe their nprobe nearest cells (integer d2, E3 kernel)
+    val qw = Window.partitionBy($"qid").orderBy($"qdist2", $"cell")
+    val probeCells = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist2", gf.l2sq_long(quantize($"qv"), $"centroid_q"))
+      .withColumn("qrn", row_number().over(qw))
+      .filter($"qrn" <= 3)
+      .select($"qid", $"cell")
+    // pruned ADC: codes carry their cell; only (query, cell) pairs the
+    // probe emitted reach the LUT join and the integer distance sum
+    val adc = codes
+      .join(assigned, "vec_id")
+      .join(broadcast(probeCells), "cell")
+      .join(broadcast(lut), Seq("qid", "j", "c"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"pdi").as("adist"))
+    pqRerank(emb, adc)
+  }
+
+  val annIvfPqSql: String =
+    """WITH qg AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cell, d,
+      |    CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM qg, (SELECT unnest(range(1, 65)) AS d) ds
+      |  GROUP BY label, d),
+      |celldist AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q[c.d] - c.cv) * (v.q[c.d] - c.cv)) AS BIGINT) AS d2
+      |  FROM qg v JOIN cent c ON true
+      |  GROUP BY v.vec_id, c.cell),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist WHERE vec_id < 10) WHERE rn <= 3),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |vsubs AS (
+      |  SELECT vec_id, j, list_slice(q, j*8 + 1, j*8 + 8) AS vsub
+      |  FROM qg, js),
+      |anch AS (
+      |  SELECT q, row_number() OVER (ORDER BY hr, vec_id) - 1 AS c
+      |  FROM (
+      |    SELECT vec_id, q,
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hr
+      |    FROM qg ORDER BY hr, vec_id LIMIT 16)),
+      |cb0 AS (
+      |  SELECT c, j, list_slice(q, j*8 + 1, j*8 + 8) AS csub
+      |  FROM anch, js),
+      |d0 AS (
+      |  SELECT v.vec_id, v.j, cb.c, v.vsub,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vsubs v JOIN cb0 cb ON v.j = cb.j),
+      |a0 AS (
+      |  SELECT vec_id, j, c, vsub FROM (
+      |    SELECT vec_id, j, c, vsub,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d0) WHERE r = 1),
+      |cent1 AS (
+      |  SELECT j, c, list(v ORDER BY d) AS csub FROM (
+      |    SELECT j, c, d,
+      |      CAST(floor(CAST(sum(vsub[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |    FROM a0, (SELECT unnest(range(1, 9)) AS d) ds
+      |    GROUP BY j, c, d)
+      |  GROUP BY j, c),
+      |d1 AS (
+      |  SELECT v.vec_id, v.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vsubs v JOIN cent1 cb ON v.j = cb.j),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d1) WHERE r = 1),
+      |lut AS (
+      |  SELECT vec_id AS qid, j, c, d2 AS pdi
+      |  FROM d1 WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT p.qid, co.vec_id, CAST(sum(l.pdi) AS BIGINT) AS adist
+      |  FROM codes co
+      |  JOIN assign a ON a.vec_id = co.vec_id
+      |  JOIN probe p ON p.cell = a.cell
+      |  JOIN lut l ON l.qid = p.qid AND l.j = co.j AND l.c = co.c
+      |  WHERE co.vec_id <> p.qid GROUP BY 1, 2),
+      |cands AS (
+      |  SELECT qid, vec_id AS nid, adist FROM (
+      |    SELECT qid, vec_id, adist,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
+      |    FROM adc) WHERE r <= 50),
+      |exact AS (
+      |  SELECT t.qid, t.nid, t.adist,
+      |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+      |      ne.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cands t
+      |  JOIN embeddings qe ON qe.vec_id = t.qid
+      |  JOIN embeddings ne ON ne.vec_id = t.nid)
+      |SELECT qid, rank, nid, adist, sim FROM (
+      |  SELECT qid, nid, adist, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM exact) WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
     "emb_kmeans" -> embKmeans _,
-    "ann_pq" -> annPq _
+    "ann_pq" -> annPq _,
+    "ann_ivf_pq" -> annIvfPq _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -533,6 +686,7 @@ object AnnOps {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "emb_kmeans" -> embKmeansSql,
-    "ann_pq" -> annPqSql
+    "ann_pq" -> annPqSql,
+    "ann_ivf_pq" -> annIvfPqSql
   )
 }

@@ -107,6 +107,20 @@ class MoreOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("ann_ivf_pq: candidates confined to probed cells; recall bounded") {
+    val exact = AnnOps.annBruteforce(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val ivfpq = AnnOps.annIvfPq(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(ivfpq.size == exact.size)
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    // double pruning (nprobe=3 cells AND 8-byte codes) on random
+    // embeddings: deterministic 0.40 here; the bound pins regressions.
+    // The trade vs E6's flat scan (0.54) is the point: nprobe/k of the
+    // corpus scanned for a bounded recall cost.
+    assert(recall >= 0.35, s"recall $recall")
+  }
+
   test("text_tfidf emits at most 5 strictly-ranked terms per doc") {
     val out = DedupMore.textTfidf(spark, sf).cache()
     val bad = out.groupBy($"doc_id")
