@@ -118,7 +118,8 @@ object Bench {
       "streaming_sessionize", "contamination_check", "pack_sequences",
       "q2_min_cost_supplier", "sketch_heavy_hitters", "text_pmi",
       "streaming_cms", "sample_weighted", "sketch_hll_distinct",
-      "streaming_interval_join", "sketch_kmv_setops")
+      "streaming_interval_join", "sketch_kmv_setops", "ann_ivf_pq",
+      "sample_quality_mix")
     val compact = jsonMap(results.filter(r => headline.contains(r._1)), v => f"$v%.3f")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
