@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -113,13 +113,100 @@ object MultimodalOps {
       .select(col("doc_id"), payload.as("media")).as[MediaRow]
   }
 
+  // ---------------------------------------------------------------- F4
+  /** Perceptual-hash near-dup over binary payloads — the multimodal
+    * dedup path (aHash: 64 stride-sampled bytes, bit = byte > mean;
+    * on real media the sampled bytes are decoded pixels — the sampling
+    * /banding/verify plumbing is identical). The 64-bit fingerprint is
+    * kept as FOUR 16-bit band values, which are simultaneously (a) the
+    * packed hash and (b) the LSH bands: candidates
+    * come from a band equi-self-join, never all-pairs (the D2/D3
+    * discipline applied to media fingerprints). Pigeonhole over 4
+    * bands makes candidate generation COMPLETE for Hamming ≤ 3; the
+    * reported threshold (≤ 12) is the usual LSH-recall regime —
+    * pairs that differ moderately in every band can be missed, the
+    * documented trade every banded dedup here makes (more bands =
+    * more recall, same plan shape). All arithmetic is integer (byte
+    * values, integer mean, bit packing, popcount), so the oracle
+    * replays candidate generation and verification exactly; the
+    * payload is ASCII text-as-bytes here, letting DuckDB sample via
+    * ascii(substring(...)) while Spark reads the true BINARY column
+    * (the mm_meta equivalence). */
+  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = octet_length(payload)
+    // byte at deterministic stride position 1 + (i·n)/64 (1-based)
+    def byteAt(i: Int) =
+      conv(hex(substring(payload, ((lit(i) * n) / 64).cast("int") + 1, lit(1))),
+        16, 10).cast("long")
+    val withB = docs
+      .select(col("doc_id"), array((0 until 64).map(byteAt): _*).as("bs"))
+      .withColumn("mean",
+        (aggregate(col("bs"), lit(0L), (a, x) => a + x) / 64).cast("long"))
+    def band(b: Int) = (0 until 16).map { i =>
+      when(element_at(col("bs"), 16 * b + i + 1) > col("mean"),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // persisted: feeds the band relation AND both verify sides
+    val hashed = withB.select(col("doc_id"),
+      band(0).as("b0"), band(1).as("b1"),
+      band(2).as("b2"), band(3).as("b3")).persist()
+    val bandRel = hashed.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "band", "v")
+    val cand = bandRel.as("x").join(bandRel.as("y"),
+      col("x.band") === col("y.band") && col("x.v") === col("y.v")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    def pop(a: Column, b: Column) = bit_count(a.bitwiseXOR(b)).cast("long")
+    cand
+      .join(hashed.toDF("id1", "a0", "a1", "a2", "a3"), "id1")
+      .join(hashed.toDF("id2", "c0", "c1", "c2", "c3"), "id2")
+      .withColumn("hamming",
+        pop(col("a0"), col("c0")) + pop(col("a1"), col("c1"))
+          + pop(col("a2"), col("c2")) + pop(col("a3"), col("c3")))
+      .filter(col("hamming") <= 12)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val mmPhashDedupSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |    CAST(ascii(substring(text,
+      |      1 + (i * octet_length(encode(text))) // 64, 1)) AS BIGINT) AS b
+      |  FROM documents, (SELECT unnest(range(0, 64)) AS i) ii),
+      |m AS (
+      |  SELECT doc_id, CAST(sum(b) // 64 AS BIGINT) AS mean
+      |  FROM s GROUP BY 1),
+      |bits AS (
+      |  SELECT s.doc_id, i // 16 AS band,
+      |    CAST(sum(CASE WHEN b > mean THEN 1 << (i % 16) ELSE 0 END)
+      |      AS BIGINT) AS v
+      |  FROM s JOIN m USING (doc_id) GROUP BY s.doc_id, i // 16),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM bits x JOIN bits y
+      |    ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+      |hx AS (SELECT doc_id, list(v ORDER BY band) AS bl FROM bits GROUP BY 1)
+      |SELECT id1, id2, hamming FROM (
+      |  SELECT id1, id2,
+      |    CAST(bit_count(xor(a.bl[1], c.bl[1])) + bit_count(xor(a.bl[2], c.bl[2]))
+      |      + bit_count(xor(a.bl[3], c.bl[3])) + bit_count(xor(a.bl[4], c.bl[4]))
+      |      AS BIGINT) AS hamming
+      |  FROM cand JOIN hx a ON a.doc_id = id1 JOIN hx c ON c.doc_id = id2)
+      |WHERE hamming <= 12 ORDER BY id1, id2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta _,
-    "mm_frame_sample" -> mmFrameSample _
+    "mm_frame_sample" -> mmFrameSample _,
+    "mm_phash_dedup" -> mmPhashDedup _
   )
 
   def oracleSql: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
-    "mm_frame_sample" -> mmFrameSampleSql
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_phash_dedup" -> mmPhashDedupSql
   )
 }
