@@ -31,6 +31,36 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("inverted-file materialization: cell buckets prune the ANN probe scan") {
+    // the storage half of the IVFPQ story (E7/E8): the codes/assignment
+    // table written bucketBy(cell) IS the inverted file — a query
+    // probing nprobe cells reads only those buckets, not the corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft_invfile")
+    val emb = Tables.embeddings(spark, sf)
+    val assigned = graft.operators.AnnOps
+      .ivfAssign(emb, graft.operators.AnnOps.ivfCentroids(emb))
+      .select($"vec_id", $"cell")
+    assigned.write.bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/inv").mode("overwrite")
+      .saveAsTable("graft_inverted_file")
+    // autoBucketedScan turns OFF bucketed reading when no join/agg
+    // exploits it — which also forfeits bucket PRUNING on a pure
+    // filter; scope it off so the probe demonstrates the pruned read
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.getOption(abs)
+    spark.conf.set(abs, "false")
+    try {
+      val c0 = assigned.agg(min($"cell")).head.get(0)
+      val probed = spark.table("graft_inverted_file").filter($"cell" === c0)
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(probed.count() == assigned.filter($"cell" === c0).count())
+    } finally {
+      prior.fold(spark.conf.unset(abs))(spark.conf.set(abs, _))
+      spark.sql("DROP TABLE IF EXISTS graft_inverted_file")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     val conf = spark.conf
     val saved = Seq(
