@@ -365,7 +365,77 @@ object DedupMore {
       |JOIN tot tb ON tb.source = sb
       |ORDER BY jaccard DESC, sa, sb""".stripMargin
 
+  // --------------------------------------------------------------- D12
+  /** LSH calibration table — the tuning artifact an engineer reads
+    * BEFORE picking the production threshold: MinHash candidates at a
+    * permissive 0.3 cutoff, bucketed by estimated Jaccard decile, with
+    * each bucket's pair count, mean estimate, and mean EXACT shingle
+    * Jaccard side by side. A well-calibrated estimator tracks the
+    * diagonal; divergence at a decile says the 128-perm estimate is
+    * biased there and the threshold needs margin. Complements D10
+    * (collision hotspots) and D11 (source forensics).
+    *
+    * Determinism: est = matches/128 is exact binary (÷ a power of
+    * two), so bucket floors and the Σmatches sum are exact; the
+    * per-pair exact Jaccard is integerized to micro-units
+    * (floor(j·10⁶+0.5), same double both engines) BEFORE summing, so
+    * bucket means are merge-order-independent — the power-sum
+    * discipline applied to a float diagnostic. */
+  def dedupLshCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+    // shingle sets feed both exact-verify sides — persisted (D4's shape)
+    val shingled = docs.select($"doc_id", gf.shingle_md5_h32($"text", 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = DedupOps.minhashPipeline(docs, 0.3)
+    val scored = cand
+      .join(shingled.select($"doc_id".as("id1"), $"sh".as("sh1")), "id1")
+      .join(shingled.select($"doc_id".as("id2"), $"sh".as("sh2")), "id2")
+      .withColumn("j",
+        size(array_intersect($"sh1", $"sh2")).cast("double")
+          / size(array_union($"sh1", $"sh2")))
+    scored.select(
+        floor($"est_jaccard" * 10).cast("long").as("bucket"),
+        ($"est_jaccard" * 128).cast("long").as("m"),
+        floor($"j" * 1000000 + 0.5).cast("long").as("ju"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"m").cast("double") / (count(lit(1)) * 128.0), 6)
+          .as("mean_est"),
+        round(sum($"ju").cast("double") / count(lit(1)) / 1000000.0, 6)
+          .as("mean_exact"))
+      .orderBy($"bucket")
+  }
+
+  val dedupLshCalibrationSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |pairs AS (
+       |  SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.id1, p.id2, count(*) AS i
+       |  FROM pairs p
+       |  JOIN shh h1 ON h1.doc_id = p.id1
+       |  JOIN shh h2 ON h2.doc_id = p.id2 AND h2.h = h1.h
+       |  GROUP BY p.id1, p.id2),
+       |scored AS (
+       |  SELECT p.est_jaccard,
+       |    CAST(coalesce(i.i, 0) AS DOUBLE)
+       |      / (s1.n + s2.n - coalesce(i.i, 0)) AS j
+       |  FROM pairs p
+       |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+       |  JOIN sizes s1 ON s1.doc_id = p.id1
+       |  JOIN sizes s2 ON s2.doc_id = p.id2)
+       |SELECT CAST(floor(est_jaccard * 10) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(sum(CAST(est_jaccard * 128 AS BIGINT)) AS DOUBLE)
+       |    / (count(*) * 128.0), 6) AS mean_est,
+       |  round(CAST(sum(CAST(floor(j * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1000000.0, 6) AS mean_exact
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_calibration" -> dedupLshCalibration _,
     "source_overlap" -> sourceOverlap _,
     "dedup_graph_degree" -> dedupGraphDegree _,
     "text_tfidf" -> textTfidf _,
@@ -375,6 +445,7 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_lsh_calibration" -> dedupLshCalibrationSql,
     "source_overlap" -> sourceOverlapSql,
     "dedup_graph_degree" -> dedupGraphDegreeSql,
     "text_tfidf" -> textTfidfSql,
