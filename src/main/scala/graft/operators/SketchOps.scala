@@ -123,18 +123,26 @@ object SketchOps {
     * re-aggregation of sketch rows, never a re-scan of the corpus. */
   private[graft] val hllM = 32
 
+  /** HLL register index / leading-zero rank of a key (md5-split
+    * portable kernel) — shared by the batch sketch, the streaming
+    * twin, and the fused profile pass. */
+  private[graft] def hllIdx(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % hllM
+
+  private[graft] def hllRank(key: Column): Column = {
+    val lo = conv(substring(md5(key.cast("string").cast("binary")), 9, 8),
+      16, 10).cast("long")
+    when(lo === 0, lit(33L))
+      .otherwise(lit(33L) - length(bin(lo)).cast("long"))
+  }
+
   /** (group, idx, m): max leading-zero rank per register — the sketch
     * in its mergeable form. */
-  private[graft] def hllRegisters(rows: DataFrame, group: Column, key: Column): DataFrame = {
-    val hex = md5(key.cast("string").cast("binary"))
-    val idx = conv(substring(hex, 1, 8), 16, 10).cast("long") % hllM
-    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
-    val rank = when(lo === 0, lit(33L))
-      .otherwise(lit(33L) - length(bin(lo)).cast("long"))
-    rows.select(group.as("g"), idx.as("idx"), rank.as("rank"))
+  private[graft] def hllRegisters(rows: DataFrame, group: Column, key: Column): DataFrame =
+    rows.select(group.as("g"), hllIdx(key).as("idx"), hllRank(key).as("rank"))
       .groupBy(col("g"), col("idx"))
       .agg(max(col("rank")).as("m"))
-  }
 
   /** Registers → one sketch row per group: zero-filled register
     * vector, zero-register count V, exact integer power sum S, and the
@@ -338,17 +346,87 @@ object SketchOps {
       |  round(c / ku, 6) AS est_jaccard
       |FROM c3 ORDER BY src1, src2""".stripMargin
 
+  // ---------------------------------------------------------------- I8
+  /** Fused sketch-profiling pass — the nightly "profile everything"
+    * job done right: ONE scan of the fact table and ONE shuffle emit
+    * all three sketch families per group in long format
+    * (kind ∈ {cms, hll, hist} × cell index × cell value), instead of
+    * three jobs × three scans × three shuffles. Each event explodes
+    * into its 6 sketch entries (4 CMS hash cells + 1 HLL register +
+    * 1 histogram bucket); the single aggregation is map-side
+    * combinable for every kind at once (counts for cms/hist, max for
+    * hll — both partial-aggregable), so shuffle traffic is bounded by
+    * the combined sketch sizes, not the data. At 100 TB this is the
+    * difference between one pass over the corpus per night and one
+    * pass per sketch. Kernels are shared verbatim with I4/I5/I6, so
+    * the long-format output is exactly those operators' cells stacked
+    * (the oracle is their three kernels UNION ALL'd). */
+  def sketchProfileFused(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val cmsEntries = transform(StatsOps.cmsCellArray($"user_id"), c =>
+      struct(lit("cms").as("kind"),
+        (c.getField("h").cast("long") * 32 + c.getField("bucket")).as("idx"),
+        lit(0L).as("rank")))
+    val entries = concat(cmsEntries, array(
+      struct(lit("hll").as("kind"), hllIdx($"user_id").as("idx"),
+        hllRank($"user_id").as("rank")),
+      struct(lit("hist").as("kind"), StatsOps.histBucket($"value").as("idx"),
+        lit(0L).as("rank"))))
+    ev.select($"event_type", explode(entries).as("e"))
+      .groupBy($"event_type", $"e.kind".as("kind"), $"e.idx".as("idx"))
+      .agg(count(lit(1)).as("cnt"), max($"e.rank").as("mx"))
+      .select($"event_type", $"kind", $"idx",
+        when($"kind" === "hll", $"mx").otherwise($"cnt").as("cell"))
+      .orderBy($"event_type", $"kind", $"idx")
+  }
+
+  val sketchProfileFusedSql: String = {
+    val hashValues = StatsOps.cmsHashes
+      .map { case (i, a, b) => s"($i, ${a}, ${b})" }.mkString(", ")
+    s"""WITH hashes(i, a, b) AS (VALUES $hashValues),
+       |cms AS (
+       |  SELECT event_type, 'cms' AS kind,
+       |    CAST(i AS BIGINT) * 32
+       |      + ((user_id * a + b) % ${StatsOps.cmsP}) % ${StatsOps.cmsW} AS idx,
+       |    CAST(count(*) AS BIGINT) AS cell
+       |  FROM events CROSS JOIN hashes GROUP BY 1, 2, 3),
+       |hll AS (
+       |  SELECT event_type, 'hll' AS kind,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS idx,
+       |    CAST(max(CASE WHEN lo = 0 THEN 33 ELSE 33 - length(bin(lo)) END)
+       |      AS BIGINT) AS cell
+       |  FROM (
+       |    SELECT event_type, user_id,
+       |      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+       |    FROM events)
+       |  GROUP BY 1, 2, 3),
+       |hist AS (
+       |  SELECT event_type, 'hist' AS kind,
+       |    CAST(CASE WHEN CAST(floor(value * 100) AS BIGINT) <= 0 THEN -1
+       |      ELSE length(bin(CAST(floor(value * 100) AS BIGINT))) - 1
+       |    END AS BIGINT) AS idx,
+       |    CAST(count(*) AS BIGINT) AS cell
+       |  FROM events GROUP BY 1, 2, 3)
+       |SELECT * FROM cms
+       |UNION ALL SELECT * FROM hll
+       |UNION ALL SELECT * FROM hist
+       |ORDER BY event_type, kind, idx""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_source_similarity" -> sketchSourceSimilarity _,
     "sketch_bloom_prefilter" -> bloomPrefilter _,
     "sketch_hll_distinct" -> sketchHllDistinct _,
-    "sketch_kmv_setops" -> sketchKmvSetops _
+    "sketch_kmv_setops" -> sketchKmvSetops _,
+    "sketch_profile_fused" -> sketchProfileFused _
   )
 
   def oracleSql: Map[String, String] = Map(
     "sketch_source_similarity" -> sketchSourceSimilaritySql,
     "sketch_bloom_prefilter" -> bloomPrefilterSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,
-    "sketch_kmv_setops" -> sketchKmvSetopsSql
+    "sketch_kmv_setops" -> sketchKmvSetopsSql,
+    "sketch_profile_fused" -> sketchProfileFusedSql
   )
 }

@@ -392,13 +392,18 @@ object StatsOps {
     * centi-value — so unlike a float log2 there is no boundary ulp and
     * the oracle replays it bit-exactly. Merge = cell-wise add (the agg
     * is an ordinary map-side-combinable count). */
+  /** Integer-only power-of-two bucket index of a value (bit length of
+    * the centi-value) — shared by the histogram sketch and the fused
+    * profile pass. */
+  private[graft] def histBucket(value: org.apache.spark.sql.Column) = {
+    val iv = floor(value * 100).cast("long")
+    when(iv <= 0, lit(-1L)).otherwise(length(bin(iv)).cast("long") - 1)
+  }
+
   def sketchLogHistogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val iv = floor($"value" * 100).cast("long")
-    val bucket = when(iv <= 0, lit(-1L))
-      .otherwise(length(bin(iv)).cast("long") - 1)
     val cells = Tables.events(spark, sfDir)
-      .select($"event_type", bucket.as("bucket"))
+      .select($"event_type", histBucket($"value").as("bucket"))
       .groupBy($"event_type", $"bucket")
       .agg(count(lit(1)).as("n"))
     // approx median: smallest bucket whose cumulative count reaches
