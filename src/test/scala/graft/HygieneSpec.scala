@@ -16,7 +16,10 @@ class HygieneSpec extends SparkSuite {
     //    NOT freed by clearCache)
     //  - text_pmi: operator-internal DataFrame persist()s
     //  - event_cooccurrence: persisted distinct (user,type) relation
-    Seq("dedup_clusters", "text_pmi", "event_cooccurrence").foreach { q =>
+    //  - round-7 persist sites: KMV sketch relation, PQ sub-vectors,
+    //    perceptual-hash band relation
+    Seq("dedup_clusters", "text_pmi", "event_cooccurrence",
+      "sketch_kmv_setops", "ann_pq", "mm_phash_dedup").foreach { q =>
       SparkEntry.queries(q)(spark, sf).count()
     }
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
