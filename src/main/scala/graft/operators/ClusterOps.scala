@@ -60,7 +60,12 @@ object ClusterOps {
     // edge set costs more than the extra round). edges1 is already
     // checkpointed, so the deciding count() is a near-free cached scan.
     val nEdges = edges1.count()
-    val nSq = sys.env.get("GRAFT_CC_SQUARINGS").map(_.toInt)
+    // override knob: malformed values fall back to the size-based
+    // default rather than crashing the query; clamp to [0, 3] (0 =
+    // plain propagation, >3 squarings never pays — reach is 2^3 hops)
+    val nSq = sys.env.get("GRAFT_CC_SQUARINGS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .map(n => math.max(0, math.min(3, n)))
       .getOrElse(if (nEdges <= 50000L) 2 else 1)
     if (dbg) println(s"[cc] edges=$nEdges squarings=$nSq")
     val edges = (1 to nSq).foldLeft(edges1)((e, _) =>

@@ -128,10 +128,11 @@ object MultimodalOps {
     * documented trade every banded dedup here makes (more bands =
     * more recall, same plan shape). All arithmetic is integer (byte
     * values, integer mean, bit packing, popcount), so the oracle
-    * replays candidate generation and verification exactly; the
-    * payload is ASCII text-as-bytes here, letting DuckDB sample via
-    * ascii(substring(...)) while Spark reads the true BINARY column
-    * (the mm_meta equivalence). */
+    * replays candidate generation and verification exactly; both
+    * engines sample BYTES of the UTF-8 payload (DuckDB via
+    * hex(encode(text)) two-hex-digit slices, Spark via substring on
+    * the true BINARY column — the mm_meta equivalence), so the
+    * replay holds for non-ASCII documents too. */
   def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val n = octet_length(payload)
@@ -174,8 +175,9 @@ object MultimodalOps {
   val mmPhashDedupSql: String =
     """WITH s AS (
       |  SELECT doc_id, i,
-      |    CAST(ascii(substring(text,
-      |      1 + (i * octet_length(encode(text))) // 64, 1)) AS BIGINT) AS b
+      |    ('0x' || substr(hex(encode(text)),
+      |      2 * (1 + (i * octet_length(encode(text))) // 64) - 1, 2))::BIGINT
+      |      AS b
       |  FROM documents, (SELECT unnest(range(0, 64)) AS i) ii),
       |m AS (
       |  SELECT doc_id, CAST(sum(b) // 64 AS BIGINT) AS mean

@@ -328,9 +328,14 @@ object PipelineOps {
     val nPunct = length(regexp_replace($"text", "[^.,;:!?]", ""))
     val nToks = size(split(trim($"text"), "\\s+"))
     // C2's composite, inlined with the same operation tree
-    val score = (lit(0.4) * (nAlpha / nChars)) +
-      (lit(0.3) * (lit(1.0) - nPunct / nChars)) +
-      (lit(0.3) * least(lit(1.0), nToks / lit(100.0)))
+    // coalesce: an empty document divides 0/0 → NULL, and Spark sorts
+    // NULLs first while DuckDB defaults NULLS LAST — pin the ordering
+    // by scoring empties 0.0 in both engines (round-7 advisor finding)
+    val score = coalesce(
+      (lit(0.4) * (nAlpha / nChars)) +
+        (lit(0.3) * (lit(1.0) - nPunct / nChars)) +
+        (lit(0.3) * least(lit(1.0), nToks / lit(100.0))),
+      lit(0.0))
     val w = Window.partitionBy($"source")
       .orderBy($"quality_score", $"doc_id")
     Tables.documents(spark, sfDir)
@@ -344,13 +349,14 @@ object PipelineOps {
   val sampleQualityMixSql: String =
     """WITH scored AS (
       |  SELECT doc_id, source,
+      |    coalesce(
       |    0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
       |           / length(text))
       |    + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
       |             / length(text))
       |    + 0.3 * least(1.0,
       |        CAST(len(string_split_regex(trim(text), '\s+')) AS INT) / 100.0)
-      |      AS quality_score
+      |    , 0.0) AS quality_score
       |  FROM documents),
       |ranked AS (
       |  SELECT doc_id, source,

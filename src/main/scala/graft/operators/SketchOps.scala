@@ -283,14 +283,22 @@ object SketchOps {
       .withColumn("c", size(array_intersect(
         array_intersect(col("u"), col("ska")), col("skb"))).cast("long"))
       .withColumn("kth", expr("element_at(u, cast(ku as int))"))
-      // exhaustive ⟺ both sources have ≤ k distinct values ⟹ exact
+      // exhaustive ⟺ both sources have ≤ k distinct values: the
+      // sketches ARE the full sets, so intersect them directly (c is
+      // only counted within the k smallest UNION values and undercounts
+      // when |A∪B| > k — round-7 advisor finding); union/inter/jaccard
+      // are then genuinely exact
       .withColumn("exhaustive", col("na") <= kmvK && col("nb") <= kmvK)
+      .withColumn("c_full",
+        size(array_intersect(col("ska"), col("skb"))).cast("long"))
       .withColumn("est_union", round(
         when(col("exhaustive"), size(col("u_all")).cast("double"))
           .otherwise(lit((kmvK - 1) * 4294967296.0) / col("kth")), 4))
-      .withColumn("est_jaccard", round(col("c") / col("ku"), 6))
+      .withColumn("est_jaccard", round(
+        when(col("exhaustive"), col("c_full") / size(col("u_all")))
+          .otherwise(col("c") / col("ku")), 6))
       .withColumn("est_inter", round(
-        when(col("exhaustive"), col("c").cast("double"))
+        when(col("exhaustive"), col("c_full").cast("double"))
           .otherwise(col("c") / col("ku")
             * (lit((kmvK - 1) * 4294967296.0) / col("kth"))), 4))
       .select(col("src1"), col("src2"), col("est_union"), col("est_inter"),
@@ -335,15 +343,17 @@ object SketchOps {
       |  SELECT src1, src2, na, nb, u_all, ku,
       |    len(list_filter(u, x -> list_contains(ska, x)
       |      AND list_contains(skb, x))) AS c,
+      |    len(list_filter(ska, x -> list_contains(skb, x))) AS c_full,
       |    u[ku] AS kth,
       |    (na <= 64 AND nb <= 64) AS exhaustive
       |  FROM c2)
       |SELECT src1, src2,
       |  round(CASE WHEN exhaustive THEN CAST(len(u_all) AS DOUBLE)
       |    ELSE 63 * 4294967296.0 / kth END, 4) AS est_union,
-      |  round(CASE WHEN exhaustive THEN CAST(c AS DOUBLE)
+      |  round(CASE WHEN exhaustive THEN CAST(c_full AS DOUBLE)
       |    ELSE c / ku * (63 * 4294967296.0 / kth) END, 4) AS est_inter,
-      |  round(c / ku, 6) AS est_jaccard
+      |  round(CASE WHEN exhaustive THEN c_full / len(u_all)
+      |    ELSE c / ku END, 6) AS est_jaccard
       |FROM c3 ORDER BY src1, src2""".stripMargin
 
   // ---------------------------------------------------------------- I8
