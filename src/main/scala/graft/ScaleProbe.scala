@@ -124,6 +124,26 @@ object ScaleProbe {
           d.withColumn("is_new", col("doc_id") < 1000000L
             && abs(hash(col("doc_id"))) % 10 === 0)).count()),
         (n: Int) => replicateDocs(docs, n), docs),
+      // incremental dedup against a STANDING band index (D13): the
+      // index build is the once-per-corpus cost and runs untimed; the
+      // timed section is the daily batch probe only — cost should be
+      // near-flat in corpus size (batch work + a co-located join)
+      ("dedup_incr_idx",
+        (d: DataFrame) => {
+          val nm = "graft_probe_bandidx"
+          spark.sql(s"DROP TABLE IF EXISTS ${nm}_bands")
+          spark.sql(s"DROP TABLE IF EXISTS ${nm}_sigs")
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_bandidx_probe").toString
+          val isNew = (col("doc_id") < 1000000L) &&
+            (abs(hash(col("doc_id"))) % 10 === 0)
+          operators.DedupMore.buildBandIndex(spark,
+            d.filter(!isNew).select("doc_id", "text"), nm, dir)
+          val newDocs = d.filter(isNew).select("doc_id", "text")
+          time(operators.DedupMore
+            .incrementalIndexedPipeline(spark, newDocs, nm).count())
+        },
+        (n: Int) => replicateDocs(docs, n), docs),
       // novelty: two shingle-key linear shuffles; ratio should stay ≈N
       ("novelty",
         (d: DataFrame) => time(

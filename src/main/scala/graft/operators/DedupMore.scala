@@ -151,6 +151,76 @@ object DedupMore {
       .select(col("id_new"), col("id_old"), col("est_jaccard"))
   }
 
+  // --------------------------------------------------------------- D13
+  /** Standing band-index materialization — the SCALE path for D9.
+    * incrementalPipeline re-minhashes and re-shuffles the whole OLD
+    * corpus on every batch (the worst ×20 probe ratio on the round-7
+    * board, 4.2). A production ingest instead treats the corpus index
+    * as a WRITTEN artifact: signatures and 16-band LSH keys are
+    * materialized once as bucketed tables, and a daily batch
+    * minhashes only itself and probes the standing index —
+    *   - the corpus is never re-shingled/re-minhashed per batch;
+    *   - the candidate join shuffles ONLY the batch into the index's
+    *     bucketing (the bands table is bucketBy(band hash), so its
+    *     scan satisfies the join distribution with zero Exchange);
+    *   - the signature-verify join reads the sig table bucketed by
+    *     doc_id, again shuffling only the candidate side.
+    * The band key is folded to one BIGINT (md5-h32 over band id +
+    * slice values — the portable hash every dedup op here uses) so it
+    * can be a bucket column; hash collisions can only ADD candidate
+    * pairs, which the est_jaccard ≥ 0.5 verification then discards —
+    * ScaleSpec asserts output equality with D9 and the Exchange-free
+    * index side of the probe plan. */
+  def bandSigs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      gf.minhash_sig_mod(gf.shingle_md5_h32(col("text"), 3), 128).as("sig"))
+
+  /** (doc_id, bk): one folded BIGINT band key per (doc, band). */
+  def bandKeys(sigs: DataFrame): DataFrame = sigs
+    .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(15)),
+      b => slice(col("sig"), b * 8 + 1, lit(8)))))
+    .select(col("doc_id"), gf.h32(concat_ws("-",
+      concat(array(col("pos").cast("string")),
+        transform(col("col"), x => x.cast("string"))))).as("bk"))
+
+  /** Index build (run once per corpus, not per batch): writes the
+    * standing corpus's band keys bucketed by band hash and its
+    * signatures bucketed by doc id. */
+  def buildBandIndex(spark: SparkSession, oldDocs: DataFrame,
+      name: String, path: String, buckets: Int = 8): Unit = {
+    val sigs = bandSigs(oldDocs).persist()
+    bandKeys(sigs)
+      .write.bucketBy(buckets, "bk").sortBy("bk")
+      .option("path", s"$path/bands").mode("overwrite")
+      .saveAsTable(s"${name}_bands")
+    sigs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/sigs").mode("overwrite")
+      .saveAsTable(s"${name}_sigs")
+    sigs.unpersist()
+  }
+
+  /** Batch probe against a standing index built by [[buildBandIndex]]:
+    * O(batch) new-side work + one co-located join per stage. */
+  def incrementalIndexedPipeline(spark: SparkSession, newDocs: DataFrame,
+      name: String): DataFrame = {
+    // persisted: the batch's sigs feed banding AND the verify join
+    val sigsNew = bandSigs(newDocs).persist()
+    val cand = bandKeys(sigsNew).select(col("doc_id").as("id_new"), col("bk"))
+      .join(spark.table(s"${name}_bands")
+        .select(col("doc_id").as("id_old"), col("bk")), "bk")
+      .select("id_new", "id_old").distinct()
+    cand
+      .join(sigsNew.select(col("doc_id").as("id_new"), col("sig").as("sig1")),
+        "id_new")
+      .join(spark.table(s"${name}_sigs")
+        .select(col("doc_id").as("id_old"), col("sig").as("sig2")), "id_old")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)) / lit(128.0))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_new"), col("id_old"), col("est_jaccard"))
+  }
+
   val dedupIncrementalSql: String =
     s"""WITH ${DedupOps.minhashSigSqlCtes},
        |flag AS (

@@ -61,6 +61,50 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("standing band index: probe shuffles only the batch, prunes buckets, matches D9") {
+    import graft.operators.DedupMore
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    val all = graft.operators.DedupOps.corpus(Tables.documents(spark, sf))
+      .withColumn("is_new",
+        graft.functions.gf.h32($"doc_id".cast("string")) % 10 === 0)
+    val oldDocs = all.filter(!$"is_new").select("doc_id", "text")
+    val newDocs = all.filter($"is_new").select("doc_id", "text")
+    DedupMore.buildBandIndex(spark, oldDocs, "graft_t_bandidx", dir)
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.getOption(abs)
+    try {
+      // 1. candidate join: the index side is read bucketed and needs
+      //    NO Exchange — only the incoming batch shuffles (merge hint
+      //    pins the SMJ shape a large batch takes; a small batch would
+      //    broadcast, which needs no exchange either)
+      val candJoin = DedupMore.bandKeys(DedupMore.bandSigs(newDocs))
+        .select($"doc_id".as("id_new"), $"bk")
+        .join(spark.table("graft_t_bandidx_bands").hint("merge")
+          .select($"doc_id".as("id_old"), $"bk"), "bk")
+      val plan = candJoin.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
+      // 2. bucket pruning: probing one band key reads 1 bucket of 8
+      //    (the E9 inverted-file assert, here on the dedup index)
+      spark.conf.set(abs, "false")
+      val bk0 = spark.table("graft_t_bandidx_bands").agg(min($"bk")).head.getLong(0)
+      val pruned = spark.table("graft_t_bandidx_bands").filter($"bk" === bk0)
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"), prunedPlan)
+      // 3. output equality with the self-contained D9 pipeline
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
+      val got = DedupMore.incrementalIndexedPipeline(spark, newDocs, "graft_t_bandidx")
+        .collect().map(key).toSet
+      val expect = DedupMore.incrementalPipeline(all).collect().map(key).toSet
+      assert(got == expect, s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+      assert(got.nonEmpty)
+    } finally {
+      prior.fold(spark.conf.unset(abs))(spark.conf.set(abs, _))
+      spark.sql("DROP TABLE IF EXISTS graft_t_bandidx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_t_bandidx_sigs")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     val conf = spark.conf
     val saved = Seq(
