@@ -946,6 +946,204 @@ object AnnOps {
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |  FROM exact) WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- E10
+  /** IVFPQ quality sweep — the E-family's answer to D12's LSH
+    * calibration table: recall against the exact (E1) top-5 as a
+    * function of the two knobs a production IVFPQ store tunes,
+    * nprobe (how many inverted-file cells a query scans: 1..4) ×
+    * ADC candidate width (how many code-distance candidates reach
+    * the exact rerank: 10/25/50). One pass computes the ADC distances
+    * with each vector's cell PROBE RANK attached; each (nprobe,
+    * width) point is then a filter + window over that relation — the
+    * engine never retrains or rescans per grid point, and the trained
+    * index comes from the run-shared store. Along the WIDTH axis
+    * recall is monotone non-decreasing by construction (top-10 ⊆
+    * top-25 ⊆ top-50 of the same ranked pool — the spec asserts it);
+    * along the NPROBE axis it need not be at small width (a larger
+    * probed pool can evict a true hit with mediocre ADC distance from
+    * a tight cut — measured: np 2→3 at w=10 drops 0.22→0.20), which
+    * is precisely the operational lesson the table teaches: width
+    * must scale with nprobe. Absolute numbers (0.46 at np=3/w=50,
+    * 0.54 at np=4/w=50 on this uniform-random corpus) justify — or
+    * indict — a production setting, exactly as D12's est-vs-exact
+    * Jaccard deciles do for the LSH threshold. All selection is
+    * integer/rounded arithmetic → fully oracle-replayed. */
+  def annIvfPqSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val (cents, assigned) = ivfIndex(spark, sfDir)
+    val (codes, cent1) = pqRawIndex(spark, sfDir)
+    // probe ranking kept (not cut at one nprobe): cellrn is the rank
+    // at which this cell enters the probe set
+    val qw = Window.partitionBy($"qid").orderBy($"qdist2", $"cell")
+    val probeRanked = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist2", gf.l2sq_long(quantize($"qv"), $"centroid_q"))
+      .withColumn("cellrn", row_number().over(qw))
+      .filter($"cellrn" <= 4)
+      .select($"qid", $"cell", $"cellrn")
+    val adc = codes
+      .join(assigned, "vec_id")
+      .join(broadcast(probeRanked), "cell")
+      .join(broadcast(queryLut(emb, cent1)), Seq("qid", "j", "c"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id", $"cellrn")
+      .agg(sum($"pdi").as("adist"))
+    val wR = Window.partitionBy($"np", $"qid").orderBy($"adist", $"vec_id")
+    val cands = adc
+      .withColumn("np", explode(array((1 to 4).map(lit): _*)))
+      .filter($"cellrn" <= $"np")
+      .withColumn("r", row_number().over(wR))
+      .withColumn("w", explode(array(Seq(10, 25, 50).map(lit): _*)))
+      .filter($"r" <= $"w")
+      .select($"np", $"w", $"qid", $"vec_id".as("nid"))
+    val scored = cands
+      .join(emb.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+      .select($"np", $"w", $"qid", $"nid",
+        round(gf.cosine_sim($"qe", $"ne"), 6).as("sim"))
+    val wTop = Window.partitionBy($"np", $"w", $"qid")
+      .orderBy($"sim".desc, $"nid")
+    val top5 = scored.withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 5).select($"np", $"w", $"qid", $"nid")
+    val queries10 = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val exact = bruteForceTopK(emb, queries10, 5).select(col("qid"), col("nid"))
+    val hits = top5.join(exact, Seq("qid", "nid"))
+      .groupBy($"np", $"w").agg(count(lit(1)).as("nh"))
+    val nq = queries10.agg(count(lit(1)).as("nq"))
+    val grid = (1 to 4).flatMap(np => Seq(10, 25, 50).map(w => (np, w)))
+      .toDF("np", "w")
+    grid.join(hits, Seq("np", "w"), "left")
+      .crossJoin(broadcast(nq))
+      .select($"np".as("nprobe"), $"w".as("width"),
+        round(coalesce($"nh", lit(0L)) / ($"nq" * 5.0), 6).as("recall"))
+      .orderBy($"nprobe", $"width")
+  }
+
+  val annIvfPqSweepSql: String =
+    """WITH qg AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cell, d,
+      |    CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM qg, (SELECT unnest(range(1, 65)) AS d) ds
+      |  GROUP BY label, d),
+      |celldist AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q[c.d] - c.cv) * (v.q[c.d] - c.cv)) AS BIGINT) AS d2
+      |  FROM qg v JOIN cent c ON true
+      |  GROUP BY v.vec_id, c.cell),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist) WHERE rn = 1),
+      |proberk AS (
+      |  SELECT vec_id AS qid, cell, rn AS cellrn FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist WHERE vec_id < 10) WHERE rn <= 4),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |vsubs AS (
+      |  SELECT vec_id, j, list_slice(q, j*8 + 1, j*8 + 8) AS vsub
+      |  FROM qg, js),
+      |anch AS (
+      |  SELECT q, row_number() OVER (ORDER BY hr, vec_id) - 1 AS c
+      |  FROM (
+      |    SELECT vec_id, q,
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hr
+      |    FROM qg ORDER BY hr, vec_id LIMIT 16)),
+      |cb0 AS (
+      |  SELECT c, j, list_slice(q, j*8 + 1, j*8 + 8) AS csub
+      |  FROM anch, js),
+      |d0 AS (
+      |  SELECT v.vec_id, v.j, cb.c, v.vsub,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vsubs v JOIN cb0 cb ON v.j = cb.j),
+      |a0 AS (
+      |  SELECT vec_id, j, c, vsub FROM (
+      |    SELECT vec_id, j, c, vsub,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d0) WHERE r = 1),
+      |cent1 AS (
+      |  SELECT j, c, list(v ORDER BY d) AS csub FROM (
+      |    SELECT j, c, d,
+      |      CAST(floor(CAST(sum(vsub[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |    FROM a0, (SELECT unnest(range(1, 9)) AS d) ds
+      |    GROUP BY j, c, d)
+      |  GROUP BY j, c),
+      |d1 AS (
+      |  SELECT v.vec_id, v.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vsubs v JOIN cent1 cb ON v.j = cb.j),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d1) WHERE r = 1),
+      |lut AS (
+      |  SELECT vec_id AS qid, j, c, d2 AS pdi
+      |  FROM d1 WHERE vec_id < 10),
+      |adc AS (
+      |  SELECT p.qid, co.vec_id, p.cellrn, CAST(sum(l.pdi) AS BIGINT) AS adist
+      |  FROM codes co
+      |  JOIN assign a ON a.vec_id = co.vec_id
+      |  JOIN proberk p ON p.cell = a.cell
+      |  JOIN lut l ON l.qid = p.qid AND l.j = co.j AND l.c = co.c
+      |  WHERE co.vec_id <> p.qid GROUP BY 1, 2, 3),
+      |nps AS (SELECT unnest(range(1, 5)) AS np),
+      |ws AS (SELECT unnest([10, 25, 50]) AS w),
+      |rankedper AS (
+      |  SELECT np, qid, vec_id, adist,
+      |    row_number() OVER (PARTITION BY np, qid ORDER BY adist, vec_id) AS r
+      |  FROM adc, nps WHERE cellrn <= np),
+      |cands AS (
+      |  SELECT np, w, qid, vec_id AS nid FROM rankedper, ws WHERE r <= w),
+      |scored AS (
+      |  SELECT np, w, qid, nid,
+      |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+      |      ne.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cands
+      |  JOIN embeddings qe ON qe.vec_id = qid
+      |  JOIN embeddings ne ON ne.vec_id = nid),
+      |top5 AS (
+      |  SELECT np, w, qid, nid FROM (
+      |    SELECT np, w, qid, nid,
+      |      row_number() OVER (PARTITION BY np, w, qid
+      |        ORDER BY sim DESC, nid) AS rk
+      |    FROM scored) WHERE rk <= 5),
+      |xpairs AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+      |      e.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings q, embeddings e
+      |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |exact AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      |    FROM xpairs) WHERE rk <= 5),
+      |hits AS (
+      |  SELECT np, w, count(*) AS nh
+      |  FROM top5 t JOIN exact e ON e.qid = t.qid AND e.nid = t.nid
+      |  GROUP BY 1, 2)
+      |SELECT CAST(g.np AS INT) AS nprobe, CAST(g.w AS INT) AS width,
+      |  round(coalesce(h.nh, 0) / (5.0 *
+      |    (SELECT count(*) FROM embeddings WHERE vec_id < 10)), 6) AS recall
+      |FROM (SELECT np, w FROM nps, ws) g
+      |LEFT JOIN hits h ON h.np = g.np AND h.w = g.w
+      |ORDER BY nprobe, width""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
@@ -953,7 +1151,8 @@ object AnnOps {
     "emb_kmeans" -> embKmeans _,
     "ann_pq" -> annPq _,
     "ann_ivf_pq" -> annIvfPq _,
-    "ann_ivfpq_residual" -> annIvfPqResidual _
+    "ann_ivfpq_residual" -> annIvfPqResidual _,
+    "ann_ivfpq_sweep" -> annIvfPqSweep _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -963,6 +1162,7 @@ object AnnOps {
     "emb_kmeans" -> embKmeansSql,
     "ann_pq" -> annPqSql,
     "ann_ivf_pq" -> annIvfPqSql,
-    "ann_ivfpq_residual" -> annIvfPqResidualSql
+    "ann_ivfpq_residual" -> annIvfPqResidualSql,
+    "ann_ivfpq_sweep" -> annIvfPqSweepSql
   )
 }

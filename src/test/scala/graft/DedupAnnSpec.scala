@@ -126,4 +126,26 @@ class AnnSpec extends SparkSuite {
     // random vectors, 3/10 cells probed → expect ≈0.3 of neighbors found
     assert(mean >= 0.15, s"mean recall@5 = $mean")
   }
+
+  test("IVFPQ sweep: full grid, recall in [0,1], monotone along the width axis") {
+    val rows = AnnOps.annIvfPqSweep(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("width"),
+        r.getAs[Double]("recall")))
+    assert(rows.length == 12, rows.mkString(","))
+    assert(rows.forall { case (_, _, r) => r >= 0.0 && r <= 1.0 })
+    // width-axis monotonicity is structural: top-10 ⊆ top-25 ⊆ top-50
+    // of the SAME per-(nprobe,query) ADC ranking, and recall counts
+    // hits against a fixed exact top-5 — widening the cut can only add
+    // hits. (The nprobe axis is deliberately NOT asserted: a wider
+    // probed pool can push true hits out of a tight ADC cut.)
+    rows.groupBy(_._1).foreach { case (np, gs) =>
+      val byWidth = gs.sortBy(_._2).map(_._3)
+      assert(byWidth.zip(byWidth.tail).forall { case (a, b) => b >= a },
+        s"nprobe=$np recalls not monotone in width: ${byWidth.mkString(",")}")
+    }
+    // the widest setting beats the tightest
+    val r11 = rows.find(r => r._1 == 1 && r._2 == 10).get._3
+    val r45 = rows.find(r => r._1 == 4 && r._2 == 50).get._3
+    assert(r45 >= r11, s"grid corners inverted: $r45 < $r11")
+  }
 }
