@@ -244,6 +244,65 @@ object DedupMore {
        |  GROUP BY c.id_new, c.id_old)
        |SELECT id_new, id_old, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
 
+  // --------------------------------------------------------------- D14
+  /** Duplicated-span coverage — the sequence-level dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): document-level near-dup (D2-D9) misses long
+    * VERBATIM SPANS embedded in otherwise-distinct documents, which
+    * are what language models memorize. Per document: the fraction of
+    * its token 8-gram positions whose gram also occurs in ≥2 distinct
+    * documents. Grams are STRINGS (no hash-collision divergence);
+    * the plan is two linear aggs — (gram → distinct-doc count ≥ 2)
+    * shuffles the gram KEY, then per-doc position counts — the text
+    * column itself never shuffles. At 100 TB the gram relation is the
+    * big one and both aggs are map-side combinable; a production run
+    * would add a Bloom prefilter (I2) on the shared-gram set. */
+  def dedupSpanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    val g8 = when(size(toks) < 8, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - 8),
+        i => concat_ws(" ", slice(toks, i + 1, lit(8)))))
+    val pos = DedupOps.corpus(Tables.documents(spark, sfDir))
+      .select($"doc_id", explode(g8).as("s"))
+    // persisted: feeds both the shared-gram agg and the coverage join
+    val posP = pos.persist()
+    val shared = posP.groupBy($"s")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"s")
+    posP.join(shared, Seq("s"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_pos"))
+      .join(posP.groupBy($"doc_id").agg(count(lit(1)).as("n8")),
+        Seq("doc_id"), "right")
+      .select($"doc_id", $"n8",
+        coalesce($"n_shared_pos", lit(0L)).as("n_shared_pos"),
+        round(coalesce($"n_shared_pos", lit(0L)) / $"n8", 6).as("span_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSpanCoverageSql: String =
+    s"""WITH ${DedupOps.corpusSql},
+       |tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM corpus),
+       |g8 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(l) < 8 THEN array_to_string(l, ' ')
+       |         ELSE array_to_string(l[g:g+7], ' ') END AS s
+       |  FROM tok, unnest(range(1, greatest(len(l) - 7, 1) + 1)) AS u(g)),
+       |shared AS (
+       |  SELECT s FROM g8 GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT doc_id, count(*) AS n_shared_pos
+       |  FROM g8 WHERE s IN (SELECT s FROM shared) GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n8 FROM g8 GROUP BY 1)
+       |SELECT t.doc_id, CAST(t.n8 AS BIGINT) AS n8,
+       |  CAST(coalesce(c.n_shared_pos, 0) AS BIGINT) AS n_shared_pos,
+       |  round(coalesce(c.n_shared_pos, 0) / t.n8, 6) AS span_frac
+       |FROM tot t LEFT JOIN cov c ON c.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // --------------------------------------------------------------- E5
   /** Two-stage quantized ANN: int8 symmetric quantization (the same
     * layout emb_quantize ships) powers a coarse integer dot-product
@@ -505,6 +564,7 @@ object DedupMore {
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_coverage" -> dedupSpanCoverage _,
     "dedup_lsh_calibration" -> dedupLshCalibration _,
     "source_overlap" -> sourceOverlap _,
     "dedup_graph_degree" -> dedupGraphDegree _,
@@ -515,6 +575,7 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_span_coverage" -> dedupSpanCoverageSql,
     "dedup_lsh_calibration" -> dedupLshCalibrationSql,
     "source_overlap" -> sourceOverlapSql,
     "dedup_graph_degree" -> dedupGraphDegreeSql,

@@ -200,15 +200,57 @@ object MultimodalOps {
       |  FROM cand JOIN hx a ON a.doc_id = id1 JOIN hx c ON c.doc_id = id2)
       |WHERE hamming <= 12 ORDER BY id1, id2""".stripMargin
 
+  // ---------------------------------------------------------------- F5
+  /** Per-source modality mix — the corpus-composition report a
+    * multimodal training pipeline reads before fixing sampling
+    * ratios: items, bytes, and size percentiles per (source,
+    * detected modality). Modality detection is the F1 magic-byte
+    * rule (here a deterministic first-byte classification of the
+    * stand-in payload; on real media the same projection reads the
+    * container magic). One narrow projection + one agg; the exact
+    * p50 is the B23b percentile kernel — at 100 TB the same plan
+    * swaps in approx_percentile. */
+  def mmModalityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val b0 = conv(hex(substring(payload, 1, 1)), 16, 10).cast("long")
+    val modality = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (b0 % 3 + 1).cast("int"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), modality.as("modality"),
+        octet_length(payload).as("n_bytes"))
+      .groupBy(col("source"), col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        round(expr("percentile(n_bytes, 0.5)"), 4).as("p50_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy(col("source"), col("modality"))
+  }
+
+  val mmModalityMixSql: String =
+    """SELECT source, modality, count(*) AS n_items,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  round(quantile_cont(n_bytes, 0.5), 4) AS p50_bytes,
+      |  max(n_bytes) AS max_bytes
+      |FROM (
+      |  SELECT source,
+      |    CASE (('0x' || substr(hex(encode(text)), 1, 2))::BIGINT % 3)
+      |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      |      AS modality,
+      |    octet_length(encode(text)) AS n_bytes
+      |  FROM documents)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta _,
     "mm_frame_sample" -> mmFrameSample _,
-    "mm_phash_dedup" -> mmPhashDedup _
+    "mm_phash_dedup" -> mmPhashDedup _,
+    "mm_modality_mix" -> mmModalityMix _
   )
 
   def oracleSql: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_phash_dedup" -> mmPhashDedupSql
+    "mm_phash_dedup" -> mmPhashDedupSql,
+    "mm_modality_mix" -> mmModalityMixSql
   )
 }

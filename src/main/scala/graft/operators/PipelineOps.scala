@@ -299,7 +299,63 @@ object PipelineOps {
       |  FROM documents)
       |WHERE u < w_ppm""".stripMargin
 
+  // ---------------------------------------------------------------- J10
+  /** Temperature-scaled source sampling — the multilingual-mixing rule
+    * (sample source s with p_s ∝ n_s^α, α = 0.5): up-samples the tail
+    * sources a proportional draw would starve, the standard lever for
+    * low-resource balance in LLM corpora. Target volume T = 30% of
+    * the corpus; per-source keep rate r_s = min(1, p_s·T / n_s). The
+    * sqrt weights are INTEGERIZED (floor(√n·10⁶)) before the
+    * cross-source sum so the total is merge-order-independent (the
+    * power-sum discipline); the per-doc draw is the same md5-h32
+    * used by every sampler here — reproducible across runs, engines,
+    * and repartitions, never `rand()`. One count agg (|sources| rows,
+    * broadcast back) + one narrow keep-flag scan. */
+  def sampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+      .withColumn("w", floor(sqrt($"n_source") * 1e6).cast("long"))
+      .withColumn("sum_w", sum($"w").over(Window.partitionBy(lit(1))))
+      .withColumn("n_total", sum($"n_source").over(Window.partitionBy(lit(1))))
+      .withColumn("t_target", floor($"n_total" * 0.3).cast("long"))
+      .select($"source", $"n_source",
+        least(lit(1.0), ($"w" * $"t_target") / ($"sum_w" * $"n_source"))
+          .as("rate"))
+    docs.select($"doc_id", $"source",
+        (gf.h32($"doc_id".cast("string")) % 1000000).as("h"))
+      .join(broadcast(counts), "source")
+      .groupBy($"source")
+      .agg(max($"n_source").as("n_source"),
+        round(max($"rate"), 6).as("rate"),
+        sum(when($"h" < $"rate" * 1000000, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_source,
+      |    CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT source, n_source,
+      |    least(1.0, (w * t_target) / (sum_w * n_source)) AS rate
+      |  FROM (
+      |    SELECT source, n_source, w,
+      |      sum(w) OVER () AS sum_w,
+      |      CAST(floor(sum(n_source) OVER () * 0.3) AS BIGINT) AS t_target
+      |    FROM counts)),
+      |drawn AS (
+      |  SELECT d.source, t.n_source, t.rate,
+      |    CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1000000 < t.rate * 1000000 THEN 1 ELSE 0 END AS kept
+      |  FROM documents d JOIN tot t ON d.source = t.source)
+      |SELECT source, max(n_source) AS n_source, round(max(rate), 6) AS rate,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept
+      |FROM drawn GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> sampleTemperature _,
     "sample_weighted" -> sampleWeighted _,
     "text_vocab_oov" -> textVocabOov _,
     "mix_rebalance" -> mixRebalance _,
@@ -369,6 +425,7 @@ object PipelineOps {
       |FROM ranked""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "sample_temperature" -> sampleTemperatureSql,
     "sample_weighted" -> sampleWeightedSql,
     "text_vocab_oov" -> textVocabOovSql,
     "mix_rebalance" -> mixRebalanceSql,

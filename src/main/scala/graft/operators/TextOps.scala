@@ -441,7 +441,67 @@ object TextOps {
       |FROM q JOIN ent ON q.doc_id = ent.doc_id
       |LEFT JOIN lm ON q.doc_id = lm.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C15
+  /** Repetition filters — the Gopher/MassiveText quality signals (Rae
+    * et al. 2021 §A1.1): within-document n-gram repetition is the
+    * strongest cheap predictor of boilerplate/spam. Per document:
+    *   - rep3 = 1 − distinct/total token 3-grams (0 for empty docs);
+    *   - top2_frac = share of the single most frequent 2-gram.
+    * Grams are built as STRINGS (slice + concat_ws — bit-identical in
+    * both engines), not hashes, so distinct counts can never diverge
+    * by hash collision. rep3 is a narrow per-row projection (array
+    * ops, no shuffle); top2_frac is one explode + one (doc, gram)
+    * count — the gram KEY shuffles, the text column never does. The
+    * n-gram framing means the filter is tokenizer-independent: the
+    * 100 TB path runs the identical plan. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(trim($"text"), "\\s+")
+    def grams(k: Int) =
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", grams(3).as("g3"), grams(2).as("g2"))
+    val rep3 = base.select($"doc_id", size($"g3").as("n3"),
+      size(array_distinct($"g3")).as("d3"))
+    val top2 = base.select($"doc_id", explode($"g2").as("s"))
+      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top2"), sum($"c").as("n2"))
+    rep3.join(top2, "doc_id")
+      .select($"doc_id", $"n3",
+        round(lit(1.0) - $"d3" / $"n3", 6).as("rep3"),
+        round($"top2" / $"n2", 6).as("top2_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents),
+      |g3 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(l) < 3 THEN array_to_string(l, ' ')
+      |         ELSE l[g] || ' ' || l[g+1] || ' ' || l[g+2] END AS s
+      |  FROM tok, unnest(range(1, greatest(len(l) - 2, 1) + 1)) AS u(g)),
+      |a3 AS (
+      |  SELECT doc_id, count(*) AS n3, count(DISTINCT s) AS d3
+      |  FROM g3 GROUP BY 1),
+      |g2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(l) < 2 THEN array_to_string(l, ' ')
+      |         ELSE l[g] || ' ' || l[g+1] END AS s
+      |  FROM tok, unnest(range(1, greatest(len(l) - 1, 1) + 1)) AS u(g)),
+      |c2 AS (SELECT doc_id, s, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM c2 GROUP BY 1)
+      |SELECT a3.doc_id, CAST(n3 AS INT) AS n3,
+      |  round(1.0 - d3 / n3, 6) AS rep3,
+      |  round(top2 / n2, 6) AS top2_frac
+      |FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id
+      |ORDER BY a3.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition _,
     "text_ngram_freq" -> textNgramFreq _,
     "text_chunks" -> textChunks _,
     "text_lm_score" -> textLmScore _,
@@ -456,6 +516,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_chunks" -> textChunksSql,
     "text_lm_score" -> textLmScoreSql,

@@ -446,7 +446,59 @@ object StreamingTwins {
       |  max(CASE WHEN lo = 0 THEN 33 ELSE 33 - length(bin(lo)) END) AS m
       |FROM h GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- G11
+  /** Built-in gap-session windows (`session_window`, Spark 3.2+) —
+    * the DECLARATIVE twin of G2's hand-rolled flatMapGroupsWithState
+    * sessionizer: the same 30-minute-gap semantics expressed as a
+    * groupBy(session_window) aggregation whose merge/evict logic the
+    * engine owns (state sized by OPEN sessions, evicted by the
+    * watermark — the production default unless custom state is truly
+    * needed). Append mode + the sentinel-flush protocol emits every
+    * real session. Boundary semantics differ from G2 in two
+    * documented ways the oracle mirrors: a gap of EXACTLY 30 minutes
+    * starts a new session (windows are half-open [t, t+gap)), and the
+    * reported end is last_ts + gap (the window's exclusive end), not
+    * last_ts. */
+  def streamingSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch_*")
+    val agg = src
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    runToCompletion(agg, "append", "twin_session_window")
+      .filter($"user_id" >= 0)
+      .select($"user_id",
+        $"session_window.start".cast("timestamp_ntz").as("session_start"),
+        $"session_window.end".cast("timestamp_ntz").as("session_end"),
+        $"n_events")
+  }
+
+  /** G2's island SQL with the two built-in boundary differences:
+    * >= for the gap test, last_ts + 30 min for the end. */
+  val streamingSessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_session_window" -> streamingSessionWindow _,
     "streaming_left_join" -> streamingLeftJoin _,
     "streaming_hll" -> streamingHll _,
     "streaming_interval_join" -> streamingIntervalJoin _,
@@ -459,6 +511,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_session_window" -> streamingSessionWindowSql,
     "streaming_left_join" -> streamingLeftJoinSql,
     "streaming_hll" -> streamingHllSql,
     "streaming_interval_join" -> streamingIntervalJoinSql,

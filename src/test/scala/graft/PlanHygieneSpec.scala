@@ -34,6 +34,9 @@ class PlanHygieneSpec extends SparkSuite {
       + "customer-table ranks are partition-local (distributedRank)"),
     "mix_rebalance" -> ("total-count/total-weight windows over the "
       + "per-source counts relation: |sources| rows (≤10), broadcast "
+      + "back onto the scan"),
+    "sample_temperature" -> ("sum-of-weights/total windows over the "
+      + "per-source counts relation: |sources| rows (≤10), broadcast "
       + "back onto the scan"))
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
