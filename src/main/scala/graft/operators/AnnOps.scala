@@ -1144,7 +1144,118 @@ object AnnOps {
       |LEFT JOIN hits h ON h.np = g.np AND h.w = g.w
       |ORDER BY nprobe, width""".stripMargin
 
+  // ---------------------------------------------------------------- E11
+  /** Incremental vector ingest — the D9/D13 story for the ANN index:
+    * a NEW batch of vectors (deterministic md5 10% split) is encoded
+    * against the EXISTING index — cell assignment from the standing
+    * centroids, PQ codes from the standing codebook — with NO
+    * retraining and no touch of the standing codes. This is the
+    * production write path of a vector store: train rarely, encode
+    * every batch. The standing index (old-corpus centroids + old-
+    * trained codebook) comes from the run-shared store, so a daily
+    * batch pays exactly two broadcast-argmin projections over its own
+    * rows: O(batch), like D9. Output = the batch's inverted-file
+    * entries (vec_id, cell, j, c) — all integer selection,
+    * oracle-replayed end to end including the old-only training. */
+  def embIncrementalEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val isNew = gf.h32($"vec_id".cast("string")) % 10 === 0
+    val out = AnnIndexStore.get(spark, "pqold_" + indexKey(sfDir),
+      Seq("centroids", "codebook")) {
+      val old = emb.filter(!isNew)
+      val (_, cent1, _) = pqCore(subspaceRel(old))
+      Seq(ivfCentroids(old), cent1)
+    }
+    val (cents, cent1) = (out(0), out(1))
+    val newEmb = emb.filter(isNew)
+    val assigned = ivfAssign(newEmb, cents).select($"vec_id", $"cell")
+    val codes = subspaceRel(newEmb)
+      .join(broadcast(cent1), Seq("j"))
+      .withColumn("d2", gf.l2sq_long($"vsub", $"csub"))
+      .groupBy($"vec_id", $"j")
+      .agg(min_by($"c", struct($"d2", $"c")).as("c"))
+    codes.join(assigned, "vec_id")
+      .select($"vec_id", $"cell", $"j", $"c")
+      .orderBy($"vec_id", $"j")
+  }
+
+  val embIncrementalEncodeSql: String =
+    """WITH qg AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+      |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+      |      AS is_new
+      |  FROM embeddings),
+      |oldv AS (SELECT vec_id, label, q FROM qg WHERE NOT is_new),
+      |newv AS (SELECT vec_id, label, q FROM qg WHERE is_new),
+      |cent AS (
+      |  SELECT label AS cell, d,
+      |    CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM oldv, (SELECT unnest(range(1, 65)) AS d) ds
+      |  GROUP BY label, d),
+      |celldist AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q[c.d] - c.cv) * (v.q[c.d] - c.cv)) AS BIGINT) AS d2
+      |  FROM newv v JOIN cent c ON true
+      |  GROUP BY v.vec_id, c.cell),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist) WHERE rn = 1),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |vso AS (
+      |  SELECT vec_id, j, list_slice(q, j*8 + 1, j*8 + 8) AS vsub
+      |  FROM oldv, js),
+      |vsn AS (
+      |  SELECT vec_id, j, list_slice(q, j*8 + 1, j*8 + 8) AS vsub
+      |  FROM newv, js),
+      |anch AS (
+      |  SELECT q, row_number() OVER (ORDER BY hr, vec_id) - 1 AS c
+      |  FROM (
+      |    SELECT vec_id, q,
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hr
+      |    FROM oldv ORDER BY hr, vec_id LIMIT 16)),
+      |cb0 AS (
+      |  SELECT c, j, list_slice(q, j*8 + 1, j*8 + 8) AS csub
+      |  FROM anch, js),
+      |d0 AS (
+      |  SELECT v.vec_id, v.j, cb.c, v.vsub,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vso v JOIN cb0 cb ON v.j = cb.j),
+      |a0 AS (
+      |  SELECT vec_id, j, c, vsub FROM (
+      |    SELECT vec_id, j, c, vsub,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d0) WHERE r = 1),
+      |cent1 AS (
+      |  SELECT j, c, list(v ORDER BY d) AS csub FROM (
+      |    SELECT j, c, d,
+      |      CAST(floor(CAST(sum(vsub[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |    FROM a0, (SELECT unnest(range(1, 9)) AS d) ds
+      |    GROUP BY j, c, d)
+      |  GROUP BY j, c),
+      |d1n AS (
+      |  SELECT v.vec_id, v.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM vsn v JOIN cent1 cb ON v.j = cb.j),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d1n) WHERE r = 1)
+      |SELECT c.vec_id, a.cell, c.j, c.c
+      |FROM codes c JOIN assign a ON a.vec_id = c.vec_id
+      |ORDER BY c.vec_id, c.j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_incremental_encode" -> embIncrementalEncode _,
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
@@ -1156,6 +1267,7 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "emb_incremental_encode" -> embIncrementalEncodeSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

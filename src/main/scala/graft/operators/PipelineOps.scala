@@ -354,7 +354,68 @@ object PipelineOps {
       |  CAST(sum(kept) AS BIGINT) AS n_kept
       |FROM drawn GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- J11
+  /** Per-source dataset card — the composition report shipped next to
+    * a training corpus: document count, token volume, mean quality
+    * (C2's composite), and exact-duplicate rate per source. Quality
+    * means are INTEGERIZED to micro-units per doc before the
+    * cross-partition sum (merge-order-independent — the power-sum
+    * discipline); the dup flag is one md5-key count (≥2 occurrences),
+    * joined back as a left-semi-derived flag. Two linear aggs and a
+    * digest-key join: the text column never shuffles, and every
+    * metric is map-side combinable — the report costs one scan more
+    * than reading the corpus at any SF. */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nChars = length($"text")
+    val nAlpha = length(regexp_replace($"text", "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace($"text", "[^.,;:!?]", ""))
+    val nToks = size(split(trim($"text"), "\\s+"))
+    val score = coalesce(
+      (lit(0.4) * (nAlpha / nChars)) +
+        (lit(0.3) * (lit(1.0) - nPunct / nChars)) +
+        (lit(0.3) * least(lit(1.0), nToks / lit(100.0))),
+      lit(0.0))
+    val base = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", nToks.as("n_toks"),
+        floor(score * 1e6).cast("long").as("qm"), md5($"text").as("sig"))
+    val dupSigs = base.groupBy($"sig").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"sig")
+    base
+      .join(dupSigs.withColumn("is_dup", lit(1L)), Seq("sig"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("total_tokens"),
+        round(sum($"qm") / (count(lit(1)) * 1e6), 6).as("mean_quality"),
+        round(sum(coalesce($"is_dup", lit(0L))) / count(lit(1)), 6)
+          .as("dup_rate"))
+      .orderBy($"source")
+  }
+
+  val corpusReportSql: String =
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_toks,
+      |    CAST(floor(coalesce(
+      |      0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |             / length(text))
+      |      + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+      |               / length(text))
+      |      + 0.3 * least(1.0,
+      |          CAST(len(string_split_regex(trim(text), '\s+')) AS INT) / 100.0)
+      |      , 0.0) * 1e6) AS BIGINT) AS qm,
+      |    md5(text) AS sig
+      |  FROM documents),
+      |dup AS (SELECT sig FROM scored GROUP BY sig HAVING count(*) >= 2)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |  round(sum(qm) / (count(*) * 1e6), 6) AS mean_quality,
+      |  round(sum(CASE WHEN sig IN (SELECT sig FROM dup) THEN 1 ELSE 0 END)
+      |    / count(*), 6) AS dup_rate
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_report" -> corpusReport _,
     "sample_temperature" -> sampleTemperature _,
     "sample_weighted" -> sampleWeighted _,
     "text_vocab_oov" -> textVocabOov _,
@@ -425,6 +486,7 @@ object PipelineOps {
       |FROM ranked""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_report" -> corpusReportSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_weighted" -> sampleWeightedSql,
     "text_vocab_oov" -> textVocabOovSql,
