@@ -558,8 +558,85 @@ object EtlOps {
       |  UNION ALL SELECT 'o_orderdate', nn_date, nd_date, mn_date, mx_date FROM s) u
       |ORDER BY u.col_name""".stripMargin
 
+  // ---------------------------------------------------------------- A22
+  /** Column-type inference over string-staged data — the step a
+    * scraper pipeline runs between "every CSV cell is a string" and a
+    * typed warehouse load (the reference's tables arrive exactly this
+    * way): per column, the fraction of non-null values parseable as
+    * integer / numeric, and the recommended type (strictest that fits
+    * ALL values). The staged relation casts each column to string, so
+    * the inferencer sees the scraped world; classification is pure
+    * regex (identical semantics both engines — no locale-dependent
+    * parsing), melted via one `stack` so the whole report is ONE scan
+    * + one |columns|-row agg at any SF. */
+  def etlTypeInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val staged = Tables.orders(spark, sfDir).select(
+      $"o_orderkey".cast("string").as("o_orderkey"),
+      $"o_custkey".cast("string").as("o_custkey"),
+      $"o_orderstatus".cast("string").as("o_orderstatus"),
+      $"o_totalprice".cast("string").as("o_totalprice"),
+      $"o_orderpriority".cast("string").as("o_orderpriority"))
+    val melted = staged.select(expr(
+      """stack(5,
+        |'o_orderkey', o_orderkey,
+        |'o_custkey', o_custkey,
+        |'o_orderstatus', o_orderstatus,
+        |'o_totalprice', o_totalprice,
+        |'o_orderpriority', o_orderpriority) AS (col_name, val)""".stripMargin))
+    melted.groupBy($"col_name").agg(
+      count(lit(1)).as("n"),
+      sum(when($"val".isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when($"val".rlike("^-?\\d+$"), 1L).otherwise(0L)).as("n_int"),
+      sum(when($"val".rlike("^-?\\d+(\\.\\d+)?$"), 1L).otherwise(0L))
+        .as("n_num"))
+      .select($"col_name", $"n", $"n_null",
+        round($"n_int" / ($"n" - $"n_null"), 6).as("frac_int"),
+        round($"n_num" / ($"n" - $"n_null"), 6).as("frac_num"),
+        when($"n_int" === $"n" - $"n_null", "BIGINT")
+          .when($"n_num" === $"n" - $"n_null", "DOUBLE")
+          .otherwise("VARCHAR").as("recommended"))
+      .orderBy($"col_name")
+  }
+
+  val etlTypeInferSql: String =
+    """WITH staged AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+      |    CAST(o_custkey AS VARCHAR) AS o_custkey,
+      |    CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+      |    CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+      |    CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+      |  FROM orders),
+      |melted AS (
+      |  SELECT 'o_orderkey' AS col_name, o_orderkey AS val FROM staged
+      |  UNION ALL SELECT 'o_custkey', o_custkey FROM staged
+      |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM staged
+      |  UNION ALL SELECT 'o_totalprice', o_totalprice FROM staged
+      |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM staged)
+      |SELECT col_name, count(*) AS n,
+      |  CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  round(sum(CASE WHEN regexp_matches(val, '^-?\d+$')
+      |    THEN 1 ELSE 0 END)
+      |    / (count(*) - sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)), 6)
+      |    AS frac_int,
+      |  round(sum(CASE WHEN regexp_matches(val, '^-?\d+(\.\d+)?$')
+      |    THEN 1 ELSE 0 END)
+      |    / (count(*) - sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)), 6)
+      |    AS frac_num,
+      |  CASE
+      |    WHEN sum(CASE WHEN regexp_matches(val, '^-?\d+$') THEN 1 ELSE 0 END)
+      |      = count(*) - sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+      |      THEN 'BIGINT'
+      |    WHEN sum(CASE WHEN regexp_matches(val, '^-?\d+(\.\d+)?$')
+      |        THEN 1 ELSE 0 END)
+      |      = count(*) - sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+      |      THEN 'DOUBLE'
+      |    ELSE 'VARCHAR' END AS recommended
+      |FROM melted GROUP BY col_name ORDER BY col_name""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_type_infer" -> etlTypeInfer _,
     "etl_profile" -> etlProfile _,
     "etl_pipeline_composite" -> etlPipelineComposite _,
     "etl_scd2_history" -> etlScd2History _,
@@ -579,6 +656,7 @@ object EtlOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "etl_type_infer" -> etlTypeInferSql,
     "etl_profile" -> etlProfileSql,
     "etl_pipeline_composite" -> etlPipelineCompositeSql,
     "etl_scd2_history" -> etlScd2HistorySql,
