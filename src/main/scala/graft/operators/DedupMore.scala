@@ -259,11 +259,15 @@ object DedupMore {
     * would add a Bloom prefilter (I2) on the shared-gram set. */
   def dedupSpanCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = split(trim($"text"), "\\s+")
+    // tokens materialized as a column BEFORE the gram transform — a
+    // split expression referenced inside the lambda re-runs the regex
+    // once per gram position, O(tokens²) per doc (the C15 lesson)
+    val toks = $"toks"
     val g8 = when(size(toks) < 8, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - 8),
         i => concat_ws(" ", slice(toks, i + 1, lit(8)))))
     val pos = DedupOps.corpus(Tables.documents(spark, sfDir))
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
       .select($"doc_id", explode(g8).as("s"))
     // persisted: feeds both the shared-gram agg and the coverage join
     val posP = pos.persist()
