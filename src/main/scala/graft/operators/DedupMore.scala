@@ -175,13 +175,20 @@ object DedupMore {
     .select(col("doc_id"),
       gf.minhash_sig_mod(gf.shingle_md5_h32(col("text"), 3), 128).as("sig"))
 
+  /** The band-key fold: (band id, 8-long slice) → one portable BIGINT
+    * via md5-h32 of "id-v1-…-v8" — shared by the batch index (D13)
+    * and the streaming probe (G12) so their keys can never diverge. */
+  def bandKeyExpr(bandId: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    gf.h32(concat_ws("-", concat(array(bandId.cast("string")),
+      transform(key, x => x.cast("string")))))
+
   /** (doc_id, bk): one folded BIGINT band key per (doc, band). */
   def bandKeys(sigs: DataFrame): DataFrame = sigs
     .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(15)),
       b => slice(col("sig"), b * 8 + 1, lit(8)))))
-    .select(col("doc_id"), gf.h32(concat_ws("-",
-      concat(array(col("pos").cast("string")),
-        transform(col("col"), x => x.cast("string"))))).as("bk"))
+    .select(col("doc_id"),
+      bandKeyExpr(col("pos"), col("col")).as("bk"))
 
   /** Index build (run once per corpus, not per batch): writes the
     * standing corpus's band keys bucketed by band hash and its

@@ -497,7 +497,100 @@ object StreamingTwins {
       |  COUNT(*) AS n_events
       |FROM numbered GROUP BY user_id, session_seq""".stripMargin
 
+  // --------------------------------------------------------------- G12
+  /** Streaming ingest dedup against the D13 STANDING band index — the
+    * live twin of the daily-batch probe: incoming documents are
+    * minhashed IN-STREAM (the D2 signature expression runs inside the
+    * streaming projection), band-folded with the exact bandKeyExpr the
+    * batch index uses, and joined stream-static against the standing
+    * bucketed bands + signatures tables. Every stage is STATELESS
+    * (projections and stream-static joins — no watermark, no state
+    * store): state lives in the written index, not the stream, so an
+    * unbounded ingest holds nothing in memory. A pair matching in k
+    * bands emits k rows (one per matching band key) — the documented
+    * at-least-once shape of a stateless probe; the downstream consumer
+    * (or the batch D13 run) dedupes. The oracle replays candidate
+    * multiplicity exactly, including the band-key fold. */
+  private val stagedBand = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def streamingBandProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{DedupMore, DedupOps}
+    val name = "graft_sbp_" + math.abs(sfDir.hashCode)
+    val dir = stagedBand.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft_stream_band").toString
+      val all = DedupOps.corpus(Tables.documents(spark, sfDir))
+        .withColumn("is_new",
+          graft.functions.gf.h32($"doc_id".cast("string")) % 10 === 0)
+      DedupMore.buildBandIndex(spark,
+        all.filter(!$"is_new").select("doc_id", "text"), name, s"$d/index")
+      val newDocs = all.filter($"is_new").select($"doc_id", $"text")
+      newDocs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$d/batch_0")
+      newDocs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$d/batch_1")
+      val t0 = System.currentTimeMillis()
+      (0 to 1).foreach { i =>
+        val f = new java.io.File(s"$d/batch_$i")
+        (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      d
+    })
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch_*")
+    val sigs = src.select($"doc_id".as("id_new"),
+      graft.functions.gf.minhash_sig_mod(
+        graft.functions.gf.shingle_md5_h32($"text", 3), 128).as("sig1"))
+    val bands = sigs.select($"id_new", $"sig1",
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => slice($"sig1", b * 8 + 1, lit(8)))))
+      .select($"id_new", $"sig1",
+        DedupMore.bandKeyExpr($"pos", $"col").as("bk"))
+    val matched = bands
+      .join(spark.table(s"${name}_bands")
+        .select($"doc_id".as("id_old"), $"bk"), "bk")
+      .join(spark.table(s"${name}_sigs")
+        .select($"doc_id".as("id_old"), $"sig".as("sig2")), "id_old")
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), b => b))
+          / lit(128.0))
+      .filter($"est_jaccard" >= 0.5)
+      .select($"id_new", $"id_old", $"est_jaccard")
+    runToCompletion(matched, "append", "twin_band_probe")
+  }
+
+  val streamingBandProbeSql: String =
+    s"""WITH ${graft.operators.DedupOps.minhashSigSqlCtes},
+       |flag AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+       |      AS is_new
+       |  FROM corpus),
+       |bkr AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(band_id AS VARCHAR) || '-'
+       |      || array_to_string(key, '-')), 1, 8))::BIGINT AS bk
+       |  FROM band),
+       |cand AS (
+       |  SELECT n.doc_id AS id_new, o.doc_id AS id_old, n.bk
+       |  FROM bkr n JOIN flag fn ON fn.doc_id = n.doc_id AND fn.is_new
+       |  JOIN bkr o ON o.bk = n.bk
+       |  JOIN flag fo ON fo.doc_id = o.doc_id AND NOT fo.is_new),
+       |pe AS (
+       |  SELECT c.id_new, c.id_old,
+       |    CAST(sum(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS DOUBLE) / 128
+       |      AS est_jaccard
+       |  FROM (SELECT DISTINCT id_new, id_old FROM cand) c
+       |  JOIN mh m1 ON m1.doc_id = c.id_new
+       |  JOIN mh m2 ON m2.doc_id = c.id_old AND m2.j = m1.j
+       |  GROUP BY c.id_new, c.id_old)
+       |SELECT c.id_new, c.id_old, pe.est_jaccard
+       |FROM cand c
+       |JOIN pe ON pe.id_new = c.id_new AND pe.id_old = c.id_old
+       |WHERE pe.est_jaccard >= 0.5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_band_probe" -> streamingBandProbe _,
     "streaming_session_window" -> streamingSessionWindow _,
     "streaming_left_join" -> streamingLeftJoin _,
     "streaming_hll" -> streamingHll _,
@@ -511,6 +604,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_band_probe" -> streamingBandProbeSql,
     "streaming_session_window" -> streamingSessionWindowSql,
     "streaming_left_join" -> streamingLeftJoinSql,
     "streaming_hll" -> streamingHllSql,
