@@ -160,9 +160,54 @@ object ClusterOps {
         when(col("doc_id") === col("canonical_id"), "Y").otherwise("N"))
   }
 
+  // --------------------------------------------------------------- D15
+  /** Quality-aware canonical selection — what a production dedup
+    * actually retains: within each duplicate cluster keep the
+    * HIGHEST-QUALITY member (C2's composite signal), not the
+    * lowest-id one; min-id is only the deterministic tiebreak. On
+    * this corpus the distinction is real: near-copies differ
+    * textually, so their quality scores differ, and the argmax can
+    * disagree with D7's min-id choice. Quality is integerized to
+    * micro-units so the cross-engine argmax compares identical
+    * integers. Cluster labels and per-cluster winners are
+    * duplicate-sized relations (broadcast); the corpus itself takes
+    * one narrow scoring scan and two broadcast joins — no
+    * corpus-sized shuffle. */
+  def dedupCanonicalQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val nChars = length(col("text"))
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    val nToks = size(split(trim(col("text")), "\\s+"))
+    val score = coalesce(
+      (lit(0.4) * (nAlpha / nChars)) +
+        (lit(0.3) * (lit(1.0) - nPunct / nChars)) +
+        (lit(0.3) * least(lit(1.0), nToks / lit(100.0))),
+      lit(0.0))
+    val scored = corpus.select(col("doc_id"),
+      floor(score * 1e6).cast("long").as("qm"))
+    val labels = connectedComponents(DedupOps.minhashPipeline(corpus, 0.5))
+    // winners computed over LABELED docs only (duplicate-sized);
+    // singletons fall back to self below
+    val best = scored.join(broadcast(labels), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min_by(col("doc_id"),
+        struct((-col("qm")).as("nq"), col("doc_id"))).as("canonical_id"))
+    scored
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(broadcast(best), Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        col("qm").as("quality_micro"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep_flag",
+        when(col("doc_id") === col("canonical_id"), "Y").otherwise("N"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters _,
-    "dedup_canonical" -> dedupCanonical _
+    "dedup_canonical" -> dedupCanonical _,
+    "dedup_canonical_quality" -> dedupCanonicalQuality _
   )
 
   /** Shared oracle CTE chain: replay the portable MinHash pair
@@ -197,8 +242,36 @@ object ClusterOps {
        |    THEN 'Y' ELSE 'N' END AS keep_flag
        |FROM corpus c LEFT JOIN lab ON c.doc_id = lab.doc_id""".stripMargin
 
+  val dedupCanonicalQualitySql: String =
+    s"""WITH RECURSIVE $componentsSqlCtes,
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(floor(coalesce(
+       |      0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |             / length(text))
+       |      + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+       |               / length(text))
+       |      + 0.3 * least(1.0,
+       |          CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+       |            / 100.0)
+       |      , 0.0) * 1e6) AS BIGINT) AS qm
+       |  FROM corpus),
+       |f AS (
+       |  SELECT q.doc_id, coalesce(lab.cluster_id, q.doc_id) AS cluster_id, qm
+       |  FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY qm DESC, doc_id) AS rn
+       |    FROM f) WHERE rn = 1)
+       |SELECT f.doc_id, f.cluster_id, f.qm AS quality_micro, b.canonical_id,
+       |  CASE WHEN f.doc_id = b.canonical_id THEN 'Y' ELSE 'N' END AS keep_flag
+       |FROM f JOIN best b ON b.cluster_id = f.cluster_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_canonical" -> dedupCanonicalSql
+    "dedup_canonical" -> dedupCanonicalSql,
+    "dedup_canonical_quality" -> dedupCanonicalQualitySql
   )
 }
