@@ -258,16 +258,17 @@ object ClusterOps {
        |  FROM corpus),
        |f AS (
        |  SELECT q.doc_id, coalesce(lab.cluster_id, q.doc_id) AS cluster_id, qm
-       |  FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id),
-       |best AS (
-       |  SELECT cluster_id, doc_id AS canonical_id FROM (
-       |    SELECT cluster_id, doc_id,
-       |      row_number() OVER (PARTITION BY cluster_id
-       |        ORDER BY qm DESC, doc_id) AS rn
-       |    FROM f) WHERE rn = 1)
-       |SELECT f.doc_id, f.cluster_id, f.qm AS quality_micro, b.canonical_id,
-       |  CASE WHEN f.doc_id = b.canonical_id THEN 'Y' ELSE 'N' END AS keep_flag
-       |FROM f JOIN best b ON b.cluster_id = f.cluster_id""".stripMargin
+       |  FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id)
+       |-- single reference to f: DuckDB inlines CTEs PER REFERENCE, so a
+       |-- best-members self-join would run the minhash + recursive-closure
+       |-- chain twice (measured: unbounded spill at sf0.1); the window
+       |-- form computes the per-cluster argmax in one pass
+       |SELECT doc_id, cluster_id, qm AS quality_micro,
+       |  first_value(doc_id) OVER w AS canonical_id,
+       |  CASE WHEN doc_id = first_value(doc_id) OVER w
+       |    THEN 'Y' ELSE 'N' END AS keep_flag
+       |FROM f
+       |WINDOW w AS (PARTITION BY cluster_id ORDER BY qm DESC, doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
