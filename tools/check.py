@@ -54,6 +54,9 @@ def norm(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # big recursive-CTE oracles spill; keep the spill off the repo cwd
+    # (concurrent checkers sharing ./.tmp corrupt each other's files)
+    con.execute("SET temp_directory='/tmp/graft_check_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
