@@ -1254,8 +1254,222 @@ object AnnOps {
       |FROM codes c JOIN assign a ON a.vec_id = c.vec_id
       |ORDER BY c.vec_id, c.j""".stripMargin
 
+  // ---------------------------------------------------------------- E12
+  /** Residual-encoded IVFPQ quality sweep — E10's recall grid over
+    * E8's residual codes, completing the tuning matrix: a production
+    * store picks BOTH the encoding (raw E6/E7 vs residual E8) and the
+    * knobs (nprobe × width), and this pair of tables is how the choice
+    * is made on the actual corpus. The per-(query, probed-cell)
+    * residual LUT carries the probe RANK, so one ADC pass again serves
+    * every grid point; index artifacts come from the run-shared store
+    * (no training on the query path). On this uniform-random corpus
+    * the curve sits at raw-PQ parity (the E8 scaladoc's honesty note,
+    * now measured across the whole grid rather than one point). */
+  def annResidualSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val (cents, assigned) = ivfIndex(spark, sfDir)
+    val (codes, cent1) = pqResidualIndex(spark, sfDir)
+    val centSubs = centSubsOf(cents)
+    val qw = Window.partitionBy($"qid").orderBy($"qdist2", $"cell")
+    val probeRanked = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist2", gf.l2sq_long(quantize($"qv"), $"centroid_q"))
+      .withColumn("cellrn", row_number().over(qw))
+      .filter($"cellrn" <= 4)
+      .select($"qid", $"cell", $"cellrn")
+    val qsubs = subspaceRel(emb.filter($"vec_id" < 10))
+      .select($"vec_id".as("qid"), $"j", $"vsub".as("qsub"))
+    val lut = probeRanked.join(qsubs, "qid")
+      .join(broadcast(centSubs), Seq("cell", "j"))
+      .select($"qid", $"cell", $"cellrn", $"j",
+        zip_with($"qsub", $"cellsub", (a, b) => a - b).as("qrsub"))
+      .join(broadcast(cent1), Seq("j"))
+      .select($"qid", $"cell", $"cellrn", $"j", $"c",
+        gf.l2sq_long($"qrsub", $"csub").as("pdi"))
+    val adc = codes
+      .join(assigned, "vec_id")
+      .join(broadcast(lut), Seq("cell", "j", "c"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id", $"cellrn")
+      .agg(sum($"pdi").as("adist"))
+    val wR = Window.partitionBy($"np", $"qid").orderBy($"adist", $"vec_id")
+    val cands = adc
+      .withColumn("np", explode(array((1 to 4).map(lit): _*)))
+      .filter($"cellrn" <= $"np")
+      .withColumn("r", row_number().over(wR))
+      .withColumn("w", explode(array(Seq(10, 25, 50).map(lit): _*)))
+      .filter($"r" <= $"w")
+      .select($"np", $"w", $"qid", $"vec_id".as("nid"))
+    val scored = cands
+      .join(emb.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .join(broadcast(emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))), "qid")
+      .select($"np", $"w", $"qid", $"nid",
+        round(gf.cosine_sim($"qe", $"ne"), 6).as("sim"))
+    val wTop = Window.partitionBy($"np", $"w", $"qid")
+      .orderBy($"sim".desc, $"nid")
+    val top5 = scored.withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 5).select($"np", $"w", $"qid", $"nid")
+    val queries10 = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val exact = bruteForceTopK(emb, queries10, 5).select(col("qid"), col("nid"))
+    val hits = top5.join(exact, Seq("qid", "nid"))
+      .groupBy($"np", $"w").agg(count(lit(1)).as("nh"))
+    val nq = queries10.agg(count(lit(1)).as("nq"))
+    val grid = (1 to 4).flatMap(np => Seq(10, 25, 50).map(w => (np, w)))
+      .toDF("np", "w")
+    grid.join(hits, Seq("np", "w"), "left")
+      .crossJoin(broadcast(nq))
+      .select($"np".as("nprobe"), $"w".as("width"),
+        round(coalesce($"nh", lit(0L)) / ($"nq" * 5.0), 6).as("recall"))
+      .orderBy($"nprobe", $"width")
+  }
+
+  val annResidualSweepSql: String =
+    """WITH qg AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS cell, d,
+      |    CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM qg, (SELECT unnest(range(1, 65)) AS d) ds
+      |  GROUP BY label, d),
+      |celldist AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q[c.d] - c.cv) * (v.q[c.d] - c.cv)) AS BIGINT) AS d2
+      |  FROM qg v JOIN cent c ON true
+      |  GROUP BY v.vec_id, c.cell),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist) WHERE rn = 1),
+      |proberk AS (
+      |  SELECT vec_id AS qid, cell, rn AS cellrn FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM celldist WHERE vec_id < 10) WHERE rn <= 4),
+      |centl AS (
+      |  SELECT cell, list(cv ORDER BY d) AS cq FROM cent GROUP BY 1),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |csub AS (
+      |  SELECT cell, j, list_slice(cq, j*8 + 1, j*8 + 8) AS cellsub
+      |  FROM centl, js),
+      |vsubs AS (
+      |  SELECT vec_id, j, list_slice(q, j*8 + 1, j*8 + 8) AS vsub
+      |  FROM qg, js),
+      |rsubs AS (
+      |  SELECT v.vec_id, v.j,
+      |    list_transform(range(1, 9), i -> v.vsub[i] - cs.cellsub[i]) AS vsub
+      |  FROM vsubs v
+      |  JOIN assign a ON a.vec_id = v.vec_id
+      |  JOIN csub cs ON cs.cell = a.cell AND cs.j = v.j),
+      |anchids AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY hr, vec_id) - 1 AS c
+      |  FROM (
+      |    SELECT DISTINCT vec_id,
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hr
+      |    FROM rsubs ORDER BY hr, vec_id LIMIT 16)),
+      |cb0 AS (
+      |  SELECT a.c, r.j, r.vsub AS csub
+      |  FROM anchids a JOIN rsubs r ON r.vec_id = a.vec_id),
+      |d0 AS (
+      |  SELECT v.vec_id, v.j, cb.c, v.vsub,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM rsubs v JOIN cb0 cb ON v.j = cb.j),
+      |a0 AS (
+      |  SELECT vec_id, j, c, vsub FROM (
+      |    SELECT vec_id, j, c, vsub,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d0) WHERE r = 1),
+      |cent1 AS (
+      |  SELECT j, c, list(v ORDER BY d) AS csub FROM (
+      |    SELECT j, c, d,
+      |      CAST(floor(CAST(sum(vsub[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |    FROM a0, (SELECT unnest(range(1, 9)) AS d) ds
+      |    GROUP BY j, c, d)
+      |  GROUP BY j, c),
+      |d1 AS (
+      |  SELECT v.vec_id, v.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (v.vsub[i] - cb.csub[i]) * (v.vsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS d2
+      |  FROM rsubs v JOIN cent1 cb ON v.j = cb.j),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+      |    FROM d1) WHERE r = 1),
+      |qr AS (
+      |  SELECT p.qid, p.cell, p.cellrn, v.j,
+      |    list_transform(range(1, 9), i -> v.vsub[i] - cs.cellsub[i]) AS qrsub
+      |  FROM proberk p
+      |  JOIN vsubs v ON v.vec_id = p.qid
+      |  JOIN csub cs ON cs.cell = p.cell AND cs.j = v.j),
+      |lut AS (
+      |  SELECT q.qid, q.cell, q.cellrn, q.j, cb.c,
+      |    CAST(list_aggregate(list_transform(range(1, 9), i ->
+      |      (q.qrsub[i] - cb.csub[i]) * (q.qrsub[i] - cb.csub[i])),
+      |      'sum') AS BIGINT) AS pdi
+      |  FROM qr q JOIN cent1 cb ON q.j = cb.j),
+      |adc AS (
+      |  SELECT l.qid, co.vec_id, l.cellrn, CAST(sum(l.pdi) AS BIGINT) AS adist
+      |  FROM codes co
+      |  JOIN assign a ON a.vec_id = co.vec_id
+      |  JOIN lut l ON l.cell = a.cell AND l.j = co.j AND l.c = co.c
+      |  WHERE co.vec_id <> l.qid GROUP BY 1, 2, 3),
+      |nps AS (SELECT unnest(range(1, 5)) AS np),
+      |ws AS (SELECT unnest([10, 25, 50]) AS w),
+      |rankedper AS (
+      |  SELECT np, qid, vec_id, adist,
+      |    row_number() OVER (PARTITION BY np, qid ORDER BY adist, vec_id) AS r
+      |  FROM adc, nps WHERE cellrn <= np),
+      |cands AS (
+      |  SELECT np, w, qid, vec_id AS nid FROM rankedper, ws WHERE r <= w),
+      |scored AS (
+      |  SELECT np, w, qid, nid,
+      |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+      |      ne.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cands
+      |  JOIN embeddings qe ON qe.vec_id = qid
+      |  JOIN embeddings ne ON ne.vec_id = nid),
+      |top5 AS (
+      |  SELECT np, w, qid, nid FROM (
+      |    SELECT np, w, qid, nid,
+      |      row_number() OVER (PARTITION BY np, w, qid
+      |        ORDER BY sim DESC, nid) AS rk
+      |    FROM scored) WHERE rk <= 5),
+      |xpairs AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+      |      e.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings q, embeddings e
+      |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |exact AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      |    FROM xpairs) WHERE rk <= 5),
+      |hits AS (
+      |  SELECT np, w, count(*) AS nh
+      |  FROM top5 t JOIN exact e ON e.qid = t.qid AND e.nid = t.nid
+      |  GROUP BY 1, 2)
+      |SELECT CAST(g.np AS INT) AS nprobe, CAST(g.w AS INT) AS width,
+      |  round(coalesce(h.nh, 0) / (5.0 *
+      |    (SELECT count(*) FROM embeddings WHERE vec_id < 10)), 6) AS recall
+      |FROM (SELECT np, w FROM nps, ws) g
+      |LEFT JOIN hits h ON h.np = g.np AND h.w = g.w
+      |ORDER BY nprobe, width""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_incremental_encode" -> embIncrementalEncode _,
+    "ann_residual_sweep" -> annResidualSweep _,
     "ann_bruteforce" -> annBruteforce _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
@@ -1268,6 +1482,7 @@ object AnnOps {
 
   def oracleSql: Map[String, String] = Map(
     "emb_incremental_encode" -> embIncrementalEncodeSql,
+    "ann_residual_sweep" -> annResidualSweepSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,

@@ -148,4 +148,17 @@ class AnnSpec extends SparkSuite {
     val r45 = rows.find(r => r._1 == 4 && r._2 == 50).get._3
     assert(r45 >= r11, s"grid corners inverted: $r45 < $r11")
   }
+
+  test("residual IVFPQ sweep: full grid, recall in [0,1], monotone along the width axis") {
+    val rows = AnnOps.annResidualSweep(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("width"),
+        r.getAs[Double]("recall")))
+    assert(rows.length == 12, rows.mkString(","))
+    assert(rows.forall { case (_, _, r) => r >= 0.0 && r <= 1.0 })
+    rows.groupBy(_._1).foreach { case (np, gs) =>
+      val byWidth = gs.sortBy(_._2).map(_._3)
+      assert(byWidth.zip(byWidth.tail).forall { case (a, b) => b >= a },
+        s"nprobe=$np recalls not monotone in width: ${byWidth.mkString(",")}")
+    }
+  }
 }

@@ -47,6 +47,8 @@ class PlanHygieneSpec extends SparkSuite {
     "ann_ivfpq_residual" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
     "ann_ivfpq_sweep" -> ("crossJoin(broadcast(cell centroids)) ≤10 rows "
       + "+ crossJoin(broadcast(1-row query count))"),
+    "ann_residual_sweep" -> ("crossJoin(broadcast(cell centroids)) ≤10 rows "
+      + "+ crossJoin(broadcast(1-row query count))"),
     "emb_incremental_encode" ->
       "crossJoin(broadcast(standing cell centroids)): ≤10 rows",
     "etl_profile" -> "profile assembly: joins of 1-row per-column aggregates",
