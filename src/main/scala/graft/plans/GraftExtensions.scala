@@ -36,8 +36,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_cosine_sim", es => CosineSim(es.head, es(1))))
     e.injectFunction(fn("graft_l2_dist", es => L2Dist(es.head, es(1))))
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
+}
+
+/** Optimizer rule (opt-in via `spark.graft.approxDistinct.enabled`):
+  * rewrite exact `count(DISTINCT x)` aggregates to HyperLogLog++
+  * (`approx_count_distinct`, 5% rsd). At 100 TB an exact distinct
+  * forces either an Expand (one duplicated row per distinct-agg) or a
+  * two-level shuffle keyed on the VALUE — both scale with the data;
+  * the sketch keeps the aggregation single-pass, map-side combinable,
+  * and constant-state. This is the lever the A20/J11 scaladocs
+  * describe ("approx_count_distinct at scale") made into a
+  * session-wide switch: turn it on for the profiling/reporting tier,
+  * leave analytics exact. Multi-argument counts and filtered
+  * aggregates are left untouched (HLL++ here takes one child); the
+  * rewrite keeps the aggregate's result id, so nothing above the
+  * Aggregate re-resolves. */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HyperLogLogPlusPlus}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.approxDistinct.enabled", "false")
+      .toBoolean) plan
+    else plan.transformAllExpressions {
+      case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _) =>
+        AggregateExpression(HyperLogLogPlusPlus(child), Complete,
+          isDistinct = false, filter = None, resultId = ae.resultId)
+    }
 }
 
 /** Optimizer rule: self-comparisons of graft metrics are constants —

@@ -134,6 +134,32 @@ class ExtensionsSpec extends SparkSuite {
     assert(df.collect().forall(_.getInt(0) == 0))
   }
 
+  test("ApproxDistinctRewrite swaps count(DISTINCT) for HLL++ only when enabled") {
+    def q = Tables.orders(extSpark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(count_distinct(col("o_custkey")).as("nd"))
+    val key = "spark.graft.approxDistinct.enabled"
+    try {
+      extSpark.conf.set(key, "false")
+      val exactPlan = q.queryExecution.optimizedPlan.toString
+      assert(!exactPlan.contains("approx_count_distinct"), exactPlan)
+      val exact = q.collect().map(r =>
+        r.getAs[String]("o_orderstatus") -> r.getAs[Long]("nd")).toMap
+      extSpark.conf.set(key, "true")
+      val approxPlan = q.queryExecution.optimizedPlan.toString
+      assert(approxPlan.contains("approx_count_distinct"), approxPlan)
+      val approx = q.collect().map(r =>
+        r.getAs[String]("o_orderstatus") -> r.getAs[Long]("nd")).toMap
+      // HLL++ at the default 5% rsd stays within 10% of exact here
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (k, a) =>
+        val e = exact(k)
+        assert(math.abs(a - e) <= math.max(2L, (0.1 * e).toLong),
+          s"$k: approx $a vs exact $e")
+      }
+    } finally extSpark.conf.unset(key)
+  }
+
   test("extension session plans AsOfJoinNode without imperative registration") {
     import extSpark.implicits._
     // no AsOfExec.ensureStrategy call: the injected planner strategy
