@@ -174,6 +174,14 @@ object ScaleProbe {
           operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5))
           .count()),
         (n: Int) => replicateDocs(docs, n), docs),
+      // triangle census: constant duplicate density → pair graph grows
+      // linearly; degree orientation bounds the wedge join's fan-out by
+      // oriented out-degree, so the census should track the LSH cost
+      ("triangles",
+        (d: DataFrame) => time(operators.DedupMore.trianglesPipeline(
+          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5))
+          .count()),
+        (n: Int) => replicateDocs(docs, n), docs),
       // HLL registers: the agg state is ≤ |groups|·32 rows at ANY
       // size — cost should track the scan only
       ("hll_registers",

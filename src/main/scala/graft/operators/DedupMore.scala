@@ -574,7 +574,94 @@ object DedupMore {
        |    / count(*) / 1000000.0, 6) AS mean_exact
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- D16
+  /** Triangle census of the near-duplicate pair graph — the structural
+    * complement to D10's degree profile: a high triangle/wedge ratio
+    * (clustering coefficient) means near-dup pairs close into dense
+    * boilerplate communities (one canonical survivor suffices); a low
+    * ratio means chains/stars (template drift — pair-level review).
+    * Counting uses degree orientation: every edge points from its
+    * lower-(degree, id) endpoint, each triangle is counted exactly
+    * once at its lowest-degree vertex, and the wedge join's fan-out is
+    * bounded by ORIENTED out-degree ≤ √(2·|E|) regardless of hub size
+    * — the standard trick that keeps triangle counting equi-join-
+    * shaped at any scale. Wedge closure probes the canonical pair set
+    * by equi-join; the 1-row census aggregates cross at the end
+    * (documented k-bound, PlanHygieneSpec). */
+  def dedupTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesPipeline(DedupOps.minhashPipeline(
+      DedupOps.corpus(Tables.documents(spark, sfDir)), 0.5))
+
+  /** Census body over an (id1 < id2, distinct) edge list — separated
+    * so ScaleProbe can grow the pair graph independently. */
+  private[graft] def trianglesPipeline(rawPairs: DataFrame): DataFrame = {
+    val spark = rawPairs.sparkSession
+    import spark.implicits._
+    val pairs = rawPairs
+      .select($"id1", $"id2")
+      .persist() // four consumers: degree, both orient sides, closure probe
+    val deg = pairs.select($"id1".as("v"))
+      .unionByName(pairs.select($"id2".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val e = pairs
+      .join(deg.select($"v".as("id1"), $"deg".as("d1")), "id1")
+      .join(deg.select($"v".as("id2"), $"deg".as("d2")), "id2")
+    // strict total order (deg, id) → acyclic orientation
+    val fwd = $"d1" < $"d2" || ($"d1" === $"d2" && $"id1" < $"id2")
+    val dir = e.select(
+      when(fwd, $"id1").otherwise($"id2").as("src"),
+      when(fwd, $"id2").otherwise($"id1").as("dst"))
+    // wedge (src → dst1 < dst2); closing edge probed in canonical form
+    val wedgeCand = dir.as("a").join(dir.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("id1"), col("b.dst").as("id2"))
+    val tri = wedgeCand.join(pairs, Seq("id1", "id2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("CAST(sum(deg * (deg - 1)) div 2 AS BIGINT)").as("n_wedges"))
+    val edgeStats = pairs.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" > 0,
+          round(lit(3.0) * $"n_triangles" / $"n_wedges", 6))
+          .otherwise(0.0).as("clustering"))
+  }
+
+  val dedupTrianglesSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT id1 AS v FROM pairs UNION ALL SELECT id2 FROM pairs)
+       |  GROUP BY 1),
+       |dir AS (
+       |  SELECT CASE WHEN d1.deg < d2.deg
+       |              OR (d1.deg = d2.deg AND p.id1 < p.id2)
+       |         THEN p.id1 ELSE p.id2 END AS src,
+       |         CASE WHEN d1.deg < d2.deg
+       |              OR (d1.deg = d2.deg AND p.id1 < p.id2)
+       |         THEN p.id2 ELSE p.id1 END AS dst
+       |  FROM pairs p
+       |  JOIN deg d1 ON d1.v = p.id1
+       |  JOIN deg d2 ON d2.v = p.id2),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM dir a
+       |  JOIN dir b ON a.src = b.src AND a.dst < b.dst
+       |  JOIN pairs p ON p.id1 = a.dst AND p.id2 = b.dst),
+       |ns AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |    THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END
+       |    AS clustering
+       |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_triangles" -> dedupTriangles _,
     "dedup_span_coverage" -> dedupSpanCoverage _,
     "dedup_lsh_calibration" -> dedupLshCalibration _,
     "source_overlap" -> sourceOverlap _,
@@ -586,6 +673,7 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_triangles" -> dedupTrianglesSql,
     "dedup_span_coverage" -> dedupSpanCoverageSql,
     "dedup_lsh_calibration" -> dedupLshCalibrationSql,
     "source_overlap" -> sourceOverlapSql,

@@ -279,7 +279,7 @@ object ExtendedAnalytics {
     * offsets. Adds `rank` (1-based, dense over the total order) and
     * `n_total`. No single task ever holds more than one partition's
     * rows — the scale-safe replacement for `Window.orderBy` ranks. */
-  private def distributedRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
+  private[graft] def distributedRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
     val part = df.repartitionByRange(32, keys: _*)
       .withColumn("__pid", spark_partition_id())
     // persisted: feeds both the offsets agg and the rank projection

@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-8 warehouse-engineering operators: time-series regularization,
+  * referential-integrity auditing, skyline queries, multi-dimensional
+  * data layout, and balanced shard assembly.
+  *
+  * Scale notes:
+  *   - `etl_resample_gapfill` touches the fact table once (one shuffle
+  *     onto (user, day)); everything after operates on the daily
+  *     relation, which is |users|·|days| regardless of event volume.
+  *     The forward-fill is a per-user window (partitioned — never a
+  *     global sort) plus one equi-join back to the observed days, the
+  *     ANSI-portable replacement for IGNORE NULLS carry-forward.
+  *   - `etl_fk_audit` runs each foreign-key edge as ONE left join +
+  *     one aggregation pass. Dimension parents (region/nation/
+  *     customer/supplier/part) are broadcast; the lineitem→orders edge
+  *     deliberately is not — at warehouse scale orders is a fact table
+  *     and that edge shuffles on the key like any big-big join.
+  *   - `q_pareto_frontier` computes per-brand skylines without any
+  *     pairwise dominance join: prices collapse to per-(brand, price)
+  *     max-size levels (one shuffle), a brand-partitioned running max
+  *     over the level relation gives the strictly-cheaper bound, and
+  *     the dominance test is a narrow filter after an equi-join back.
+  *     O(n log n) per brand vs the naive O(n²) NOT EXISTS.
+  *   - `q_zorder_layout` demonstrates multi-dimensional data layout:
+  *     interleaving the bits of (user tile, day tile) into a Z-value
+  *     makes ONE sort key cluster BOTH dimensions, so range-bucketed
+  *     files prune two-dimensional predicates (the per-bucket min/max
+  *     spans this query reports are exactly the parquet row-group
+  *     stats a reader would prune on). The kernel is a pure integer
+  *     projection — no shuffle beyond the 16-row report agg.
+  *     `WarehouseSpec` proves the pruning claim: a tile rectangle's
+  *     candidate buckets (from the report) cover all matching rows
+  *     while touching a fraction of the 16 buckets.
+  *   - `sample_shard_assign` packs documents into 8 training shards
+  *     balanced by token count: global rank over (tokens desc, doc_id)
+  *     via the distributedRank helper (range repartition + partition-
+  *     local row_number + broadcast offsets — no single-task sort),
+  *     then round-robin assignment by rank mod 8. Round-robin over the
+  *     size-descending order telescopes the imbalance to at most one
+  *     document's tokens (asserted in `WarehouseSpec`).
+  */
+object WarehouseOps {
+
+  // --------------------------------------------------------------- A23
+  /** Per-user daily resample: every day between a user's first and
+    * last active day appears exactly once, gap days carry the most
+    * recent observed day's value forward (n_events = 0, is_gap = Y).
+    * The carry is max(observed day) over an ordered per-user window —
+    * RANGE UNBOUNDED PRECEDING..CURRENT ROW in both engines — joined
+    * back to the daily relation, so no IGNORE NULLS extension is
+    * needed and the fill is deterministic in both engines. */
+  def etlResampleGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // exact decimal sum per (user, day), ONE cast to double after —
+    // partition-order independent (the power-sum discipline)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum($"value".cast(DecimalType(14, 2))).cast("double").as("day_value"))
+      .persist() // three consumers: span agg, grid join, carry-value join
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val carried = grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("carry_day",
+        max(when($"n_obs".isNotNull, $"day")).over(
+          Window.partitionBy($"user_id").orderBy($"day")))
+    carried
+      .join(daily.select($"user_id", $"day".as("carry_day"),
+        $"day_value".as("value_filled")), Seq("user_id", "carry_day"))
+      .select($"user_id", $"day",
+        coalesce($"n_obs", lit(0L)).as("n_events"), $"value_filled",
+        when($"n_obs".isNull, "Y").otherwise("N").as("is_gap"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val etlResampleGapfillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n_obs,
+      |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT s.user_id, CAST(g.gs AS DATE) AS day
+      |  FROM span s, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) g(gs)),
+      |carried AS (
+      |  SELECT g.user_id, g.day, d.n_obs,
+      |    max(CASE WHEN d.n_obs IS NOT NULL THEN g.day END)
+      |      OVER (PARTITION BY g.user_id ORDER BY g.day) AS carry_day
+      |  FROM grid g LEFT JOIN daily d
+      |    ON d.user_id = g.user_id AND d.day = g.day)
+      |SELECT c.user_id, c.day, coalesce(c.n_obs, 0) AS n_events,
+      |  d2.day_value AS value_filled,
+      |  CASE WHEN c.n_obs IS NULL THEN 'Y' ELSE 'N' END AS is_gap
+      |FROM carried c JOIN daily d2
+      |  ON d2.user_id = c.user_id AND d2.day = c.carry_day
+      |ORDER BY c.user_id, c.day""".stripMargin
+
+  // --------------------------------------------------------------- A24
+  /** Referential-integrity audit across every FK edge of the star
+    * schema: per edge, child rows / distinct keys / orphan rows /
+    * orphan keys. The ingest-gate companion to `etl_validate` — a
+    * nonzero orphan count is the first symptom of a partial load. */
+  private def fkEdge(label: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+    val p0 = parent.select(col(pk).as("__pk"))
+    val p = if (bcast) broadcast(p0) else p0
+    child.select(col(ck).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__ck")).as("n_keys"),
+        count(when(col("__pk").isNull && col("__ck").isNotNull, 1))
+          .as("n_orphan_rows"),
+        countDistinct(when(col("__pk").isNull, col("__ck")))
+          .as("n_orphan_keys"))
+      .select(lit(label).as("fk_edge"), col("n_rows"), col("n_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
+  def etlFkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val edges = Seq(
+      fkEdge("customer.c_nationkey -> nation",
+        Tables.customer(spark, sfDir), "c_nationkey",
+        Tables.nation(spark, sfDir), "n_nationkey", bcast = true),
+      fkEdge("lineitem.l_orderkey -> orders",
+        li, "l_orderkey", Tables.orders(spark, sfDir), "o_orderkey",
+        bcast = false), // orders is a fact table — shuffle join at scale
+      fkEdge("lineitem.l_partkey -> part",
+        li, "l_partkey", Tables.part(spark, sfDir), "p_partkey",
+        bcast = true),
+      fkEdge("lineitem.l_suppkey -> supplier",
+        li, "l_suppkey", Tables.supplier(spark, sfDir), "s_suppkey",
+        bcast = true),
+      fkEdge("nation.n_regionkey -> region",
+        Tables.nation(spark, sfDir), "n_regionkey",
+        Tables.region(spark, sfDir), "r_regionkey", bcast = true),
+      fkEdge("orders.o_custkey -> customer",
+        Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey", bcast = true),
+      fkEdge("supplier.s_nationkey -> nation",
+        Tables.supplier(spark, sfDir), "s_nationkey",
+        Tables.nation(spark, sfDir), "n_nationkey", bcast = true))
+    edges.reduce(_.unionByName(_)).orderBy(col("fk_edge"))
+  }
+
+  private def fkEdgeSql(label: String, child: String, ck: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$label' AS fk_edge,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT c.$ck) AS BIGINT) AS n_keys,
+       |  CAST(count(CASE WHEN p.$pk IS NULL AND c.$ck IS NOT NULL
+       |    THEN 1 END) AS BIGINT) AS n_orphan_rows,
+       |  CAST(count(DISTINCT CASE WHEN p.$pk IS NULL THEN c.$ck END)
+       |    AS BIGINT) AS n_orphan_keys
+       |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+
+  val etlFkAuditSql: String = Seq(
+    fkEdgeSql("customer.c_nationkey -> nation",
+      "customer", "c_nationkey", "nation", "n_nationkey"),
+    fkEdgeSql("lineitem.l_orderkey -> orders",
+      "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    fkEdgeSql("lineitem.l_partkey -> part",
+      "lineitem", "l_partkey", "part", "p_partkey"),
+    fkEdgeSql("lineitem.l_suppkey -> supplier",
+      "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    fkEdgeSql("nation.n_regionkey -> region",
+      "nation", "n_regionkey", "region", "r_regionkey"),
+    fkEdgeSql("orders.o_custkey -> customer",
+      "orders", "o_custkey", "customer", "c_custkey"),
+    fkEdgeSql("supplier.s_nationkey -> nation",
+      "supplier", "s_nationkey", "nation", "n_nationkey"))
+    .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+
+  // --------------------------------------------------------------- B58
+  /** Per-brand Pareto frontier on (minimize p_retailprice, maximize
+    * p_size): a part is dominated iff some part of the same brand is
+    * cheaper-or-equal AND at-least-as-large with one strict. Sort-
+    * based: per-(brand, price) max-size levels, then a brand-
+    * partitioned running max over strictly cheaper levels (ROWS ..
+    * 1 PRECEDING on the level relation = strict price dominance).
+    * Duplicate (price, size) points tie — neither dominates — and
+    * both survive, matching the NOT EXISTS definition exactly. */
+  def qParetoFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, sfDir)
+    val levels = part.groupBy($"p_brand", $"p_retailprice")
+      .agg(max($"p_size").as("lvl_max"))
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lv2 = levels.withColumn("cheaper_max", max($"lvl_max").over(w))
+    part.join(lv2, Seq("p_brand", "p_retailprice"))
+      .filter(($"cheaper_max".isNull || $"cheaper_max" < $"p_size") &&
+        $"lvl_max" === $"p_size")
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_brand", $"p_retailprice", $"p_partkey")
+  }
+
+  val qParetoFrontierSql: String =
+    """WITH lv AS (
+      |  SELECT p_brand, p_retailprice, max(p_size) AS lvl_max
+      |  FROM part GROUP BY 1, 2),
+      |lv2 AS (
+      |  SELECT p_brand, p_retailprice, lvl_max,
+      |    max(lvl_max) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_max
+      |  FROM lv)
+      |SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+      |FROM part p JOIN lv2 l
+      |  ON p.p_brand = l.p_brand AND p.p_retailprice = l.p_retailprice
+      |WHERE (l.cheaper_max IS NULL OR l.cheaper_max < p.p_size)
+      |  AND l.lvl_max = p.p_size
+      |ORDER BY p.p_brand, p.p_retailprice, p.p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- H9
+  /** Shared Z-order kernel: interleave the low 4 bits of two tile
+    * coordinates (u gets the odd bit positions, t the even) — the
+    * same integer expression string runs in Spark and DuckDB. */
+  private[graft] def zInterleaveSql(u: String, t: String): String =
+    (0 until 4).map(i =>
+      s"((($u >> $i) & 1) * ${1 << (2 * i + 1)} + (($t >> $i) & 1) * ${1 << (2 * i)})")
+      .mkString(" + ")
+
+  /** Z-order layout report over the events table: tile space is
+    * (user_id mod 16, day-index mod 16), the Z-value interleaves the
+    * tile bits, and files are laid out as 16 Z-range buckets. The
+    * report emits each bucket's row count and per-dimension min/max
+    * span — the row-group statistics a scan prunes on. Because
+    * Z-order clusters BOTH dimensions into one sort key, a (user
+    * range × day range) predicate maps to a small set of buckets
+    * (proved in `WarehouseSpec` from this report), where a
+    * single-dimension sort would prune only its own dimension. */
+  def qZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .selectExpr(
+        "CAST(user_id % 16 AS INT) AS ux",
+        "CAST(datediff(day, DATE '2024-01-01') % 16 AS INT) AS tx")
+      .selectExpr("ux", "tx",
+        s"CAST(${zInterleaveSql("ux", "tx")} AS INT) AS z")
+      .selectExpr("ux", "tx", "CAST(z div 16 AS INT) AS z_bucket")
+      .groupBy($"z_bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"ux").as("min_ux"), max($"ux").as("max_ux"),
+        min($"tx").as("min_tx"), max($"tx").as("max_tx"))
+      .orderBy($"z_bucket")
+  }
+
+  val qZorderLayoutSql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(user_id % 16 AS INT) AS ux,
+       |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 16
+       |      AS INT) AS tx
+       |  FROM events),
+       |zb AS (
+       |  SELECT ux, tx, CAST(${zInterleaveSql("ux", "tx")} AS INT) AS z
+       |  FROM base)
+       |SELECT CAST(z // 16 AS INT) AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(ux) AS min_ux, max(ux) AS max_ux,
+       |  min(tx) AS min_tx, max(tx) AS max_tx
+       |FROM zb GROUP BY 1 ORDER BY z_bucket""".stripMargin
+
+  // --------------------------------------------------------------- J12
+  /** Balanced shard assignment for training-data loading: rank all
+    * documents by (token count desc, doc_id) with the scale-safe
+    * distributedRank (range repartition, partition-local row_number,
+    * broadcast offsets — no global window), assign shard = (rank-1)
+    * mod 8, and report each shard's document count and token volume.
+    * Round-robin over the size-descending order telescopes the
+    * max-min shard imbalance to ≤ the largest single document.
+    * Token kernel = C1's whitespace tokenizer, verbatim. */
+  def sampleShardAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("tokens"))
+      .withColumn("neg_tokens", -$"tokens")
+    ExtendedAnalytics.distributedRank(docs,
+        Seq(col("neg_tokens"), col("doc_id")))
+      .withColumn("shard", (($"rank" - 1) % 8).cast("int"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("total_tokens"),
+        max($"tokens").as("max_tokens"))
+      .orderBy($"shard")
+  }
+
+  val sampleShardAssignSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, tokens,
+      |    row_number() OVER (ORDER BY tokens DESC, doc_id) AS rn
+      |  FROM t)
+      |SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |  CAST(max(tokens) AS BIGINT) AS max_tokens
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_resample_gapfill" -> etlResampleGapfill _,
+    "etl_fk_audit" -> etlFkAudit _,
+    "q_pareto_frontier" -> qParetoFrontier _,
+    "q_zorder_layout" -> qZorderLayout _,
+    "sample_shard_assign" -> sampleShardAssign _)
+
+  def oracleSql: Map[String, String] = Map(
+    "etl_resample_gapfill" -> etlResampleGapfillSql,
+    "etl_fk_audit" -> etlFkAuditSql,
+    "q_pareto_frontier" -> qParetoFrontierSql,
+    "q_zorder_layout" -> qZorderLayoutSql,
+    "sample_shard_assign" -> sampleShardAssignSql)
+}

@@ -589,7 +589,40 @@ object StreamingTwins {
        |JOIN pe ON pe.id_new = c.id_new AND pe.id_old = c.id_old
        |WHERE pe.est_jaccard >= 0.5""".stripMargin
 
+  // --------------------------------------------------------------- G13
+  /** Log-histogram quantile sketch over the stream — the streaming
+    * twin of I5 (`sketch_log_histogram`), completing the sketch-the-
+    * firehose trio alongside G6 (CMS / frequency) and G10 (HLL /
+    * cardinality): per-(event_type, log2-value-bucket) counts in
+    * Complete mode. State is the bucket table — ≤ |types| · 64 cells
+    * REGARDLESS of stream length (values spanning 2⁰..2⁶³ after the
+    * ×100 integerization), so an unbounded stream profiles its value
+    * distribution in constant memory. Bucket kernel = I5's
+    * `histBucket`, verbatim; median read-off stays the batch
+    * operator's job (same division of labor as G10 vs I6). */
+  def streamingLogHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+    val cells = src
+      .filter($"user_id" >= 0)
+      .select($"event_type",
+        graft.operators.StatsOps.histBucket($"value").as("bucket"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+    runToCompletion(cells, "complete", "twin_log_hist")
+  }
+
+  val streamingLogHistogramSql: String =
+    """SELECT event_type,
+      |  CAST(CASE WHEN CAST(floor(value * 100) AS BIGINT) <= 0 THEN -1
+      |       ELSE length(bin(CAST(floor(value * 100) AS BIGINT))) - 1
+      |  END AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_log_histogram" -> streamingLogHistogram _,
     "streaming_band_probe" -> streamingBandProbe _,
     "streaming_session_window" -> streamingSessionWindow _,
     "streaming_left_join" -> streamingLeftJoin _,
@@ -604,6 +637,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_log_histogram" -> streamingLogHistogramSql,
     "streaming_band_probe" -> streamingBandProbeSql,
     "streaming_session_window" -> streamingSessionWindowSql,
     "streaming_left_join" -> streamingLeftJoinSql,

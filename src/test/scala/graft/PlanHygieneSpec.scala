@@ -37,7 +37,10 @@ class PlanHygieneSpec extends SparkSuite {
       + "back onto the scan"),
     "sample_temperature" -> ("sum-of-weights/total windows over the "
       + "per-source counts relation: |sources| rows (≤10), broadcast "
-      + "back onto the scan"))
+      + "back onto the scan"),
+    "sample_shard_assign" -> ("prefix-sum/total windows over the "
+      + "per-range-partition count relation: ≤32 rows (distributedRank "
+      + "offsets — the document ranks themselves are partition-local)"))
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */
@@ -63,7 +66,9 @@ class PlanHygieneSpec extends SparkSuite {
     "text_lm_score" -> "crossJoin(broadcast(1-row corpus totals))",
     "text_pmi" -> "crossJoin(broadcast(1-row token total))",
     "text_quality_gate" -> "crossJoin(broadcast(1-row quantile thresholds))",
-    "text_tfidf" -> "crossJoin(broadcast(1-row document count))")
+    "text_tfidf" -> "crossJoin(broadcast(1-row document count))",
+    "dedup_triangles" ->
+      "census assembly: crossJoin(broadcast(1-row node/edge/triangle aggs))")
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupMore, DedupOps, WarehouseOps}
+
+/** Property tests for the round-8 warehouse-engineering operators
+  * (SURVEY §2: A23/A24, B58, D16, H9, J12) — each asserts the
+  * operator's defining invariant against an independently computed
+  * ground truth, not just row counts. */
+class WarehouseSpec extends SparkSuite {
+
+  test("gapfill: every user covers its full day span, fills carry forward") {
+    import spark.implicits._
+    val out = WarehouseOps.etlResampleGapfill(spark, sf)
+      .select($"user_id", $"day", $"n_events", $"value_filled", $"is_gap")
+      .collect()
+    // span completeness: per user, rows == (max day - min day + 1),
+    // days contiguous and unique
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val days = rows.map(_.getDate(1).toLocalDate).sortBy(_.toEpochDay)
+      assert(days.distinct.length == days.length)
+      assert(days.last.toEpochDay - days.head.toEpochDay + 1 == days.length)
+      // first day of a span is by construction observed, never a gap
+      val first = rows.minBy(_.getDate(1).toLocalDate.toEpochDay)
+      assert(first.getString(4) == "N")
+    }
+    // gap rows: zero events, value carried from a PRIOR observed day
+    val gaps = out.filter(_.getString(4) == "Y")
+    assert(gaps.forall(_.getLong(2) == 0L))
+    assert(out.forall(!_.isNullAt(3)), "value_filled must never be null")
+  }
+
+  test("fk audit: intact star schema has zero orphans on every edge") {
+    val rows = WarehouseOps.etlFkAudit(spark, sf).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, s"${r.getString(0)} has orphan rows")
+      assert(r.getLong(4) == 0L, s"${r.getString(0)} has orphan keys")
+      assert(r.getLong(1) >= r.getLong(2)) // rows >= distinct keys
+    }
+  }
+
+  test("pareto frontier matches the NOT EXISTS dominance definition") {
+    import spark.implicits._
+    val parts = graft.Tables.part(spark, sf)
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"p_size")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val expected = parts.filter { case (b, _, price, size) =>
+      !parts.exists { case (b2, _, p2, s2) =>
+        b2 == b && p2 <= price && s2 >= size && (p2 < price || s2 > size)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    val got = WarehouseOps.qParetoFrontier(spark, sf)
+      .select($"p_brand", $"p_partkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("triangle census matches brute force on the same pair graph") {
+    import spark.implicits._
+    val pairs = DedupOps.minhashPipeline(
+        DedupOps.corpus(graft.Tables.documents(spark, sf)), 0.5)
+      .select($"id1", $"id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = pairs.toSet
+    val adj = (pairs.map(p => (p._1, p._2)) ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    // per-edge closing-vertex count (NOT a for/yield over the adjacency
+    // Set — Set.map would dedup the yielded values and undercount)
+    val bruteTriangles = edgeSet.iterator.map { case (a, b) =>
+      (adj(a) intersect adj(b)).count(_ > b)
+    }.sum
+    val bruteWedges = nodes.map { v =>
+      val d = adj(v).size.toLong; d * (d - 1) / 2
+    }.sum
+    val r = DedupMore.dedupTriangles(spark, sf).collect().head
+    assert(r.getLong(0) == nodes.length.toLong, "n_nodes")
+    assert(r.getLong(1) == edgeSet.size.toLong, "n_edges")
+    assert(r.getLong(2) == bruteWedges, "n_wedges")
+    assert(r.getLong(3) == bruteTriangles.toLong, "n_triangles")
+    CacheHygiene.release(spark)
+  }
+
+  test("z-order layout: rectangle query covers few buckets with full recall") {
+    import spark.implicits._
+    val report = WarehouseOps.qZorderLayout(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5)))).toMap // bucket -> (minUx, maxUx, minTx, maxTx)
+    // tile rectangle ux ∈ [4,7] × tx ∈ [2,5]; candidate buckets from the
+    // report's min/max spans — exactly the row-group pruning a reader does
+    val (uLo, uHi, tLo, tHi) = (4, 7, 2, 5)
+    val cand = report.filter { case (_, (mu, xu, mt, xt)) =>
+      xu >= uLo && mu <= uHi && xt >= tLo && mt <= tHi
+    }.keySet
+    // Z-order locality: the 4×4 rectangle touches a minority of the 16
+    // buckets (a 1-D layout would leave one dimension unpruned)
+    assert(cand.size <= 6, s"rectangle covers ${cand.size} of 16 buckets")
+    // full recall: every matching event's bucket is in the candidate set
+    val zc = WarehouseOps.zInterleaveSql("ux", "tx")
+    val hits = graft.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"))
+      .selectExpr("CAST(user_id % 16 AS INT) AS ux",
+        "CAST(datediff(day, DATE '2024-01-01') % 16 AS INT) AS tx")
+      .filter($"ux".between(uLo, uHi) && $"tx".between(tLo, tHi))
+      .selectExpr(s"CAST(($zc) div 16 AS INT) AS z_bucket")
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(hits.subsetOf(cand), s"recall gap: ${hits -- cand}")
+  }
+
+  test("shard assignment: 8 shards, exact doc partition, bounded imbalance") {
+    import spark.implicits._
+    val shards = WarehouseOps.sampleShardAssign(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shards.map(_._1).toSeq == (0 until 8))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(shards.map(_._2).sum == nDocs)
+    // round-robin over the size-descending order telescopes the
+    // max-min token imbalance to at most one document's tokens
+    val totals = shards.map(_._3)
+    val maxDocTokens = shards.map(_._4).max
+    assert(totals.max - totals.min <= maxDocTokens,
+      s"imbalance ${totals.max - totals.min} > max doc $maxDocTokens")
+  }
+}
