@@ -611,6 +611,7 @@ object DedupMore {
     val dir = e.select(
       when(fwd, $"id1").otherwise($"id2").as("src"),
       when(fwd, $"id2").otherwise($"id1").as("dst"))
+      .persist() // diamond: both sides of the wedge self-join (§5 rule)
     // wedge (src → dst1 < dst2); closing edge probed in canonical form
     val wedgeCand = dir.as("a").join(dir.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))

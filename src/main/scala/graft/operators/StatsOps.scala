@@ -443,7 +443,57 @@ object StatsOps {
       |    AS bucket_lo
       |FROM c2 ORDER BY event_type, bucket""".stripMargin
 
+  // --------------------------------------------------------------- B59
+  /** Population-stability-index drift monitor: the event_type
+    * distribution of the month's first half vs its second, with the
+    * per-type PSI contribution — THE production gate for "has this
+    * feed's shape shifted" (PSI > 0.2 = investigate), and the
+    * distributional complement to A25's lateness profile. Laplace-(+1)
+    * smoothing keeps a type absent from one half finite in BOTH
+    * engines. Shares and psi_term are ONE float expression tree over
+    * exact integer counts (identical tree both engines — the
+    * portable-float discipline), so the hashes match bit-for-bit.
+    * Cost: one scan, one |types|-row agg, a 1-row totals cross. */
+  def qPsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val half = lit(java.sql.Date.valueOf("2024-01-15"))
+    val counts = Tables.events(spark, sfDir)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type")
+      .agg(count(when($"day" <= half, 1)).as("n_a"),
+        count(when($"day" > half, 1)).as("n_b"))
+    val tot = counts.agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"),
+      count(lit(1)).as("k"))
+    val sa = ($"n_a" + lit(1.0)) / ($"ta" + $"k")
+    val sb = ($"n_b" + lit(1.0)) / ($"tb" + $"k")
+    counts.crossJoin(broadcast(tot))
+      .select($"event_type", $"n_a", $"n_b",
+        round(sa, 6).as("share_a"), round(sb, 6).as("share_b"),
+        round((sa - sb) * log(sa / sb), 6).as("psi_term"))
+      .orderBy($"event_type")
+  }
+
+  val qPsiDriftSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(count(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+      |      THEN 1 END) AS BIGINT) AS n_a,
+      |    CAST(count(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+      |      THEN 1 END) AS BIGINT) AS n_b
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+      |             CAST(sum(n_b) AS BIGINT) AS tb,
+      |             CAST(count(*) AS BIGINT) AS k FROM c)
+      |SELECT event_type, n_a, n_b,
+      |  round((n_a + 1.0) / (ta + k), 6) AS share_a,
+      |  round((n_b + 1.0) / (tb + k), 6) AS share_b,
+      |  round(((n_a + 1.0) / (ta + k) - (n_b + 1.0) / (tb + k))
+      |    * ln(((n_a + 1.0) / (ta + k)) / ((n_b + 1.0) / (tb + k))), 6)
+      |    AS psi_term
+      |FROM c CROSS JOIN t ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> qPsiDrift _,
     "sketch_log_histogram" -> sketchLogHistogram _,
     "q_interarrival" -> qInterarrival _,
     "q_outliers_zscore" -> qOutliersZscore _,
@@ -454,6 +504,7 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_psi_drift" -> qPsiDriftSql,
     "sketch_log_histogram" -> sketchLogHistogramSql,
     "q_interarrival" -> qInterarrivalSql,
     "q_outliers_zscore" -> qOutliersZscoreSql,

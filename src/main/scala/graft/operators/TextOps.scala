@@ -512,7 +512,44 @@ object TextOps {
       |FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id
       |ORDER BY a3.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C16
+  /** BPE merge-round statistics: the top-20 most frequent adjacent
+    * character pairs across the lowercased word stream — exactly the
+    * count a byte-pair-encoding trainer computes to pick its next
+    * merge (C1 counts tokens, J6 measures vocab coverage; this is the
+    * missing third leg of the tokenizer story). One explode over
+    * words, one over per-word pair arrays, one count agg on the
+    * ≤ alphabet² pair key space — the text column itself never
+    * shuffles, and the per-element substring lambda only touches
+    * short word strings (the O(tokens²) regex-in-lambda pitfall from
+    * §6 does not apply: the lambda input is the exploded word, not
+    * the document). Deterministic top-20 via the (n desc, pair)
+    * total order. */
+  def textBpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim($"text")), wsPat)).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair").limit(20)
+  }
+
+  val textBpePairsSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |prs AS (
+      |  SELECT substring(w, CAST(g.gs AS INT), 2) AS pair
+      |  FROM words, unnest(generate_series(1, length(w) - 1)) g(gs)
+      |  WHERE length(w) >= 2)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS n
+      |FROM prs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_pairs" -> textBpePairs _,
     "text_repetition" -> textRepetition _,
     "text_ngram_freq" -> textNgramFreq _,
     "text_chunks" -> textChunks _,
@@ -528,6 +565,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_bpe_pairs" -> textBpePairsSql,
     "text_repetition" -> textRepetitionSql,
     "text_ngram_freq" -> textNgramFreqSql,
     "text_chunks" -> textChunksSql,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.gf
 
 /** Round-8 warehouse-engineering operators: time-series regularization,
   * referential-integrity auditing, skyline queries, multi-dimensional
@@ -183,6 +184,48 @@ object WarehouseOps {
       "supplier", "s_nationkey", "nation", "n_nationkey"))
     .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
 
+  // --------------------------------------------------------------- A25
+  /** Watermark-sizing lateness profile: per event day, how many
+    * events arrive >1 h / >6 h after their event time, plus the max
+    * and mean lateness — THE table you read before choosing
+    * `withWatermark` bounds (G1-G13's watermarks here were sized by
+    * assumption; production sizes them from this profile). The test
+    * feed carries only event time, so the arrival offset is injected
+    * deterministically (md5-h32 of the event id, mod 24 h) — in
+    * production `arrival_ts` is the ingest timestamp column and the
+    * projection drops out. Integer-minute sums, ONE division per
+    * group (the power-sum discipline), single shuffle onto day. */
+  def etlLateArrivals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(to_date($"ts").as("day"),
+        (gf.h32($"event_id".cast("string")) % 1440).as("late_min"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"late_min" > 60, 1)).as("n_late_1h"),
+        count(when($"late_min" > 360, 1)).as("n_late_6h"),
+        max($"late_min").as("max_late_min"),
+        round(sum($"late_min") / count(lit(1)), 4).as("avg_late_min"))
+      .orderBy($"day")
+  }
+
+  val etlLateArrivalsSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(CASE WHEN late_min > 60 THEN 1 END) AS BIGINT)
+      |    AS n_late_1h,
+      |  CAST(count(CASE WHEN late_min > 360 THEN 1 END) AS BIGINT)
+      |    AS n_late_6h,
+      |  CAST(max(late_min) AS BIGINT) AS max_late_min,
+      |  round(CAST(sum(late_min) AS BIGINT) / CAST(count(*) AS BIGINT), 4)
+      |    AS avg_late_min
+      |FROM (
+      |  SELECT ts,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 1440 AS late_min
+      |  FROM events)
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   // --------------------------------------------------------------- B58
   /** Per-brand Pareto frontier on (minimize p_retailprice, maximize
     * p_size): a part is dominated iff some part of the same brand is
@@ -312,6 +355,7 @@ object WarehouseOps {
       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_late_arrivals" -> etlLateArrivals _,
     "etl_resample_gapfill" -> etlResampleGapfill _,
     "etl_fk_audit" -> etlFkAudit _,
     "q_pareto_frontier" -> qParetoFrontier _,
@@ -319,6 +363,7 @@ object WarehouseOps {
     "sample_shard_assign" -> sampleShardAssign _)
 
   def oracleSql: Map[String, String] = Map(
+    "etl_late_arrivals" -> etlLateArrivalsSql,
     "etl_resample_gapfill" -> etlResampleGapfillSql,
     "etl_fk_audit" -> etlFkAuditSql,
     "q_pareto_frontier" -> qParetoFrontierSql,

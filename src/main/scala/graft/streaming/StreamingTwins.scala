@@ -589,6 +589,72 @@ object StreamingTwins {
        |JOIN pe ON pe.id_new = c.id_new AND pe.id_old = c.id_old
        |WHERE pe.est_jaccard >= 0.5""".stripMargin
 
+  // --------------------------------------------------------------- G14
+  /** foreachBatch incremental-upsert sink — the production WRITE path
+    * none of the other twins exercise (they all end in a memory
+    * sink): each micro-batch MERGEs into an epoch-versioned parquet
+    * state table (read state_N → latest-wins merge → write state_N+1,
+    * the atomic-swap pattern of a real lakehouse sink), and the twin
+    * returns the final state. Per-user state is (event count,
+    * last-event fields); both merge operations are associative —
+    * counts add, argmax by (event-time µs, event_id) picks the same
+    * winner under ANY batch boundary placement — so the final state
+    * equals the batch answer regardless of trigger slicing. The
+    * argmax key uses MICROSECOND floors on both engines (the staged
+    * stream carries µs; the oracle floors its ns via epoch_ns//1000)
+    * so a sub-µs timestamp tie cannot pick different winners. */
+  def streamingUpsertSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+    val stateRoot = Files.createTempDirectory("graft_upsert_state").toString
+    var epoch = 0 // foreachBatch runs serially on the driver
+    val q = src.filter($"user_id" >= 0)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val bAgg = batch
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+            $"event_type", $"value")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(struct($"us", $"event_id", $"event_type", $"value"))
+              .as("last"))
+        val merged =
+          if (epoch == 0) bAgg
+          else sp.read.parquet(s"$stateRoot/state_$epoch")
+            .unionByName(bAgg)
+            .groupBy($"user_id")
+            .agg(sum($"n_events").as("n_events"), max($"last").as("last"))
+        merged.write.mode("overwrite")
+          .parquet(s"$stateRoot/state_${epoch + 1}")
+        epoch += 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$stateRoot/state_$epoch")
+      .select($"user_id", $"n_events", $"last.us".as("last_us"),
+        $"last.event_type".as("last_event_type"),
+        $"last.value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val streamingUpsertSinkSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |  FROM events),
+      |c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM events GROUP BY 1)
+      |SELECT c.user_id, c.n_events, r.us AS last_us,
+      |  r.event_type AS last_event_type, r.value AS last_value
+      |FROM c JOIN r ON r.user_id = c.user_id AND r.rn = 1
+      |ORDER BY c.user_id""".stripMargin
+
   // --------------------------------------------------------------- G13
   /** Log-histogram quantile sketch over the stream — the streaming
     * twin of I5 (`sketch_log_histogram`), completing the sketch-the-
@@ -622,6 +688,7 @@ object StreamingTwins {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_upsert_sink" -> streamingUpsertSink _,
     "streaming_log_histogram" -> streamingLogHistogram _,
     "streaming_band_probe" -> streamingBandProbe _,
     "streaming_session_window" -> streamingSessionWindow _,
@@ -637,6 +704,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_upsert_sink" -> streamingUpsertSinkSql,
     "streaming_log_histogram" -> streamingLogHistogramSql,
     "streaming_band_probe" -> streamingBandProbeSql,
     "streaming_session_window" -> streamingSessionWindowSql,

@@ -68,7 +68,8 @@ class PlanHygieneSpec extends SparkSuite {
     "text_quality_gate" -> "crossJoin(broadcast(1-row quantile thresholds))",
     "text_tfidf" -> "crossJoin(broadcast(1-row document count))",
     "dedup_triangles" ->
-      "census assembly: crossJoin(broadcast(1-row node/edge/triangle aggs))")
+      "census assembly: crossJoin(broadcast(1-row node/edge/triangle aggs))",
+    "q_psi_drift" -> "crossJoin(broadcast(1-row totals/type-count scalars))")
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()

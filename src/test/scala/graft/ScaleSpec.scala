@@ -31,6 +31,57 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the 100 TB fact-scan saver Catalyst provides FOR FREE when the
+    // layout cooperates: facts directory-partitioned on the join key's
+    // dimension, the dim side filtered — the scan's partition filter
+    // becomes a runtime subquery (dynamicpruning#N) fed by the dim
+    // join side, so only the matching partitions are read. This spec
+    // pins that the layout + join shape actually triggers DPP (plan)
+    // AND that the pruned scan returns exactly the filtered answer.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp")
+    Tables.events(spark, sf)
+      .withColumn("day", to_date($"ts"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/ev")
+    val fact = spark.read.parquet(s"$dir/ev")
+    // a "date dim" carrying an attribute the query filters on — the
+    // standard star shape where the partition predicate is NOT known
+    // until the dim is scanned
+    // day_type is a STRING attribute: DPP's isLikelySelective gate
+    // recognizes the day_type = 'weekend' EqualTo (a bare boolean
+    // column would be simplified to an attribute and rejected)
+    val dim = fact.select($"day").distinct()
+      .withColumn("day_type",
+        when(dayofweek($"day").isin(1, 7), "weekend").otherwise("weekday"))
+    val dimDir = s"$dir/dim"
+    dim.write.mode("overwrite").parquet(dimDir)
+    val dimT = spark.read.parquet(dimDir)
+    // DPP's cost gate compares estimated pruned-scan savings against
+    // the broadcast cost; a 6k-row test fact estimates ~0 savings, so
+    // pin the heuristic to its stats-free fallback ratio HERE — at
+    // warehouse scale the stats-based estimate passes on its own.
+    // (Scoped: restored after the test; the aggregation reads a real
+    // data column so the scan isn't partition-columns-only.)
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val j = fact.join(dimT.filter($"day_type" === "weekend"), "day")
+        .groupBy($"day").agg(count(lit(1)).as("n"),
+          sum($"value").as("total"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), s"no DPP subquery in:\n$plan")
+      // correctness of the pruned scan vs a non-partitioned baseline
+      val expected = Tables.events(spark, sf)
+        .withColumn("day", to_date($"ts"))
+        .filter(dayofweek($"day").isin(1, 7))
+        .groupBy($"day").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      val got = j.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      assert(got == expected)
+    } finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("inverted-file materialization: cell buckets prune the ANN probe scan") {
     // the storage half of the IVFPQ story (E7/E8): the codes/assignment
     // table written bucketBy(cell) IS the inverted file — a query
