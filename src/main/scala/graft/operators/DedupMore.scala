@@ -574,6 +574,76 @@ object DedupMore {
        |    / count(*) / 1000000.0, 6) AS mean_exact
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- E12
+  /** Hamming-space ANN over 64-bit SimHash codes — the BINARY-
+    * embedding leg of the E-family ladder (E1-E11 search float
+    * vectors; production stores increasingly search learned binary
+    * codes where distance is XOR+popcount): top-3 nearest corpus
+    * documents per query doc (doc_id < 10), candidates generated by
+    * D3's 4×16-bit band pigeonhole (a candidate is missed only if ALL
+    * four bands differ — guaranteed complete for hamming ≤ 3, the
+    * LSH recall trade above that), then exact-reranked and ranked by
+    * the (hamming, doc_id) total order. The oracle replays band
+    * extraction bit-exactly from the signature halves (sim64 =
+    * (s_hi << 32) | s_lo, pinned in DedupOps.simhashSigSqlCtes).
+    * Scale: band equi-join only — 4 rows/doc each side; the rerank
+    * is per-candidate XOR arithmetic; the top-3 window partitions by
+    * query. */
+  def annHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = DedupOps.corpus(Tables.documents(spark, sfDir))
+      .select($"doc_id", gf.simhash_md5($"text").as("sim"))
+    val bands = sigs.select($"doc_id", $"sim",
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned($"sim", b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+      .persist() // both candidate-join sides read it
+    val q = bands.filter($"doc_id" < 10)
+      .select($"band_id", $"band_val",
+        $"doc_id".as("query_id"), $"sim".as("qsim"))
+    val cand = q.join(bands, Seq("band_id", "band_val"))
+      .filter($"query_id" =!= $"doc_id")
+      .select($"query_id", $"qsim", $"doc_id", $"sim").distinct()
+    cand
+      .withColumn("hamming", gf.hamming64($"qsim", $"sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"hamming", $"doc_id")))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"doc_id", $"hamming")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annHammingSql: String =
+    s"""WITH ${DedupOps.simhashSigSqlCtes},
+       |bands AS (
+       |  SELECT s.doc_id, s.s_hi, s.s_lo, b.band_id,
+       |    CASE WHEN b.band_id < 2
+       |         THEN (s.s_lo >> (16 * b.band_id)) & 65535
+       |         ELSE (s.s_hi >> (16 * (b.band_id - 2))) & 65535
+       |    END AS band_val
+       |  FROM sig s, range(4) b(band_id)),
+       |cand AS (
+       |  SELECT DISTINCT q.doc_id AS query_id, q.s_hi AS q_hi,
+       |    q.s_lo AS q_lo, c.doc_id, c.s_hi, c.s_lo
+       |  FROM bands q
+       |  JOIN bands c ON c.band_id = q.band_id
+       |    AND c.band_val = q.band_val AND c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 10),
+       |h AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(bit_count(xor(q_hi, s_hi)) + bit_count(xor(q_lo, s_lo))
+       |      AS INT) AS hamming
+       |  FROM cand),
+       |r AS (
+       |  SELECT query_id, doc_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, doc_id) AS rn
+       |  FROM h)
+       |SELECT query_id, CAST(rn AS INT) AS rank, doc_id, hamming
+       |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------------------- D16
   /** Triangle census of the near-duplicate pair graph — the structural
     * complement to D10's degree profile: a high triangle/wedge ratio
@@ -662,6 +732,7 @@ object DedupMore {
        |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hamming" -> annHamming _,
     "dedup_triangles" -> dedupTriangles _,
     "dedup_span_coverage" -> dedupSpanCoverage _,
     "dedup_lsh_calibration" -> dedupLshCalibration _,
@@ -674,6 +745,7 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "ann_hamming" -> annHammingSql,
     "dedup_triangles" -> dedupTrianglesSql,
     "dedup_span_coverage" -> dedupSpanCoverageSql,
     "dedup_lsh_calibration" -> dedupLshCalibrationSql,

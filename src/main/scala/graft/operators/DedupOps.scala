@@ -310,8 +310,12 @@ object DedupOps {
     s"""WITH $minhashSqlCtes
        |SELECT id1, id2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
 
-  val dedupSimhashSql: String =
-    s"""WITH $corpusSql,
+  /** corpus → per-token md5 halves → majority bits → (s_hi, s_lo)
+    * signature halves: sim64 = (s_hi << 32) | s_lo, bit-identical to
+    * `gf.simhash_md5` (GraftHash.simhashMd5: acc 0-31 = lo half).
+    * Shared by the D3 oracle and the E12 Hamming-ANN oracle. */
+  val simhashSigSqlCtes: String =
+    s"""$corpusSql,
        |tokh AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_hi,
@@ -328,7 +332,10 @@ object DedupOps {
        |sig AS (
        |  SELECT doc_id, CAST(sum(v_hi) AS BIGINT) AS s_hi,
        |         CAST(sum(v_lo) AS BIGINT) AS s_lo
-       |  FROM bits GROUP BY doc_id)
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashSigSqlCtes
        |SELECT a.doc_id AS id1, b.doc_id AS id2,
        |  CAST(bit_count(xor(a.s_hi, b.s_hi)) + bit_count(xor(a.s_lo, b.s_lo)) AS INT) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
