@@ -617,7 +617,9 @@ object DedupMore {
 
   val annHammingSql: String =
     s"""WITH ${DedupOps.simhashSigSqlCtes},
-       |bands AS (
+       |bands AS MATERIALIZED (
+       |  -- MATERIALIZED: both candidate-join sides read it; inlining
+       |  -- would run the whole simhash chain twice (D15 spill lesson)
        |  SELECT s.doc_id, s.s_hi, s.s_lo, b.band_id,
        |    CASE WHEN b.band_id < 2
        |         THEN (s.s_lo >> (16 * b.band_id)) & 65535
@@ -698,14 +700,19 @@ object DedupMore {
           .otherwise(0.0).as("clustering"))
   }
 
+  // multi-referenced CTEs are MATERIALIZED: DuckDB inlines a CTE per
+  // reference, and pairs/deg/dir are each read 2-4 times — inlining
+  // would re-evaluate the whole minhash chain per reference (the D15
+  // unbounded-spill lesson, §2 status note)
   val dedupTrianglesSql: String =
     s"""WITH ${DedupOps.minhashSqlCtes},
-       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
-       |deg AS (
+       |pairs AS MATERIALIZED (
+       |  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |deg AS MATERIALIZED (
        |  SELECT v, CAST(count(*) AS BIGINT) AS deg
        |  FROM (SELECT id1 AS v FROM pairs UNION ALL SELECT id2 FROM pairs)
        |  GROUP BY 1),
-       |dir AS (
+       |dir AS MATERIALIZED (
        |  SELECT CASE WHEN d1.deg < d2.deg
        |              OR (d1.deg = d2.deg AND p.id1 < p.id2)
        |         THEN p.id1 ELSE p.id2 END AS src,

@@ -110,6 +110,36 @@ class WarehouseSpec extends SparkSuite {
     assert(hits.subsetOf(cand), s"recall gap: ${hits -- cand}")
   }
 
+  test("hamming ANN: banded candidates are exact for near ties, recall ≥ 0.5 overall") {
+    import spark.implicits._
+    val sigs = DedupOps.corpus(graft.Tables.documents(spark, sf))
+      .select($"doc_id", graft.functions.gf.simhash_md5($"text").as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // exact top-3 per query by (hamming, doc_id)
+    val exact = sigs.keys.filter(_ < 10).map { q =>
+      q -> sigs.toSeq.filter(_._1 != q)
+        .map { case (id, s) => (ham(sigs(q), s), id) }.sorted.take(3)
+    }.toMap
+    val got = graft.operators.DedupMore.annHamming(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(3), r.getLong(2))))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq.sorted }
+    // pigeonhole: any exact neighbor at hamming <= 3 MUST be retrieved
+    exact.foreach { case (q, top) =>
+      top.filter(_._1 <= 3).foreach { n =>
+        assert(got.getOrElse(q, Seq()).contains(n),
+          s"query $q lost guaranteed neighbor $n")
+      }
+    }
+    // overall recall of the banded candidate set vs exact top-3
+    val hits = exact.map { case (q, top) =>
+      top.count(got.getOrElse(q, Seq()).contains(_))
+    }.sum
+    val total = exact.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.5, s"recall $hits/$total")
+    CacheHygiene.release(spark)
+  }
+
   test("shard assignment: 8 shards, exact doc partition, bounded imbalance") {
     import spark.implicits._
     val shards = WarehouseOps.sampleShardAssign(spark, sf).collect()
