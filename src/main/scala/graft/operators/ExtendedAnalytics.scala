@@ -373,6 +373,56 @@ object ExtendedAnalytics {
     * equi-joins, all keyed on user_id: after the first shuffle every
     * stage is co-partitioned, nothing quadratic, no window over the
     * whole event stream. */
+  // ---------------------------------------------------------------- B60
+  /** B41's funnel with CONVERSION WINDOWS — the production funnel
+    * definition: a click counts only within 1 h of the first view, a
+    * purchase only within 24 h of that click. Same two-persist plan
+    * shape as B41 (each stage one user-keyed agg); the window bounds
+    * are plain timestamp arithmetic pushed into the stage filters, so
+    * the bounded funnel costs exactly what the unbounded one does. */
+  def qFunnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sfDir)
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+      .persist()
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" > $"t1" && $"ts" <= $"t1" + expr("interval 1 hour"))
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val f12 = s1.join(s2, Seq("user_id"), "left").persist()
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(f12.filter($"t2".isNotNull).select($"user_id", $"t2"), "user_id")
+      .filter($"ts" > $"t2" && $"ts" <= $"t2" + expr("interval 24 hours"))
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    f12.join(s3, Seq("user_id"), "left")
+      .select($"user_id",
+        $"t1".cast("timestamp_ntz").as("t1"),
+        $"t2".cast("timestamp_ntz").as("t2"),
+        $"t3".cast("timestamp_ntz").as("t3"),
+        when($"t3".isNotNull, 3L).when($"t2".isNotNull, 2L).otherwise(1L)
+          .as("funnel_depth"))
+  }
+
+  val qFunnelWindowedSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |    AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |    AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id)
+      |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+      |    AS funnel_depth
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin
+
   def qEventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sfDir)
@@ -441,6 +491,7 @@ object ExtendedAnalytics {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_agg" -> qTopkAgg _,
     "q_events_funnel" -> qEventsFunnel _,
+    "q_funnel_windowed" -> qFunnelWindowed _,
     "q_percentiles" -> qPercentiles _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_small_quantity" -> qSmallQuantity _,
@@ -458,6 +509,7 @@ object ExtendedAnalytics {
   def oracleSql: Map[String, String] = Map(
     "q_topk_agg" -> qTopkAggSql,
     "q_events_funnel" -> qEventsFunnelSql,
+    "q_funnel_windowed" -> qFunnelWindowedSql,
     "q_percentiles" -> qPercentilesSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_small_quantity" -> qSmallQuantitySql,

@@ -424,7 +424,58 @@ object SketchOps {
        |ORDER BY event_type, kind, idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------- I9
+  /** AMS (Alon-Matias-Szegedy) F₂ sketch: 8 independent ±1-sign
+    * estimators of Σ f_u² over the user_id frequency vector — the
+    * SELF-JOIN SIZE of events on user_id, the quantity an optimizer's
+    * join-cardinality estimate needs and the fourth frequency-moment
+    * axis of the sketch family (I4 point frequencies, I5 quantiles,
+    * I6 distinct = F₀, this = F₂). Each estimator is ONE running sum
+    * of md5-parity signs (8 longs of state TOTAL at any scale,
+    * map-side combinable); est = z², unbiased with variance bounded
+    * by 2·F₂²/8. The exact F₂ rides along per row so the table IS
+    * the accuracy report; everything integer until the one rel_err
+    * division. */
+  def sketchAmsF2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select($"user_id")
+    val z = ev.select(posexplode(array((0 until 8).map { r =>
+        (lit(1) - lit(2) *
+          (gf.h32(concat(lit(s"$r:"), $"user_id".cast("string"))) % 2))
+          .cast("long")
+      }: _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "s")
+      .groupBy($"r").agg(sum($"s").as("z"))
+    val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .agg(sum($"n" * $"n").as("exact_f2"))
+    z.crossJoin(broadcast(exact))
+      .select($"r", $"z", ($"z" * $"z").as("est"), $"exact_f2",
+        round(abs($"z" * $"z" - $"exact_f2").cast("double") / $"exact_f2", 6)
+          .as("rel_err"))
+      .orderBy($"r")
+  }
+
+  val sketchAmsF2Sql: String =
+    """WITH s AS (
+      |  SELECT r.r,
+      |    CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+      |      || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+      |    THEN 1 ELSE -1 END AS sgn
+      |  FROM events, range(8) r(r)),
+      |z AS (
+      |  SELECT CAST(r AS INT) AS r, CAST(sum(sgn) AS BIGINT) AS z
+      |  FROM s GROUP BY 1),
+      |x AS (
+      |  SELECT CAST(sum(n * n) AS BIGINT) AS exact_f2
+      |  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |        FROM events GROUP BY 1))
+      |SELECT r, z, z * z AS est, exact_f2,
+      |  round(CAST(abs(z * z - exact_f2) AS DOUBLE) / exact_f2, 6)
+      |    AS rel_err
+      |FROM z CROSS JOIN x ORDER BY r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams_f2" -> sketchAmsF2 _,
     "sketch_source_similarity" -> sketchSourceSimilarity _,
     "sketch_bloom_prefilter" -> bloomPrefilter _,
     "sketch_hll_distinct" -> sketchHllDistinct _,
@@ -433,6 +484,7 @@ object SketchOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sketch_ams_f2" -> sketchAmsF2Sql,
     "sketch_source_similarity" -> sketchSourceSimilaritySql,
     "sketch_bloom_prefilter" -> bloomPrefilterSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,

@@ -69,7 +69,8 @@ class PlanHygieneSpec extends SparkSuite {
     "text_tfidf" -> "crossJoin(broadcast(1-row document count))",
     "dedup_triangles" ->
       "census assembly: crossJoin(broadcast(1-row node/edge/triangle aggs))",
-    "q_psi_drift" -> "crossJoin(broadcast(1-row totals/type-count scalars))")
+    "q_psi_drift" -> "crossJoin(broadcast(1-row totals/type-count scalars))",
+    "sketch_ams_f2" -> "crossJoin(broadcast(1-row exact-F2 scalar))")
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()
