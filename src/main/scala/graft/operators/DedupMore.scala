@@ -738,7 +738,50 @@ object DedupMore {
        |    AS clustering
        |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin
 
+  // --------------------------------------------------------------- D17
+  /** Exact edit-distance verification of LSH candidate pairs — the
+    * precision stage a shipping dedup pipeline runs AFTER candidate
+    * generation: MinHash banding proposes (recall), Levenshtein
+    * disposes (precision). Normalized similarity 1 − dist/max(len)
+    * ≥ 0.8 keeps exact copies (dist 0) and light-edit near-copies;
+    * banding's false-positive collisions fall out here. Levenshtein
+    * is O(len²) per pair, which is exactly why it must NEVER run
+    * all-pairs: this plan computes it only on the candidate relation
+    * (linear in candidates, each a short-string DP in one task's
+    * loop — no shuffle beyond the two text joins). The oracle replays
+    * the full minhash chain and DuckDB's own levenshtein, so the
+    * candidate set AND the verification are both hash-checked. */
+  def dedupEditVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val candidates = DedupOps.minhashPipeline(docs, 0.3).select("id1", "id2")
+    val t1 = docs.select(col("doc_id").as("id1"), col("text").as("text1"))
+    val t2 = docs.select(col("doc_id").as("id2"), col("text").as("text2"))
+    candidates.join(t1, "id1").join(t2, "id2")
+      .withColumn("dist", levenshtein(col("text1"), col("text2")))
+      .withColumn("ml", greatest(length(col("text1")), length(col("text2"))))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("dist").cast("double") / col("ml"), 6))
+      .filter(col("edit_sim") >= 0.8)
+      .select(col("id1"), col("id2"), col("dist"), col("edit_sim"))
+  }
+
+  val dedupEditVerifySql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |sel AS (
+       |  SELECT e.id1, e.id2,
+       |    CAST(levenshtein(c1.text, c2.text) AS INT) AS dist,
+       |    greatest(length(c1.text), length(c2.text)) AS ml
+       |  FROM est e
+       |  JOIN corpus c1 ON c1.doc_id = e.id1
+       |  JOIN corpus c2 ON c2.doc_id = e.id2
+       |  WHERE e.est_jaccard >= 0.3)
+       |SELECT id1, id2, dist,
+       |  round(1.0 - CAST(dist AS DOUBLE) / ml, 6) AS edit_sim
+       |FROM sel
+       |WHERE round(1.0 - CAST(dist AS DOUBLE) / ml, 6) >= 0.8""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_verify" -> dedupEditVerify _,
     "ann_hamming" -> annHamming _,
     "dedup_triangles" -> dedupTriangles _,
     "dedup_span_coverage" -> dedupSpanCoverage _,
@@ -752,6 +795,7 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_edit_verify" -> dedupEditVerifySql,
     "ann_hamming" -> annHammingSql,
     "dedup_triangles" -> dedupTrianglesSql,
     "dedup_span_coverage" -> dedupSpanCoverageSql,

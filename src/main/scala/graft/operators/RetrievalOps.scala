@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.functions.TopKAgg
+
+/** Full-text retrieval over the documents table (SURVEY.md §2.C) —
+  * the query side of a training-data curation stack (find documents
+  * matching audit probes, contamination queries, topic filters).
+  *
+  * BM25 is expressed as the classic "inverted index as a relation"
+  * plan: the (doc, term, tf) relation IS the posting list, and scoring
+  * a batch of queries is a broadcast join of the tiny query-term table
+  * against it — no per-query scan, no driver-side loop. At 100 TB the
+  * posting-list relation is the only large input; everything derived
+  * (df, avgdl, query matches) is either a scalar, a per-term row, or
+  * proportional to matched postings. The final per-query top-k uses
+  * the bounded TopKAgg aggregate (map-side partial top-k), NOT a
+  * row_number window: a window partitioned by query_id would sort
+  * every candidate of a query in ONE task — the classic skew cliff
+  * when query count is small (reference behavior: WebScrap query
+  * search over scraped pages, search.py-style keyword scoring).
+  */
+object RetrievalOps {
+
+  private val wsPat = "\\s+"
+
+  /** Fixed probe queries (deterministic; terms drawn from the corpus
+    * vocabulary — "dup" is the rare discriminative term, the rest are
+    * common, so idf contrast is exercised). */
+  private val probeQueries: Seq[(String, String)] = Seq(
+    "q1" -> "hash", "q1" -> "join",
+    "q2" -> "dup", "q2" -> "scan",
+    "q3" -> "window", "q3" -> "stream", "q3" -> "agg")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  // ---------------------------------------------------------------- C17
+  /** BM25 top-10 per probe query (Robertson k1=1.2 b=0.75, Lucene
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1) which is always >= 0).
+    *
+    * Plan shape: one explode+count builds the posting relation tf
+    * (persisted — it feeds doc-lengths, df, and the match join); dl
+    * and the (N, avgdl) scalar derive from it without touching text
+    * again; the query-term table broadcasts into the postings; scores
+    * aggregate per (query, doc); TopKAgg bounds the final shuffle to
+    * k rows per query. Scores are rounded to 6 dp BEFORE ranking in
+    * both engines so rank ties break identically (then by doc_id).
+    */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(trim($"text"), wsPat)).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy($"doc_id").agg(sum($"c").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg($"dl".cast("double")).as("avgdl"))
+    val qterms = probeQueries.toDF("query_id", "tok")
+    val dfreq = tf.join(broadcast(qterms.select($"tok").distinct()), "tok")
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val termScore =
+      log(($"n_docs".cast("double") - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+        ($"c".cast("double") * lit(K1 + 1.0)) /
+        ($"c".cast("double") + lit(K1) *
+          (lit(1.0) - lit(B) + lit(B) * $"dl".cast("double") / $"avgdl"))
+    val scored = tf.join(broadcast(qterms), "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy($"query_id", $"doc_id")
+      .agg(round(sum(termScore), 6).as("score"))
+    scored.groupBy($"query_id")
+      .agg(TopKAgg.top_k($"score", $"doc_id", 10).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("doc_id"), $"col.v".as("score"))
+  }
+
+  val textBm25Sql: String = {
+    val values = probeQueries
+      .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, tok, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS MATERIALIZED (SELECT doc_id, sum(c) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(query_id, tok) AS (VALUES $values),
+       |dfreq AS (
+       |  SELECT tok, count(*) AS df FROM tf
+       |  WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    round(sum(
+       |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (CAST(tf.c AS DOUBLE) * ${K1 + 1.0})
+       |      / (CAST(tf.c AS DOUBLE)
+       |         + $K1 * (1.0 - $B + $B * CAST(dl.dl AS DOUBLE) / avgdl))), 6)
+       |      AS score
+       |  FROM q JOIN tf USING (tok) JOIN dfreq USING (tok)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> textBm25 _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql
+  )
+}

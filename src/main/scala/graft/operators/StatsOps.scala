@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -492,7 +492,113 @@ object StatsOps {
       |    AS psi_term
       |FROM c CROSS JOIN t ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- B62
+  /** Lag-k autocorrelation of the per-type daily event series (k = 1
+    * and 7 — day-over-day persistence and weekly seasonality, the two
+    * diagnostics a forecasting/monitoring stage reads first). One
+    * count agg collapses the fact table to |types|·|days| rows;
+    * the lag windows are partitioned per type over that tiny daily
+    * relation (never over raw events). Pearson r is computed from
+    * integer power sums — counts and their products are exact BIGINTs
+    * in both engines, so the only float ops are the final sqrt/divide
+    * (round 6 bridges libm ulp). Gap days are absent from the daily
+    * relation, so "lag 1" means "previous OBSERVED day" — documented,
+    * and identical in both engines. */
+  def qAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val lagged = daily.select($"event_type", $"cnt",
+      lag($"cnt", 1).over(w).as("l1"), lag($"cnt", 7).over(w).as("l7"))
+    def r(n: Column, sx: Column, sy: Column, sxy: Column,
+          sxx: Column, syy: Column): Column =
+      round((n * sxy - sx * sy).cast("double")
+        / (sqrt((n * sxx - sx * sx).cast("double"))
+           * sqrt((n * syy - sy * sy).cast("double"))), 6)
+    def sums(l: Column): Seq[Column] = Seq(
+      count(l), sum(when(l.isNotNull, $"cnt")), sum(l),
+      sum($"cnt" * l), sum(when(l.isNotNull, $"cnt" * $"cnt")), sum(l * l))
+    val agg1 = sums($"l1"); val agg7 = sums($"l7")
+    lagged.groupBy($"event_type")
+      .agg(agg1(0).as("n1"), agg1(1).as("sx1"), agg1(2).as("sy1"),
+        agg1(3).as("sxy1"), agg1(4).as("sxx1"), agg1(5).as("syy1"),
+        agg7(0).as("n7"), agg7(1).as("sx7"), agg7(2).as("sy7"),
+        agg7(3).as("sxy7"), agg7(4).as("sxx7"), agg7(5).as("syy7"))
+      .select($"event_type", $"n1", $"n7",
+        r($"n1", $"sx1", $"sy1", $"sxy1", $"sxx1", $"syy1").as("ac1"),
+        r($"n7", $"sx7", $"sy7", $"sxy7", $"sxx7", $"syy7").as("ac7"))
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, cnt,
+      |    lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+      |    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+      |  FROM daily),
+      |s AS (
+      |  SELECT event_type,
+      |    count(l1) AS n1, sum(CASE WHEN l1 IS NOT NULL THEN cnt END) AS sx1,
+      |    sum(l1) AS sy1, sum(cnt * l1) AS sxy1,
+      |    sum(CASE WHEN l1 IS NOT NULL THEN cnt * cnt END) AS sxx1,
+      |    sum(l1 * l1) AS syy1,
+      |    count(l7) AS n7, sum(CASE WHEN l7 IS NOT NULL THEN cnt END) AS sx7,
+      |    sum(l7) AS sy7, sum(cnt * l7) AS sxy7,
+      |    sum(CASE WHEN l7 IS NOT NULL THEN cnt * cnt END) AS sxx7,
+      |    sum(l7 * l7) AS syy7
+      |  FROM lagged GROUP BY 1)
+      |SELECT event_type, n1, n7,
+      |  round(CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+      |    / (sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE))
+      |       * sqrt(CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE))), 6) AS ac1,
+      |  round(CAST(n7 * sxy7 - sx7 * sy7 AS DOUBLE)
+      |    / (sqrt(CAST(n7 * sxx7 - sx7 * sx7 AS DOUBLE))
+      |       * sqrt(CAST(n7 * syy7 - sy7 * sy7 AS DOUBLE))), 6) AS ac7
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- B63
+  /** Exponentially time-decayed engagement features per (user, type) —
+    * the recency-weighted aggregate a feature store materializes
+    * (half-life 7 days, anchored at the corpus max timestamp so the
+    * result is deterministic). Weights are computed from exact
+    * integer microsecond deltas (`unix_micros` / `epoch_us` — no
+    * truncation skew between engines); ln 2 is a pinned double
+    * literal so both engines evaluate the identical expression tree.
+    * One scalar (broadcast) + one groupBy — map-side combinable, no
+    * window, no state beyond the running sums. */
+  def qDecayAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val anchor = ev.agg(max(unix_micros($"ts")).as("max_us"))
+    val ln2 = 0.6931471805599453
+    val w = exp(lit(-ln2) * (($"max_us" - unix_micros($"ts")).cast("double")
+      / lit(86400e6)) / lit(7.0))
+    ev.crossJoin(broadcast(anchor))
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(w), 6).as("decayed_count"),
+        round(sum($"value" * w), 6).as("decayed_value"))
+  }
+
+  val qDecayAggSql: String =
+    """WITH anchor AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+      |SELECT user_id, event_type, count(*) AS n_events,
+      |  round(sum(exp(-0.6931471805599453
+      |    * (CAST(max_us - epoch_us(ts) AS DOUBLE) / 86400e6) / 7.0)), 6)
+      |    AS decayed_count,
+      |  round(sum(value * exp(-0.6931471805599453
+      |    * (CAST(max_us - epoch_us(ts) AS DOUBLE) / 86400e6) / 7.0)), 6)
+      |    AS decayed_value
+      |FROM events CROSS JOIN anchor
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> qAutocorr _,
+    "q_decay_agg" -> qDecayAgg _,
     "q_psi_drift" -> qPsiDrift _,
     "sketch_log_histogram" -> sketchLogHistogram _,
     "q_interarrival" -> qInterarrival _,
@@ -504,6 +610,8 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_autocorr" -> qAutocorrSql,
+    "q_decay_agg" -> qDecayAggSql,
     "q_psi_drift" -> qPsiDriftSql,
     "sketch_log_histogram" -> sketchLogHistogramSql,
     "q_interarrival" -> qInterarrivalSql,

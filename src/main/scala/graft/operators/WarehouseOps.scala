@@ -354,12 +354,63 @@ object WarehouseOps {
       |  CAST(max(tokens) AS BIGINT) AS max_tokens
       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------- B61
+  /** Exact distinct-customer rollup via mergeable bitmaps — the
+    * warehouse pattern for EXACT distinct counts over pre-aggregated
+    * layers (HLL's I6 twin without the error bar). The monthly layer
+    * groups orders by (nation, month, custkey-bucket) and collapses
+    * each group to a fixed-size bitmap (`bitmap_construct_agg` over
+    * `bitmap_bit_position`); the nation rollup then ORs the monthly
+    * bitmaps per bucket (`bitmap_or_agg`) and sums `bitmap_count` —
+    * no re-scan of the fact table, no re-shuffle of raw custkeys, and
+    * unlike count(DISTINCT) the monthly layer is REUSABLE: any
+    * superset grouping (quarter, year, all-time) derives from it by
+    * OR alone. At 100 TB the monthly bitmap layer is the materialized
+    * aggregate; the rollup shuffle carries ≤4 KB bitmap segments per
+    * (nation, bucket) instead of one row per distinct customer. The
+    * oracle is the semantically-equal count(DISTINCT) form — exact
+    * equality IS the claim (bitmaps are not sketches). */
+  def qBitmapRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    val base = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+    val monthly = base
+      .groupBy($"n_name", trunc($"o_orderdate", "month").as("month"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").as("bm"),
+        count(lit(1)).as("n_orders"))
+    val distinctCust = monthly
+      .groupBy($"n_name", $"bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy($"n_name")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_active_custs"))
+    val volume = monthly.groupBy($"n_name")
+      .agg(countDistinct($"month").as("n_months"),
+        sum($"n_orders").as("n_orders"))
+    volume.join(distinctCust, "n_name")
+  }
+
+  val qBitmapRollupSql: String =
+    """SELECT n_name,
+      |  CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+      |    AS n_months,
+      |  count(*) AS n_orders,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active_custs
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_late_arrivals" -> etlLateArrivals _,
     "etl_resample_gapfill" -> etlResampleGapfill _,
     "etl_fk_audit" -> etlFkAudit _,
     "q_pareto_frontier" -> qParetoFrontier _,
     "q_zorder_layout" -> qZorderLayout _,
+    "q_bitmap_rollup" -> qBitmapRollup _,
     "sample_shard_assign" -> sampleShardAssign _)
 
   def oracleSql: Map[String, String] = Map(
@@ -368,5 +419,6 @@ object WarehouseOps {
     "etl_fk_audit" -> etlFkAuditSql,
     "q_pareto_frontier" -> qParetoFrontierSql,
     "q_zorder_layout" -> qZorderLayoutSql,
+    "q_bitmap_rollup" -> qBitmapRollupSql,
     "sample_shard_assign" -> sampleShardAssignSql)
 }
