@@ -780,7 +780,85 @@ object DedupMore {
        |FROM sel
        |WHERE round(1.0 - CAST(dist AS DOUBLE) / ml, 6) >= 0.8""".stripMargin
 
+  // --------------------------------------------------------------- D18
+  /** PageRank over the near-dup pair graph (5 iterations, d = 0.85) —
+    * authority scoring for canonical-document selection: in a
+    * boilerplate community the highest-PageRank member is the most
+    * central copy, a principled upgrade over D6's min-id canonical
+    * pick. Degree (D10), triangles (D16), components (D7) profile the
+    * graph's SHAPE; this ranks its NODES.
+    *
+    * Portable-determinism discipline: ranks are FIXED-POINT BIGINTs
+    * (×10¹²) and every update is integer arithmetic — contribution =
+    * fx div deg, damping = (85·Σ) div 100, teleport = 1.5e11 div n —
+    * so iteration results are EXACT and independent of addition
+    * order/partitioning in both engines (float PageRank would drift
+    * ulp-per-iteration under Spark's unordered partial sums). The
+    * undirected pair graph has no dangling nodes (every node has
+    * degree ≥ 1), so no mass-leak correction term is needed. Per
+    * iteration: one join of the edge relation against the (node, fx)
+    * relation + one sum per destination — the classic message-passing
+    * shuffle, linear in edges, same schedule GraphX/Pregel would run.
+    * The oracle unrolls the 5 iterations as CTEs (all MATERIALIZED —
+    * the DuckDB CTE-inlining lesson, SURVEY §6). */
+  def dedupPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val pairs = DedupOps.minhashPipeline(docs, 0.5).select("id1", "id2")
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nScalar = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nScalar))
+      .select(col("src").as("node"),
+        expr("CAST(1000000000000 AS BIGINT) div n").as("fx"))
+    for (_ <- 1 to 5) {
+      val contribs = edges.join(deg, "src")
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("fx div deg").as("c"))
+      pr = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(nScalar))
+        .select(col("dst").as("node"),
+          (expr("CAST(150000000000 AS BIGINT) div n")
+            + expr("(85 * s) div 100")).as("fx"))
+    }
+    pr.join(deg, pr("node") === deg("src"))
+      .select(col("node").as("doc_id"), col("deg"),
+        round(col("fx") / lit(1e12), 6).as("pagerank"))
+  }
+
+  val dedupPagerankSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    150000000000 // max(nn.n) + (85 * sum(p.fx // d.deg)) // 100 AS fx
+         |  FROM e
+         |  JOIN p${k - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |prs AS MATERIALIZED (
+       |  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |e AS MATERIALIZED (
+       |  SELECT id1 AS src, id2 AS dst FROM prs
+       |  UNION ALL
+       |  SELECT id2, id1 FROM prs),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+       |p0 AS MATERIALIZED (
+       |  SELECT src AS node, 1000000000000 // n AS fx
+       |  FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT p5.node AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       |  round(p5.fx / 1e12, 6) AS pagerank
+       |FROM p5 JOIN deg d ON d.src = p5.node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_pagerank" -> dedupPagerank _,
     "dedup_edit_verify" -> dedupEditVerify _,
     "ann_hamming" -> annHamming _,
     "dedup_triangles" -> dedupTriangles _,
@@ -795,6 +873,7 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_pagerank" -> dedupPagerankSql,
     "dedup_edit_verify" -> dedupEditVerifySql,
     "ann_hamming" -> annHammingSql,
     "dedup_triangles" -> dedupTrianglesSql,

@@ -687,7 +687,65 @@ object StreamingTwins {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- G15
+  /** FULL OUTER stream-stream join — completes the join-type matrix
+    * (G8 inner, G9 left outer): purchases ⟗ views in the 1-hour
+    * attribution window. Beyond G9, the VIEW side's unmatched rows
+    * must also emit, which only happens when the view-side watermark
+    * passes their join-window upper bound — the same sentinel-flush
+    * protocol (both sides keep the user -1 sentinel rows through their
+    * watermark nodes; the far-future batches advance both watermarks
+    * and the final data batch fires the evictions; sentinel-involving
+    * rows — including the sentinel⋈sentinel self-match — are dropped
+    * AFTER the join). State size = both sides' in-window rows, exactly
+    * as the inner join; the emitted set converges to the batch FULL
+    * JOIN, which is the DuckDB oracle. */
+  def streamingFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    def side(tpe: String) = spark.readStream.schema(streamSchema)
+      .parquet(s"$dir/batch_*")
+      .filter($"user_id" < 0 || $"event_type" === tpe)
+    val views = side("view")
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"),
+        $"event_id".as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = side("purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value")
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(views,
+      $"v_user" === $"user_id"
+        && $"view_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR")
+        && $"view_ts" <= $"purchase_ts",
+      "fullOuter")
+    runToCompletion(joined, "append", "twin_full_outer")
+      .filter(($"user_id".isNull || $"user_id" >= 0)
+        && ($"v_user".isNull || $"v_user" >= 0))
+      .select(coalesce($"user_id", $"v_user").as("user_id"),
+        $"purchase_id",
+        $"purchase_ts".cast("timestamp_ntz").as("purchase_ts"),
+        $"view_id", $"view_ts".cast("timestamp_ntz").as("view_ts"),
+        $"value",
+        when($"purchase_id".isNull, "view_only")
+          .when($"view_id".isNull, "purchase_only")
+          .otherwise("both").as("match_type"))
+  }
+
+  val streamingFullOuterSql: String =
+    """SELECT coalesce(p.user_id, v.user_id) AS user_id,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts, p.value,
+      |  CASE WHEN p.event_id IS NULL THEN 'view_only'
+      |       WHEN v.event_id IS NULL THEN 'purchase_only'
+      |       ELSE 'both' END AS match_type
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON v.user_id = p.user_id
+      |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_full_outer" -> streamingFullOuter _,
     "streaming_upsert_sink" -> streamingUpsertSink _,
     "streaming_log_histogram" -> streamingLogHistogram _,
     "streaming_band_probe" -> streamingBandProbe _,
@@ -704,6 +762,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_full_outer" -> streamingFullOuterSql,
     "streaming_upsert_sink" -> streamingUpsertSinkSql,
     "streaming_log_histogram" -> streamingLogHistogramSql,
     "streaming_band_probe" -> streamingBandProbeSql,

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupMore, DedupOps}
+import graft.sources.IndexStore
+
+/** The segmented standing-index lifecycle (SURVEY §2.H): refresh
+  * appends a segment without touching standing data, probes fan out
+  * one join per segment with the index side Exchange-free, and
+  * compaction merges the fan-out back to one — with result equality
+  * pinned across refresh / compaction / full rebuild. */
+class IndexStoreSpec extends SparkSuite {
+
+  private def bands(df: DataFrame): DataFrame =
+    DedupMore.bandKeys(DedupMore.bandSigs(df))
+
+  test("refresh/compact/rebuild agree; probe shuffles only the batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idxstore").toString
+    val all = DedupOps.corpus(Tables.documents(spark, sf))
+      .withColumn("h", graft.functions.gf.h32($"doc_id".cast("string")) % 10)
+    val day1 = all.filter($"h" <= 7).select("doc_id", "text")
+    val day2 = all.filter($"h" === 8).select("doc_id", "text")
+    val day3 = all.filter($"h" === 9).select("doc_id", "text")
+
+    val store = new IndexStore(spark, "graft_t_idxstore", s"$dir/a", "bk")
+    val rebuilt = new IndexStore(spark, "graft_t_idxrebuild", s"$dir/b", "bk")
+    try {
+      store.create(bands(day1).select($"bk", $"doc_id".as("id_old")))
+      store.refresh(bands(day2).select($"bk", $"doc_id".as("id_old")))
+      assert(store.segments == Seq(0, 1))
+
+      val batch = bands(day3).select($"bk", $"doc_id".as("id_new"))
+      def cands(s: IndexStore): DataFrame =
+        s.probe(batch, _.select("id_new", "id_old")).distinct()
+      def keys(df: DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // reference: one-segment store over day1+day2 (the full rebuild)
+      rebuilt.create(bands(day1.unionByName(day2))
+        .select($"bk", $"doc_id".as("id_old")))
+      val expect = keys(cands(rebuilt))
+      assert(expect.nonEmpty)
+      assert(keys(cands(store)) == expect)
+
+      // plan shape under forced SMJ: one join per segment; the index
+      // side reads its bucketing, so the only shuffles are the batch
+      // side's (one per segment — ReuseExchange may dedupe the scan,
+      // but no Exchange may sit above a segment's bucketed scan)
+      val abt = "spark.sql.autoBroadcastJoinThreshold"
+      val prior = spark.conf.getOption(abt)
+      spark.conf.set(abt, "-1")
+      try {
+        def shape(s: IndexStore): (Int, Int) = {
+          val plan = s.probe(batch, _.select("id_new", "id_old"))
+            .queryExecution.executedPlan.toString
+          val joins = "SortMergeJoin".r.findAllMatchIn(plan).size
+          val segScansUnderExchange =
+            "Exchange[^\\n]*\\n[^\\n]*graft_t_idx".r.findAllMatchIn(plan).size
+          (joins, segScansUnderExchange)
+        }
+        assert(shape(store) == (2, 0))
+        store.compact()
+        assert(store.segments.size == 1)
+        assert(shape(store) == (1, 0))
+      } finally prior.fold(spark.conf.unset(abt))(spark.conf.set(abt, _))
+
+      // compaction preserved the result set
+      assert(keys(cands(store)) == expect)
+    } finally {
+      store.drop(); rebuilt.drop()
+    }
+  }
+}

@@ -72,7 +72,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q_psi_drift" -> "crossJoin(broadcast(1-row totals/type-count scalars))",
     "sketch_ams_f2" -> "crossJoin(broadcast(1-row exact-F2 scalar))",
     "text_bm25" -> "crossJoin(broadcast(1-row N/avgdl corpus scalar))",
-    "q_decay_agg" -> "crossJoin(broadcast(1-row max-timestamp anchor))")
+    "q_decay_agg" -> "crossJoin(broadcast(1-row max-timestamp anchor))",
+    "dedup_pagerank" ->
+      "crossJoin(broadcast(1-row node-count scalar)) per iteration")
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()
