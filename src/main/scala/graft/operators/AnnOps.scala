@@ -1467,7 +1467,83 @@ object AnnOps {
       |LEFT JOIN hits h ON h.np = g.np AND h.w = g.w
       |ORDER BY nprobe, width""".stripMargin
 
+  // --------------------------------------------------------------- E14
+  /** Top-20 most correlated embedding dimension pairs — the
+    * redundancy diagnostic read before choosing PQ subspace splits,
+    * whitening, or dimension pruning (highly correlated dims waste
+    * quantization budget; E4/E7's contiguous subvector split assumes
+    * low cross-dim correlation).
+    *
+    * Portable-precision discipline: vectors quantize to a COARSER
+    * grid than the distance kernels (floor(x·10³) — chosen so every
+    * intermediate stays exact: with |q| ≤ 10³ and n ≤ 10⁵, n·Σqᵢqⱼ
+    * ≤ 10¹⁷ < 2⁶³ and the power-sum terms stay < 2⁵³, so the doubles
+    * entering the final sqrt/divide are EXACT integers in both
+    * engines; the 10⁶ grid would overflow BIGINT in the n·Σ products
+    * at corpus n). One posexplode feeds per-dim sums; one pair
+    * explode feeds Σqᵢqⱼ grouped on the d²/2-key space — the
+    * embedding rows shuffle as (i,j,partial) partial aggregates, never
+    * as vectors. Final top-20 is orderBy+limit (TakeOrderedAndProject
+    * — distributed partial top-k, no global sort). */
+  def embDimCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = q.select(posexplode(col("q")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("s"), sum(col("col") * col("col")).as("ss"),
+        count(lit(1)).as("n"))
+    val pairs = q.select(explode(expr(
+      """flatten(transform(sequence(0, size(q) - 2),
+        |  i -> transform(sequence(i + 1, size(q) - 1),
+        |    j -> struct(i AS i, j AS j, q[i] * q[j] AS p))))""".stripMargin))
+      .as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sij"))
+    val d1 = dims.select(col("pos").as("i"), col("s").as("s1"),
+      col("ss").as("ss1"), col("n"))
+    val d2 = dims.select(col("pos").as("j"), col("s").as("s2"),
+      col("ss").as("ss2"))
+    pairs.join(broadcast(d1), "i").join(broadcast(d2), "j")
+      .select(col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"),
+        round((col("n") * col("sij") - col("s1") * col("s2")).cast("double")
+          / (sqrt((col("n") * col("ss1") - col("s1") * col("s1")).cast("double"))
+             * sqrt((col("n") * col("ss2") - col("s2") * col("s2")).cast("double"))),
+          6).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+      .limit(20)
+  }
+
+  val embDimCorrSql: String =
+    """WITH q AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |dims AS MATERIALIZED (
+      |  SELECT g AS pos, sum(q[g+1]) AS s, sum(q[g+1]*q[g+1]) AS ss,
+      |    count(*) AS n
+      |  FROM q, unnest(range(len(q))) u(g)
+      |  GROUP BY 1),
+      |prs AS MATERIALIZED (
+      |  SELECT u1.i, u2.j, sum(q[u1.i+1] * q[u2.j+1]) AS sij
+      |  FROM q, unnest(range(len(q))) u1(i), unnest(range(len(q))) u2(j)
+      |  WHERE u2.j > u1.i
+      |  GROUP BY 1, 2)
+      |SELECT CAST(prs.i AS BIGINT) AS dim_i, CAST(prs.j AS BIGINT) AS dim_j,
+      |  round(CAST(d1.n * sij - d1.s * d2.s AS DOUBLE)
+      |    / (sqrt(CAST(d1.n * d1.ss - d1.s * d1.s AS DOUBLE))
+      |       * sqrt(CAST(d1.n * d2.ss - d2.s * d2.s AS DOUBLE))), 6) AS corr
+      |FROM prs
+      |JOIN dims d1 ON d1.pos = prs.i
+      |JOIN dims d2 ON d2.pos = prs.j
+      |ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_corr" -> embDimCorr _,
     "emb_incremental_encode" -> embIncrementalEncode _,
     "ann_residual_sweep" -> annResidualSweep _,
     "ann_bruteforce" -> annBruteforce _,
@@ -1481,6 +1557,7 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "emb_dim_corr" -> embDimCorrSql,
     "emb_incremental_encode" -> embIncrementalEncodeSql,
     "ann_residual_sweep" -> annResidualSweepSql,
     "ann_bruteforce" -> annBruteforceSql,

@@ -596,7 +596,56 @@ object StatsOps {
       |FROM events CROSS JOIN anchor
       |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- B64
+  /** Weekly cohort-retention matrix: users bucketed by first-active
+    * ISO week, per (cohort, week-offset) distinct active users and
+    * retention share — the standard product-analytics triangle (the
+    * matrix form of B27's per-cohort revenue view). Facts collapse to
+    * the distinct (user, week) relation in one shuffle; cohorts are a
+    * per-user min over that; the matrix agg and the broadcast
+    * cohort-size join all operate on |users|-bounded relations. Pure
+    * integer date arithmetic (datediff div 7) until the one final
+    * division (round 6). Both engines truncate weeks to ISO Monday. */
+  def qRetentionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.events(spark, sfDir)
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cohort = weekly.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val sizes = cohort.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    weekly.join(cohort, "user_id")
+      .groupBy($"cohort_week",
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select($"cohort_week", $"week_offset", $"n_active", $"cohort_size",
+        round($"n_active" / $"cohort_size", 6).as("retention"))
+  }
+
+  val qRetentionMatrixSql: String =
+    """WITH weekly AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohort AS MATERIALIZED (
+      |  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+      |m AS (
+      |  SELECT c.cohort_week,
+      |    date_diff('day', c.cohort_week, w.week) // 7 AS week_offset,
+      |    count(DISTINCT w.user_id) AS n_active
+      |  FROM weekly w JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT m.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(cohort_size AS BIGINT) AS cohort_size,
+      |  round(n_active / cohort_size, 6) AS retention
+      |FROM m JOIN sizes USING (cohort_week)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention_matrix" -> qRetentionMatrix _,
     "q_autocorr" -> qAutocorr _,
     "q_decay_agg" -> qDecayAgg _,
     "q_psi_drift" -> qPsiDrift _,
@@ -610,6 +659,7 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_retention_matrix" -> qRetentionMatrixSql,
     "q_autocorr" -> qAutocorrSql,
     "q_decay_agg" -> qDecayAggSql,
     "q_psi_drift" -> qPsiDriftSql,

@@ -156,6 +156,58 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter prunes the fact shuffle") {
+    // DPP's shuffle-side sibling (H12): when the fact side is NOT
+    // partitioned on the join key, Catalyst's InjectRuntimeFilter can
+    // still cut the fact SHUFFLE — it builds a bloom filter from the
+    // filtered dim side's join keys and plants bloom_filter_might_contain
+    // on the fact scan, so non-matching fact rows drop BEFORE the
+    // exchange instead of after the join. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the ~selectivity fraction that can possibly match.
+    //
+    // Gates pinned here (mirroring the DPP test's discipline):
+    //  - the join must be a shuffle join (broadcast joins don't need
+    //    the filter) → autoBroadcastJoinThreshold = -1;
+    //  - the dim filter must pass isLikelySelective (string equality
+    //    qualifies, same as DPP's gate);
+    //  - size thresholds: creation side < creationSideThreshold
+    //    (10 MB default — our dim passes) and application side scan >
+    //    applicationSideScanSizeThreshold (10 GB default — a test-SF
+    //    scan never passes, so THAT gate is lowered here; at warehouse
+    //    scale the real fact size passes on its own).
+    val conf = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def query() = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter($"p_brand" === "Brand#13"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"))
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val withBf = query()
+      // the injected shape: a bloom_filter_agg scalar subquery over the
+      // filtered dim keys feeding might_contain(xxhash64(l_partkey))
+      // planted directly above the fact scan
+      val plan = withBf.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter in:\n$plan")
+      val got = withBf.collect().map(r =>
+        (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+      // result equality with the filter disabled: might_contain has no
+      // false negatives, so the pruned plan returns the identical rows
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expect = query().collect().map(r =>
+        (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+      assert(got == expect && got.nonEmpty)
+    } finally prior.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     val conf = spark.conf
     val saved = Seq(
