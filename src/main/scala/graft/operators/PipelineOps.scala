@@ -414,7 +414,65 @@ object PipelineOps {
       |    / count(*), 6) AS dup_rate
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- J13
+  /** Duplicate-aware downweighting — the soft-dedup discipline (keep
+    * every copy, split each duplicate cluster's training mass across
+    * its members: weight = 1/|cluster|) that repetition studies
+    * (Muennighoff et al. 2023; Lee et al. 2022) recommend over hard
+    * removal when near-term data is scarce. Clusters here are exact
+    * normalized-text fingerprints (C4's md5_norm key); the corpus is
+    * salted with same-source copies and a cross-source "mirror" so
+    * the report exercises both duplication shapes. Per source:
+    * raw docs, distinct fingerprints, effective docs (Σ 1/copies —
+    * a fully-mirrored source collapses to half mass), and the
+    * discount ratio a mixture planner feeds into J10's temperature
+    * weights. One fingerprint-keyed shuffle (the cluster-size join);
+    * the text column never shuffles. */
+  def sampleDedupWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val sameSrc = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 700000).as("doc_id"), $"source", $"text")
+    val mirror = base.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 900000).as("doc_id"),
+        lit("mirror").as("source"), $"text")
+    val corpus = base.unionByName(sameSrc).unionByName(mirror)
+      .select($"source",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " "))).cast("binary"))
+          .as("fp"))
+    val copies = corpus.groupBy($"fp").agg(count(lit(1)).as("n_copies"))
+    corpus.join(copies, "fp")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_unique"),
+        round(sum(lit(1.0) / $"n_copies"), 6).as("effective_docs"))
+      .withColumn("dedup_discount",
+        round($"effective_docs" / $"n_docs", 6))
+  }
+
+  val sampleDedupWeightSql: String =
+    """WITH corpus AS MATERIALIZED (
+      |  SELECT source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM (
+      |    SELECT doc_id, source, text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 700000, source, text FROM documents
+      |    WHERE doc_id % 10 = 0
+      |    UNION ALL
+      |    SELECT doc_id + 900000, 'mirror', text FROM documents
+      |    WHERE doc_id % 10 = 3)),
+      |copies AS (SELECT fp, count(*) AS n_copies FROM corpus GROUP BY 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(count(DISTINCT corpus.fp) AS BIGINT) AS n_unique,
+      |  round(sum(1.0 / n_copies), 6) AS effective_docs,
+      |  round(round(sum(1.0 / n_copies), 6) / count(*), 6) AS dedup_discount
+      |FROM corpus JOIN copies USING (fp)
+      |GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dedup_weight" -> sampleDedupWeight _,
     "corpus_report" -> corpusReport _,
     "sample_temperature" -> sampleTemperature _,
     "sample_weighted" -> sampleWeighted _,
@@ -486,6 +544,7 @@ object PipelineOps {
       |FROM ranked""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "sample_dedup_weight" -> sampleDedupWeightSql,
     "corpus_report" -> corpusReportSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_weighted" -> sampleWeightedSql,

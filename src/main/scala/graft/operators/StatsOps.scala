@@ -644,7 +644,77 @@ object StatsOps {
       |  round(n_active / cohort_size, 6) AS retention
       |FROM m JOIN sizes USING (cohort_week)""".stripMargin
 
+  // --------------------------------------------------------------- B65
+  /** Two-proportion z-test between hash-assigned experiment arms —
+    * the experimentation readout every event pipeline ends in:
+    * variant = portable id-hash mod 2 (gf.h32, the same kernel the
+    * dedup splits use — NEVER rand(), which re-rolls per task retry),
+    * conversion = the user's purchase count exceeds the corpus mean —
+    * tested as the INTEGER cross-product compare c·|users| > total
+    * (exact at any SF; every absolute threshold either saturates or
+    * starves as event density scales, and a "reached purchase once"
+    * flag saturates to p̂ = 1 here, putting 0 under the z
+    * denominator) — z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with
+    * the pooled p̂. Facts collapse to per-user purchase counts in one
+    * shuffle; the z arithmetic runs on four exact BIGINT counts in
+    * ONE final float expression tree mirrored in the oracle
+    * (power-sum discipline — no float accumulates across rows). */
+  def qAbtestZtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(when($"event_type" === "purchase", 1)).as("purchases"))
+    val totals = perUser.agg(sum($"purchases").as("tp"),
+      count(lit(1)).as("tu"))
+    val users = perUser.crossJoin(broadcast(totals))
+      .withColumn("converted",
+        when($"purchases" * $"tu" > $"tp", 1).otherwise(0))
+      .withColumn("variant",
+        graft.functions.gf.h32($"user_id".cast("string")) % 2)
+    val counts = users.agg(
+      count(when($"variant" === 0, 1)).as("n_a"),
+      count(when($"variant" === 0 && $"converted" === 1, 1)).as("conv_a"),
+      count(when($"variant" === 1, 1)).as("n_b"),
+      count(when($"variant" === 1 && $"converted" === 1, 1)).as("conv_b"))
+    val pa = $"conv_a" / $"n_a"
+    val pb = $"conv_b" / $"n_b"
+    val pooled = ($"conv_a" + $"conv_b") / ($"n_a" + $"n_b")
+    counts.select($"n_a", $"conv_a", $"n_b", $"conv_b",
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round((pa - pb) / sqrt(pooled * (lit(1.0) - pooled)
+        * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 6).as("z"))
+  }
+
+  val qAbtestZtestSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT sum(purchases) AS tp, count(*) AS tu FROM pu),
+      |u AS (
+      |  SELECT user_id,
+      |    CASE WHEN purchases * tu > tp THEN 1 ELSE 0 END AS converted,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+      |      AS variant
+      |  FROM pu CROSS JOIN t),
+      |c AS (
+      |  SELECT
+      |    count(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+      |    count(CASE WHEN variant = 0 AND converted = 1 THEN 1 END) AS conv_a,
+      |    count(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+      |    count(CASE WHEN variant = 1 AND converted = 1 THEN 1 END) AS conv_b
+      |  FROM u)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  round(conv_a / n_a, 6) AS p_a,
+      |  round(conv_b / n_b, 6) AS p_b,
+      |  round((conv_a / n_a - conv_b / n_b)
+      |    / sqrt((conv_a + conv_b) / (n_a + n_b)
+      |           * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+      |           * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_abtest_ztest" -> qAbtestZtest _,
     "q_retention_matrix" -> qRetentionMatrix _,
     "q_autocorr" -> qAutocorr _,
     "q_decay_agg" -> qDecayAgg _,
@@ -659,6 +729,7 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_abtest_ztest" -> qAbtestZtestSql,
     "q_retention_matrix" -> qRetentionMatrixSql,
     "q_autocorr" -> qAutocorrSql,
     "q_decay_agg" -> qDecayAggSql,

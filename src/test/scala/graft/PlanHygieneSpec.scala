@@ -74,7 +74,9 @@ class PlanHygieneSpec extends SparkSuite {
     "text_bm25" -> "crossJoin(broadcast(1-row N/avgdl corpus scalar))",
     "q_decay_agg" -> "crossJoin(broadcast(1-row max-timestamp anchor))",
     "dedup_pagerank" ->
-      "crossJoin(broadcast(1-row node-count scalar)) per iteration")
+      "crossJoin(broadcast(1-row node-count scalar)) per iteration",
+    "q_abtest_ztest" ->
+      "crossJoin(broadcast(1-row corpus purchase totals))")
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()
