@@ -182,6 +182,24 @@ object ScaleProbe {
           operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5))
           .count()),
         (n: Int) => replicateDocs(docs, n), docs),
+      // PageRank closure: constant duplicate density → edge relation
+      // grows linearly; each of the 5 fixed-point iterations is one
+      // linear edges⋈ranks join + per-dst sum, so the full run should
+      // track the LSH candidate cost (like cc_closure, with a fixed
+      // iteration count instead of diameter-driven rounds)
+      ("pagerank",
+        (d: DataFrame) => time(operators.DedupMore.pagerankPipeline(
+          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5)
+            .select("id1", "id2")).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // Levenshtein verify: candidates grow linearly with constant
+      // duplicate density and each pair's DP cost is doc-length-bounded
+      // — the verify stage should add a near-constant factor on top of
+      // the LSH probe, NOT change its slope
+      ("edit_verify",
+        (d: DataFrame) => time(operators.DedupMore.editVerifyPipeline(
+          d.select("doc_id", "text")).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
       // HLL registers: the agg state is ≤ |groups|·32 rows at ANY
       // size — cost should track the scan only
       ("hll_registers",

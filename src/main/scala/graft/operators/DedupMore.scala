@@ -751,8 +751,12 @@ object DedupMore {
     * loop — no shuffle beyond the two text joins). The oracle replays
     * the full minhash chain and DuckDB's own levenshtein, so the
     * candidate set AND the verification are both hash-checked. */
-  def dedupEditVerify(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+  def dedupEditVerify(spark: SparkSession, sfDir: String): DataFrame =
+    editVerifyPipeline(DedupOps.corpus(Tables.documents(spark, sfDir)))
+
+  /** Candidate generation + Levenshtein verification over an
+    * arbitrary (doc_id, text) corpus (factored for the ScaleProbe). */
+  def editVerifyPipeline(docs: DataFrame): DataFrame = {
     val candidates = DedupOps.minhashPipeline(docs, 0.3).select("id1", "id2")
     val t1 = docs.select(col("doc_id").as("id1"), col("text").as("text1"))
     val t2 = docs.select(col("doc_id").as("id2"), col("text").as("text2"))
@@ -803,7 +807,12 @@ object DedupMore {
     * the DuckDB CTE-inlining lesson, SURVEY §6). */
   def dedupPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
-    val pairs = DedupOps.minhashPipeline(docs, 0.5).select("id1", "id2")
+    pagerankPipeline(DedupOps.minhashPipeline(docs, 0.5).select("id1", "id2"))
+  }
+
+  /** 5 fixed-point PageRank iterations over an undirected pair
+    * relation (see dedupPagerank; factored for the ScaleProbe). */
+  def pagerankPipeline(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
