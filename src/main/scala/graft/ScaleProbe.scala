@@ -130,18 +130,38 @@ object ScaleProbe {
       // near-flat in corpus size (batch work + a co-located join)
       ("dedup_incr_idx",
         (d: DataFrame) => {
-          val nm = "graft_probe_bandidx"
-          spark.sql(s"DROP TABLE IF EXISTS ${nm}_bands")
-          spark.sql(s"DROP TABLE IF EXISTS ${nm}_sigs")
           val dir = java.nio.file.Files
             .createTempDirectory("graft_bandidx_probe").toString
           val isNew = (col("doc_id") < 1000000L) &&
             (abs(hash(col("doc_id"))) % 10 === 0)
-          operators.DedupMore.buildBandIndex(spark,
-            d.filter(!isNew).select("doc_id", "text"), nm, dir)
+          val idx = new sources.BandIndex(spark, "graft_probe_bandidx", dir)
+          idx.create(d.filter(!isNew).select("doc_id", "text"))
           val newDocs = d.filter(isNew).select("doc_id", "text")
-          time(operators.DedupMore
-            .incrementalIndexedPipeline(spark, newDocs, nm).count())
+          val t = time(idx.probe(newDocs).count())
+          idx.drop()
+          t
+        },
+        (n: Int) => replicateDocs(docs, n), docs),
+      // compaction-policy curve, fan-out side: the SAME probe against
+      // an 8-segment store (create + 7 refreshes). The delta vs
+      // dedup_incr_idx (1 segment = the post-compaction cost) at each
+      // scale is the probe-latency price of deferring compaction —
+      // what a compaction scheduler weighs against the rewrite cost
+      ("dedup_incr_seg8",
+        (d: DataFrame) => {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_bandidx_seg8").toString
+          val isNew = (col("doc_id") < 1000000L) &&
+            (abs(hash(col("doc_id"))) % 10 === 0)
+          val idx = new sources.BandIndex(spark, "graft_probe_bandseg8", dir)
+          val old = d.filter(!isNew).select("doc_id", "text")
+            .withColumn("seg", abs(hash(col("doc_id"))) % 8)
+          idx.create(old.filter(col("seg") === 0).drop("seg"))
+          (1 to 7).foreach(s => idx.refresh(old.filter(col("seg") === s).drop("seg")))
+          val newDocs = d.filter(isNew).select("doc_id", "text")
+          val t = time(idx.probe(newDocs).count())
+          idx.drop()
+          t
         },
         (n: Int) => replicateDocs(docs, n), docs),
       // novelty: two shingle-key linear shuffles; ratio should stay ≈N

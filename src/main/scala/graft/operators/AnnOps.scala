@@ -1542,7 +1542,115 @@ object AnnOps {
       |JOIN dims d2 ON d2.pos = prs.j
       |ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- E15
+  /** Segmented standing IVF index — the PROBE side completing E11's
+    * encode path, carried by the H11 [[graft.sources.IndexStore]]
+    * lifecycle (round-8 forward item): centroids train ONCE on the
+    * standing (old, ~90%) corpus; the codes relation (cell, vec_id,
+    * embedding) is CREATEd from the old corpus and REFRESHed with the
+    * new batch encoded against those same standing centroids (E11's
+    * exact write path) — then queries probe their top-nprobe cells
+    * across BOTH bucketed segments, one co-located join per segment.
+    *
+    * The oracle knows nothing about segments: it replays "IVF with
+    * old-trained centroids over the full corpus" — hash equality
+    * therefore PROVES refresh ≡ rebuild for the probe result, the
+    * vector-store lifecycle claim (train rarely, encode every batch,
+    * probes see old ∪ new). Scale: the store write is once-per-corpus
+    * + O(batch) per refresh; a probe shuffles only the (queries ×
+    * nprobe) rows into each segment's cell bucketing; compaction
+    * returns probe fan-out to one join (IndexStoreSpec pins that
+    * trade generically). Embeddings round-trip parquet bit-exact, so
+    * the rounded cosine re-rank matches the oracle's to the last
+    * digit. */
+  private val stagedIvfSeg =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.IndexStore]()
+
+  def annIvfSegmented(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val isNew = gf.h32(col("vec_id").cast("string")) % 10 === 0
+    // standing centroids: trained on the old corpus only, never retrained
+    val cents = ivfCentroids(emb.filter(!isNew))
+    val store = stagedIvfSeg.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfseg").toString
+      val s = new graft.sources.IndexStore(spark,
+        "graft_ivfseg_" + math.abs(sfDir.hashCode), dir, "cell")
+      s.create(ivfAssign(emb.filter(!isNew), cents)
+        .select(col("cell"), col("vec_id"), col("embedding")))
+      s.refresh(ivfAssign(emb.filter(isNew), cents)
+        .select(col("cell"), col("vec_id"), col("embedding")))
+      s
+    })
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("qdist2"), col("cell"))
+    val probeCells = queries.crossJoin(broadcast(cents))
+      .withColumn("qdist2",
+        gf.l2sq_long(quantize(col("qv")), col("centroid_q")))
+      .withColumn("qrn", row_number().over(qw))
+      .filter(col("qrn") <= 3)
+      .select(col("qid"), col("qv"), col("cell"))
+    val scored = store.probe(probeCells,
+      _.filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(gf.cosine_sim(col("qv"), col("embedding")), 6).as("sim")))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** annIvfSql with the centroids trained on the old (NOT is_new)
+    * corpus only — the segment layout never appears: refresh ≡
+    * rebuild is exactly what the hash equality proves. */
+  val annIvfSegmentedSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM embeddings, range(64) d(dim)),
+      |flag AS (
+      |  SELECT vec_id,
+      |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+      |      AS is_new
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, dim,
+      |    floor(CAST(sum(q) AS DOUBLE) / count(*))::BIGINT AS c
+      |  FROM qv JOIN flag USING (vec_id) WHERE NOT is_new
+      |  GROUP BY label, dim),
+      |dist AS (
+      |  SELECT v.vec_id, c.label AS cell,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      |  FROM qv v JOIN cent c ON c.dim = v.dim
+      |  GROUP BY v.vec_id, c.label),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT vec_id AS qid, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist WHERE vec_id < 10) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, a.vec_id AS nid
+      |  FROM probe p JOIN assign a ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.qid),
+      |scored AS (
+      |  SELECT c.qid, c.nid,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+      |      e.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.qid
+      |  JOIN embeddings e ON e.vec_id = c.nid)
+      |SELECT qid, rank, nid, sim FROM (
+      |  SELECT qid, nid, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_segmented" -> annIvfSegmented _,
     "emb_dim_corr" -> embDimCorr _,
     "emb_incremental_encode" -> embIncrementalEncode _,
     "ann_residual_sweep" -> annResidualSweep _,
@@ -1557,6 +1665,7 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ann_ivf_segmented" -> annIvfSegmentedSql,
     "emb_dim_corr" -> embDimCorrSql,
     "emb_incremental_encode" -> embIncrementalEncodeSql,
     "ann_residual_sweep" -> annResidualSweepSql,

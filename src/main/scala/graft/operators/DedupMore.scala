@@ -157,20 +157,28 @@ object DedupMore {
     * corpus on every batch (the worst ×20 probe ratio on the round-7
     * board, 4.2). A production ingest instead treats the corpus index
     * as a WRITTEN artifact: signatures and 16-band LSH keys are
-    * materialized once as bucketed tables, and a daily batch
-    * minhashes only itself and probes the standing index —
+    * materialized as bucketed segments, and a daily batch minhashes
+    * only itself and probes the standing index —
     *   - the corpus is never re-shingled/re-minhashed per batch;
     *   - the candidate join shuffles ONLY the batch into the index's
-    *     bucketing (the bands table is bucketBy(band hash), so its
-    *     scan satisfies the join distribution with zero Exchange);
-    *   - the signature-verify join reads the sig table bucketed by
+    *     bucketing (the bands segments are bucketBy(band hash), so
+    *     their scans satisfy the join distribution with zero
+    *     Exchange);
+    *   - the signature-verify join reads the sig segments bucketed by
     *     doc_id, again shuffling only the candidate side.
     * The band key is folded to one BIGINT (md5-h32 over band id +
     * slice values — the portable hash every dedup op here uses) so it
     * can be a bucket column; hash collisions can only ADD candidate
-    * pairs, which the est_jaccard ≥ 0.5 verification then discards —
-    * ScaleSpec asserts output equality with D9 and the Exchange-free
-    * index side of the probe plan. */
+    * pairs, which the est_jaccard ≥ 0.5 verification then discards.
+    *
+    * The index lifecycle (create / refresh-per-batch / compact) lives
+    * in [[graft.sources.BandIndex]], carried by the H11
+    * [[graft.sources.IndexStore]] segment store; only the signature
+    * and band-key EXPRESSIONS live here, shared by the batch build,
+    * the batch probe, and the G12 in-stream projection so their keys
+    * can never diverge. ScaleSpec asserts output equality with D9
+    * across refresh/compact/rebuild and the Exchange-free index side
+    * of the probe plan. */
   def bandSigs(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
       gf.minhash_sig_mod(gf.shingle_md5_h32(col("text"), 3), 128).as("sig"))
@@ -189,44 +197,6 @@ object DedupMore {
       b => slice(col("sig"), b * 8 + 1, lit(8)))))
     .select(col("doc_id"),
       bandKeyExpr(col("pos"), col("col")).as("bk"))
-
-  /** Index build (run once per corpus, not per batch): writes the
-    * standing corpus's band keys bucketed by band hash and its
-    * signatures bucketed by doc id. */
-  def buildBandIndex(spark: SparkSession, oldDocs: DataFrame,
-      name: String, path: String, buckets: Int = 8): Unit = {
-    val sigs = bandSigs(oldDocs).persist()
-    bandKeys(sigs)
-      .write.bucketBy(buckets, "bk").sortBy("bk")
-      .option("path", s"$path/bands").mode("overwrite")
-      .saveAsTable(s"${name}_bands")
-    sigs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$path/sigs").mode("overwrite")
-      .saveAsTable(s"${name}_sigs")
-    sigs.unpersist()
-  }
-
-  /** Batch probe against a standing index built by [[buildBandIndex]]:
-    * O(batch) new-side work + one co-located join per stage. */
-  def incrementalIndexedPipeline(spark: SparkSession, newDocs: DataFrame,
-      name: String): DataFrame = {
-    // persisted: the batch's sigs feed banding AND the verify join
-    val sigsNew = bandSigs(newDocs).persist()
-    val cand = bandKeys(sigsNew).select(col("doc_id").as("id_new"), col("bk"))
-      .join(spark.table(s"${name}_bands")
-        .select(col("doc_id").as("id_old"), col("bk")), "bk")
-      .select("id_new", "id_old").distinct()
-    cand
-      .join(sigsNew.select(col("doc_id").as("id_new"), col("sig").as("sig1")),
-        "id_new")
-      .join(spark.table(s"${name}_sigs")
-        .select(col("doc_id").as("id_old"), col("sig").as("sig2")), "id_old")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          b => b)) / lit(128.0))
-      .filter(col("est_jaccard") >= 0.5)
-      .select(col("id_new"), col("id_old"), col("est_jaccard"))
-  }
 
   val dedupIncrementalSql: String =
     s"""WITH ${DedupOps.minhashSigSqlCtes},

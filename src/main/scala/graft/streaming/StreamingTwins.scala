@@ -503,27 +503,36 @@ object StreamingTwins {
     * minhashed IN-STREAM (the D2 signature expression runs inside the
     * streaming projection), band-folded with the exact bandKeyExpr the
     * batch index uses, and joined stream-static against the standing
-    * bucketed bands + signatures tables. Every stage is STATELESS
-    * (projections and stream-static joins — no watermark, no state
-    * store): state lives in the written index, not the stream, so an
-    * unbounded ingest holds nothing in memory. A pair matching in k
-    * bands emits k rows (one per matching band key) — the documented
-    * at-least-once shape of a stateless probe; the downstream consumer
-    * (or the batch D13 run) dedupes. The oracle replays candidate
-    * multiplicity exactly, including the band-key fold. */
-  private val stagedBand = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * index's bucketed segments. The index is a real
+    * [[graft.sources.BandIndex]] lifecycle — created from half the
+    * standing corpus and REFRESHED with the other half, so the stream
+    * probes a genuinely two-segment store (one stream-static join per
+    * segment, results unioned; each (bk, doc) band entry lives in
+    * exactly one segment, so candidate multiplicity is
+    * segment-invariant and the oracle is unchanged by segmentation).
+    * Every stage is STATELESS (projections and stream-static joins —
+    * no watermark, no state store): state lives in the written index,
+    * not the stream, so an unbounded ingest holds nothing in memory.
+    * A pair matching in k bands emits k rows (one per matching band
+    * key) — the documented at-least-once shape of a stateless probe;
+    * the downstream consumer (or the batch D13 run) dedupes. The
+    * oracle replays candidate multiplicity exactly, including the
+    * band-key fold. */
+  private val stagedBand = new java.util.concurrent.ConcurrentHashMap[String, (String, graft.sources.BandIndex)]()
 
   def streamingBandProbe(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{DedupMore, DedupOps}
     val name = "graft_sbp_" + math.abs(sfDir.hashCode)
-    val dir = stagedBand.computeIfAbsent(sfDir, { _ =>
+    val (dir, index) = stagedBand.computeIfAbsent(sfDir, { _ =>
       val d = Files.createTempDirectory("graft_stream_band").toString
       val all = DedupOps.corpus(Tables.documents(spark, sfDir))
         .withColumn("is_new",
           graft.functions.gf.h32($"doc_id".cast("string")) % 10 === 0)
-      DedupMore.buildBandIndex(spark,
-        all.filter(!$"is_new").select("doc_id", "text"), name, s"$d/index")
+      val idx = new graft.sources.BandIndex(spark, name, s"$d/index")
+      val oldDocs = all.filter(!$"is_new")
+      idx.create(oldDocs.filter($"doc_id" % 2 === 0).select("doc_id", "text"))
+      idx.refresh(oldDocs.filter($"doc_id" % 2 === 1).select("doc_id", "text"))
       val newDocs = all.filter($"is_new").select($"doc_id", $"text")
       newDocs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$d/batch_0")
       newDocs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$d/batch_1")
@@ -532,7 +541,7 @@ object StreamingTwins {
         val f = new java.io.File(s"$d/batch_$i")
         (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
       }
-      d
+      (d, idx)
     })
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
@@ -546,11 +555,14 @@ object StreamingTwins {
         b => slice($"sig1", b * 8 + 1, lit(8)))))
       .select($"id_new", $"sig1",
         DedupMore.bandKeyExpr($"pos", $"col").as("bk"))
-    val matched = bands
-      .join(spark.table(s"${name}_bands")
-        .select($"doc_id".as("id_old"), $"bk"), "bk")
-      .join(spark.table(s"${name}_sigs")
-        .select($"doc_id".as("id_old"), $"sig".as("sig2")), "id_old")
+    // one stream-static join per live segment of each store, unioned —
+    // sig1 rides through the candidate stage (a stream can't re-join
+    // its own signatures without a watermarked stream-stream join)
+    val cand = index.bands.probe(bands,
+      _.select($"id_new", $"sig1", $"doc_id".as("id_old")))
+    val matched = index.sigs.probe(
+      cand.select($"id_old".as("doc_id"), $"id_new", $"sig1"),
+      _.select($"id_new", $"doc_id".as("id_old"), $"sig1", $"sig".as("sig2")))
       .withColumn("est_jaccard",
         size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), b => b))
           / lit(128.0))

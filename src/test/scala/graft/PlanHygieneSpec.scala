@@ -46,6 +46,8 @@ class PlanHygieneSpec extends SparkSuite {
     * k-bound of the small side. */
   private val nonEquiOk: Map[String, String] = Map(
     "ann_ivf" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
+    "ann_ivf_segmented" -> ("crossJoin(broadcast(standing cell "
+      + "centroids)): ≤10 rows, probe-cell selection + segment encode"),
     "ann_ivf_pq" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
     "ann_ivfpq_residual" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
     "ann_ivfpq_sweep" -> ("crossJoin(broadcast(cell centroids)) ≤10 rows "

@@ -112,47 +112,60 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
-  test("standing band index: probe shuffles only the batch, prunes buckets, matches D9") {
+  test("standing band index: probe shuffles only the batch, prunes buckets, matches D9 across refresh/compact") {
     import graft.operators.DedupMore
+    import graft.sources.BandIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
     val all = graft.operators.DedupOps.corpus(Tables.documents(spark, sf))
       .withColumn("is_new",
         graft.functions.gf.h32($"doc_id".cast("string")) % 10 === 0)
-    val oldDocs = all.filter(!$"is_new").select("doc_id", "text")
+    val oldDocs = all.filter(!$"is_new")
     val newDocs = all.filter($"is_new").select("doc_id", "text")
-    DedupMore.buildBandIndex(spark, oldDocs, "graft_t_bandidx", dir)
+    // a genuinely segmented standing index: half the corpus at create,
+    // the other half as a refresh batch (the daily-ingest lifecycle)
+    val index = new BandIndex(spark, "graft_t_bandidx", dir)
+    index.create(oldDocs.filter($"doc_id" % 2 === 0).select("doc_id", "text"))
+    index.refresh(oldDocs.filter($"doc_id" % 2 === 1).select("doc_id", "text"))
     val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prior = spark.conf.getOption(abs)
     try {
-      // 1. candidate join: the index side is read bucketed and needs
+      assert(index.bands.segments == Seq(0, 1))
+      // 1. candidate join: a segment's scan is read bucketed and needs
       //    NO Exchange — only the incoming batch shuffles (merge hint
       //    pins the SMJ shape a large batch takes; a small batch would
       //    broadcast, which needs no exchange either)
       val candJoin = DedupMore.bandKeys(DedupMore.bandSigs(newDocs))
         .select($"doc_id".as("id_new"), $"bk")
-        .join(spark.table("graft_t_bandidx_bands").hint("merge")
+        .join(index.bands.segmentTables.head.hint("merge")
           .select($"doc_id".as("id_old"), $"bk"), "bk")
       val plan = candJoin.queryExecution.executedPlan.toString
       assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
       // 2. bucket pruning: probing one band key reads 1 bucket of 8
       //    (the E9 inverted-file assert, here on the dedup index)
       spark.conf.set(abs, "false")
-      val bk0 = spark.table("graft_t_bandidx_bands").agg(min($"bk")).head.getLong(0)
-      val pruned = spark.table("graft_t_bandidx_bands").filter($"bk" === bk0)
-      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      val seg0 = index.bands.segmentTables.head
+      val bk0 = seg0.agg(min($"bk")).head.getLong(0)
+      val prunedPlan = seg0.filter($"bk" === bk0)
+        .queryExecution.executedPlan.toString
       assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"), prunedPlan)
-      // 3. output equality with the self-contained D9 pipeline
+      // 3. output equality with the self-contained D9 pipeline, probed
+      //    across TWO segments
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
-      val got = DedupMore.incrementalIndexedPipeline(spark, newDocs, "graft_t_bandidx")
-        .collect().map(key).toSet
-      val expect = DedupMore.incrementalPipeline(all).collect().map(key).toSet
+      def keys(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(key).toSet
+      val expect = keys(DedupMore.incrementalPipeline(all))
+      val got = keys(index.probe(newDocs))
       assert(got == expect, s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
       assert(got.nonEmpty)
+      // 4. compaction merges to one segment and preserves the FULL
+      //    verified result (not just the candidate set)
+      index.compact()
+      assert(index.bands.segments.size == 1 && index.sigs.segments.size == 1)
+      assert(keys(index.probe(newDocs)) == expect)
     } finally {
       prior.fold(spark.conf.unset(abs))(spark.conf.set(abs, _))
-      spark.sql("DROP TABLE IF EXISTS graft_t_bandidx_bands")
-      spark.sql("DROP TABLE IF EXISTS graft_t_bandidx_sigs")
+      index.drop()
     }
   }
 
