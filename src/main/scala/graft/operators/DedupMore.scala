@@ -836,7 +836,79 @@ object DedupMore {
        |FROM p5 JOIN deg d ON d.src = p5.node""".stripMargin
   }
 
+  // --------------------------------------------------------------- D19
+  /** Probabilistic record linkage (Fellegi & Sunter 1969) between two
+    * ENTITY tables — the cross-source twin of document dedup: D1-D18
+    * ask "is this the same text", linkage asks "is this the same
+    * entity" across heterogeneous sources (here customer ↔ supplier,
+    * the two party tables). The canonical two-stage shape:
+    *   1. BLOCKING: candidate pairs only within a nation block — an
+    *      equi-join, never a cross product (the LSH-banding discipline
+    *      applied to entity resolution; at 100 TB the block key bounds
+    *      pair fan-out and the smaller party side broadcasts);
+    *   2. SCORING: per-field agreement weights in ×1000 fixed point —
+    *      log-likelihood-ratio-shaped constants (agree ≫ 0 when the
+    *      field is discriminative, disagree < 0), summed to a match
+    *      score. Fields: entity-number suffix last-2-digits, balance
+    *      kilobucket, balance hectobucket (a hierarchical agreement
+    *      ladder). All comparisons are integer equality on exactly
+    *      derived values, so scores are bit-identical across engines.
+    * Output: the best-scoring supplier per customer (rank-1 window
+    * within the block results) with score ≥ 5000 — the "review" set a
+    * linkage pipeline hands downstream. */
+  def dedupLinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey",
+      (regexp_extract($"c_name", "([0-9]+)$", 1).cast("long") % 100).as("c_id2"),
+      floor($"c_acctbal".cast("double") / 1000.0).cast("long").as("c_kb"),
+      floor($"c_acctbal".cast("double") / 100.0).cast("long").as("c_hb"))
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey",
+      (regexp_extract($"s_name", "([0-9]+)$", 1).cast("long") % 100).as("s_id2"),
+      floor($"s_acctbal".cast("double") / 1000.0).cast("long").as("s_kb"),
+      floor($"s_acctbal".cast("double") / 100.0).cast("long").as("s_hb"))
+    val scored = c.join(broadcast(s), $"c_nationkey" === $"s_nationkey")
+      .withColumn("score",
+        when($"c_id2" === $"s_id2", 6644L).otherwise(-4247L)
+          + when($"c_kb" === $"s_kb", 3000L).otherwise(-1500L)
+          + when($"c_hb" === $"s_hb", 2000L).otherwise(-500L))
+    val w = Window.partitionBy($"c_custkey")
+      .orderBy($"score".desc, $"s_suppkey")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"score" >= 5000L)
+      .select($"c_custkey", $"s_suppkey", $"score")
+      .orderBy($"c_custkey")
+  }
+
+  val dedupLinkageSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS c_id2,
+      |    CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS c_kb,
+      |    CAST(floor(CAST(c_acctbal AS DOUBLE) / 100.0) AS BIGINT) AS c_hb
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_suppkey, s_nationkey,
+      |    CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS s_id2,
+      |    CAST(floor(CAST(s_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS s_kb,
+      |    CAST(floor(CAST(s_acctbal AS DOUBLE) / 100.0) AS BIGINT) AS s_hb
+      |  FROM supplier),
+      |scored AS (
+      |  SELECT c.c_custkey, s.s_suppkey,
+      |    (CASE WHEN c_id2 = s_id2 THEN 6644 ELSE -4247 END
+      |     + CASE WHEN c_kb = s_kb THEN 3000 ELSE -1500 END
+      |     + CASE WHEN c_hb = s_hb THEN 2000 ELSE -500 END) AS score
+      |  FROM c JOIN s ON c_nationkey = s_nationkey),
+      |ranked AS (
+      |  SELECT c_custkey, s_suppkey, score,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+      |      ORDER BY score DESC, s_suppkey) AS rn
+      |  FROM scored)
+      |SELECT c_custkey, s_suppkey, CAST(score AS BIGINT) AS score
+      |FROM ranked WHERE rn = 1 AND score >= 5000
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_linkage" -> dedupLinkage _,
     "dedup_pagerank" -> dedupPagerank _,
     "dedup_edit_verify" -> dedupEditVerify _,
     "ann_hamming" -> annHamming _,
@@ -852,6 +924,7 @@ object DedupMore {
     "text_novelty" -> textNovelty _)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_linkage" -> dedupLinkageSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_edit_verify" -> dedupEditVerifySql,
     "ann_hamming" -> annHammingSql,

@@ -548,7 +548,73 @@ object TextOps {
       |SELECT pair, CAST(count(*) AS BIGINT) AS n
       |FROM prs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- C18
+  /** Readability scoring — the document-difficulty axis the C2/C11
+    * quality signals don't cover (a curriculum or domain-mix builder
+    * bins corpora by reading level; Flesch 1948 is the standard cheap
+    * proxy). Per document, from three regexp-run counts:
+    *   - sentences = runs of [.!?] (clamped ≥ 1),
+    *   - words     = alphabetic runs (clamped ≥ 1),
+    *   - syllables = vowel-group runs in the lowercased text (the
+    *     classic hyphenation-free syllable proxy).
+    * The Flesch reading-ease score is computed in ×1000 fixed point
+    * with integer floor-divisions only — every operand is a positive
+    * BIGINT, so Spark's `div` (truncate) and DuckDB's `//` (floor)
+    * agree and the score is bit-exact across engines. One narrow
+    * projection, no shuffle at all (the ORDER BY is the driver's
+    * presentation sort); the text column never leaves its partition.
+    * At 100 TB this is a pure map stage fused into whatever scan
+    * feeds it. */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        greatest(lit(1L), size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+          .cast("long")).as("sentences"),
+        greatest(lit(1L), size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+          .cast("long")).as("words"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("syllables"))
+      .withColumn("wps_milli", expr("words * 1000 div sentences"))
+      .withColumn("spw_milli", expr("syllables * 1000 div words"))
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * wps_milli) div 1000 - (84600 * spw_milli) div 1000"))
+      .withColumn("band",
+        when($"flesch_milli" >= 70000, "easy")
+          .when($"flesch_milli" >= 50000, "medium")
+          .otherwise("hard"))
+      .select($"doc_id", $"sentences", $"words", $"syllables",
+        $"flesch_milli", $"band")
+      .orderBy($"doc_id")
+  }
+
+  val textReadabilitySql: String =
+    """WITH counts AS (
+      |  SELECT doc_id,
+      |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+      |    greatest(1, len(regexp_extract_all(text, '[A-Za-z]+'))) AS words,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      |      AS syllables
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id, CAST(sentences AS BIGINT) AS sentences,
+      |    CAST(words AS BIGINT) AS words, syllables,
+      |    words * 1000 // sentences AS wps_milli,
+      |    syllables * 1000 // words AS spw_milli
+      |  FROM counts)
+      |SELECT doc_id, sentences, words, syllables,
+      |  206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000
+      |    AS flesch_milli,
+      |  CASE
+      |    WHEN 206835 - (1015 * wps_milli) // 1000
+      |      - (84600 * spw_milli) // 1000 >= 70000 THEN 'easy'
+      |    WHEN 206835 - (1015 * wps_milli) // 1000
+      |      - (84600 * spw_milli) // 1000 >= 50000 THEN 'medium'
+      |    ELSE 'hard' END AS band
+      |FROM fp ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> textReadability _,
     "text_bpe_pairs" -> textBpePairs _,
     "text_repetition" -> textRepetition _,
     "text_ngram_freq" -> textNgramFreq _,
@@ -565,6 +631,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_repetition" -> textRepetitionSql,
     "text_ngram_freq" -> textNgramFreqSql,

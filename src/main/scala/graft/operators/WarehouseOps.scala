@@ -404,7 +404,51 @@ object WarehouseOps {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- B66
+  /** k-anonymity audit over the customer table's quasi-identifiers —
+    * the privacy gate a dataset release runs before publishing
+    * (Sweeney 2002: a combination of innocuous attributes can single
+    * a record out; any QI group smaller than k is re-identifiable).
+    * QI = (nation, market segment, account-balance kilobucket); for
+    * every populated QI combination: its group size, k-anonymity flag
+    * (n < 5), and the share of the table it puts at risk. One
+    * hash-aggregation on the QI key, map-side combinable — at 100 TB
+    * the group relation is |QI combinations|, not |rows|; the 1-row
+    * table total rides a broadcast. The kilobucket floor runs on
+    * exact-double division (2-decimal balances divide exactly at
+    * bucket boundaries), so both engines bucket identically. */
+  def qKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal".cast("double") / 1000.0).cast("long").as("bal_kb"))
+    val groups = c.groupBy($"c_nationkey", $"c_mktsegment", $"bal_kb")
+      .agg(count(lit(1)).as("group_n"))
+    val total = c.agg(count(lit(1)).as("total_n"))
+    groups.crossJoin(broadcast(total))
+      .select($"c_nationkey", $"c_mktsegment", $"bal_kb", $"group_n",
+        when($"group_n" < 5, "Y").otherwise("N").as("at_risk"),
+        expr("group_n * 1000000 div total_n").as("share_ppm"))
+      .orderBy($"group_n", $"c_nationkey", $"c_mktsegment", $"bal_kb")
+  }
+
+  val qKAnonymitySql: String =
+    """WITH qi AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_kb
+      |  FROM customer),
+      |grp AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_kb, count(*) AS group_n
+      |  FROM qi GROUP BY 1, 2, 3),
+      |tot AS (SELECT count(*) AS total_n FROM qi)
+      |SELECT c_nationkey, c_mktsegment, bal_kb, group_n,
+      |  CASE WHEN group_n < 5 THEN 'Y' ELSE 'N' END AS at_risk,
+      |  group_n * 1000000 // total_n AS share_ppm
+      |FROM grp, tot
+      |ORDER BY group_n, c_nationkey, c_mktsegment, bal_kb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> qKAnonymity _,
     "etl_late_arrivals" -> etlLateArrivals _,
     "etl_resample_gapfill" -> etlResampleGapfill _,
     "etl_fk_audit" -> etlFkAudit _,
@@ -414,6 +458,7 @@ object WarehouseOps {
     "sample_shard_assign" -> sampleShardAssign _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" -> qKAnonymitySql,
     "etl_late_arrivals" -> etlLateArrivalsSql,
     "etl_resample_gapfill" -> etlResampleGapfillSql,
     "etl_fk_audit" -> etlFkAuditSql,

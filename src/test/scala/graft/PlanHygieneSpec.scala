@@ -72,6 +72,7 @@ class PlanHygieneSpec extends SparkSuite {
     "dedup_triangles" ->
       "census assembly: crossJoin(broadcast(1-row node/edge/triangle aggs))",
     "q_psi_drift" -> "crossJoin(broadcast(1-row totals/type-count scalars))",
+    "q_k_anonymity" -> "crossJoin(broadcast(1-row table total))",
     "sketch_ams_f2" -> "crossJoin(broadcast(1-row exact-F2 scalar))",
     "text_bm25" -> "crossJoin(broadcast(1-row N/avgdl corpus scalar))",
     "q_decay_agg" -> "crossJoin(broadcast(1-row max-timestamp anchor))",
