@@ -1649,7 +1649,122 @@ object AnnOps {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- E16
+  /** Dominant principal component by EXACT fixed-point power iteration
+    * — the whitening/dim-reduction primitive a PQ/IVF pipeline runs
+    * before choosing subspace splits (E14 diagnoses pairwise
+    * redundancy; this extracts the axis that carries it). Float PCA
+    * is unreproducible under unordered partial sums; here EVERY
+    * number is a BIGINT on a deterministic grid:
+    *   - covariance numerator C[i][j] = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ on the
+    *     floor(x·10³) grid (E14's overflow-proofed discipline:
+    *     |C| ≲ 3·10¹² at sf0.1, power sums < 2⁵³-exact doubles never
+    *     appear — it's all integer);
+    *   - C is rescaled to |M| ≤ 10⁶ by a DATA-ADAPTIVE divisor
+    *     d = 1 + (max|C| − 1) div 10⁶ (uniform scaling doesn't move
+    *     eigenvectors);
+    *   - 5 iterations of w = M·v with v renormalized to |v| ≤ 10⁶ by
+    *     the same adaptive-divisor trick; the division is made EXACT
+    *     in both engines by flooring the numerator to a multiple
+    *     first ((a − ((a%d + d)%d)) div d — portable floor-division
+    *     for signed a, positive d, since Spark `div` and DuckDB `//`
+    *     disagree on negatives).
+    * Each iteration is one equi-join (M ⋈ v on j) + one per-i sum —
+    * the Pregel shape of D18's PageRank on a d² matrix relation: at
+    * 4096-dim embeddings that's 16M matrix rows, still one linear
+    * shuffle per iteration. The oracle unrolls all 5 iterations as
+    * MATERIALIZED CTEs and matches bit-for-bit. */
+  def embPowerIteration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, sfDir)
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = q.select(posexplode($"q"))
+      .groupBy($"pos").agg(sum($"col").as("s"), count(lit(1)).as("n"))
+    // upper triangle (i ≤ j) of the second-moment matrix, mirrored to
+    // full form after the C computation (Σqᵢqⱼ is symmetric)
+    val tri = q.select(explode(expr(
+      """flatten(transform(sequence(0, size(q) - 1),
+        |  i -> transform(sequence(i, size(q) - 1),
+        |    j -> struct(i AS i, j AS j, q[i] * q[j] AS p))))""".stripMargin))
+      .as("e"))
+      .groupBy($"e.i".as("i"), $"e.j".as("j"))
+      .agg(sum($"e.p").as("sij"))
+    val d1 = dims.select($"pos".as("i"), $"s".as("s1"), $"n")
+    val d2 = dims.select($"pos".as("j"), $"s".as("s2"))
+    val ctri = tri.join(broadcast(d1), "i").join(broadcast(d2), "j")
+      .select($"i", $"j", ($"n" * $"sij" - $"s1" * $"s2").as("c"))
+    val cfull = ctri.unionByName(
+      ctri.filter($"j" =!= $"i").select($"j".as("i"), $"i".as("j"), $"c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dm = cfull.agg(
+      greatest(lit(1L), lit(1L) + expr("(max(abs(c)) - 1) div 1000000"))
+        .as("d"))
+    val m = cfull.crossJoin(broadcast(dm))
+      .select($"i", $"j", expr("(c - ((c % d + d) % d)) div d").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v0 = dims.select($"pos".as("dim"), lit(1000000L).as("v"))
+    val v5 = (1 to 5).foldLeft(v0) { (v, _) =>
+      val w = m.join(v.select($"dim".as("j"), $"v"), "j")
+        .groupBy($"i").agg(sum($"m" * $"v").as("w"))
+      val nw = w.agg(
+        greatest(lit(1L), lit(1L) + expr("(max(abs(w)) - 1) div 1000000"))
+          .as("d"))
+      w.crossJoin(broadcast(nw))
+        .select($"i".as("dim"), expr("(w - ((w % d + d) % d)) div d").as("v"))
+    }
+    v5.select($"dim".cast("long").as("dim"), $"v".as("loading_fp"),
+      round($"v" / 1e6, 6).as("loading"))
+      .orderBy($"dim")
+  }
+
+  val embPowerIterationSql: String = {
+    val iters = (1 to 5).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT m.i AS dim, sum(m.m * v${t - 1}.v) AS w
+         |  FROM m JOIN v${t - 1} ON v${t - 1}.dim = m.j GROUP BY 1),
+         |n$t AS MATERIALIZED (
+         |  SELECT greatest(1, 1 + (max(abs(w)) - 1) // 1000000) AS d FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT dim, CAST((w - ((w % d + d) % d)) // d AS BIGINT) AS v
+         |  FROM w$t, n$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |dims AS MATERIALIZED (
+       |  SELECT g AS i, sum(q[g+1]) AS s, count(*) AS n
+       |  FROM q, unnest(range(len(q))) u(g) GROUP BY 1),
+       |tri AS MATERIALIZED (
+       |  SELECT u1.i AS i, u2.j AS j, sum(q[u1.i+1] * q[u2.j+1]) AS sij
+       |  FROM q, unnest(range(len(q))) u1(i), unnest(range(len(q))) u2(j)
+       |  WHERE u2.j >= u1.i GROUP BY 1, 2),
+       |ctri AS MATERIALIZED (
+       |  SELECT t.i, t.j, d1.n * t.sij - d1.s * d2.s AS c
+       |  FROM tri t JOIN dims d1 ON d1.i = t.i JOIN dims d2 ON d2.i = t.j),
+       |cfull AS MATERIALIZED (
+       |  SELECT i, j, c FROM ctri
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, c FROM ctri WHERE j <> i),
+       |dm AS MATERIALIZED (
+       |  SELECT greatest(1, 1 + (max(abs(c)) - 1) // 1000000) AS d FROM cfull),
+       |m AS MATERIALIZED (
+       |  SELECT i, j, CAST((c - ((c % d + d) % d)) // d AS BIGINT) AS m
+       |  FROM cfull, dm),
+       |v0 AS MATERIALIZED (
+       |  SELECT i AS dim, CAST(1000000 AS BIGINT) AS v FROM dims),
+       |$iters
+       |SELECT CAST(dim AS BIGINT) AS dim, v AS loading_fp,
+       |  round(v / 1e6, 6) AS loading
+       |FROM v5 ORDER BY dim""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_power_iteration" -> embPowerIteration _,
     "ann_ivf_segmented" -> annIvfSegmented _,
     "emb_dim_corr" -> embDimCorr _,
     "emb_incremental_encode" -> embIncrementalEncode _,
@@ -1665,6 +1780,7 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "emb_power_iteration" -> embPowerIterationSql,
     "ann_ivf_segmented" -> annIvfSegmentedSql,
     "emb_dim_corr" -> embDimCorrSql,
     "emb_incremental_encode" -> embIncrementalEncodeSql,

@@ -78,6 +78,8 @@ class PlanHygieneSpec extends SparkSuite {
     "q_decay_agg" -> "crossJoin(broadcast(1-row max-timestamp anchor))",
     "dedup_pagerank" ->
       "crossJoin(broadcast(1-row node-count scalar)) per iteration",
+    "emb_power_iteration" -> ("crossJoin(broadcast(1-row adaptive-"
+      + "divisor scalar)): matrix rescale + one per iteration"),
     "q_abtest_ztest" ->
       "crossJoin(broadcast(1-row corpus purchase totals))")
 
