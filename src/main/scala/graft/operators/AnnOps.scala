@@ -1763,7 +1763,204 @@ object AnnOps {
        |FROM v5 ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E17
+  /** Filtered vector search — the label-constrained query every
+    * production vector store serves ("nearest neighbors WHERE
+    * lang = query's lang") and the classic pre-filter vs post-filter
+    * recall trade (cf. the filtered-search discussion in the FAISS /
+    * vector-DB literature): post-filtering a global top-20 loses
+    * whatever the filter rejects, pre-filtering ranks within the
+    * constrained corpus and always fills k.
+    *
+    * One broadcast of the 10-row query set, one pass over all pairs,
+    * ONE window shuffle on qid computes BOTH ranks: `global_rank` =
+    * row_number over the unconstrained order, `rank` = running count
+    * of label-matched rows over the SAME frame (the filtered rank of
+    * every matched row — no second shuffle, the partition key is
+    * shared). Output = the exact filtered top-5 per query plus
+    * whether a global-top-20 post-filter would have surfaced each
+    * neighbor (`survives_postfilter` — the measured recall loss of
+    * the shortcut; at 10 labels ≈ 10% selectivity the global list
+    * covers roughly 2 of 5). At 100 TB: the corpus never shuffles
+    * (pairs are a broadcast-join projection) and the window state is
+    * |corpus|/|queries| rows per query partition — the same shape as
+    * E1, which this extends. */
+  def annFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val pairs = emb
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        when(col("label") === col("qlabel"), 1L).otherwise(0L).as("matched"),
+        round(gf.cosine_sim(col("qv"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    pairs
+      .withColumn("global_rank", row_number().over(w).cast("long"))
+      .withColumn("rank",
+        sum(col("matched")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("matched") === 1L && col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"),
+        col("global_rank"),
+        when(col("global_rank") <= 20, 1L).otherwise(0L)
+          .as("survives_postfilter"))
+  }
+
+  /** DuckDB mirror: same pair scores (rounded cosine), same single
+    * window over (sim DESC, nid) computing both ranks. */
+  val annFilteredSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS qlabel
+      |  FROM embeddings WHERE vec_id < 10),
+      |pairs AS (
+      |  SELECT qid, vec_id AS nid,
+      |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS matched,
+      |    round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS sim
+      |  FROM q, embeddings WHERE vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, nid, sim, matched,
+      |    CAST(ROW_NUMBER() OVER
+      |      (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT)
+      |      AS global_rank,
+      |    SUM(matched) OVER (PARTITION BY qid ORDER BY sim DESC, nid
+      |      ROWS UNBOUNDED PRECEDING) AS rank
+      |  FROM pairs)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, sim, global_rank,
+      |  CAST(CASE WHEN global_rank <= 20 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS survives_postfilter
+      |FROM ranked WHERE matched = 1 AND rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- E18
+  /** MMR diversified re-rank (Carbonell & Goldstein 1998): greedy
+    * Maximal-Marginal-Relevance selection of 5 from each query's
+    * exact top-12 — score(d) = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    * λ=0.7 — the standard diversity pass a retrieval stack runs after
+    * ANN so near-duplicate neighbors don't crowd out coverage (the
+    * E-family's answer to the D-family's observation that corpora are
+    * full of near-dups).
+    *
+    * The candidate pool is per-query BOUNDED (12), so the 4 greedy
+    * rounds run on k·|Q|-row relations: each round is one left-anti
+    * (drop selected), one equi-join onto the pairwise-sim relation
+    * (|Q|·12² rows, built once), and a min(struct(-score, nid))
+    * argmax — no windows, no growth with corpus size; the corpus is
+    * touched only by the E1 top-k front end. All sims rounded to 6dp
+    * before the greedy loop; the scores themselves stay UNROUNDED —
+    * they are identical float expression trees over identical doubles
+    * in both engines (ties broken by nid), and re-rounding them would
+    * reintroduce half-even/half-up skew exactly at the λ·(6dp sim)
+    * boundaries, which land on .5 every other ulp. The oracle unrolls the 4 rounds as MATERIALIZED CTEs (the
+    * D15 lesson: per-reference inlining of a recursive chain blows
+    * up). */
+  def annMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val lam = 0.7
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cands = bruteForceTopK(emb, queries, 12)
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid")
+      .select(col("qid"), col("nid"), col("sim"), col("nv"))
+      .persist()
+    val pairSim = cands.select(col("qid"), col("nid").as("nid_a"),
+        col("nv").as("va"))
+      .join(cands.select(col("qid"), col("nid").as("nid_b"),
+        col("nv").as("vb")), "qid")
+      .filter(col("nid_a") =!= col("nid_b"))
+      .select(col("qid"), col("nid_a"), col("nid_b"),
+        round(gf.cosine_sim(col("va"), col("vb")), 6).as("psim"))
+      .persist()
+    // round 1: pure relevance — the rank-1 candidate, score = λ·sim
+    var selected = cands
+      .groupBy(col("qid"))
+      .agg(min(struct((-col("sim")).as("ns"), col("nid").as("n"))).as("top"))
+      .select(col("qid"), col("top.n").as("nid"), lit(1L).as("iter"),
+        (lit(lam) * (-col("top.ns"))).as("mmr_score"))
+    (2 to 5).foreach { i =>
+      val remaining = cands.select(col("qid"), col("nid"), col("sim"))
+        .join(selected.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_anti")
+      val penalty = pairSim
+        .join(selected.select(col("qid"), col("nid").as("nid_b")),
+          Seq("qid", "nid_b"))
+        .groupBy(col("qid"), col("nid_a"))
+        .agg(max(col("psim")).as("pen"))
+        .withColumnRenamed("nid_a", "nid")
+      val scored = remaining.join(penalty, Seq("qid", "nid"))
+        .select(col("qid"), col("nid"),
+          (lit(lam) * col("sim") - lit(0.3) * col("pen")).as("score"))
+      selected = selected.unionByName(scored
+        .groupBy(col("qid"))
+        .agg(min(struct((-col("score")).as("ns"), col("nid").as("n")))
+          .as("top"))
+        .select(col("qid"), col("top.n").as("nid"), lit(i.toLong).as("iter"),
+          (-col("top.ns")).as("mmr_score")))
+    }
+    selected.select(col("qid"), col("iter"), col("nid"), col("mmr_score"))
+  }
+
+  /** DuckDB mirror: same E1 candidate CTE, same pairwise sims, the 4
+    * greedy rounds unrolled as MATERIALIZED CTEs. */
+  val annMmrSql: String = {
+    val rounds = (2 to 5).map { i =>
+      val prev = (1 until i).map(j => s"sel$j").mkString(" UNION ALL SELECT * FROM ")
+      s"""sel$i AS MATERIALIZED (
+         |  SELECT qid, nid, $i AS iter, score AS mmr_score FROM (
+         |    SELECT s.qid, s.nid, s.score,
+         |      ROW_NUMBER() OVER (PARTITION BY s.qid
+         |        ORDER BY s.score DESC, s.nid) AS rr
+         |    FROM (
+         |      SELECT c.qid, c.nid,
+         |        0.7 * c.sim - 0.3 * p.pen AS score
+         |      FROM cands c JOIN (
+         |        SELECT ps.qid, ps.nid_a AS nid, max(ps.psim) AS pen
+         |        FROM psim ps JOIN (SELECT * FROM $prev) s0
+         |          ON ps.qid = s0.qid AND ps.nid_b = s0.nid
+         |        GROUP BY ps.qid, ps.nid_a) p
+         |        ON c.qid = p.qid AND c.nid = p.nid
+         |      WHERE c.nid NOT IN (
+         |        SELECT s1.nid FROM (SELECT * FROM $prev) s1
+         |        WHERE s1.qid = c.qid)) s) WHERE rr = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT qid, vec_id AS nid,
+       |    round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS sim
+       |  FROM q, embeddings WHERE vec_id <> qid),
+       |cands AS MATERIALIZED (
+       |  SELECT qid, nid, sim FROM (
+       |    SELECT qid, nid, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+       |        AS rank
+       |    FROM pairs) WHERE rank <= 12),
+       |psim AS MATERIALIZED (
+       |  SELECT a.qid, a.nid AS nid_a, b.nid AS nid_b,
+       |    round(list_cosine_similarity(ea.embedding::DOUBLE[],
+       |      eb.embedding::DOUBLE[]), 6) AS psim
+       |  FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid <> b.nid
+       |  JOIN embeddings ea ON ea.vec_id = a.nid
+       |  JOIN embeddings eb ON eb.vec_id = b.nid),
+       |sel1 AS MATERIALIZED (
+       |  SELECT qid, nid, 1 AS iter, 0.7 * sim AS mmr_score
+       |  FROM (
+       |    SELECT qid, nid, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+       |        AS rr
+       |    FROM cands) WHERE rr = 1),
+       |$rounds
+       |SELECT qid, CAST(iter AS BIGINT) AS iter, nid, mmr_score
+       |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+       |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+       |  UNION ALL SELECT * FROM sel5)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mmr" -> annMmr _,
+    "ann_filtered" -> annFiltered _,
     "emb_power_iteration" -> embPowerIteration _,
     "ann_ivf_segmented" -> annIvfSegmented _,
     "emb_dim_corr" -> embDimCorr _,
@@ -1780,6 +1977,8 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ann_mmr" -> annMmrSql,
+    "ann_filtered" -> annFilteredSql,
     "emb_power_iteration" -> embPowerIterationSql,
     "ann_ivf_segmented" -> annIvfSegmentedSql,
     "emb_dim_corr" -> embDimCorrSql,

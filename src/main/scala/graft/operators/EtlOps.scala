@@ -634,8 +634,164 @@ object EtlOps {
       |    ELSE 'VARCHAR' END AS recommended
       |FROM melted GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------- A26
+  /** Schema/domain drift between scrape batches — the alert a feed
+    * pipeline fires when "the same" source starts sending different
+    * data (the reference re-scrapes the same tables on a schedule and
+    * assumes the shape holds; this is the check that assumption
+    * deserves). Two string-staged batches (early/late order-date
+    * halves) are profiled per column — A22's recommended type, the
+    * distinct-value count, and the DOMINANT value with its share —
+    * and compared: `type_drift` when the inferred type changed,
+    * `domain_drift` when a MEANINGFULLY dominant value (share ≥ 0.05
+    * in both halves — without the gate every unique-key column fires
+    * on its min value) changed or its share moved by more than 0.1.
+    *
+    * The test feed's late batch stages totalprice with a COMMA
+    * decimal separator — the injected stand-in (A25's convention:
+    * deterministic, documented) for the classic scraper failure where
+    * an upstream locale flip silently turns a numeric column into
+    * strings; in production the staged text arrives that way and the
+    * projection drops out. The report catches it as DOUBLE → VARCHAR.
+    *
+    * Scale shape: one melt scan + two hash aggs. The dominant value
+    * is a `min(struct(-c, val))` two-phase agg — map-side combinable,
+    * NO per-column window/sort, so a billion-distinct column costs
+    * one shuffle of its (col, val) partial counts, never a
+    * single-partition sort. The oracle replays the same selection
+    * with a window (single-node DuckDB can afford it; tie-break
+    * (c DESC, val) ≡ min(struct(-c, val))). */
+  def etlSchemaDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val late = $"o_orderdate" >= lit("1998-01-01").cast("date")
+    val staged = Tables.orders(spark, sfDir).select(
+      when(late, "late").otherwise("early").as("batch"),
+      $"o_orderkey".cast("string").as("o_orderkey"),
+      $"o_orderstatus".cast("string").as("o_orderstatus"),
+      when(late, regexp_replace($"o_totalprice".cast("string"), "\\.", ","))
+        .otherwise($"o_totalprice".cast("string")).as("o_totalprice"),
+      $"o_orderpriority".cast("string").as("o_orderpriority"))
+    val melted = staged.select($"batch", expr(
+      """stack(4,
+        |'o_orderkey', o_orderkey,
+        |'o_orderstatus', o_orderstatus,
+        |'o_totalprice', o_totalprice,
+        |'o_orderpriority', o_orderpriority) AS (col_name, val)""".stripMargin))
+    val totals = melted.groupBy($"batch", $"col_name").agg(
+      count(lit(1)).as("n"),
+      sum(when($"val".isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when($"val".rlike("^-?\\d+$"), 1L).otherwise(0L)).as("n_int"),
+      sum(when($"val".rlike("^-?\\d+(\\.\\d+)?$"), 1L).otherwise(0L))
+        .as("n_num"))
+      .select($"batch", $"col_name", $"n",
+        when($"n_int" === $"n" - $"n_null", "BIGINT")
+          .when($"n_num" === $"n" - $"n_null", "DOUBLE")
+          .otherwise("VARCHAR").as("rec"))
+    val tf = melted.filter($"val".isNotNull)
+      .groupBy($"batch", $"col_name", $"val").agg(count(lit(1)).as("c"))
+    val dom = tf.groupBy($"batch", $"col_name").agg(
+      count(lit(1)).as("n_distinct"),
+      sum($"c").as("n_vals"),
+      min(struct((-$"c").as("nc"), $"val".as("v"))).as("top"))
+      .select($"batch", $"col_name", $"n_distinct",
+        $"top.v".as("top_val"),
+        round((-$"top.nc") / $"n_vals", 6).as("top_share"))
+    def pick(b: String, c: org.apache.spark.sql.Column) =
+      max(when($"batch" === b, c))
+    totals.join(dom, Seq("batch", "col_name"))
+      .groupBy($"col_name").agg(
+        pick("early", $"rec").as("rec_early"),
+        pick("late", $"rec").as("rec_late"),
+        pick("early", $"n_distinct").as("distinct_early"),
+        pick("late", $"n_distinct").as("distinct_late"),
+        pick("early", $"top_val").as("top_early"),
+        pick("late", $"top_val").as("top_late"),
+        pick("early", $"top_share").as("top_share_early"),
+        pick("late", $"top_share").as("top_share_late"))
+      .select($"col_name", $"rec_early", $"rec_late",
+        $"distinct_early", $"distinct_late",
+        $"top_early", $"top_late", $"top_share_early", $"top_share_late",
+        when($"rec_early" =!= $"rec_late", 1L).otherwise(0L)
+          .as("type_drift"),
+        when($"top_share_early" >= 0.05 && $"top_share_late" >= 0.05
+          && ($"top_early" =!= $"top_late"
+            || abs($"top_share_early" - $"top_share_late") > 0.1), 1L)
+          .otherwise(0L).as("domain_drift"))
+      .orderBy($"col_name")
+  }
+
+  val etlSchemaDriftSql: String =
+    """WITH staged AS (
+      |  SELECT CASE WHEN o_orderdate >= DATE '1998-01-01'
+      |    THEN 'late' ELSE 'early' END AS batch,
+      |    CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+      |    CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+      |    CASE WHEN o_orderdate >= DATE '1998-01-01'
+      |      THEN replace(CAST(o_totalprice AS VARCHAR), '.', ',')
+      |      ELSE CAST(o_totalprice AS VARCHAR) END AS o_totalprice,
+      |    CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+      |  FROM orders),
+      |melted AS (
+      |  SELECT batch, 'o_orderkey' AS col_name, o_orderkey AS val FROM staged
+      |  UNION ALL SELECT batch, 'o_orderstatus', o_orderstatus FROM staged
+      |  UNION ALL SELECT batch, 'o_totalprice', o_totalprice FROM staged
+      |  UNION ALL SELECT batch, 'o_orderpriority', o_orderpriority FROM staged),
+      |totals AS (
+      |  SELECT batch, col_name,
+      |    CASE
+      |      WHEN sum(CASE WHEN regexp_matches(val, '^-?\d+$')
+      |          THEN 1 ELSE 0 END)
+      |        = count(*) - sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+      |        THEN 'BIGINT'
+      |      WHEN sum(CASE WHEN regexp_matches(val, '^-?\d+(\.\d+)?$')
+      |          THEN 1 ELSE 0 END)
+      |        = count(*) - sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+      |        THEN 'DOUBLE'
+      |      ELSE 'VARCHAR' END AS rec
+      |  FROM melted GROUP BY batch, col_name),
+      |tf AS (
+      |  SELECT batch, col_name, val, count(*) AS c
+      |  FROM melted WHERE val IS NOT NULL GROUP BY batch, col_name, val),
+      |ranked AS (
+      |  SELECT batch, col_name, val, c,
+      |    ROW_NUMBER() OVER (PARTITION BY batch, col_name
+      |      ORDER BY c DESC, val) AS r
+      |  FROM tf),
+      |dom AS (
+      |  SELECT batch, col_name, count(*) AS n_distinct,
+      |    max(CASE WHEN r = 1 THEN val END) AS top_val,
+      |    round(max(CASE WHEN r = 1 THEN c END) / CAST(sum(c) AS BIGINT), 6)
+      |      AS top_share
+      |  FROM ranked GROUP BY batch, col_name),
+      |per AS (
+      |  SELECT t.batch, t.col_name, t.rec, d.n_distinct, d.top_val,
+      |    d.top_share
+      |  FROM totals t JOIN dom d
+      |    ON t.batch = d.batch AND t.col_name = d.col_name),
+      |piv AS (
+      |  SELECT col_name,
+      |    max(CASE WHEN batch = 'early' THEN rec END) AS rec_early,
+      |    max(CASE WHEN batch = 'late' THEN rec END) AS rec_late,
+      |    max(CASE WHEN batch = 'early' THEN n_distinct END) AS distinct_early,
+      |    max(CASE WHEN batch = 'late' THEN n_distinct END) AS distinct_late,
+      |    max(CASE WHEN batch = 'early' THEN top_val END) AS top_early,
+      |    max(CASE WHEN batch = 'late' THEN top_val END) AS top_late,
+      |    max(CASE WHEN batch = 'early' THEN top_share END) AS top_share_early,
+      |    max(CASE WHEN batch = 'late' THEN top_share END) AS top_share_late
+      |  FROM per GROUP BY col_name)
+      |SELECT col_name, rec_early, rec_late, distinct_early, distinct_late,
+      |  top_early, top_late, top_share_early, top_share_late,
+      |  CAST(CASE WHEN rec_early <> rec_late THEN 1 ELSE 0 END AS BIGINT)
+      |    AS type_drift,
+      |  CAST(CASE WHEN top_share_early >= 0.05 AND top_share_late >= 0.05
+      |    AND (top_early <> top_late
+      |      OR abs(top_share_early - top_share_late) > 0.1)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS domain_drift
+      |FROM piv ORDER BY col_name""".stripMargin
+
   // ----------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_schema_drift" -> etlSchemaDrift _,
     "etl_type_infer" -> etlTypeInfer _,
     "etl_profile" -> etlProfile _,
     "etl_pipeline_composite" -> etlPipelineComposite _,
@@ -656,6 +812,7 @@ object EtlOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "etl_schema_drift" -> etlSchemaDriftSql,
     "etl_type_infer" -> etlTypeInferSql,
     "etl_profile" -> etlProfileSql,
     "etl_pipeline_composite" -> etlPipelineCompositeSql,

@@ -472,6 +472,7 @@ object PipelineOps {
       |GROUP BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_group_split" -> sampleGroupSplit _,
     "sample_dedup_weight" -> sampleDedupWeight _,
     "corpus_report" -> corpusReport _,
     "sample_temperature" -> sampleTemperature _,
@@ -484,6 +485,48 @@ object PipelineOps {
     "contamination_check" -> contamination _,
     "emb_quantize" -> embQuantize _,
     "sample_quality_mix" -> sampleQualityMix _)
+
+  // ---------------------------------------------------------------- J14
+  /** Leakage-free (group-aware) split — the fix for J1's quiet flaw:
+    * J1 splits DOCUMENTS, so two verbatim copies of the same text can
+    * straddle train/test (exactly the contamination J4 then has to
+    * hunt). J14 splits GROUPS: every member of an exact-duplicate
+    * group (D1's md5 content key) draws ONE deterministic h32 ticket
+    * from the group key and lands on the same side, so eval can never
+    * see a training document's twin. 80/10/10 at the group level.
+    *
+    * Plan: narrow md5 projection → group agg on the content key (one
+    * shuffle, map-side combinable) → join back on the same key (the
+    * agg's partitioning is reusable — no extra exchange on the group
+    * side). Linear at any SF; the draw is hash-of-key (never rand(),
+    * which re-rolls per task retry and can't keep a group together
+    * anyway). */
+  def sampleGroupSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", md5($"text".cast("binary")).as("gkey"))
+    val groups = docs.groupBy($"gkey").agg(count(lit(1)).as("group_size"))
+      .withColumn("bucket",
+        gf.h32(concat(lit("grpsplit:"), $"gkey")) % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test"))
+    docs.join(groups, "gkey")
+      .select($"doc_id", $"gkey", $"group_size", $"bucket", $"split")
+  }
+
+  val sampleGroupSplitSql: String =
+    """WITH docs AS (SELECT doc_id, md5(text) AS gkey FROM documents),
+      |groups AS (
+      |  SELECT gkey, count(*) AS group_size,
+      |    ('0x' || substr(md5('grpsplit:' || gkey), 1, 8))::BIGINT % 100
+      |      AS bucket
+      |  FROM docs GROUP BY gkey)
+      |SELECT doc_id, d.gkey AS gkey, group_size, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM docs d JOIN groups g ON d.gkey = g.gkey""".stripMargin
 
   // ---------------------------------------------------------------- J9
   /** Quality-stratified sampling — the curriculum/mixing step between
@@ -544,6 +587,7 @@ object PipelineOps {
       |FROM ranked""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "sample_group_split" -> sampleGroupSplitSql,
     "sample_dedup_weight" -> sampleDedupWeightSql,
     "corpus_report" -> corpusReportSql,
     "sample_temperature" -> sampleTemperatureSql,

@@ -713,7 +713,177 @@ object StatsOps {
       |           * (1.0 / n_a + 1.0 / n_b)), 6) AS z
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- B67
+  /** Day-of-week seasonality index per event type — the calendar
+    * profile read before capacity planning, anomaly baselines, and
+    * A25's watermark sizing: for each (event_type, weekday) cell its
+    * count and the seasonal lift (cell share of its type) / (weekday
+    * share of everything); 1.0 = flat, >1 = that type concentrates on
+    * that weekday.
+    *
+    * Weekday is pure integer arithmetic on epoch days ((days+4) % 7,
+    * 0=Monday — portable; both engines' native dow functions disagree
+    * on week start), so the whole table is exact integers and the
+    * lift is ONE float expression over them (B59's discipline). Plan:
+    * one scan → |types|×7 hash agg; weekday totals and the grand
+    * total re-aggregate FROM the same cells (rollup-sized relations,
+    * broadcast-joined). No window, no second scan. */
+  def qSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, sfDir)
+      .select($"event_type",
+        ((datediff(to_date($"ts"), lit("1970-01-01").cast("date")) + 3) % 7)
+          .cast("long").as("dow"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("c"))
+    val byType = cells.groupBy($"event_type").agg(sum($"c").as("type_total"))
+    val byDow = cells.groupBy($"dow").agg(sum($"c").as("dow_total"))
+    val grand = cells.agg(sum($"c").as("grand_total"))
+    cells.join(broadcast(byType), "event_type")
+      .join(broadcast(byDow), "dow")
+      .crossJoin(broadcast(grand))
+      .select($"event_type", $"dow", $"c",
+        round(($"c" / $"type_total") / ($"dow_total" / $"grand_total"), 6)
+          .as("seasonal_lift"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  val qSeasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+      |      AS BIGINT) AS dow,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |by_type AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS type_total
+      |  FROM cells GROUP BY 1),
+      |by_dow AS (
+      |  SELECT dow, CAST(sum(c) AS BIGINT) AS dow_total FROM cells GROUP BY 1),
+      |grand AS (SELECT CAST(sum(c) AS BIGINT) AS grand_total FROM cells)
+      |SELECT c.event_type, c.dow, c.c,
+      |  round((c.c / t.type_total) / (d.dow_total / g.grand_total), 6)
+      |    AS seasonal_lift
+      |FROM cells c
+      |JOIN by_type t ON c.event_type = t.event_type
+      |JOIN by_dow d ON c.dow = d.dow, grand g
+      |ORDER BY c.event_type, c.dow""".stripMargin
+
+  // ---------------------------------------------------------------- B68
+  /** Path mining — the top user journeys, the multi-step complement
+    * to B49's one-step transition matrix (B49 answers "what follows
+    * X", this answers "which 3-step JOURNEYS dominate" — the raw
+    * material funnel design and B60's conversion windows start from):
+    * every consecutive 3-event path per user, counted corpus-wide,
+    * top 20 with the share of all 3-paths.
+    *
+    * One user-partitioned window (two lead()s over the SAME frame —
+    * one shuffle, one sort) → path-key hash agg → TakeOrdered top-20
+    * (count DESC, path — never a global-sort window). The share
+    * denominator re-aggregates from the path counts (1 row,
+    * broadcast). */
+  def qEventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e3".isNotNull)
+      .select(concat_ws(" > ", $"event_type", $"e2", $"e3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum($"n").as("total"))
+    paths.crossJoin(broadcast(total))
+      .select($"path", $"n", round($"n" / $"total", 6).as("share"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  val qEventPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |paths AS (
+      |  SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE e3 IS NOT NULL GROUP BY 1),
+      |total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths)
+      |SELECT path, n, round(n / total, 6) AS share
+      |FROM paths, total
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- B69
+  /** Shuffle-key skew profile — the diagnostic read BEFORE choosing
+    * B11's salting factor or trusting AQE's skew split (B32): for
+    * each prospective join/agg key of the fact table, its
+    * cardinality, heaviest-key mass, skew factor (max/mean — 1.0 =
+    * perfectly uniform), and how many keys exceed 10× the mean with
+    * their mass share. Near-1 skew says shuffle as-is (the verdict on
+    * this uniform TPC-H feed — itself actionable); tens says salt.
+    *
+    * One melt scan over the three candidate keys → ONE map-side-
+    * combinable (key_name, key_val) count agg (the profile costs what
+    * the workload's lightest agg costs) → per-key-name 1-row stats
+    * over the |keys| relation. The heavy test is the INTEGER
+    * cross-product compare c·n_keys > 10·n_rows (exact at any SF —
+    * a float mean would ulp-flip near the boundary), the J/B65
+    * threshold discipline. */
+  def qSkewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val melted = Tables.lineitem(spark, sfDir).select(expr(
+      """stack(3,
+        |'l_suppkey', CAST(l_suppkey AS STRING),
+        |'l_partkey', CAST(l_partkey AS STRING),
+        |'l_returnflag', l_returnflag) AS (key_name, key_val)""".stripMargin))
+    val counts = melted.groupBy($"key_name", $"key_val")
+      .agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy($"key_name").agg(
+      count(lit(1)).as("n_keys"), sum($"c").as("n_rows"), max($"c").as("max_c"))
+    counts.join(broadcast(stats), "key_name")
+      .groupBy($"key_name").agg(
+        max($"n_keys").as("n_keys"),
+        max($"n_rows").as("n_rows"),
+        max($"max_c").as("max_key_rows"),
+        sum(when($"c" * $"n_keys" > $"n_rows" * 10, 1L).otherwise(0L))
+          .as("heavy_keys"),
+        sum(when($"c" * $"n_keys" > $"n_rows" * 10, $"c").otherwise(0L))
+          .as("heavy_rows"))
+      .select($"key_name", $"n_keys", $"n_rows", $"max_key_rows",
+        round($"max_key_rows" * $"n_keys" / $"n_rows", 6).as("skew_factor"),
+        $"heavy_keys", round($"heavy_rows" / $"n_rows", 6).as("heavy_share"))
+      .orderBy($"key_name")
+  }
+
+  val qSkewProfileSql: String =
+    """WITH melted AS (
+      |  SELECT 'l_suppkey' AS key_name, CAST(l_suppkey AS VARCHAR) AS key_val
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem),
+      |counts AS (
+      |  SELECT key_name, key_val, count(*) AS c
+      |  FROM melted GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT key_name, count(*) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_c
+      |  FROM counts GROUP BY 1)
+      |SELECT c.key_name,
+      |  max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+      |  max(max_c) AS max_key_rows,
+      |  round(max(max_c) * max(n_keys) / max(n_rows), 6) AS skew_factor,
+      |  CAST(sum(CASE WHEN c * n_keys > n_rows * 10 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS heavy_keys,
+      |  round(CAST(sum(CASE WHEN c * n_keys > n_rows * 10 THEN c ELSE 0 END)
+      |    AS BIGINT) / max(n_rows), 6) AS heavy_share
+      |FROM counts c JOIN stats s ON c.key_name = s.key_name
+      |GROUP BY c.key_name ORDER BY c.key_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_profile" -> qSkewProfile _,
+    "q_event_paths" -> qEventPaths _,
+    "q_seasonality" -> qSeasonality _,
     "q_abtest_ztest" -> qAbtestZtest _,
     "q_retention_matrix" -> qRetentionMatrix _,
     "q_autocorr" -> qAutocorr _,
@@ -729,6 +899,9 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_skew_profile" -> qSkewProfileSql,
+    "q_event_paths" -> qEventPathsSql,
+    "q_seasonality" -> qSeasonalitySql,
     "q_abtest_ztest" -> qAbtestZtestSql,
     "q_retention_matrix" -> qRetentionMatrixSql,
     "q_autocorr" -> qAutocorrSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -613,7 +614,81 @@ object TextOps {
       |    ELSE 'hard' END AS band
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C19
+  /** Zipf-law fit per source — the corpus-forensics check that a feed
+    * looks like natural language (token frequencies ≈ C/rank^s with
+    * s ≈ 1; spam/boilerplate/generated feeds bend the curve): per
+    * source, a least-squares fit of ln(count) against ln(rank) over
+    * the top-50 tokens, plus the exact corpus totals (total/distinct
+    * tokens — the Heaps-law inputs).
+    *
+    * Plan: one (source, tok) count agg — only the token KEY shuffles,
+    * the text never does — feeding (a) per-source totals and (b) a
+    * per-source top-50 window over the VOCAB relation (|vocab| ≪
+    * |tokens|; the sort is per source over its vocabulary, never over
+    * the corpus). The regression sums are the one float aggregation
+    * (ln terms), bridged by round(…,6) — the C8/B59 libm convention.
+    * At 100 TB the same plan holds: vocab relations are the small
+    * side of everything. */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select($"source", explode(split(trim($"text"), wsPat)).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy($"source").agg(
+      sum($"c").as("total_tokens"), count(lit(1)).as("distinct_tokens"))
+    val w = Window.partitionBy($"source").orderBy($"c".desc, $"tok")
+    val reg = tf.withColumn("r", row_number().over(w)).filter($"r" <= 50)
+      .select($"source",
+        log($"r".cast("double")).as("x"), log($"c".cast("double")).as("y"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_top"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    reg.join(totals, "source")
+      .select($"source", $"n_top", $"total_tokens", $"distinct_tokens",
+        round(($"n_top" * $"sxy" - $"sx" * $"sy")
+          / ($"n_top" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"),
+        round(($"n_top" * $"sxy" - $"sx" * $"sy")
+          * ($"n_top" * $"sxy" - $"sx" * $"sy")
+          / (($"n_top" * $"sxx" - $"sx" * $"sx")
+            * ($"n_top" * $"syy" - $"sy" * $"sy")), 6).as("zipf_r2"))
+      .orderBy($"source")
+  }
+
+  /** DuckDB mirror: same tf CTE kernel, same window rank, same
+    * regression expression tree over ln terms, rounded at 6. */
+  val textZipfSql: String =
+    """WITH tf AS (
+      |  SELECT source, tok, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents) GROUP BY source, tok),
+      |totals AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+      |    count(*) AS distinct_tokens
+      |  FROM tf GROUP BY source),
+      |top AS (
+      |  SELECT source, c,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+      |  FROM tf),
+      |reg AS (
+      |  SELECT source, count(*) AS n_top,
+      |    sum(ln(r)) AS sx, sum(ln(c)) AS sy,
+      |    sum(ln(r) * ln(c)) AS sxy, sum(ln(r) * ln(r)) AS sxx,
+      |    sum(ln(c) * ln(c)) AS syy
+      |  FROM top WHERE r <= 50 GROUP BY source)
+      |SELECT reg.source, n_top, total_tokens, distinct_tokens,
+      |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 6)
+      |    AS zipf_slope,
+      |  round((n_top * sxy - sx * sy) * (n_top * sxy - sx * sy)
+      |    / ((n_top * sxx - sx * sx) * (n_top * syy - sy * sy)), 6)
+      |    AS zipf_r2
+      |FROM reg JOIN totals ON reg.source = totals.source
+      |ORDER BY reg.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> textZipf _,
     "text_readability" -> textReadability _,
     "text_bpe_pairs" -> textBpePairs _,
     "text_repetition" -> textRepetition _,
@@ -631,6 +706,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
     "text_readability" -> textReadabilitySql,
     "text_bpe_pairs" -> textBpePairsSql,
     "text_repetition" -> textRepetitionSql,

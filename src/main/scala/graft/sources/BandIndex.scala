@@ -24,9 +24,9 @@ import graft.operators.DedupMore
   * per batch. Probe fan-out grows with the segment count until
   * `compact()` merges the stores back to one segment; `ScaleSpec` and
   * `IndexStoreSpec` pin result equality across refresh / compaction /
-  * rebuild, and `ScaleProbe --segments` measures the probe-latency vs
-  * segment-count curve that a compaction scheduler trades against
-  * rewrite cost.
+  * rebuild, and `graft.CompactionProbe` measures the probe-latency vs
+  * segment-count curve (plus the compact cost at each fan-out) that a
+  * compaction scheduler trades against rewrite cost.
   *
   * Candidate multiplicity is segment-invariant: a given (bk, id_old)
   * band entry lives in exactly one segment, so the per-segment union

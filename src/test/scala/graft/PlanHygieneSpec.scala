@@ -81,7 +81,9 @@ class PlanHygieneSpec extends SparkSuite {
     "emb_power_iteration" -> ("crossJoin(broadcast(1-row adaptive-"
       + "divisor scalar)): matrix rescale + one per iteration"),
     "q_abtest_ztest" ->
-      "crossJoin(broadcast(1-row corpus purchase totals))")
+      "crossJoin(broadcast(1-row corpus purchase totals))",
+    "q_seasonality" -> "crossJoin(broadcast(1-row grand-total scalar))",
+    "q_event_paths" -> "crossJoin(broadcast(1-row path-total scalar))")
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()

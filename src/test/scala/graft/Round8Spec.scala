@@ -143,4 +143,129 @@ class Round8Spec extends SparkSuite {
       assert(r.getAs[Double]("est_jaccard") >= 0.5)
     }
   }
+
+  test("sample_group_split: groups never straddle splits, ratios near 80/10/10") {
+    val rows = PipelineOps.sampleGroupSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // split purity: one split value per group key
+    val perGroup = rows.groupBy(_.getAs[String]("gkey"))
+    perGroup.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("split")).distinct.length == 1)
+      assert(rs.map(_.getAs[Long]("group_size")).distinct.sameElements(
+        Array(rs.length.toLong)))
+    }
+    // ratio at the GROUP level (the draw's granularity): loose bounds
+    val splits = perGroup.map(_._2.head.getAs[String]("split")).toSeq
+    val train = splits.count(_ == "train").toDouble / splits.size
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
+  test("ann_filtered: label-constrained top-5 agrees with a per-label brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = AnnOps.annFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rs) =>
+      // every neighbor carries the query's label; filtered ranks are
+      // dense 1..k; global rank is always ≥ the filtered rank
+      rs.foreach { r =>
+        assert(labels(r.getAs[Long]("nid")) == labels(qid))
+        assert(r.getAs[Long]("global_rank") >= r.getAs[Long]("rank"))
+      }
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+      // post-filter survival is exactly "global rank within 20"
+      rs.foreach { r =>
+        assert((r.getAs[Long]("survives_postfilter") == 1L) ==
+          (r.getAs[Long]("global_rank") <= 20L))
+      }
+    }
+    // the trade is real on this corpus: some true neighbor must fall
+    // outside the global top-20 (otherwise the query probes nothing)
+    assert(rows.exists(_.getAs[Long]("survives_postfilter") == 0L))
+  }
+
+  test("ann_mmr: 5 picks per query from the top-12 pool, iter 1 = top-1, diversification real") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = AnnOps.bruteForceTopK(emb, qs, 12).collect()
+    def ranked(k: Int) = top.filter(_.getAs[Int]("rank") <= k)
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("nid")).toSet }
+    val (top12, top5) = (ranked(12), ranked(5))
+    val top1 = top.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    val rows = AnnOps.annMmr(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      val nids = rs.map(_.getAs[Long]("nid"))
+      assert(nids.distinct.length == 5, "no repeat selections")
+      assert(nids.forall(top12(q).contains), "picks come from the pool")
+      // first pick is pure relevance
+      assert(rs.find(_.getAs[Long]("iter") == 1L).get
+        .getAs[Long]("nid") == top1(q))
+    }
+    // λ < 1 must actually trade relevance for coverage somewhere
+    assert(byQ.exists { case (q, rs) =>
+      rs.map(_.getAs[Long]("nid")).toSet != top5(q)
+    }, "MMR never diverged from plain top-5 — diversity term inert")
+  }
+
+  test("text_zipf: slope negative, R² in (0,1], totals consistent per source") {
+    val rows = TextOps.textZipf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0.0,
+        s"natural-language feed must have a falling rank-frequency curve: $r")
+      val r2 = r.getAs[Double]("zipf_r2")
+      assert(r2 > 0.0 && r2 <= 1.0)
+      assert(r.getAs[Long]("total_tokens") >= r.getAs[Long]("distinct_tokens"))
+      assert(r.getAs[Long]("n_top") <= 50L)
+    }
+  }
+
+  test("etl_schema_drift: locale flip caught as type drift, unique keys gated") {
+    val rows = EtlOps.etlSchemaDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 4)
+    // the injected comma-decimal flip: DOUBLE early, VARCHAR late
+    val tp = rows("o_totalprice")
+    assert(tp.getAs[Long]("type_drift") == 1L)
+    assert(tp.getAs[String]("rec_early") == "DOUBLE")
+    assert(tp.getAs[String]("rec_late") == "VARCHAR")
+    // every other column parses to the same type in both halves
+    Seq("o_orderkey", "o_orderstatus", "o_orderpriority").foreach { c =>
+      assert(rows(c).getAs[Long]("type_drift") == 0L)
+      assert(rows(c).getAs[String]("rec_early")
+        == rows(c).getAs[String]("rec_late"))
+    }
+    // the dominance gate: a unique-key column's "top value" changes
+    // between any two batches, but at share ≈ 1/n it must NOT fire
+    assert(rows("o_orderkey").getAs[Long]("domain_drift") == 0L)
+    // stable categorical domains stay quiet too
+    assert(rows("o_orderstatus").getAs[Long]("domain_drift") == 0L)
+  }
+
+  test("q_seasonality: cells partition the feed, lifts positive and centered") {
+    val ev = Tables.events(spark, sf).count()
+    val rows = StatsOps.qSeasonality(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("c")).sum == ev)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dow")
+      assert(d >= 0L && d <= 6L)
+      assert(r.getAs[Double]("seasonal_lift") > 0.0)
+    }
+    // per type, the count-weighted mean lift is 1 by construction
+    // (Σ_dow (c/tt)·lift = Σ c²/(tt·dt/gt)... not identically 1), but
+    // the UNWEIGHTED lift must straddle 1: some cell ≥ 1, some ≤ 1
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val lifts = rs.map(_.getAs[Double]("seasonal_lift"))
+      assert(lifts.max >= 1.0 - 1e-6 && lifts.min <= 1.0 + 1e-6)
+    }
+  }
 }
