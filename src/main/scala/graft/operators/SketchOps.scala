@@ -474,7 +474,91 @@ object SketchOps {
       |    AS rel_err
       |FROM z CROSS JOIN x ORDER BY r""".stripMargin
 
+  // ---------------------------------------------------------------- I10
+  /** HLL error calibration — the I-family's D12/E10: the sketch's
+    * relative error measured ACROSS cardinality magnitudes on the
+    * actual key distribution, the table read before trusting I6's
+    * estimates in a rollup (theory says ±1.04/√m ≈ 18% at m=32 for
+    * the raw branch; linear counting covers the small end — this
+    * measures where the handoff actually lands on this feed).
+    *
+    * The cardinality ladder is deterministic subsets of event_id:
+    * level k keeps ids divisible by 2^k (k = 2,4,6,8,10 → ~n/4 down
+    * to ~n/1024 distinct), so one explode+filter scan (< 2× row
+    * expansion, Σ2⁻ᵏ) feeds the I6 register kernel VERBATIM (shared
+    * defs, same discipline as I8) with the level as the group. Exact
+    * counts ride the same relation. Output: level, exact, estimate,
+    * branch taken, relative error. */
+  def sketchHllCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val lvls = Tables.events(spark, sfDir)
+      .select(explode(array(Seq(2, 4, 6, 8, 10).map(lit): _*)).as("k"),
+        col("event_id"))
+      .filter(pmod(col("event_id"), expr("shiftleft(1L, k)")) === 0)
+      .select(concat(lit("mod_"), lpad(col("k").cast("string"), 2, "0"))
+        .as("lvl"), col("event_id"))
+    val exact = lvls.groupBy(col("lvl").as("g"))
+      .agg(countDistinct(col("event_id")).as("exact"))
+    hllSketch(hllRegisters(lvls, col("lvl"), col("event_id")))
+      .join(exact, "g")
+      .select(col("g").as("lvl"), col("exact"), col("est_distinct"),
+        col("v_zero"),
+        when(col("v_zero") > 0
+          && lit(0.697 * 1024 * 1099511627776.0) / col("s_pow") <= 80.0,
+          "linear_counting").otherwise("raw").as("branch"),
+        round((col("est_distinct") - col("exact")) / col("exact"), 4)
+          .as("rel_err"))
+      .orderBy(col("lvl"))
+  }
+
+  /** DuckDB mirror: the I6 register/estimate CTEs with the ladder
+    * level as the group key. */
+  val sketchHllCalibrationSql: String =
+    """WITH lvls AS (
+      |  SELECT 'mod_' || lpad(CAST(k AS VARCHAR), 2, '0') AS g, event_id
+      |  FROM (SELECT unnest([2, 4, 6, 8, 10]) AS k) ks, events
+      |  WHERE event_id % (1::BIGINT << k) = 0),
+      |h AS (
+      |  SELECT g,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 32
+      |      AS idx,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+      |  FROM lvls),
+      |regs AS (
+      |  SELECT g, idx,
+      |    max(CASE WHEN lo = 0 THEN 33 ELSE 33 - length(bin(lo)) END) AS m
+      |  FROM h GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT gs.g, r.idx
+      |  FROM (SELECT DISTINCT g FROM regs) gs,
+      |       (SELECT unnest(range(0, 32)) AS idx) r),
+      |filled AS (
+      |  SELECT grid.g, grid.idx, coalesce(regs.m, 0) AS m
+      |  FROM grid LEFT JOIN regs ON grid.g = regs.g AND grid.idx = regs.idx),
+      |sk AS (
+      |  SELECT g,
+      |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+      |    CAST(sum(CAST(pow(2.0, 40 - m) AS BIGINT)) AS BIGINT) AS s_pow
+      |  FROM filled GROUP BY 1),
+      |est AS (
+      |  SELECT g, v_zero, s_pow,
+      |    round(CASE WHEN v_zero > 0
+      |        AND CAST(0.697 AS DOUBLE) * 1024 * 1099511627776.0 / s_pow <= 80.0
+      |      THEN 32.0 * ln(32.0 / v_zero)
+      |      ELSE CAST(0.697 AS DOUBLE) * 1024 * 1099511627776.0 / s_pow END, 4)
+      |      AS est_distinct
+      |  FROM sk),
+      |ex AS (
+      |  SELECT g, CAST(count(DISTINCT event_id) AS BIGINT) AS exact
+      |  FROM lvls GROUP BY 1)
+      |SELECT est.g AS lvl, exact, est_distinct, v_zero,
+      |  CASE WHEN v_zero > 0
+      |      AND CAST(0.697 AS DOUBLE) * 1024 * 1099511627776.0 / s_pow <= 80.0
+      |    THEN 'linear_counting' ELSE 'raw' END AS branch,
+      |  round((est_distinct - exact) / exact, 4) AS rel_err
+      |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_calibration" -> sketchHllCalibration _,
     "sketch_ams_f2" -> sketchAmsF2 _,
     "sketch_source_similarity" -> sketchSourceSimilarity _,
     "sketch_bloom_prefilter" -> bloomPrefilter _,
@@ -484,6 +568,7 @@ object SketchOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sketch_hll_calibration" -> sketchHllCalibrationSql,
     "sketch_ams_f2" -> sketchAmsF2Sql,
     "sketch_source_similarity" -> sketchSourceSimilaritySql,
     "sketch_bloom_prefilter" -> bloomPrefilterSql,

@@ -83,7 +83,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q_abtest_ztest" ->
       "crossJoin(broadcast(1-row corpus purchase totals))",
     "q_seasonality" -> "crossJoin(broadcast(1-row grand-total scalar))",
-    "q_event_paths" -> "crossJoin(broadcast(1-row path-total scalar))")
+    "q_event_paths" -> "crossJoin(broadcast(1-row path-total scalar))",
+    "sketch_hll_calibration" ->
+      "crossJoin(broadcast(32-row register grid)) — the I6 kernel's zero-fill")
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()
