@@ -22,14 +22,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark cannot read natively — read nanos as long (legacy conf) and
-    * convert to a microsecond timestamp (floor, matching DuckDB's
-    * ns→µs truncation). */
+  /** events.parquet's `ts` physical layout has varied across testdata
+    * generations: TIMESTAMP(NANOS) (unreadable natively — the legacy
+    * conf surfaces it as a nanos long we floor to µs, matching DuckDB's
+    * ns→µs truncation) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read as TIMESTAMP_NTZ). Both normalize to the session-tz
+    * TimestampType every downstream operator and oracle was built
+    * against — all graft sessions pin UTC, so the NTZ→LTZ cast is
+    * value-identity. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
