@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.gf
@@ -1958,7 +1959,279 @@ object AnnOps {
        |  UNION ALL SELECT * FROM sel5)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E19
+  /** k-nearest-neighbor graph over the corpus — the substrate for
+    * SemDeDup-style pruning, diversity sampling, and label propagation:
+    * every vector gets its top-3 cosine neighbors among sign-LSH
+    * candidates (4 tables × 8 bits — selective buckets, so candidate
+    * generation is a bucket equi-self-join, never all-pairs). At
+    * 100 TB the build shards on the LSH table/bucket prefix (each
+    * shard joins only its own bucket range — this exact plan per
+    * shard); recall vs the exact graph is the LSH recall measured by
+    * DedupAnnSpec for E2's tables.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val b = signBucketsQ(emb, "vec_id", numTables = 4, bitsPerTable = 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = b.select(col("table_id"), col("bucket"), col("vec_id").as("src"))
+      .join(b.select(col("table_id"), col("bucket"), col("vec_id").as("dst")),
+        Seq("table_id", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("sv")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        round(gf.cosine_sim(col("sv"), col("dv")), 6).as("sim"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+  }
+
+  /** Mirror of the portable 8-bit sign-LSH (32 planes, table = p//8,
+    * bit = p%8) + rounded-cosine rank.
+    * MATERIALIZED on the multi-referenced CTEs (the D16/E13 lesson). */
+  val knnGraphSql: String =
+    """WITH qv AS MATERIALIZED (
+      |  SELECT vec_id, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM embeddings, range(64) d(dim)),
+      |plane AS (
+      |  SELECT p, dim,
+      |    CASE WHEN ((p*4096 + dim) * 2654435761) % 2147483648 < 1073741824
+      |         THEN 1 ELSE -1 END AS c
+      |  FROM range(32) pp(p), range(64) dd(dim)),
+      |dots AS (
+      |  SELECT v.vec_id, p.p, CAST(sum(v.q * p.c) AS BIGINT) AS dot
+      |  FROM qv v JOIN plane p ON p.dim = v.dim
+      |  GROUP BY v.vec_id, p.p),
+      |buck AS MATERIALIZED (
+      |  SELECT vec_id, p // 8 AS table_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 8),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      |  FROM buck a JOIN buck b
+      |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+      |  WHERE a.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT c.src, c.dst,
+      |    round(list_cosine_similarity(s.embedding::DOUBLE[],
+      |      e.embedding::DOUBLE[]), 6) AS sim
+      |  FROM cand c
+      |  JOIN embeddings s ON s.vec_id = c.src
+      |  JOIN embeddings e ON e.vec_id = c.dst)
+      |SELECT src, rank, dst, sim FROM (
+      |  SELECT src, dst, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+      |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- E20
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning
+    * confined to k-means cells — assign every vector to its nearest
+    * centroid, find high-cosine pairs WITHIN a cell, keep the
+    * lowest-id member of each near-dup neighborhood. The corpus
+    * plants exact duplicates (every 10th vector re-ingested under
+    * vec_id+100000) since random embeddings have no organic semantic
+    * dups; τ=0.98 on the 6dp-rounded cosine.
+    *
+    * The quadratic step is doubly confined: candidate pairs must share
+    * BOTH the cell AND a sign-LSH band (4×8-bit) — cell alone leaves
+    * |cell|² work (the paper's cost), the band intersection cuts it to
+    * bucket-local, which is what makes the pass linear-ish at 100 TB.
+    * Centroids/assignment reuse the E3 IVF kernels (exact integer
+    * grid), so the whole pipeline oracle-replays bit-identically.
+    */
+  def embSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+    val corpus = base.select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+          col("embedding")))
+    // cache the ≤10-row centroid table (E3's convention) but leave the
+    // assignment crossJoin in the visible plan — persisting `assigned`
+    // itself would hide the documented non-equi join from the
+    // PlanHygieneSpec walk inside an InMemoryRelation
+    val cents = ivfCentroids(corpus).cache()
+    val assigned = ivfAssign(corpus, cents)
+    val b = signBucketsQ(assigned, "vec_id", numTables = 4, bitsPerTable = 8)
+    val cells = assigned.select(col("vec_id"), col("cell"))
+    val bc = b.join(cells, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = bc.select(col("cell"), col("table_id"), col("bucket"),
+        col("vec_id").as("id1"))
+      .join(bc.select(col("cell"), col("table_id"), col("bucket"),
+        col("vec_id").as("id2")), Seq("cell", "table_id", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val edges = pairs
+      .join(assigned.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(assigned.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      .filter(round(gf.cosine_sim(col("e1"), col("e2")), 6) >= 0.98)
+      .select(col("id1"), col("id2"))
+    val dropped = edges.select(col("id2").as("vec_id")).distinct()
+      .withColumn("kept", lit("N"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("kept"), lit("Y")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Full replay: corpus-with-planted-dups → quantized grid →
+    * label-seeded centroids → argmin assignment → 8-bit sign bands →
+    * cell∧band pairs → τ=0.98 edges → lowest-id-keeps. Every
+    * multi-referenced CTE is MATERIALIZED. */
+  val embSemdedupSql: String =
+    """WITH corpus AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, embedding
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |qv AS MATERIALIZED (
+      |  SELECT vec_id, label, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM corpus, range(64) d(dim)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    floor(CAST(sum(q) AS DOUBLE) / count(*))::BIGINT AS c
+      |  FROM qv GROUP BY label, dim),
+      |dist AS (
+      |  SELECT v.vec_id, c.label AS cell,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      |  FROM qv v JOIN cent c ON c.dim = v.dim
+      |  GROUP BY v.vec_id, c.label),
+      |assign AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |plane AS (
+      |  SELECT p, dim,
+      |    CASE WHEN ((p*4096 + dim) * 2654435761) % 2147483648 < 1073741824
+      |         THEN 1 ELSE -1 END AS c
+      |  FROM range(32) pp(p), range(64) dd(dim)),
+      |dots AS (
+      |  SELECT v.vec_id, p.p, CAST(sum(v.q * p.c) AS BIGINT) AS dot
+      |  FROM qv v JOIN plane p ON p.dim = v.dim
+      |  GROUP BY v.vec_id, p.p),
+      |buck AS (
+      |  SELECT vec_id, p // 8 AS table_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 8),
+      |bc AS MATERIALIZED (
+      |  SELECT b.vec_id, a.cell, b.table_id, b.bucket
+      |  FROM buck b JOIN assign a ON a.vec_id = b.vec_id),
+      |pairs AS (
+      |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+      |  FROM bc x JOIN bc y ON x.cell = y.cell
+      |    AND x.table_id = y.table_id AND x.bucket = y.bucket
+      |  WHERE x.vec_id < y.vec_id),
+      |edges AS (
+      |  SELECT id1, id2 FROM pairs
+      |  JOIN corpus e1 ON e1.vec_id = pairs.id1
+      |  JOIN corpus e2 ON e2.vec_id = pairs.id2
+      |  WHERE round(list_cosine_similarity(e1.embedding::DOUBLE[],
+      |    e2.embedding::DOUBLE[]), 6) >= 0.98),
+      |dropped AS (SELECT DISTINCT id2 AS vec_id FROM edges)
+      |SELECT a.vec_id, a.cell,
+      |  CASE WHEN d.vec_id IS NULL THEN 'Y' ELSE 'N' END AS kept
+      |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- E21
+  /** Matryoshka-style dimension-ablation recall sweep: top-5 retrieval
+    * quality when only the first d ∈ {8,16,32,64} dimensions are
+    * scored, measured as overlap with the full-dim (d=64) top-5 —
+    * the table that justifies truncating stored vectors (MRL
+    * embeddings) to cut ANN index bytes 8×. All scores are exact
+    * integer prefix dot products on the floor(x·1e6) grid, so both
+    * engines rank identically; ties break by neighbor id.
+    *
+    * Plan: ONE pass over corpus × broadcast(queries) computes all four
+    * prefix dots per pair (nested-prefix structure — dot_16 extends
+    * dot_8), a posexplode stacks them, one window per (qid, d) ranks.
+    * The corpus is scanned once and never shuffled; the only shuffle
+    * carries |Q|·N·4 slim rows into the rank window. */
+  def embDimAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val qs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    def prefixDot(d: Int): Column = aggregate(
+      zip_with(slice(col("qq"), 1, d), slice(col("q"), 1, d), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val stacked = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        posexplode(array(dims.map(prefixDot): _*)))
+      .select(col("qid"), col("nid"),
+        element_at(array(dims.map(lit): _*), col("pos") + 1).as("d"),
+        col("col").as("dot"))
+    val w = Window.partitionBy(col("qid"), col("d"))
+      .orderBy(col("dot").desc, col("nid"))
+    val top = stacked.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ref = top.filter(col("d") === 64)
+      .select(col("qid").as("rqid"), col("nid").as("ref_nid"))
+    top.join(broadcast(ref),
+        col("qid") === col("rqid") && col("nid") === col("ref_nid"), "left")
+      .groupBy(col("d"))
+      .agg(sum(when(col("ref_nid").isNotNull, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("n_top"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div n_top"))
+      .orderBy(col("d"))
+  }
+
+  /** Same exact integer prefix dots: the dim-conditional sums in one
+    * grouped pass (dot_16 extends dot_8 …), stacked by a VALUES
+    * lateral, ranked per (qid, d), overlap-joined against d=64. */
+  val embDimAblationSql: String =
+    """WITH qv AS MATERIALIZED (
+      |  SELECT vec_id, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM embeddings, range(64) d(dim)),
+      |qs AS (SELECT vec_id AS qid, dim, q FROM qv WHERE vec_id < 20),
+      |dots AS (
+      |  SELECT s.qid, v.vec_id AS nid,
+      |    CAST(sum(CASE WHEN v.dim < 8 THEN s.q * v.q ELSE 0 END)
+      |      AS BIGINT) AS dot_8,
+      |    CAST(sum(CASE WHEN v.dim < 16 THEN s.q * v.q ELSE 0 END)
+      |      AS BIGINT) AS dot_16,
+      |    CAST(sum(CASE WHEN v.dim < 32 THEN s.q * v.q ELSE 0 END)
+      |      AS BIGINT) AS dot_32,
+      |    CAST(sum(s.q * v.q) AS BIGINT) AS dot_64
+      |  FROM qs s JOIN qv v ON v.dim = s.dim AND v.vec_id <> s.qid
+      |  GROUP BY s.qid, v.vec_id),
+      |stk AS (
+      |  SELECT qid, nid, d,
+      |    CASE d WHEN 8 THEN dot_8 WHEN 16 THEN dot_16
+      |           WHEN 32 THEN dot_32 ELSE dot_64 END AS dot
+      |  FROM dots, (VALUES (8), (16), (32), (64)) t(d)),
+      |top AS MATERIALIZED (
+      |  SELECT qid, nid, d FROM (
+      |    SELECT qid, nid, d,
+      |      ROW_NUMBER() OVER (PARTITION BY qid, d ORDER BY dot DESC, nid)
+      |        AS rnk
+      |    FROM stk) WHERE rnk <= 5),
+      |ref AS (SELECT qid, nid FROM top WHERE d = 64)
+      |SELECT t.d,
+      |  CAST(sum(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits,
+      |  count(*) AS n_top,
+      |  CAST(sum(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) AS recall_ppm
+      |FROM top t LEFT JOIN ref r ON r.qid = t.qid AND r.nid = t.nid
+      |GROUP BY t.d ORDER BY t.d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph" -> knnGraph _,
+    "emb_semdedup" -> embSemdedup _,
+    "emb_dim_ablation" -> embDimAblation _,
     "ann_mmr" -> annMmr _,
     "ann_filtered" -> annFiltered _,
     "emb_power_iteration" -> embPowerIteration _,
@@ -1977,6 +2250,9 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "knn_graph" -> knnGraphSql,
+    "emb_semdedup" -> embSemdedupSql,
+    "emb_dim_ablation" -> embDimAblationSql,
     "ann_mmr" -> annMmrSql,
     "ann_filtered" -> annFilteredSql,
     "emb_power_iteration" -> embPowerIterationSql,

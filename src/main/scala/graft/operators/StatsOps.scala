@@ -880,7 +880,132 @@ object StatsOps {
       |FROM counts c JOIN stats s ON c.key_name = s.key_name
       |GROUP BY c.key_name ORDER BY c.key_name""".stripMargin
 
+  // --------------------------------------------------------------- B70
+  /** Chi-square test of independence between order priority and order
+    * status — the categorical-association cousin of B59's PSI drift
+    * monitor: "does fulfillment status depend on priority class, or is
+    * the mix homogeneous?" The production use is feed auditing (a
+    * scraper whose error status concentrates in one source/priority is
+    * broken, not unlucky).
+    *
+    * All arithmetic is exact integer on counts — the classic
+    * Σ (O−E)²/E statistic is evaluated per cell as
+    *   (N·n − r·c)² · 10⁶ div (N · r · c)
+    * (one decimal(38,0) widening for the square, integer division
+    * LAST), so both engines emit identical BIGINTs with no float tree
+    * at all. Scale: one map-side-combinable groupBy reduces the fact
+    * table to |prio|×|status| cells; marginals and the dof scalar
+    * derive from that tiny relation (broadcast joins, no second scan).
+    */
+  def qChisqIndependence(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority".as("prio"), $"o_orderstatus".as("status"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy($"prio").agg(sum($"n").as("r_tot"))
+    val colTot = cells.groupBy($"status").agg(sum($"n").as("c_tot"))
+    val tot = cells.agg(sum($"n").as("n_tot"),
+      countDistinct($"prio").as("n_prio"),
+      countDistinct($"status").as("n_status"))
+    cells
+      .join(broadcast(rowTot), "prio")
+      .join(broadcast(colTot), "status")
+      .crossJoin(broadcast(tot))
+      .withColumn("diff",
+        ($"n_tot" * $"n" - $"r_tot" * $"c_tot").cast(DecimalType(38, 0)))
+      .select($"prio", $"status", $"n", $"r_tot", $"c_tot",
+        expr("CAST(diff * diff * 1000000 div (n_tot * r_tot * c_tot) AS BIGINT)")
+          .as("chisq_contrib_e6"),
+        (($"n_prio" - 1) * ($"n_status" - 1)).cast("long").as("dof"))
+      .orderBy($"prio", $"status")
+  }
+
+  val qChisqIndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT prio, CAST(sum(n) AS BIGINT) AS r_tot
+      |  FROM cells GROUP BY 1),
+      |ct AS (SELECT status, CAST(sum(n) AS BIGINT) AS c_tot
+      |  FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+      |    count(DISTINCT prio) AS n_prio,
+      |    count(DISTINCT status) AS n_status
+      |  FROM cells)
+      |SELECT prio, status, n, r_tot, c_tot,
+      |  CAST((n_tot * n - r_tot * c_tot)::HUGEINT
+      |     * (n_tot * n - r_tot * c_tot) * 1000000
+      |     // (n_tot::HUGEINT * r_tot * c_tot) AS BIGINT)
+      |    AS chisq_contrib_e6,
+      |  CAST((n_prio - 1) * (n_status - 1) AS BIGINT) AS dof
+      |FROM cells JOIN rt USING (prio) JOIN ct USING (status), tot
+      |ORDER BY prio, status""".stripMargin
+
+  // --------------------------------------------------------------- B71
+  /** Benford first-digit audit of extended prices — the classic
+    * anomalous-feed detector (fabricated or truncated numeric columns
+    * diverge from the log-uniform leading-digit law; natural
+    * multiplicative data follows it). Emits, per digit 1-9: the
+    * observed count, observed share in ppm (exact integer division),
+    * Benford's expected share as a pinned ppm literal (log10(1+1/d)
+    * pre-rounded — NOT computed in-engine, so no cross-engine libm
+    * drift), the signed deviation, and an exact integer-scaled
+    * chi-square contribution (decimal-widened square, division last).
+    *
+    * The digit is extracted from integer cents via the engines' shared
+    * integer-to-string rendering — never from float formatting, which
+    * differs across engines. Scale: one scan → 9 rows (map-side
+    * combinable groupBy); everything after is constant-size.
+    */
+  def qBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq(
+      (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L),
+      (5, 79181L), (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
+      .toDF("digit", "expected_ppm")
+    val digits = Tables.lineitem(spark, sfDir)
+      .select(floor($"l_extendedprice" * 100).cast("long").as("cents"))
+      .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum($"n").as("n_tot"))
+    digits.join(broadcast(expected), "digit")
+      .crossJoin(broadcast(tot))
+      .withColumn("diff",
+        ($"n" * lit(1000000L) - $"n_tot" * $"expected_ppm")
+          .cast(DecimalType(38, 0)))
+      .select($"digit", $"n", $"expected_ppm",
+        expr("n * 1000000 div n_tot").as("observed_ppm"),
+        expr("n * 1000000 div n_tot - expected_ppm").as("dev_ppm"),
+        expr("CAST(diff * diff div (n_tot * expected_ppm) AS BIGINT)")
+          .as("chisq_contrib_e6"))
+      .orderBy($"digit")
+  }
+
+  val qBenfordSql: String =
+    """WITH expected AS (
+      |  SELECT * FROM (VALUES
+      |    (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+      |    (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      |    AS t(digit, expected_ppm)),
+      |digits AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM digits)
+      |SELECT digit, n, CAST(expected_ppm AS BIGINT) AS expected_ppm,
+      |  n * 1000000 // n_tot AS observed_ppm,
+      |  n * 1000000 // n_tot - expected_ppm AS dev_ppm,
+      |  CAST((n * 1000000 - n_tot * expected_ppm)::HUGEINT
+      |     * (n * 1000000 - n_tot * expected_ppm)
+      |     // (n_tot * expected_ppm) AS BIGINT) AS chisq_contrib_e6
+      |FROM digits JOIN expected USING (digit), tot
+      |ORDER BY digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chisq_independence" -> qChisqIndependence _,
+    "q_benford" -> qBenford _,
     "q_skew_profile" -> qSkewProfile _,
     "q_event_paths" -> qEventPaths _,
     "q_seasonality" -> qSeasonality _,
@@ -899,6 +1024,8 @@ object StatsOps {
     "event_cooccurrence" -> eventCooccurrence _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_chisq_independence" -> qChisqIndependenceSql,
+    "q_benford" -> qBenfordSql,
     "q_skew_profile" -> qSkewProfileSql,
     "q_event_paths" -> qEventPathsSql,
     "q_seasonality" -> qSeasonalitySql,

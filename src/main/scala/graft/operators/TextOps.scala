@@ -687,7 +687,94 @@ object TextOps {
       |FROM reg JOIN totals ON reg.source = totals.source
       |ORDER BY reg.source""".stripMargin
 
+  // ---------------------------------------------------------------- C20
+  /** Boilerplate segment removal — the C4/CCNet cleaning pass ("drop
+    * any line that occurs ≥ N times in the corpus") re-expressed over
+    * aligned 8-token segments (this corpus has no newlines; a real
+    * crawl would key on lines). A segment is boilerplate when its
+    * exact text recurs in ≥ 3 distinct documents of the SAME source —
+    * nav bars, footers, cookie banners concentrate within a site.
+    * Emits the per-document cleaning report: segments kept/dropped and
+    * the cleaned length (kept segments joined by single spaces —
+    * computed arithmetically, no order-sensitive string agg).
+    *
+    * Plan: one explode to the segment relation, one groupBy on
+    * (source, segment) for the recurrence counts — the segment TEXT
+    * shuffles once as the group key, documents never do — then a
+    * broadcast-size join back (recurrent-segment relation is small) …
+    * at test SF the join is left as a shuffle equi-join since both
+    * sides are the segment relation; at 100 TB the ≥3-doc filter
+    * happens BEFORE the join-back (the boilerplate list is the rare
+    * side, exactly like a stop-word list), which is how this is kept
+    * linear. */
+  def textSegDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val B = 8L
+    // This synthetic corpus has no organic boilerplate (random token
+    // streams never align an identical 8-token segment across ≥3
+    // docs), so the site-chrome signal is injected deterministically —
+    // every document gets its source's 8-token footer prepended
+    // (aligned: exactly segment 0), the same planted-signal convention
+    // as A25's lateness offsets and D5's re-ingested duplicates.
+    val withFooter = concat(
+      lit("home about contact privacy terms login search "),
+      $"source", lit(" "), $"text")
+    val toks = split(trim(withFooter), wsPat)
+    val segs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .select($"doc_id", $"source", toks.as("toks"))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("n_seg", expr(s"(n_tok + ${B - 1}) DIV $B"))
+      .select($"doc_id", $"source", $"toks", $"n_seg",
+        explode(sequence(lit(0L), $"n_seg" - 1)).as("seg_idx"))
+      .withColumn("seg_text",
+        array_join(slice($"toks", ($"seg_idx" * B + 1).cast("int"), lit(B.toInt)), " "))
+      .select($"doc_id", $"source", $"n_seg", $"seg_idx", $"seg_text")
+    val counts = segs.groupBy($"source", $"seg_text")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    segs.join(counts, Seq("source", "seg_text"))
+      .groupBy($"doc_id")
+      .agg(max($"n_seg").as("n_seg"),
+        sum(when($"n_docs" >= 3, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"n_docs" < 3, 1L).otherwise(0L)).as("n_kept"),
+        (sum(when($"n_docs" < 3, length($"seg_text")).otherwise(0L))
+          + greatest(sum(when($"n_docs" < 3, 1L).otherwise(0L)) - 1, lit(0L)))
+          .as("cleaned_len"))
+      .orderBy($"doc_id")
+  }
+
+  val textSegDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(trim(
+      |      'home about contact privacy terms login search ' || source
+      |      || ' ' || text), '\s+') AS toks
+      |  FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, source, toks,
+      |    (CAST(len(toks) AS BIGINT) + 7) // 8 AS n_seg
+      |  FROM base),
+      |segs AS (
+      |  SELECT doc_id, source, n_seg, g AS seg_idx,
+      |    array_to_string(toks[(g*8+1):(g*8+8)], ' ') AS seg_text
+      |  FROM b2, unnest(range(n_seg)) u(g)),
+      |counts AS (
+      |  SELECT source, seg_text, count(DISTINCT doc_id) AS n_docs
+      |  FROM segs GROUP BY 1, 2)
+      |SELECT s.doc_id, max(s.n_seg) AS n_seg,
+      |  CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN n_docs < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN n_docs < 3 THEN len(s.seg_text) ELSE 0 END)
+      |    + greatest(sum(CASE WHEN n_docs < 3 THEN 1 ELSE 0 END) - 1, 0)
+      |    AS BIGINT) AS cleaned_len
+      |FROM segs s JOIN counts c ON s.source = c.source
+      |  AND s.seg_text = c.seg_text
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_seg_dedup" -> textSegDedup _,
     "text_zipf" -> textZipf _,
     "text_readability" -> textReadability _,
     "text_bpe_pairs" -> textBpePairs _,
@@ -706,6 +793,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_seg_dedup" -> textSegDedupSql,
     "text_zipf" -> textZipfSql,
     "text_readability" -> textReadabilitySql,
     "text_bpe_pairs" -> textBpePairsSql,

@@ -447,7 +447,50 @@ object WarehouseOps {
       |FROM grp, tot
       |ORDER BY group_n, c_nationkey, c_mktsegment, bal_kb""".stripMargin
 
+  // --------------------------------------------------------------- A27
+  /** Small-files compaction planner — the maintenance pass every
+    * parquet lake runs (Delta/Iceberg OPTIMIZE): assign each input
+    * file to an output bin of ≈ target size, sequentially within its
+    * partition, and report per-bin fill so the scheduler can skip
+    * already-compact bins. Files are simulated from the documents
+    * table (one file per doc, size = n_chars, partition = source) —
+    * the planner's shape is what matters: bin = cum_before div target
+    * over a PARTITIONED cumulative-sum window (never a global sort;
+    * each source packs independently, which is exactly how a real
+    * planner parallelizes per table-partition). Everything is integer
+    * arithmetic; the output is |bins| rows ≈ bytes/target, not |files|.
+    * At 100 TB the file listing itself is the input relation (a
+    * metadata table, millions of rows not billions) — one window
+    * shuffle on the partition key sizes the whole job.
+    */
+  def etlCompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val target = 4096L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("bin_id", expr(s"(cum - n_chars) div $target"))
+      .groupBy($"source", $"bin_id")
+      .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("bin_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .withColumn("fill_pct", expr(s"bin_bytes * 100 div $target"))
+      .orderBy($"source", $"bin_id")
+  }
+
+  val etlCompactionPlanSql: String =
+    """WITH files AS (
+      |  SELECT source, doc_id, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM documents)
+      |SELECT source, CAST((cum - n_chars) // 4096 AS BIGINT) AS bin_id,
+      |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  CAST(sum(n_chars) AS BIGINT) * 100 // 4096 AS fill_pct
+      |FROM files GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_compaction_plan" -> etlCompactionPlan _,
     "q_k_anonymity" -> qKAnonymity _,
     "etl_late_arrivals" -> etlLateArrivals _,
     "etl_resample_gapfill" -> etlResampleGapfill _,
@@ -458,6 +501,7 @@ object WarehouseOps {
     "sample_shard_assign" -> sampleShardAssign _)
 
   def oracleSql: Map[String, String] = Map(
+    "etl_compaction_plan" -> etlCompactionPlanSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "etl_late_arrivals" -> etlLateArrivalsSql,
     "etl_resample_gapfill" -> etlResampleGapfillSql,

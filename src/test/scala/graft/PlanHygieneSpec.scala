@@ -56,6 +56,8 @@ class PlanHygieneSpec extends SparkSuite {
       + "+ crossJoin(broadcast(1-row query count))"),
     "emb_incremental_encode" ->
       "crossJoin(broadcast(standing cell centroids)): ≤10 rows",
+    "emb_semdedup" ->
+      "crossJoin(broadcast(cell centroids)): ≤10 rows (E3 assignment kernel)",
     "etl_profile" -> "profile assembly: joins of 1-row per-column aggregates",
     "event_cooccurrence" -> "crossJoin(broadcast(1-row user count))",
     "q11_important_parts" -> "crossJoin(broadcast(1-row total-value scalar))",
@@ -72,6 +74,9 @@ class PlanHygieneSpec extends SparkSuite {
     "dedup_triangles" ->
       "census assembly: crossJoin(broadcast(1-row node/edge/triangle aggs))",
     "q_psi_drift" -> "crossJoin(broadcast(1-row totals/type-count scalars))",
+    "q_chisq_independence" ->
+      "crossJoin(broadcast(1-row N/dof scalar)) onto the ≤k² cell relation",
+    "q_benford" -> "crossJoin(broadcast(1-row digit-total scalar))",
     "q_k_anonymity" -> "crossJoin(broadcast(1-row table total))",
     "sketch_ams_f2" -> "crossJoin(broadcast(1-row exact-F2 scalar))",
     "text_bm25" -> "crossJoin(broadcast(1-row N/avgdl corpus scalar))",
