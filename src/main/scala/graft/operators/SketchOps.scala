@@ -557,7 +557,124 @@ object SketchOps {
       |  round((est_distinct - exact) / exact, 4) AS rel_err
       |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin
 
+  // ---------------------------------------------------------------- I11
+  /** q-digest quantile sketch (Shrivastava et al. 2004) over the
+    * extended-price distribution — the sketch family's quantile axis
+    * beside frequency (I4), cardinality (I6), and moments (I9). The
+    * dyadic-tree compression runs bottom-up over a 2^20 integer
+    * universe (cents÷16): at each level, nodes holding ≥ T = n/1024
+    * mass are emitted into the digest, lighter nodes merge into their
+    * parent — a pure multiset function (no insertion-order or
+    * partition dependence; each round is ONE map-side-combinable
+    * aggregation of a relation that shrinks geometrically), which is
+    * exactly what makes it oracle-replayable AND distribution-mergeable
+    * at 100 TB (re-compress after adding partial digests; every
+    * executor builds the same tree). The digest holds ≤ ~1k nodes
+    * regardless of input size; quantile queries walk it by upper
+    * bound. Emitted: the {1,5,25,50,75,95,99}-percentile estimates
+    * with target ranks, digest size, and the compression threshold —
+    * rank error is bounded by straddling-ancestor mass (≤ 2T per
+    * level; CurationSpec asserts the bound against exact ranks). */
+  def sketchQdigest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val LEVELS = 20
+    val K = 1024L
+    val leaves = Tables.lineitem(spark, sfDir)
+      .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT) div 16")
+        .as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("c"))
+    val nt = leaves.agg(sum($"c").as("n"))
+      .select($"n", greatest(lit(1L), expr(s"n div $K")).as("t"))
+    // each carry level truncates its lineage (eager localCheckpoint —
+    // the CC/pointer-jumping discipline): the per-level emit branches
+    // and the next round then read a materialized relation instead of
+    // replaying the chain below, and the 21-branch union's plan stays
+    // shallow (a chained-cache formulation here nested 20 levels of
+    // InMemoryRelation plan strings and OOM'd the driver on explain).
+    // CacheHygiene releases the checkpoint blocks post-query.
+    var cur = leaves.crossJoin(broadcast(nt)).localCheckpoint(true)
+    var emitted = List.empty[DataFrame]
+    for (l <- 0 until LEVELS) {
+      emitted ::= cur.filter($"c" >= $"t")
+        .select(lit(l).as("lvl"), $"id", $"c",
+          (($"id" + 1) * lit(1L << l) - 1).as("ub"))
+      cur = cur.filter($"c" < $"t")
+        .select(expr("id div 2").as("id"), $"c", $"n", $"t")
+        .groupBy($"id")
+        .agg(sum($"c").as("c"), max($"n").as("n"), max($"t").as("t"))
+        .localCheckpoint(true)
+    }
+    val root = cur.filter($"c" > 0)
+      .select(lit(LEVELS).as("lvl"), $"id", $"c",
+        (($"id" + 1) * lit(1L << LEVELS) - 1).as("ub"))
+    val digest = (root :: emitted).reverse.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // postorder walk = cumulative mass by (ub, lvl); the digest is
+    // ≤ K + LEVELS rows, so the single-partition window is k-bounded
+    // (PlanHygieneSpec allowlists it with that bound)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"ub", $"lvl")
+    val cum = digest.withColumn("cum", sum($"c").over(w))
+    val nNodes = digest.agg(count(lit(1)).as("n_nodes"))
+    val targets = Seq(1, 5, 25, 50, 75, 95, 99).toDF("p")
+      .crossJoin(broadcast(nt))
+      .select($"p", expr("(p * n + 99) div 100").as("target_rank"), $"t")
+    targets.join(cum, $"cum" >= $"target_rank")
+      .groupBy($"p", $"target_rank", $"t")
+      .agg(min($"ub").as("ub_sel"))
+      .crossJoin(broadcast(nNodes))
+      .select($"p", $"target_rank",
+        ($"ub_sel" * 16 + 15).as("est_cents"), $"n_nodes", $"t")
+      .orderBy($"p")
+  }
+
+  /** The identical 20-round compression as chained CTEs (each curN is
+    * multi-referenced → MATERIALIZED; relations shrink geometrically). */
+  val sketchQdigestSql: String = {
+    val rounds = (0 until 20).map { l =>
+      s"""em$l AS (
+         |  SELECT $l AS lvl, id, c, (id + 1) * ${1L << l} - 1 AS ub
+         |  FROM cur$l, nt WHERE c >= t),
+         |cur${l + 1} AS MATERIALIZED (
+         |  SELECT id // 2 AS id, CAST(sum(c) AS BIGINT) AS c
+         |  FROM cur$l, nt WHERE c < t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until 20).map(l => s"SELECT * FROM em$l")
+      .mkString(" UNION ALL ")
+    s"""WITH leaves AS (
+       |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) // 16 AS id,
+       |    count(*) AS c
+       |  FROM lineitem GROUP BY 1),
+       |nt AS MATERIALIZED (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    greatest(1, CAST(sum(c) AS BIGINT) // 1024) AS t
+       |  FROM leaves),
+       |cur0 AS MATERIALIZED (SELECT id, c FROM leaves),
+       |$rounds,
+       |root AS (
+       |  SELECT 20 AS lvl, id, c, (id + 1) * ${1L << 20} - 1 AS ub
+       |  FROM cur20 WHERE c > 0),
+       |digest AS MATERIALIZED (
+       |  $unions UNION ALL SELECT * FROM root),
+       |cum AS MATERIALIZED (
+       |  SELECT lvl, id, c, ub,
+       |    CAST(sum(c) OVER (ORDER BY ub, lvl) AS BIGINT) AS cum
+       |  FROM digest),
+       |nn AS (SELECT count(*) AS n_nodes FROM digest),
+       |tgt AS (
+       |  SELECT p, (p * n + 99) // 100 AS target_rank, t
+       |  FROM (VALUES (1), (5), (25), (50), (75), (95), (99)) v(p), nt)
+       |SELECT g.p, CAST(g.target_rank AS BIGINT) AS target_rank,
+       |  CAST(min(cum.ub) * 16 + 15 AS BIGINT) AS est_cents,
+       |  CAST(max(nn.n_nodes) AS BIGINT) AS n_nodes,
+       |  CAST(max(g.t) AS BIGINT) AS t
+       |FROM tgt g JOIN cum ON cum.cum >= g.target_rank
+       |CROSS JOIN nn
+       |GROUP BY g.p, g.target_rank
+       |ORDER BY g.p""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_qdigest" -> sketchQdigest _,
     "sketch_hll_calibration" -> sketchHllCalibration _,
     "sketch_ams_f2" -> sketchAmsF2 _,
     "sketch_source_similarity" -> sketchSourceSimilarity _,
@@ -568,6 +685,7 @@ object SketchOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sketch_qdigest" -> sketchQdigestSql,
     "sketch_hll_calibration" -> sketchHllCalibrationSql,
     "sketch_ams_f2" -> sketchAmsF2Sql,
     "sketch_source_similarity" -> sketchSourceSimilaritySql,

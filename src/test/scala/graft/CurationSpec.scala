@@ -93,6 +93,34 @@ class CurationSpec extends SparkSuite {
     assert(obs > 1000000L - 9 && obs <= 1000000L, s"observed ppm sum $obs")
   }
 
+  test("I11: q-digest quantile estimates cover their target ranks within the straddle bound") {
+    val out = operators.SketchOps.sketchQdigest(spark, sf).collect()
+      .sortBy(_.getAs[Int]("p"))
+    assert(out.map(_.getAs[Int]("p")).toSeq == Seq(1, 5, 25, 50, 75, 95, 99))
+    val t = out.head.getAs[Long]("t")
+    val nNodes = out.head.getAs[Long]("n_nodes")
+    assert(nNodes <= 1024L + 21L, s"digest holds $nNodes nodes")
+    val cents = Tables.lineitem(spark, sf)
+      .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .as[Long].collect().sorted
+    // the heaviest 16-cent leaf bucket can emit at level 0 with its
+    // full mass, so the one-sided overshoot bound carries it
+    val maxBucket = cents.groupBy(_ / 16).values.map(_.length).max
+    val bound = 2L * t * 20L + maxBucket
+    var prev = Long.MinValue
+    out.foreach { r =>
+      val est = r.getAs[Long]("est_cents")
+      val target = r.getAs[Long]("target_rank")
+      val exactRank = cents.count(_ <= est).toLong
+      assert(exactRank >= target,
+        s"p=${r.get(0)}: digest under-covers (rank $exactRank < target $target)")
+      assert(exactRank - target <= bound,
+        s"p=${r.get(0)}: overshoot ${exactRank - target} exceeds bound $bound")
+      assert(est >= prev, "estimates must be nondecreasing in p")
+      prev = est
+    }
+  }
+
   test("A27: compaction bins conserve bytes and files per source; fills are near target") {
     val out = WarehouseOps.etlCompactionPlan(spark, sf).collect()
     val truth = Tables.documents(spark, sf).groupBy($"source")

@@ -40,7 +40,10 @@ class PlanHygieneSpec extends SparkSuite {
       + "back onto the scan"),
     "sample_shard_assign" -> ("prefix-sum/total windows over the "
       + "per-range-partition count relation: ≤32 rows (distributedRank "
-      + "offsets — the document ranks themselves are partition-local)"))
+      + "offsets — the document ranks themselves are partition-local)"),
+    "sketch_qdigest" -> ("postorder cumulative-mass window over the "
+      + "digest relation: ≤ K+levels ≈ 1k rows by construction "
+      + "regardless of input size"))
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */
@@ -90,7 +93,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_seasonality" -> "crossJoin(broadcast(1-row grand-total scalar))",
     "q_event_paths" -> "crossJoin(broadcast(1-row path-total scalar))",
     "sketch_hll_calibration" ->
-      "crossJoin(broadcast(32-row register grid)) — the I6 kernel's zero-fill")
+      "crossJoin(broadcast(32-row register grid)) — the I6 kernel's zero-fill",
+    "sketch_qdigest" -> ("crossJoin(broadcast(1-row n/threshold + "
+      + "digest-size scalars)) + the 7-target × ≤1k-node digest rank "
+      + "probe (theta join, both sides k-bounded)"))
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()
