@@ -263,6 +263,55 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("AQE coalesces an over-partitioned small shuffle at runtime") {
+    // The fourth leg of the AQE/runtime-optimization story (skew split,
+    // DPP, runtime bloom filter are proven above): a static
+    // shuffle.partitions sized for the LARGEST stage over-partitions
+    // every small one, and at 100 TB "small aggregation after a
+    // selective filter" is most stages — AQE's partition coalescing is
+    // what makes one global partition count survivable. Prove Catalyst
+    // actually rewires it: a 200-partition shuffle of a few-KB
+    // aggregate must execute with far fewer reduce partitions, same
+    // answer as with coalescing off.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> conf.getOption("spark.sql.adaptive.enabled"),
+      "spark.sql.adaptive.coalescePartitions.enabled" ->
+        conf.getOption("spark.sql.adaptive.coalescePartitions.enabled"),
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" ->
+        conf.getOption("spark.sql.adaptive.coalescePartitions.parallelismFirst"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.shuffle.partitions" -> conf.getOption("spark.sql.shuffle.partitions"))
+    def agg() = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("q"), count(lit(1)).as("n"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size-driven coalescing, not parallelism-preserving (the
+      // production setting when the goal is fewer, fuller reducers)
+      conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+      conf.set("spark.sql.shuffle.partitions", "200")
+      val df = agg()
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        plan.take(2000))
+      // a few-KB aggregate must land in ONE coalesced reduce partition
+      assert(df.rdd.getNumPartitions == 1,
+        s"expected 1 coalesced partition, got ${df.rdd.getNumPartitions}")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val base = agg().collect()
+      assert(rows.map(_.toString).sorted.toSeq ==
+        base.map(_.toString).sorted.toSeq, "coalescing changed the answer")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("foreachBatch sink: idempotent partitioned upsert per micro-batch") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_fb_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
