@@ -731,8 +731,15 @@ object DedupMore {
     val t1 = docs.select(col("doc_id").as("id1"), col("text").as("text1"))
     val t2 = docs.select(col("doc_id").as("id2"), col("text").as("text2"))
     candidates.join(t1, "id1").join(t2, "id2")
-      .withColumn("dist", levenshtein(col("text1"), col("text2")))
       .withColumn("ml", greatest(length(col("text1")), length(col("text2"))))
+      // length gate BEFORE the O(n·m) DP: dist >= |len1 - len2|, so a
+      // pair with 5·|len1 - len2| > ml can never reach edit_sim 0.8 —
+      // an exact integer implication of the output filter (result set
+      // unchanged; the oracle needs no mirror), pruning most LSH
+      // candidates before the quadratic kernel touches them
+      .filter(lit(5) * abs(length(col("text1")) - length(col("text2")))
+        <= col("ml"))
+      .withColumn("dist", levenshtein(col("text1"), col("text2")))
       .withColumn("edit_sim",
         round(lit(1.0) - col("dist").cast("double") / col("ml"), 6))
       .filter(col("edit_sim") >= 0.8)

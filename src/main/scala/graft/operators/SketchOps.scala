@@ -577,12 +577,24 @@ object SketchOps {
     * level; CurationSpec asserts the bound against exact ranks). */
   def sketchQdigest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val LEVELS = 20
-    val K = 1024L
     val leaves = Tables.lineitem(spark, sfDir)
       .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT) div 16")
         .as("id"))
       .groupBy($"id").agg(count(lit(1)).as("c"))
+    qdigestFromLeaves(leaves)
+  }
+
+  /** The 20-round compression + quantile probe from a (id, c) leaf
+    * relation — shared verbatim by the batch query (I11) and the
+    * streaming merge twin (G17): because the construction is a pure
+    * multiset function and leaf counts merge by addition, compressing
+    * merged per-batch partials ≡ compressing the whole corpus, which
+    * is exactly what the twin's shared oracle hash-checks. */
+  def qdigestFromLeaves(leaves: DataFrame): DataFrame = {
+    val spark = leaves.sparkSession
+    import spark.implicits._
+    val LEVELS = 20
+    val K = 1024L
     val nt = leaves.agg(sum($"c").as("n"))
       .select($"n", greatest(lit(1L), expr(s"n div $K")).as("t"))
     // each carry level truncates its lineage (eager localCheckpoint —

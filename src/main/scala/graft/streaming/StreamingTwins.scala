@@ -839,7 +839,66 @@ object StreamingTwins {
       |  ON v.user_id = p.user_id
       |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin
 
+  // --------------------------------------------------------------- G17
+  /** Streaming q-digest maintenance — the quantile leg completing the
+    * sketch-the-firehose set (G6 CMS, G7 top-k, G10 HLL, G13
+    * log-histogram): each micro-batch of prices reduces to its partial
+    * LEAF-COUNT relation inside foreachBatch (an O(batch) append-only
+    * write — the standing partials are never read or rewritten, the
+    * G16 segment discipline), and the digest is built by merging
+    * partials (leaf counts add) and compressing once. The oracle is
+    * the BATCH q-digest SQL verbatim, knowing nothing about
+    * micro-batch boundaries — hash equality IS the mergeability proof:
+    * compress(Σ partials) ≡ compress(whole corpus), because the
+    * I11 construction is a pure multiset function. Staging is cached
+    * per corpus dir (G16's idempotence guard: re-running the ingest
+    * would append duplicate partials). */
+  private val stagedQdigest = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  def streamingQdigest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stagedQdigest.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft_stream_qdigest").toString
+      val cents = Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey",
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      (0 until 3).foreach { i =>
+        cents.filter($"l_orderkey" % 3 === i).select($"cents")
+          .coalesce(1).write.parquet(s"$d/batch_$i")
+      }
+      val t0 = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val f = new java.io.File(s"$d/batch_$i")
+        (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      val sch = StructType(Seq(StructField("cents", LongType)))
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(s"$d/batch_*")
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            batch.select(expr("cents div 16").as("id"))
+              .groupBy(col("id")).agg(count(lit(1)).as("c"))
+              .write.mode("append").parquet(s"$d/partials")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      d
+    })
+    val merged = spark.read.parquet(s"$dir/partials")
+      .groupBy($"id").agg(sum($"c").as("c"))
+    graft.operators.SketchOps.qdigestFromLeaves(merged)
+  }
+
+  /** Identical to the batch I11 oracle — micro-batch boundaries must
+    * be invisible to the digest. */
+  val streamingQdigestSql: String =
+    graft.operators.SketchOps.sketchQdigestSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_qdigest" -> streamingQdigest _,
     "streaming_full_outer" -> streamingFullOuter _,
     "streaming_upsert_sink" -> streamingUpsertSink _,
     "streaming_log_histogram" -> streamingLogHistogram _,
@@ -858,6 +917,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_qdigest" -> streamingQdigestSql,
     "streaming_full_outer" -> streamingFullOuterSql,
     "streaming_upsert_sink" -> streamingUpsertSinkSql,
     "streaming_log_histogram" -> streamingLogHistogramSql,
