@@ -240,7 +240,26 @@ object ScaleProbe {
         (n: Int) => replicate(
           spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
           Seq("vec_id"), 10000000L),
-        spark.read.parquet(s"$sfDir/embeddings.parquet")))
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      // C20 segment dedup: the segment relation grows linearly; the
+      // (source, segment) count agg is the one shuffle — cost should
+      // track the explode+agg (salted replicas keep per-source
+      // recurrence structure: each replica is its own site)
+      ("seg_dedup",
+        (d: DataFrame) => time(operators.TextOps.segDedupPipeline(
+          d.withColumn("source",
+            concat(col("source"), lit("_r"),
+              expr("doc_id div 1000000")))).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // I11 q-digest: leaf count grows ~linearly with distinct prices,
+      // but the digest stays ≤ ~1k nodes and the 20 rounds shrink
+      // geometrically — cost should track the leaf aggregation scan
+      ("qdigest",
+        (d: DataFrame) => time(operators.SketchOps.qdigestFromLeaves(
+          d.select(expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) div 16").as("id"))
+            .groupBy(col("id")).agg(count(lit(1)).as("c"))).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li))
     // GRAFT_PROBES=name1,name2 runs a subset (A/B iteration)
     val selected = sys.env.get("GRAFT_PROBES")
       .map(_.split(",").toSet)

@@ -708,19 +708,26 @@ object TextOps {
     * side, exactly like a stop-word list), which is how this is kept
     * linear. */
   def textSegDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val B = 8L
     // This synthetic corpus has no organic boilerplate (random token
     // streams never align an identical 8-token segment across ≥3
     // docs), so the site-chrome signal is injected deterministically —
     // every document gets its source's 8-token footer prepended
     // (aligned: exactly segment 0), the same planted-signal convention
     // as A25's lateness offsets and D5's re-ingested duplicates.
+    segDedupPipeline(Tables.documents(spark, sfDir))
+  }
+
+  /** The C20 cleaning pass over an arbitrary (doc_id, source, text)
+    * corpus (factored for the ScaleProbe). */
+  def segDedupPipeline(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val B = 8L
     val withFooter = concat(
       lit("home about contact privacy terms login search "),
       $"source", lit(" "), $"text")
     val toks = split(trim(withFooter), wsPat)
-    val segs = Tables.documents(spark, sfDir)
+    val segs = docs
       .select($"doc_id", $"source", $"text")
       .select($"doc_id", $"source", toks.as("toks"))
       .withColumn("n_tok", size($"toks").cast("long"))
