@@ -121,6 +121,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("I11: q-digest is a pure multiset function — merged partials compress to the direct digest") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    // adversarial distributions the lineitem corpus doesn't exercise:
+    // heavy point mass, geometric tail, and a dense uniform block
+    val vals: Seq[Long] =
+      Seq.fill(5000)(42L) ++ (0 until 4000).map(i => (1L << (i % 20)) + i % 7) ++
+        (0 until 3000).map(i => 500000L + i)
+    val df = spark.createDataset(vals)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("v").select(expr("v div 16").as("id"))
+    val whole = df.groupBy($"id").agg(cnt(lit(1)).as("c"))
+    // two disjoint "partial digests" merged by leaf-count addition —
+    // the distribution step a 1000-executor build performs
+    val half1 = df.filter($"id" % 2 === 0).groupBy($"id").agg(cnt(lit(1)).as("c"))
+    val half2 = df.filter($"id" % 2 =!= 0).groupBy($"id").agg(cnt(lit(1)).as("c"))
+    val merged = half1.unionByName(half2)
+      .groupBy($"id").agg(sum($"c").as("c"))
+    val a = operators.SketchOps.qdigestFromLeaves(whole).collect()
+      .map(_.toString).sorted.toSeq
+    val b = operators.SketchOps.qdigestFromLeaves(merged).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b, "merged-partial digest diverged from direct digest")
+  }
+
   test("A27: compaction bins conserve bytes and files per source; fills are near target") {
     val out = WarehouseOps.etlCompactionPlan(spark, sf).collect()
     val truth = Tables.documents(spark, sf).groupBy($"source")
