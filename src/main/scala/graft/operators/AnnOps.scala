@@ -2057,7 +2057,11 @@ object AnnOps {
     * Centroids/assignment reuse the E3 IVF kernels (exact integer
     * grid), so the whole pipeline oracle-replays bit-identically.
     */
-  def embSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared E20/E22 front end: (assigned, candidate pair sims) over
+    * the planted-duplicate corpus — cell∧band-confined candidates with
+    * 6dp-rounded cosine, UNthresholded (each consumer applies its τ). */
+  private def semdedupPairSims(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val base = Tables.embeddings(spark, sfDir)
     val corpus = base.select(col("vec_id"), col("label"), col("embedding"))
       .unionByName(base.filter(col("vec_id") % 10 === 0)
@@ -2078,12 +2082,18 @@ object AnnOps {
         col("vec_id").as("id2")), Seq("cell", "table_id", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    val edges = pairs
+    val pairSims = pairs
       .join(assigned.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
       .join(assigned.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
-      .filter(round(gf.cosine_sim(col("e1"), col("e2")), 6) >= 0.98)
-      .select(col("id1"), col("id2"))
-    val dropped = edges.select(col("id2").as("vec_id")).distinct()
+      .select(col("id1"), col("id2"),
+        round(gf.cosine_sim(col("e1"), col("e2")), 6).as("sim"))
+    (assigned, pairSims)
+  }
+
+  def embSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (assigned, pairSims) = semdedupPairSims(spark, sfDir)
+    val dropped = pairSims.filter(col("sim") >= 0.98)
+      .select(col("id2").as("vec_id")).distinct()
       .withColumn("kept", lit("N"))
     assigned.select(col("vec_id"), col("cell"))
       .join(dropped, Seq("vec_id"), "left")
@@ -2153,6 +2163,112 @@ object AnnOps {
       |  CASE WHEN d.vec_id IS NULL THEN 'Y' ELSE 'N' END AS kept
       |FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
       |ORDER BY a.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- E22
+  /** SemDeDup threshold sweep — E20's calibration table (the
+    * E-family's D12): candidate-pair count, dropped-vector count, and
+    * keep fraction as a function of τ ∈ {0.95, 0.98, 0.99, 0.995,
+    * 1.0} (basis points). The table read before choosing a production
+    * pruning threshold: planted exact dups persist to τ=1.0 while the
+    * organic tail falls away, so the curve's knee locates the
+    * duplicate/neighbor boundary on THIS corpus. One pass: the
+    * unthresholded pair-sim relation is computed once (shared E20
+    * front end), the 5-row τ relation broadcasts into it, and the
+    * verdict is a per-τ aggregation — sweeping costs one conditional
+    * agg, not five pipeline reruns. */
+  def embSemdedupSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (assigned, pairSims) = semdedupPairSims(spark, sfDir)
+    val ps = pairSims.persist(StorageLevel.MEMORY_AND_DISK)
+    val nCorpus = assigned.agg(count(lit(1)).as("n_corpus"))
+    val taus = Seq(9500, 9800, 9900, 9950, 10000).toDF("tau_bp")
+    val matched = ps.crossJoin(broadcast(taus))
+      .filter($"sim" >= $"tau_bp".cast("double") / lit(10000.0))
+      .groupBy($"tau_bp")
+      .agg(count(lit(1)).as("n_edges"), countDistinct($"id2").as("n_dropped"))
+    taus.join(matched, Seq("tau_bp"), "left")
+      .crossJoin(broadcast(nCorpus))
+      .select($"tau_bp",
+        coalesce($"n_edges", lit(0L)).as("n_edges"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        ($"n_corpus" - coalesce($"n_dropped", lit(0L))).as("n_kept"),
+        expr("(n_corpus - coalesce(n_dropped, 0)) * 1000000 div n_corpus")
+          .as("keep_ppm"))
+      .orderBy($"tau_bp")
+  }
+
+  /** E20's CTE chain through `pairs`, then the τ VALUES relation swept
+    * by one conditional aggregation. */
+  val embSemdedupSweepSql: String =
+    """WITH corpus AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, label, embedding
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |qv AS MATERIALIZED (
+      |  SELECT vec_id, label, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM corpus, range(64) d(dim)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    floor(CAST(sum(q) AS DOUBLE) / count(*))::BIGINT AS c
+      |  FROM qv GROUP BY label, dim),
+      |dist AS (
+      |  SELECT v.vec_id, c.label AS cell,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      |  FROM qv v JOIN cent c ON c.dim = v.dim
+      |  GROUP BY v.vec_id, c.label),
+      |assign AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |plane AS (
+      |  SELECT p, dim,
+      |    CASE WHEN ((p*4096 + dim) * 2654435761) % 2147483648 < 1073741824
+      |         THEN 1 ELSE -1 END AS c
+      |  FROM range(32) pp(p), range(64) dd(dim)),
+      |dots AS (
+      |  SELECT v.vec_id, p.p, CAST(sum(v.q * p.c) AS BIGINT) AS dot
+      |  FROM qv v JOIN plane p ON p.dim = v.dim
+      |  GROUP BY v.vec_id, p.p),
+      |buck AS (
+      |  SELECT vec_id, p // 8 AS table_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, p // 8),
+      |bc AS MATERIALIZED (
+      |  SELECT b.vec_id, a.cell, b.table_id, b.bucket
+      |  FROM buck b JOIN assign a ON a.vec_id = b.vec_id),
+      |pairs AS (
+      |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+      |  FROM bc x JOIN bc y ON x.cell = y.cell
+      |    AND x.table_id = y.table_id AND x.bucket = y.bucket
+      |  WHERE x.vec_id < y.vec_id),
+      |psim AS MATERIALIZED (
+      |  SELECT p.id1, p.id2,
+      |    round(list_cosine_similarity(e1.embedding::DOUBLE[],
+      |      e2.embedding::DOUBLE[]), 6) AS sim
+      |  FROM pairs p
+      |  JOIN corpus e1 ON e1.vec_id = p.id1
+      |  JOIN corpus e2 ON e2.vec_id = p.id2),
+      |nc AS (SELECT count(*) AS n_corpus FROM corpus),
+      |taus AS (SELECT * FROM (VALUES (9500), (9800), (9900), (9950),
+      |  (10000)) t(tau_bp)),
+      |m AS (
+      |  SELECT tau_bp, count(*) AS n_edges,
+      |    count(DISTINCT id2) AS n_dropped
+      |  FROM psim, taus
+      |  WHERE sim >= CAST(tau_bp AS DOUBLE) / 10000.0
+      |  GROUP BY 1)
+      |SELECT t.tau_bp,
+      |  CAST(coalesce(m.n_edges, 0) AS BIGINT) AS n_edges,
+      |  CAST(coalesce(m.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |  CAST(nc.n_corpus - coalesce(m.n_dropped, 0) AS BIGINT) AS n_kept,
+      |  (nc.n_corpus - coalesce(m.n_dropped, 0)) * 1000000 // nc.n_corpus
+      |    AS keep_ppm
+      |FROM taus t LEFT JOIN m USING (tau_bp), nc
+      |ORDER BY t.tau_bp""".stripMargin
 
   // ---------------------------------------------------------------- E21
   /** Matryoshka-style dimension-ablation recall sweep: top-5 retrieval
@@ -2242,6 +2358,7 @@ object AnnOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph" -> knnGraph _,
+    "emb_semdedup_sweep" -> embSemdedupSweep _,
     "emb_semdedup" -> embSemdedup _,
     "emb_dim_ablation" -> embDimAblation _,
     "ann_mmr" -> annMmr _,
@@ -2263,6 +2380,7 @@ object AnnOps {
 
   def oracleSql: Map[String, String] = Map(
     "knn_graph" -> knnGraphSql,
+    "emb_semdedup_sweep" -> embSemdedupSweepSql,
     "emb_semdedup" -> embSemdedupSql,
     "emb_dim_ablation" -> embDimAblationSql,
     "ann_mmr" -> annMmrSql,

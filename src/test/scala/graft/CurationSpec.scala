@@ -58,6 +58,26 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("E22: semdedup sweep is monotone in tau and pins planted dups at tau=1.0") {
+    val rows = operators.AnnOps.embSemdedupSweep(spark, sf).collect()
+      .sortBy(_.getAs[Int]("tau_bp"))
+    assert(rows.map(_.getAs[Int]("tau_bp")).toSeq ==
+      Seq(9500, 9800, 9900, 9950, 10000))
+    val nPlanted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    // raising tau can only shrink the edge set and the dropped set
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Long]("n_edges") <= lo.getAs[Long]("n_edges"))
+      assert(hi.getAs[Long]("n_dropped") <= lo.getAs[Long]("n_dropped"))
+      assert(hi.getAs[Long]("keep_ppm") >= lo.getAs[Long]("keep_ppm"))
+    }
+    // at tau=1.0 only exact duplicates survive the threshold; every
+    // planted copy has a sim-1.0 partner with a lower id
+    val strict = rows.last
+    assert(strict.getAs[Long]("n_dropped") == nPlanted,
+      s"tau=1.0 dropped ${strict.getAs[Long]("n_dropped")}, planted $nPlanted")
+  }
+
   test("E21: ablation recall is 100% at full dim, bounded and non-degenerate below") {
     val rows = AnnOps.embDimAblation(spark, sf).collect()
       .map(r => r.getAs[Int]("d") ->

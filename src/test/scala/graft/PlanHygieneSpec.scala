@@ -61,6 +61,9 @@ class PlanHygieneSpec extends SparkSuite {
       "crossJoin(broadcast(standing cell centroids)): ≤10 rows",
     "emb_semdedup" ->
       "crossJoin(broadcast(cell centroids)): ≤10 rows (E3 assignment kernel)",
+    "emb_semdedup_sweep" -> ("crossJoin(broadcast(cell centroids)) ≤10 "
+      + "rows + crossJoin(broadcast(5-row τ relation + 1-row corpus "
+      + "count))"),
     "etl_profile" -> "profile assembly: joins of 1-row per-column aggregates",
     "event_cooccurrence" -> "crossJoin(broadcast(1-row user count))",
     "q11_important_parts" -> "crossJoin(broadcast(1-row total-value scalar))",
