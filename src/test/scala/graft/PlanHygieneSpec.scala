@@ -104,6 +104,7 @@ class PlanHygieneSpec extends SparkSuite {
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()
     val nejViol = scala.collection.mutable.SortedSet[String]()
+    val bloated = scala.collection.mutable.SortedSet[String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("streaming_"))
       .foreach { case (name, fn) =>
@@ -116,8 +117,19 @@ class PlanHygieneSpec extends SparkSuite {
         }
         if (win.nonEmpty) winViol += name
         if (nej.nonEmpty) nejViol += name
+        // lineage-replay lint: an iterative construction that
+        // re-references its accumulating relation without checkpoint
+        // truncation grows the plan TREE ~3^rounds (ann_mmr's 50.8 s /
+        // the q-digest 2 GB explain string, both fixed this round by
+        // eager localCheckpoint). Any such defect reappearing shows up
+        // as an exploding optimized-plan node count long before it
+        // OOMs — the widest honest plan on the surface is ~250 nodes.
+        val nNodes = lp.collect { case n => n }.length
+        if (nNodes > 1500) bloated += s"$name($nNodes)"
         CacheHygiene.release(spark)
       }
+    assert(bloated.isEmpty,
+      s"plan-tree blowup (likely unCheckpointed iteration): $bloated")
     assert((winViol -- smallWindowOk.keySet).isEmpty,
       s"unpartitioned window outside allowlist: ${winViol -- smallWindowOk.keySet}")
     assert((nejViol -- nonEquiOk.keySet).isEmpty,
