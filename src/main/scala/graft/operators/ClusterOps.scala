@@ -205,6 +205,7 @@ object ClusterOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_profile" -> dedupClusterProfile _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_canonical" -> dedupCanonical _,
     "dedup_canonical_quality" -> dedupCanonicalQuality _
@@ -270,7 +271,57 @@ object ClusterOps {
        |FROM f
        |WINDOW w AS (PARTITION BY cluster_id ORDER BY qm DESC, doc_id)""".stripMargin
 
+  // --------------------------------------------------------------- D20
+  /** Duplicate-cluster size profile — the "how much duplication, in
+    * what shape" report read before committing to a dedup policy: per
+    * cluster size k, the cluster count, total docs, corpus share
+    * (ppm), and the droppable excess (k−1 per cluster). k=1 is the
+    * singleton row (corpus minus every doc appearing in a near-dup
+    * pair). A corpus dominated by k=2 needs pair-level canonical
+    * picks; a heavy tail of large k signals boilerplate communities
+    * where D15's quality-canonical selection matters.
+    *
+    * Cost beyond the shared CC labeling: two aggregations of the
+    * label relation (duplicate-sized, ≪ corpus) and 1-row scalar
+    * crosses. */
+  def dedupClusterProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val labels = connectedComponents(DedupOps.minhashPipeline(corpus, 0.5))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+    val multi = sizes.groupBy(col("k")).agg(count(lit(1)).as("n_clusters"))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_docs_total"))
+    val nLabeled = labels.agg(count(lit(1)).as("n_labeled"))
+    val singles = nCorpus.crossJoin(broadcast(nLabeled))
+      .select(lit(1L).as("k"),
+        (col("n_docs_total") - col("n_labeled")).as("n_clusters"))
+    singles.unionByName(multi.select(col("k"), col("n_clusters")))
+      .crossJoin(broadcast(nCorpus))
+      .select(col("k"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs"),
+        expr("k * n_clusters * 1000000 div n_docs_total")
+          .as("docs_share_ppm"),
+        ((col("k") - 1) * col("n_clusters")).as("dup_excess"))
+      .orderBy(col("k"))
+  }
+
+  val dedupClusterProfileSql: String =
+    s"""WITH RECURSIVE $componentsSqlCtes,
+       |sizes AS (SELECT cluster_id, count(*) AS k FROM lab GROUP BY 1),
+       |multi AS (SELECT k, count(*) AS n_clusters FROM sizes GROUP BY 1),
+       |nc AS (SELECT count(*) AS n_docs_total FROM corpus),
+       |nl AS (SELECT count(*) AS n_labeled FROM lab),
+       |allk AS (
+       |  SELECT 1 AS k, n_docs_total - n_labeled AS n_clusters FROM nc, nl
+       |  UNION ALL SELECT k, n_clusters FROM multi)
+       |SELECT CAST(k AS BIGINT) AS k,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(k * n_clusters AS BIGINT) AS n_docs,
+       |  k * n_clusters * 1000000 // n_docs_total AS docs_share_ppm,
+       |  CAST((k - 1) * n_clusters AS BIGINT) AS dup_excess
+       |FROM allk, nc ORDER BY k""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_cluster_profile" -> dedupClusterProfileSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "dedup_canonical_quality" -> dedupCanonicalQualitySql

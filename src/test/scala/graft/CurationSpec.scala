@@ -164,6 +164,20 @@ class CurationSpec extends SparkSuite {
     assert(a == b, "merged-partial digest diverged from direct digest")
   }
 
+  test("D20: cluster-size profile partitions the dedup corpus exactly") {
+    val out = operators.ClusterOps.dedupClusterProfile(spark, sf).collect()
+    val corpusN = operators.DedupOps.corpus(Tables.documents(spark, sf)).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == corpusN,
+      "size histogram must partition the corpus")
+    out.foreach { r =>
+      val (k, nc, nd, ex) = (r.getAs[Long]("k"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("dup_excess"))
+      assert(nd == k * nc && ex == (k - 1) * nc)
+    }
+    // the planted near-dups guarantee at least one multi-doc cluster
+    assert(out.exists(r => r.getAs[Long]("k") > 1 && r.getAs[Long]("n_clusters") > 0))
+  }
+
   test("A27: compaction bins conserve bytes and files per source; fills are near target") {
     val out = WarehouseOps.etlCompactionPlan(spark, sf).collect()
     val truth = Tables.documents(spark, sf).groupBy($"source")

@@ -79,6 +79,8 @@ class PlanHygieneSpec extends SparkSuite {
     "text_tfidf" -> "crossJoin(broadcast(1-row document count))",
     "dedup_triangles" ->
       "census assembly: crossJoin(broadcast(1-row node/edge/triangle aggs))",
+    "dedup_cluster_profile" -> ("crossJoin(broadcast(1-row corpus/"
+      + "labeled-count scalars)) onto the ≤|sizes| histogram relation"),
     "q_psi_drift" -> "crossJoin(broadcast(1-row totals/type-count scalars))",
     "q_chisq_independence" ->
       "crossJoin(broadcast(1-row N/dof scalar)) onto the ≤k² cell relation",
