@@ -304,12 +304,19 @@ object ClusterOps {
       .orderBy(col("k"))
   }
 
+  // `sizes` is MATERIALIZED and n_labeled derives from it (Σk), so the
+  // recursive `reach` closure is consumed exactly ONCE — a second
+  // reference to `lab` made DuckDB inline the whole recursive chain
+  // twice at sf0.1 (the D15/D16 inlining blowup, caught by the final
+  // full-SF sweep).
   val dedupClusterProfileSql: String =
     s"""WITH RECURSIVE $componentsSqlCtes,
-       |sizes AS (SELECT cluster_id, count(*) AS k FROM lab GROUP BY 1),
+       |sizes AS MATERIALIZED (
+       |  SELECT cluster_id, count(*) AS k FROM lab GROUP BY 1),
        |multi AS (SELECT k, count(*) AS n_clusters FROM sizes GROUP BY 1),
        |nc AS (SELECT count(*) AS n_docs_total FROM corpus),
-       |nl AS (SELECT count(*) AS n_labeled FROM lab),
+       |nl AS (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) AS n_labeled
+       |  FROM sizes),
        |allk AS (
        |  SELECT 1 AS k, n_docs_total - n_labeled AS n_clusters FROM nc, nl
        |  UNION ALL SELECT k, n_clusters FROM multi)
