@@ -29,14 +29,24 @@ object Tables {
     * (read as TIMESTAMP_NTZ). Both normalize to the session-tz
     * TimestampType every downstream operator and oracle was built
     * against — all graft sessions pin UTC, so the NTZ→LTZ cast is
-    * value-identity. */
+    * value-identity.
+    *
+    * The Long branch does NOT assume nanos from the physical type
+    * alone (a future generation writing plain INT64 micros would also
+    * surface as LongType): the unit is decided per value by magnitude
+    * — ns ≥ 3·10¹⁷ from mid-1979 on, while µs stays < 4.2·10¹⁵
+    * until year 2100 — so the two encodings are unambiguous for any
+    * plausible event time and the ÷1000 only fires on genuine
+    * nano-scale values. A row-level `when` costs nothing extra
+    * (codegen'd projection) and needs no pre-scan job. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CASE WHEN abs(ts) >= 300000000000000000 " +
+            "THEN ts DIV 1000 ELSE ts END)"))
       case _ =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))

@@ -888,12 +888,23 @@ object StatsOps {
     * scraper whose error status concentrates in one source/priority is
     * broken, not unlucky).
     *
-    * All arithmetic is exact integer on counts — the classic
-    * Σ (O−E)²/E statistic is evaluated per cell as
-    *   (N·n − r·c)² · 10⁶ div (N · r · c)
-    * (one decimal(38,0) widening for the square, integer division
-    * LAST), so both engines emit identical BIGINTs with no float tree
-    * at all. Scale: one map-side-combinable groupBy reduces the fact
+    * All arithmetic is exact integer on counts. The classic
+    * Σ (O−E)²/E statistic factors as (O−E)²/E = [d/(r·c)]·[d/N] with
+    * d = N·n − r·c, so each cell is evaluated as the product of two
+    * STAGED milli-unit floor-divisions,
+    *   contrib_e6 = (|d|·10³ div (r·c)) · (|d|·10³ div N)
+    * — |d| keeps both divisions on non-negative operands (Spark `div`
+    * truncates toward zero, DuckDB `//` floors: they agree only on
+    * non-negatives; the statistic squares d, so the sign is free to
+    * drop) and, critically, NOTHING of magnitude d² ever materializes:
+    * the round-8 form squared d ≤ N² first and its d²·10⁶ ≈ 5·10³⁸
+    * blew past BOTH decimal(38,0) (Spark silently nulls) and DuckDB
+    * HUGEINT (errors) at SF ≈ 100. Staged, every operand is bounded by
+    * 10³·N² — exact to N ≈ 3·10¹⁷ rows, comfortably past 100 TB — and
+    * each factor is ≤ 10³·N, so the product fits BIGINT. The milli
+    * quantization (each factor floored at 10⁻³ before multiplying) is
+    * part of the statistic's definition and identical in both engines.
+    * Scale: one map-side-combinable groupBy reduces the fact
     * table to |prio|×|status| cells; marginals and the dof scalar
     * derive from that tiny relation (broadcast joins, no second scan).
     */
@@ -911,10 +922,10 @@ object StatsOps {
       .join(broadcast(rowTot), "prio")
       .join(broadcast(colTot), "status")
       .crossJoin(broadcast(tot))
-      .withColumn("diff",
-        ($"n_tot" * $"n" - $"r_tot" * $"c_tot").cast(DecimalType(38, 0)))
+      .withColumn("ad",
+        abs($"n_tot" * $"n" - $"r_tot" * $"c_tot").cast(DecimalType(38, 0)))
       .select($"prio", $"status", $"n", $"r_tot", $"c_tot",
-        expr("CAST(diff * diff * 1000000 div (n_tot * r_tot * c_tot) AS BIGINT)")
+        expr("CAST((ad * 1000 div (r_tot * c_tot)) * (ad * 1000 div n_tot) AS BIGINT)")
           .as("chisq_contrib_e6"),
         (($"n_prio" - 1) * ($"n_status" - 1)).cast("long").as("dof"))
       .orderBy($"prio", $"status")
@@ -934,9 +945,10 @@ object StatsOps {
       |    count(DISTINCT status) AS n_status
       |  FROM cells)
       |SELECT prio, status, n, r_tot, c_tot,
-      |  CAST((n_tot * n - r_tot * c_tot)::HUGEINT
-      |     * (n_tot * n - r_tot * c_tot) * 1000000
-      |     // (n_tot::HUGEINT * r_tot * c_tot) AS BIGINT)
+      |  CAST((abs(n_tot::HUGEINT * n - r_tot::HUGEINT * c_tot) * 1000
+      |          // (r_tot::HUGEINT * c_tot))
+      |     * (abs(n_tot::HUGEINT * n - r_tot::HUGEINT * c_tot) * 1000
+      |          // n_tot) AS BIGINT)
       |    AS chisq_contrib_e6,
       |  CAST((n_prio - 1) * (n_status - 1) AS BIGINT) AS dof
       |FROM cells JOIN rt USING (prio) JOIN ct USING (status), tot

@@ -48,6 +48,13 @@ class PlanHygieneSpec extends SparkSuite {
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */
   private val nonEquiOk: Map[String, String] = Map(
+    "ann_bruteforce" -> ("corpus × broadcast(query set) with only the "
+      + "vec_id =!= qid guard: query side ≤10 rows (exact scan is the "
+      + "operator's definition; the corpus is never self-joined)"),
+    "ann_filtered" -> ("corpus × broadcast(query set), =!= guard only: "
+      + "query side ≤10 rows (E1's shape + label filter)"),
+    "ann_rerank" -> ("int8 coarse scan corpus × broadcast(query set), "
+      + "=!= guard only: query side ≤10 rows"),
     "ann_ivf" -> "crossJoin(broadcast(cell centroids)): ≤10 rows",
     "ann_ivf_segmented" -> ("crossJoin(broadcast(standing cell "
       + "centroids)): ≤10 rows, probe-cell selection + segment encode"),
@@ -112,10 +119,22 @@ class PlanHygieneSpec extends SparkSuite {
       .foreach { case (name, fn) =>
         val lp = fn(spark, sf).queryExecution.optimizedPlan
         val win = lp.collect { case w: Window if w.partitionSpec.isEmpty => w }
+        // equi = a TOP-LEVEL And-conjunct that is EqualTo/EqualNullSafe.
+        // The round-8 detector used find(), which also matched an
+        // EqualTo nested under Not — so a pure `=!=` join condition
+        // (BroadcastNestedLoopJoin at execution) passed as equi and the
+        // "every BNLJ is allowlisted" guarantee wasn't enforced
+        // (round-8 ADVICE).
+        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              conjuncts(l) ++ conjuncts(r)
+            case other => Seq(other)
+          }
         val nej = lp.collect {
-          case j: Join if !j.condition.exists(c => c.find(e =>
-            e.isInstanceOf[EqualTo] || e.isInstanceOf[EqualNullSafe])
-            .isDefined) => j
+          case j: Join if !j.condition.exists(c => conjuncts(c).exists(e =>
+            e.isInstanceOf[EqualTo] || e.isInstanceOf[EqualNullSafe])) => j
         }
         if (win.nonEmpty) winViol += name
         if (nej.nonEmpty) nejViol += name

@@ -296,12 +296,39 @@ class ScaleSpec extends SparkSuite {
       conf.set("spark.sql.shuffle.partitions", "200")
       val df = agg()
       val rows = df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
-        plan.take(2000))
-      // a few-KB aggregate must land in ONE coalesced reduce partition
-      assert(df.rdd.getNumPartitions == 1,
-        s"expected 1 coalesced partition, got ${df.rdd.getNumPartitions}")
+      // assert on the AQEShuffleReadExec node's partitionSpecs, not on
+      // its toString (the "coalesced" label is a display-format detail
+      // that a Spark bump can change without any behavior change): a
+      // coalesced read carries CoalescedPartitionSpec entries spanning
+      // >1 reducer, and far fewer specs than the static 200
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // collect() does not descend into materialized QueryStageExec
+      // wrappers — recurse through their stage plans explicitly
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(allNodes)) ++ (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allNodes(q.plan)
+          case _ => Seq.empty
+        })
+      val reads = allNodes(finalPlan).collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      assert(reads.nonEmpty, s"no AQEShuffleRead in:\n${finalPlan.toString.take(2000)}")
+      assert(reads.exists(_.partitionSpecs.forall {
+        case c: org.apache.spark.sql.execution.CoalescedPartitionSpec =>
+          c.endReducerIndex - c.startReducerIndex >= 1
+        case _ => false
+      }), "no coalesced-range partition specs on any AQEShuffleRead")
+      // a few-KB aggregate must land in FAR fewer reduce partitions
+      // than the static 200 (the exact count is an advisory-size /
+      // core-count heuristic — don't pin it to 1)
+      assert(df.rdd.getNumPartitions <= 4,
+        s"expected <=4 coalesced partitions, got ${df.rdd.getNumPartitions}")
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       val base = agg().collect()
       assert(rows.map(_.toString).sorted.toSeq ==
