@@ -26,6 +26,63 @@ class SketchSpec extends SparkSuite {
     assert(sigs(0) == sigs(1))
   }
 
+  test("qdigest early exit ≡ the full 20-round unroll (adversarial multisets)") {
+    import spark.implicits._
+    // independent driver-side reference: the FULL 20-round dyadic
+    // compression with no early exit — the round-9 engine skips rounds
+    // once the carry relation drains to ≤1 node, and this pins that
+    // the skip is value-neutral on the shapes that exercise each tail:
+    //   - carry drains to EMPTY mid-tree (uniform mass)
+    //   - single carried node with c ≥ t (emitted at the exit level)
+    //   - single carried node with c < t (lifted to the root id)
+    //   - mass exactly AT the threshold boundary
+    def ref(leaves: Map[Long, Long]): Seq[(Int, Long, Long, Long, Long)] = {
+      val n = leaves.values.sum
+      val t = math.max(1L, n / 1024)
+      var cur = leaves
+      var digest = Vector.empty[(Int, Long, Long, Long)] // lvl, id, c, ub
+      for (l <- 0 until 20) {
+        val (emit, carry) = cur.partition(_._2 >= t)
+        digest ++= emit.toSeq.map { case (id, c) =>
+          (l, id, c, (id + 1) * (1L << l) - 1) }
+        cur = carry.groupMapReduce(_._1 / 2)(_._2)(_ + _)
+      }
+      digest ++= cur.filter(_._2 > 0).toSeq.map { case (id, c) =>
+        (20, id, c, (id + 1) * (1L << 20) - 1) }
+      val sorted = digest.sortBy(d => (d._4, d._1))
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      Seq(1, 5, 25, 50, 75, 95, 99).map { p =>
+        val target = (p * n + 99) / 100
+        val ub = sorted.zip(cums).filter(_._2 >= target).map(_._1._4).min
+        (p, target, ub * 16 + 15, digest.size.toLong, t)
+      }
+    }
+    def got(leaves: Map[Long, Long]): Seq[(Int, Long, Long, Long, Long)] =
+      SketchOps.qdigestFromLeaves(
+        leaves.toSeq.toDF("id", "c")).collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    val cases = Seq(
+      // single leaf: c = n ≥ t → emitted at level 0 on the first test
+      Map(5L -> 100L),
+      // heavy node + remote light node: light carries alone with
+      // c < t until the root — the root-lift tail
+      Map(0L -> 20480L, 900000L -> 1L),
+      // heavy + remote pair that MERGES above the threshold partway
+      // up: single-node c ≥ t at the exit level
+      Map(0L -> 20480L, 800000L -> 6L, 800001L -> 6L),
+      // uniform mass that drains completely mid-tree
+      (0L until 64L).map(i => i -> 64L).toMap,
+      // exact threshold boundary: c == t emits, c == t-1 carries
+      Map(0L -> 1024L, 1L -> 1023L, 1000L -> 1L),
+      // adversarial mixed multiset
+      Map(3L -> 7L, 17L -> 1L, 1048575L -> 3L, 524288L -> 900L,
+        12L -> 88L, 13L -> 12L))
+    cases.foreach { leaves =>
+      assert(got(leaves) == ref(leaves), s"divergence on $leaves")
+    }
+  }
+
   test("source similarity emits all source pairs with estimates in [0,1]") {
     val out = SketchOps.sketchSourceSimilarity(spark, sf).collect()
     val nSources = Tables.documents(spark, sf).select("source").distinct().count()
