@@ -698,15 +698,19 @@ object TextOps {
     * the cleaned length (kept segments joined by single spaces —
     * computed arithmetically, no order-sensitive string agg).
     *
-    * Plan: one explode to the segment relation, one groupBy on
-    * (source, segment) for the recurrence counts — the segment TEXT
-    * shuffles once as the group key, documents never do — then a
-    * broadcast-size join back (recurrent-segment relation is small) …
-    * at test SF the join is left as a shuffle equi-join since both
-    * sides are the segment relation; at 100 TB the ≥3-doc filter
-    * happens BEFORE the join-back (the boilerplate list is the rare
-    * side, exactly like a stop-word list), which is how this is kept
-    * linear. */
+    * Plan: one explode to the segment relation — which immediately
+    * collapses each segment to its 60-bit md5 prefix (15 hex chars →
+    * BIGINT, the portable md5-h32 convention widened so collisions
+    * are negligible: P ≈ (10⁵ segments/source)²/2⁶¹ ≈ 4·10⁻⁹) plus
+    * its byte length, so segment TEXT never enters any shuffle (the
+    * round-8 board's worst ×20 ratio, 6.6, was this operator
+    * shuffling segment strings as the group key) — then one groupBy
+    * on the 8-byte (source, seg_h) key for the recurrence counts and
+    * an equi-join back on the same key. The oracle keys on the
+    * identical md5 prefix, so a collision (which only merges counts)
+    * cannot diverge the engines. At 100 TB the ≥3-doc filter runs
+    * BEFORE the join-back (the boilerplate list is the rare side,
+    * exactly like a stop-word list), which keeps this linear. */
   def textSegDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // This synthetic corpus has no organic boilerplate (random token
     // streams never align an identical 8-token segment across ≥3
@@ -736,15 +740,20 @@ object TextOps {
         explode(sequence(lit(0L), $"n_seg" - 1)).as("seg_idx"))
       .withColumn("seg_text",
         array_join(slice($"toks", ($"seg_idx" * B + 1).cast("int"), lit(B.toInt)), " "))
-      .select($"doc_id", $"source", $"n_seg", $"seg_idx", $"seg_text")
-    val counts = segs.groupBy($"source", $"seg_text")
+      // the ONLY columns that survive past this projection are the
+      // 60-bit hash and the byte length — segment text dies scan-side
+      .select($"doc_id", $"source", $"n_seg", $"seg_idx",
+        conv(substring(md5($"seg_text".cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("seg_h"),
+        length($"seg_text").cast("long").as("seg_len"))
+    val counts = segs.groupBy($"source", $"seg_h")
       .agg(countDistinct($"doc_id").as("n_docs"))
-    segs.join(counts, Seq("source", "seg_text"))
+    segs.join(counts, Seq("source", "seg_h"))
       .groupBy($"doc_id")
       .agg(max($"n_seg").as("n_seg"),
         sum(when($"n_docs" >= 3, 1L).otherwise(0L)).as("n_dropped"),
         sum(when($"n_docs" < 3, 1L).otherwise(0L)).as("n_kept"),
-        (sum(when($"n_docs" < 3, length($"seg_text")).otherwise(0L))
+        (sum(when($"n_docs" < 3, $"seg_len").otherwise(0L))
           + greatest(sum(when($"n_docs" < 3, 1L).otherwise(0L)) - 1, lit(0L)))
           .as("cleaned_len"))
       .orderBy($"doc_id")
@@ -763,21 +772,24 @@ object TextOps {
       |  FROM base),
       |segs AS (
       |  SELECT doc_id, source, n_seg, g AS seg_idx,
-      |    array_to_string(toks[(g*8+1):(g*8+8)], ' ') AS seg_text
+      |    ('0x' || substr(md5(
+      |      array_to_string(toks[(g*8+1):(g*8+8)], ' ')), 1, 15))::BIGINT
+      |      AS seg_h,
+      |    len(array_to_string(toks[(g*8+1):(g*8+8)], ' ')) AS seg_len
       |  FROM b2, unnest(range(n_seg)) u(g)),
       |counts AS (
-      |  SELECT source, seg_text, count(DISTINCT doc_id) AS n_docs
+      |  SELECT source, seg_h, count(DISTINCT doc_id) AS n_docs
       |  FROM segs GROUP BY 1, 2)
       |SELECT s.doc_id, max(s.n_seg) AS n_seg,
       |  CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_dropped,
       |  CAST(sum(CASE WHEN n_docs < 3 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_kept,
-      |  CAST(sum(CASE WHEN n_docs < 3 THEN len(s.seg_text) ELSE 0 END)
+      |  CAST(sum(CASE WHEN n_docs < 3 THEN s.seg_len ELSE 0 END)
       |    + greatest(sum(CASE WHEN n_docs < 3 THEN 1 ELSE 0 END) - 1, 0)
       |    AS BIGINT) AS cleaned_len
       |FROM segs s JOIN counts c ON s.source = c.source
-      |  AND s.seg_text = c.seg_text
+      |  AND s.seg_h = c.seg_h
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
