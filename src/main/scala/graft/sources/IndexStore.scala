@@ -40,12 +40,25 @@ import org.apache.spark.sql.functions._
   * (atomic multi-table snapshots) and delegates storage to plain
   * bucketed parquet that any executor can scan.
   */
+/** @param maxSegments auto-compaction bound: when a refresh leaves
+  *   the store with ≥ this many live segments, `compact()` fires
+  *   inside the refresh (0 = manual compaction only, the round-8
+  *   behavior). The measured policy for this corpus is the
+  *   `CompactionProbe` curve (SURVEY §5): probe overhead grows
+  *   ≈ δ·k per segment to k ≈ 4 and knees hard at k ≈ 8-16, while
+  *   compaction costs a one-time C ≈ 15-20 s — deferring n batches
+  *   costs δ·n²/2, so the scheduler should compact at
+  *   n* = √(2C/δ) ≈ 8 refreshes, BEFORE the fan-out knee. Passing
+  *   `maxSegments = 8` makes refresh enforce exactly that rule; at
+  *   100 TB the same two measured numbers (δ from a probe sample, C
+  *   from segment bytes) parameterize the same bound. */
 final class IndexStore(
     spark: SparkSession,
     val name: String,
     val path: String,
     keyCol: String,
-    buckets: Int = 8) {
+    buckets: Int = 8,
+    maxSegments: Int = 0) {
 
   private def manifest: Path = Paths.get(path, "MANIFEST")
 
@@ -80,13 +93,19 @@ final class IndexStore(
   }
 
   /** Append a new segment — O(batch) write, standing segments are
-    * untouched (no read, no rewrite, no shuffle of old data). */
+    * untouched (no read, no rewrite, no shuffle of old data). If the
+    * append reaches the `maxSegments` bound, compaction fires here —
+    * probe results are unaffected (compact() is result-neutral,
+    * IndexStoreSpec), only the refresh pays the standing-data
+    * rewrite, exactly when the √(2C/δ) rule says amortizing it beats
+    * per-probe fan-out. */
   def refresh(df: DataFrame): Unit = {
     val segs = segments
     require(segs.nonEmpty, s"index store $name not created")
     val next = segs.max + 1
     writeSegment(df, next)
     writeManifest(segs :+ next)
+    if (maxSegments > 0 && segments.size >= maxSegments) compact()
   }
 
   /** Merge all live segments into one — pays one rewrite of the

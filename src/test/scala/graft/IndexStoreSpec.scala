@@ -75,4 +75,45 @@ class IndexStoreSpec extends SparkSuite {
       store.drop(); rebuilt.drop()
     }
   }
+
+  test("refresh auto-compacts at the maxSegments bound, probe-result-neutral") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idxauto").toString
+    val all = DedupOps.corpus(Tables.documents(spark, sf))
+      .withColumn("h", graft.functions.gf.h32($"doc_id".cast("string")) % 10)
+    def slice(lo: Int, hi: Int): DataFrame =
+      all.filter($"h" >= lo && $"h" <= hi).select("doc_id", "text")
+
+    // bound 3 = the CompactionProbe-style rule with a small n* so the
+    // trigger is exercised twice in one test
+    val auto = new IndexStore(spark, "graft_t_idxauto", s"$dir/a", "bk",
+      maxSegments = 3)
+    val manual = new IndexStore(spark, "graft_t_idxman", s"$dir/b", "bk")
+    try {
+      auto.create(bands(slice(0, 5)).select($"bk", $"doc_id".as("id_old")))
+      manual.create(bands(slice(0, 5)).select($"bk", $"doc_id".as("id_old")))
+      auto.refresh(bands(slice(6, 6)).select($"bk", $"doc_id".as("id_old")))
+      manual.refresh(bands(slice(6, 6)).select($"bk", $"doc_id".as("id_old")))
+      assert(auto.segments.size == 2) // below bound: plain append
+      auto.refresh(bands(slice(7, 7)).select($"bk", $"doc_id".as("id_old")))
+      manual.refresh(bands(slice(7, 7)).select($"bk", $"doc_id".as("id_old")))
+      // third segment reached the bound → compaction fired inside refresh
+      assert(auto.segments.size == 1,
+        s"expected auto-compaction at 3 segments, got ${auto.segments}")
+      auto.refresh(bands(slice(8, 8)).select($"bk", $"doc_id".as("id_old")))
+      manual.refresh(bands(slice(8, 8)).select($"bk", $"doc_id".as("id_old")))
+      assert(auto.segments.size == 2) // counter restarted post-compaction
+
+      val batch = bands(slice(9, 9)).select($"bk", $"doc_id".as("id_new"))
+      def keys(s: IndexStore): Set[(Long, Long)] =
+        s.probe(batch, _.select("id_new", "id_old")).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = keys(manual)
+      assert(expect.nonEmpty)
+      assert(keys(auto) == expect,
+        "auto-compaction changed the probe result")
+    } finally {
+      auto.drop(); manual.drop()
+    }
+  }
 }
