@@ -77,7 +77,14 @@ class SketchSpec extends SparkSuite {
       Map(0L -> 1024L, 1L -> 1023L, 1000L -> 1L),
       // adversarial mixed multiset
       Map(3L -> 7L, 17L -> 1L, 1048575L -> 3L, 524288L -> 900L,
-        12L -> 88L, 13L -> 12L))
+        12L -> 88L, 13L -> 12L),
+      // unit leaves spaced 4 apart: t = 2, first level where any
+      // node reaches threshold is 3 → the universe-probe jump skips
+      // levels 0-2 and must land on the identical carry
+      (0L until 3000L).map(i => i * 4 -> 1L).toMap,
+      // unit leaves spaced 1024 apart: t = 2, nothing merges until
+      // level 11 — the deep-jump case (L_first = 11)
+      (0L until 2048L).map(i => i * 1024 -> 1L).toMap)
     cases.foreach { leaves =>
       assert(got(leaves) == ref(leaves), s"divergence on $leaves")
     }
