@@ -251,6 +251,14 @@ object ScaleProbe {
             concat(col("source"), lit("_r"),
               expr("doc_id div 1000000")))).count()),
         (n: Int) => replicateDocs(docs, n), docs),
+      // C21 line dedup: same shape as seg_dedup with variable-length
+      // unaligned lines; only 8-byte line hashes shuffle
+      ("line_dedup",
+        (d: DataFrame) => time(operators.TextOps.lineDedupPipeline(
+          d.withColumn("source",
+            concat(col("source"), lit("_r"),
+              expr("doc_id div 1000000")))).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
       // I11 q-digest: leaf count grows ~linearly with distinct prices,
       // but the digest stays ≤ ~1k nodes and the 20 rounds shrink
       // geometrically — cost should track the leaf aggregation scan

@@ -792,7 +792,120 @@ object TextOps {
       |  AND s.seg_h = c.seg_h
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C21
+  /** Line-granularity boilerplate removal — C20 at the granularity a
+    * real crawl keys on (CCNet/C4 drop recurring LINES). The corpus
+    * has no newlines, so the line structure is derived
+    * deterministically and identically in both engines — the A25/C20
+    * planted-signal convention: line 0 is the source's footer (site
+    * chrome, the planted recurrence), and the document's own tokens
+    * partition into lines of cyclic lengths 5/9/7/12 (offsets
+    * 0/5/14/26 in each 33-token cycle). Unlike C20's aligned 8-token
+    * windows, line boundaries are variable-length and UNALIGNED with
+    * any fixed stride — the shape a paragraph/line segmentation
+    * actually produces; when a corpus with native newlines lands,
+    * only the line-derivation projection changes.
+    *
+    * A line is boilerplate when it recurs in ≥ 3 distinct documents
+    * of the same source. Same scale discipline as C20: each line
+    * collapses scan-side to its 60-bit md5 prefix + byte length, so
+    * only 8-byte keys shuffle; the oracle keys on the identical
+    * prefix (collisions merge counts in both engines alike). */
+  def textLineDedup(spark: SparkSession, sfDir: String): DataFrame =
+    lineDedupPipeline(Tables.documents(spark, sfDir))
+
+  /** The C21 pass over an arbitrary (doc_id, source, text) corpus
+    * (factored for the ScaleProbe). */
+  def lineDedupPipeline(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select($"doc_id", $"source", split(trim($"text"), wsPat).as("toks"))
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("n_body",
+        expr("4 * (n_tok div 33) + CASE WHEN n_tok % 33 = 0 THEN 0 " +
+          "WHEN n_tok % 33 <= 5 THEN 1 WHEN n_tok % 33 <= 14 THEN 2 " +
+          "WHEN n_tok % 33 <= 26 THEN 3 ELSE 4 END"))
+    val lines = base
+      .select($"doc_id", $"source", $"toks", $"n_body",
+        explode(sequence(lit(0L), $"n_body")).as("li"))
+      .withColumn("line_text",
+        when($"li" === 0,
+          concat(lit("home about contact privacy terms login search "),
+            $"source"))
+          .otherwise(array_join(slice($"toks",
+            (lit(33L) * expr("(li - 1) div 4")
+              + expr("CASE (li - 1) % 4 WHEN 0 THEN 0 WHEN 1 THEN 5 " +
+                "WHEN 2 THEN 14 ELSE 26 END") + 1).cast("int"),
+            expr("CASE (li - 1) % 4 WHEN 0 THEN 5 WHEN 1 THEN 9 " +
+              "WHEN 2 THEN 7 ELSE 12 END").cast("int")), " ")))
+      .select($"doc_id", $"source", ($"n_body" + 1).as("n_lines"),
+        conv(substring(md5($"line_text".cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("line_h"),
+        length($"line_text").cast("long").as("line_len"))
+    val counts = lines.groupBy($"source", $"line_h")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    lines.join(counts, Seq("source", "line_h"))
+      .groupBy($"doc_id")
+      .agg(max($"n_lines").as("n_lines"),
+        sum(when($"n_docs" >= 3, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"n_docs" < 3, 1L).otherwise(0L)).as("n_kept"),
+        (sum(when($"n_docs" < 3, $"line_len").otherwise(0L))
+          + greatest(sum(when($"n_docs" < 3, 1L).otherwise(0L)) - 1, lit(0L)))
+          .as("cleaned_len"))
+      .orderBy($"doc_id")
+  }
+
+  val textLineDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(trim(text), '\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, source, toks,
+      |    4 * (n_tok // 33) + CASE WHEN n_tok % 33 = 0 THEN 0
+      |      WHEN n_tok % 33 <= 5 THEN 1 WHEN n_tok % 33 <= 14 THEN 2
+      |      WHEN n_tok % 33 <= 26 THEN 3 ELSE 4 END AS n_body
+      |  FROM base),
+      |lines AS (
+      |  SELECT doc_id, source, n_body + 1 AS n_lines,
+      |    CASE WHEN li = 0
+      |      THEN 'home about contact privacy terms login search ' || source
+      |      ELSE array_to_string(toks[
+      |        (CAST(33 * ((li-1) // 4) AS BIGINT)
+      |          + CASE (li-1) % 4 WHEN 0 THEN 0 WHEN 1 THEN 5
+      |            WHEN 2 THEN 14 ELSE 26 END + 1):
+      |        (CAST(33 * ((li-1) // 4) AS BIGINT)
+      |          + CASE (li-1) % 4 WHEN 0 THEN 0 WHEN 1 THEN 5
+      |            WHEN 2 THEN 14 ELSE 26 END
+      |          + CASE (li-1) % 4 WHEN 0 THEN 5 WHEN 1 THEN 9
+      |            WHEN 2 THEN 7 ELSE 12 END)], ' ')
+      |      END AS line_text
+      |  FROM b2, unnest(range(n_body + 1)) u(li)),
+      |keyed AS (
+      |  SELECT doc_id, source, n_lines,
+      |    ('0x' || substr(md5(line_text), 1, 15))::BIGINT AS line_h,
+      |    len(line_text) AS line_len
+      |  FROM lines),
+      |counts AS (
+      |  SELECT source, line_h, count(DISTINCT doc_id) AS n_docs
+      |  FROM keyed GROUP BY 1, 2)
+      |SELECT k.doc_id, max(k.n_lines) AS n_lines,
+      |  CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN n_docs < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN n_docs < 3 THEN k.line_len ELSE 0 END)
+      |    + greatest(sum(CASE WHEN n_docs < 3 THEN 1 ELSE 0 END) - 1, 0)
+      |    AS BIGINT) AS cleaned_len
+      |FROM keyed k JOIN counts c ON k.source = c.source
+      |  AND k.line_h = c.line_h
+      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_line_dedup" -> textLineDedup _,
     "text_seg_dedup" -> textSegDedup _,
     "text_zipf" -> textZipf _,
     "text_readability" -> textReadability _,
@@ -812,6 +925,7 @@ object TextOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_line_dedup" -> textLineDedupSql,
     "text_seg_dedup" -> textSegDedupSql,
     "text_zipf" -> textZipfSql,
     "text_readability" -> textReadabilitySql,
