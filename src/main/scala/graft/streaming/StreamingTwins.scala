@@ -414,6 +414,83 @@ object StreamingTwins {
       |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
       |WHERE p.event_type = 'purchase'""".stripMargin
 
+  // --------------------------------------------------------------- G19
+  /** Uniform sample maintained OVER the stream — the sample-the-
+    * firehose leg beside G6 (CMS), G7 (exact top-k), G10 (HLL), G13
+    * (log-histogram), G17 (q-digest): the I13 bottom-k-by-hash
+    * reservoir runs as the bounded `TopKAgg` aggregate INSIDE the
+    * streaming aggregation, so the state store holds ≤ 16 (value, id)
+    * pairs per event type REGARDLESS of stream length — and because
+    * bottom-k-of-a-union is merge-order-independent (I13's defining
+    * property), the final sample is batch-boundary invariant: the
+    * oracle is the batch I13 SQL unchanged. Complete mode emits the
+    * live sample after each trigger. */
+  def streamingReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema).parquet(s"$dir/batch_*")
+    val res = src.filter($"user_id" >= 0)
+      .select($"event_type", $"event_id",
+        graft.functions.gf.h32(
+          concat(lit("res:"), $"event_id".cast("string"))).as("h"))
+      .groupBy($"event_type")
+      .agg(graft.functions.TopKAgg.top_k(
+        -$"h".cast("double"), $"event_id", 16).as("top"))
+    runToCompletion(res, "complete", "twin_reservoir")
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", ($"pos" + 1).cast("long").as("sample_rank"),
+        $"col.id".as("event_id"), (-$"col.v").cast("long").as("h"))
+  }
+
+  /** Identical to the batch I13 oracle — the sample is a pure
+    * function of the row multiset. */
+  val streamingReservoirSql: String =
+    graft.operators.Round9Ops.sketchReservoirSql
+
+  // --------------------------------------------------------------- G18
+  /** LEFT SEMI stream-stream join — the EXISTS shape completing the
+    * G-family join matrix (G8 inner, G9 left outer, G15 full outer):
+    * purchases that HAD a same-user view within the preceding hour,
+    * emitted exactly once with only the purchase columns. Unlike the
+    * outer joins, a matched left row emits EAGERLY (on the batch that
+    * supplies the match — no watermark passage needed) and unmatched
+    * rows never emit, so the G8 sentinel protocol suffices: sentinels
+    * only advance the watermarks that bound state, and a sentinel
+    * "purchase" cannot leak (it would need a matching sentinel view,
+    * and both are filtered out pre-join by the type+user filter).
+    * State is the same in-window buffer as G8's inner join; the
+    * emitted set equals the batch EXISTS — the DuckDB oracle. */
+  def streamingSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stageWithSentinels(spark, sfDir)
+    def side(tpe: String) = spark.readStream.schema(streamSchema)
+      .parquet(s"$dir/batch_*").filter($"user_id" >= 0 && $"event_type" === tpe)
+    val views = side("view")
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = side("purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value")
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = purchases.join(views,
+      $"v_user" === $"user_id"
+        && $"view_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR")
+        && $"view_ts" <= $"purchase_ts",
+      "leftSemi")
+    runToCompletion(joined, "append", "twin_semi_join")
+      .select($"user_id", $"purchase_id",
+        $"purchase_ts".cast("timestamp_ntz").as("purchase_ts"), $"value")
+  }
+
+  val streamingSemiJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  p.value
+      |FROM events p
+      |WHERE p.event_type = 'purchase' AND EXISTS (
+      |  SELECT 1 FROM events v
+      |  WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |    AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts)""".stripMargin
+
   // --------------------------------------------------------------- G10
   /** HLL registers maintained OVER the stream (the cardinality
     * analogue of G6's CMS): the I6 register kernel — md5-split index,
@@ -899,6 +976,8 @@ object StreamingTwins {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_qdigest" -> streamingQdigest _,
+    "streaming_semi_join" -> streamingSemiJoin _,
+    "streaming_reservoir" -> streamingReservoir _,
     "streaming_full_outer" -> streamingFullOuter _,
     "streaming_upsert_sink" -> streamingUpsertSink _,
     "streaming_log_histogram" -> streamingLogHistogram _,
@@ -918,6 +997,8 @@ object StreamingTwins {
 
   def oracleSql: Map[String, String] = Map(
     "streaming_qdigest" -> streamingQdigestSql,
+    "streaming_semi_join" -> streamingSemiJoinSql,
+    "streaming_reservoir" -> streamingReservoirSql,
     "streaming_full_outer" -> streamingFullOuterSql,
     "streaming_upsert_sink" -> streamingUpsertSinkSql,
     "streaming_log_histogram" -> streamingLogHistogramSql,

@@ -108,7 +108,22 @@ class PlanHygieneSpec extends SparkSuite {
       "crossJoin(broadcast(32-row register grid)) — the I6 kernel's zero-fill",
     "sketch_qdigest" -> ("crossJoin(broadcast(1-row n/threshold + "
       + "digest-size scalars)) + the 7-target × ≤1k-node digest rank "
-      + "probe (theta join, both sides k-bounded)"))
+      + "probe (theta join, both sides k-bounded)"),
+    "dedup_kcore" ->
+      "census assembly: crossJoin(broadcast(1-row edge-count agg)) per k",
+    "sketch_bloom_calibration" -> ("crossJoin(broadcast(3-row m-config "
+      + "relation)) on build+probe sides + crossJoin(broadcast(1-row "
+      + "member count))"),
+    "sample_dsir" -> ("crossJoin(broadcast(1-row bucket totals)) + "
+      + "crossJoin(broadcast(1-row percentile threshold))"),
+    "text_nb_classify" -> ("model grid assembly: train sources × "
+      + "broadcast(200-row vocab) (≤|sources|·200 rows, the dense "
+      + "zero-filled NB table) + holdout × broadcast(|sources|-row "
+      + "class constants)"))
+  // ann_sq_sweep's corpus × broadcast(≤10-row query set) =!= join sits
+  // below its top-5 persist (an InMemoryRelation leaf in the optimized
+  // plan), so the walk cannot see it — documented here rather than
+  // allowlisted (the stale-entry check would reject an unused entry).
 
   test("no unpartitioned windows / non-equi joins outside the documented k-bounded allowlists") {
     val winViol = scala.collection.mutable.SortedSet[String]()

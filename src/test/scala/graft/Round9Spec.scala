@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Round-9 operator invariants: peeling fixpoint for the k-core
+  * census, quantization-ladder monotonicity for the SQ sweep, FPR
+  * theory agreement for the Bloom calibration, the two-regime
+  * confusion matrix for the NB audit, target-enrichment for DSIR,
+  * and construction-derived churn counts for the CDC diff. */
+class Round9Spec extends SparkSuite {
+
+  test("dedup_kcore: 8 peeling rounds reach the fixpoint (round 10 identical) and every core node keeps degree >= k") {
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf).select("id1", "id2")
+      .persist()
+    try {
+      for (k <- Seq(2, 3)) {
+        val e8 = Round9Ops.kcorePipeline(pairs, k, 8)
+        val e10 = Round9Ops.kcorePipeline(pairs, k, 10)
+        // fixpoint: once a peeling round removes nothing, every later
+        // round is identical — so e8 == e10 proves e8 IS the k-core
+        assert(e8.exceptAll(e10).isEmpty && e10.exceptAll(e8).isEmpty,
+          s"k=$k: peeling had not converged by round 8")
+        // defining invariant: within the surviving subgraph every
+        // endpoint has degree >= k
+        val minDeg = e8.select(col("id1").as("n"))
+          .unionByName(e8.select(col("id2").as("n")))
+          .groupBy("n").count().agg(min("count")).collect()(0)
+        if (!minDeg.isNullAt(0))
+          assert(minDeg.getLong(0) >= k, s"k=$k: node with degree < $k")
+      }
+    } finally pairs.unpersist()
+  }
+
+  test("ann_sq_sweep: reference recall is exact and recall is monotone in quantization bits") {
+    val rows = Round9Ops.annSqSweep(spark, sf).collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("recall_ppm"))
+      .toMap
+    assert(rows("ref") == 1000000L, "reference must recall itself exactly")
+    assert(rows("b8") >= rows("b4") && rows("b4") >= rows("b2"),
+      s"recall not monotone in bits: $rows")
+  }
+
+  test("sketch_bloom_calibration: FPR decreases with filter size and tracks theory") {
+    val rows = Round9Ops.sketchBloomCalibration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("m_bits"), r.getAs[Long]("fpr_ppm"),
+        r.getAs[Long]("theory_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256L, 1024L, 4096L))
+    // monotone: more bits, fewer false positives
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 },
+      s"FPR not decreasing in m: $rows")
+    // loose Poisson-noise agreement with (1 - e^{-kn/m})^k: each side
+    // within 3x + 10000 ppm of the other (1000 probes -> +-~matters
+    // only at small expected counts)
+    rows.foreach { case (m, fpr, th) =>
+      assert(fpr <= 3 * th + 10000 && th <= 3 * fpr + 10000,
+        s"m=$m measured $fpr vs theory $th ppm diverge")
+    }
+  }
+
+  test("text_nb_classify: planted chrome classifies, unchromed collapses") {
+    val cm = Round9Ops.textNbClassify(spark, sf).collect()
+      .map(r => (r.getAs[String]("true_source"),
+        r.getAs[String]("pred_source"), r.getAs[Long]("n_docs")))
+    def chromed(s: String) = s.stripPrefix("src").toInt < 10
+    val (c, u) = cm.partition(t => chromed(t._1))
+    def acc(rows: Array[(String, String, Long)]) = {
+      val tot = rows.map(_._3).sum
+      val hit = rows.filter(t => t._1 == t._2).map(_._3).sum
+      (hit, tot)
+    }
+    val (ch, ct) = acc(c)
+    val (uh, ut) = acc(u)
+    assert(ct > 0 && ut > 0)
+    // chromed half: the planted nav/menu/footer tokens are fully
+    // discriminative -> >= 90% of the holdout classifies correctly
+    assert(ch * 10 >= ct * 9, s"chromed accuracy $ch/$ct below 90%")
+    // unchromed half: no lexical source signal exists (measured:
+    // the raw corpus draws all sources from one 31-token pool), so
+    // the diagonal must stay near-empty — above 20% would mean the
+    // corpus gained a real signal and the scaladoc story is stale
+    assert(uh * 5 <= ut, s"unchromed accuracy $uh/$ut above 20%")
+  }
+
+  test("sample_dsir: target-like docs are enriched among keeps") {
+    val rows = Round9Ops.sampleDsir(spark, sf).collect()
+      .map(r => (r.getAs[String]("source") == "src0",
+        r.getAs[Boolean]("keep")))
+    val (tgt, rest) = rows.partition(_._1)
+    val tgtRate = tgt.count(_._2).toDouble / tgt.length
+    val restRate = rest.count(_._2).toDouble / rest.length
+    // importance weights must rank the target feed's own docs above
+    // the corpus at large — else the weight estimator is broken
+    assert(tgtRate > restRate,
+      s"src0 keep rate $tgtRate not above rest $restRate")
+    // threshold is the 80th percentile -> overall keep fraction ~20%
+    val total = rows.count(_._2).toDouble / rows.length
+    assert(total > 0.1 && total < 0.35, s"keep fraction $total off 20%")
+  }
+
+  test("etl_cdc_diff: churn counts derive from the snapshot construction") {
+    val o = Tables.orders(spark, sf)
+    val n3 = o.filter(col("o_orderkey") % 10 === 3).count()  // inserts
+    val n7 = o.filter(col("o_orderkey") % 10 === 7).count()  // deletes
+    val nU = o.filter(col("o_orderkey") % 5 === 0
+      && col("o_orderkey") % 10 =!= 3
+      && col("o_orderkey") % 10 =!= 7).count()               // updates
+    val got = Round9Ops.etlCdcDiff(spark, sf).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse("I", 0L) == n3, s"I: $got vs $n3")
+    assert(got.getOrElse("D", 0L) == n7, s"D: $got vs $n7")
+    assert(got.getOrElse("U", 0L) == nU, s"U: $got vs $nU")
+  }
+}
