@@ -259,6 +259,15 @@ object ScaleProbe {
             concat(col("source"), lit("_r"),
               expr("doc_id div 1000000")))).count()),
         (n: Int) => replicateDocs(docs, n), docs),
+      // D21 k-core: the pair graph grows linearly at constant duplicate
+      // density; each peeling round is one degree agg + two semi-join
+      // filters over the (shrinking) edge relation, so the full 8-round
+      // peel should track the LSH candidate cost like cc_closure
+      ("kcore",
+        (d: DataFrame) => time(operators.Round9Ops.kcorePipeline(
+          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5)
+            .select("id1", "id2"), 2, 8).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
       // I11 q-digest: leaf count grows ~linearly with distinct prices,
       // but the digest stays ≤ ~1k nodes and the 20 rounds shrink
       // geometrically — cost should track the leaf aggregation scan
