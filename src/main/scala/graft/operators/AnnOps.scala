@@ -2356,7 +2356,105 @@ object AnnOps {
       |FROM top t LEFT JOIN ref r ON r.qid = t.qid AND r.nid = t.nid
       |GROUP BY t.d ORDER BY t.d""".stripMargin
 
+  // ---------------------------------------------------------------- E24
+  /** Centroid-drift monitor — the index STALENESS gauge completing the
+    * standing-index lifecycle (E11 encodes new batches against the
+    * standing centroids, E15 probes across segments; this answers
+    * "when must we RETRAIN"): assign both the old corpus and the new
+    * batch to the STANDING cells and report per-cell population
+    * shares side by side with the ppm delta and a drift flag
+    * (|Δshare| > 2%). A production vector store reads exactly this
+    * table to schedule re-clustering — assignment-share drift is the
+    * cheap proxy for "the data moved away from the centroids".
+    *
+    * All counting is exact-integer on the shared E3 assignment kernels
+    * (broadcast-argmin against ≤10 standing centroids from the
+    * run-shared index store); shares/deltas are integer ppm divisions;
+    * the cell relation is ≤|cells| rows so everything after the two
+    * assignment scans is constant-size. */
+  def annCentroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val isNew = gf.h32($"vec_id".cast("string")) % 10 === 0
+    val out = AnnIndexStore.get(spark, "pqold_" + indexKey(sfDir),
+      Seq("centroids", "codebook")) {
+      val old = emb.filter(!isNew)
+      val (_, cent1, _) = pqCore(subspaceRel(old))
+      Seq(ivfCentroids(old), cent1)
+    }
+    val cents = out(0)
+    val ao = ivfAssign(emb.filter(!isNew), cents)
+      .groupBy($"cell").agg(count(lit(1)).as("n_old"))
+    val an = ivfAssign(emb.filter(isNew), cents)
+      .groupBy($"cell").agg(count(lit(1)).as("n_new"))
+    val joined = ao.join(an, Seq("cell"), "left")
+      .select($"cell", $"n_old", coalesce($"n_new", lit(0L)).as("n_new"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = joined.agg(sum($"n_old").as("t_old"),
+      sum($"n_new").as("t_new"))
+    joined.crossJoin(broadcast(totals))
+      .select($"cell", $"n_old", $"n_new",
+        expr("n_old * 1000000 div t_old").as("share_old_ppm"),
+        expr("n_new * 1000000 div greatest(t_new, 1)").as("share_new_ppm"))
+      .withColumn("delta_ppm", $"share_new_ppm" - $"share_old_ppm")
+      .withColumn("drifted", abs($"delta_ppm") > 20000)
+  }
+
+  val annCentroidDriftSql: String =
+    """WITH qg AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q,
+      |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+      |      AS is_new
+      |  FROM embeddings),
+      |oldv AS (SELECT vec_id, label, q FROM qg WHERE NOT is_new),
+      |newv AS (SELECT vec_id, label, q FROM qg WHERE is_new),
+      |cent AS MATERIALIZED (
+      |  SELECT label AS cell, d,
+      |    CAST(floor(CAST(sum(q[d]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM oldv, (SELECT unnest(range(1, 65)) AS d) ds
+      |  GROUP BY label, d),
+      |dold AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q[c.d] - c.cv) * (v.q[c.d] - c.cv)) AS BIGINT) AS d2
+      |  FROM oldv v JOIN cent c ON true
+      |  GROUP BY v.vec_id, c.cell),
+      |ao AS (
+      |  SELECT cell, CAST(count(*) AS BIGINT) AS n_old FROM (
+      |    SELECT vec_id, cell FROM (
+      |      SELECT vec_id, cell,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |      FROM dold) r WHERE rn = 1) a
+      |  GROUP BY cell),
+      |dnew AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q[c.d] - c.cv) * (v.q[c.d] - c.cv)) AS BIGINT) AS d2
+      |  FROM newv v JOIN cent c ON true
+      |  GROUP BY v.vec_id, c.cell),
+      |an AS (
+      |  SELECT cell, CAST(count(*) AS BIGINT) AS n_new FROM (
+      |    SELECT vec_id, cell FROM (
+      |      SELECT vec_id, cell,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |      FROM dnew) r WHERE rn = 1) a
+      |  GROUP BY cell),
+      |j AS MATERIALIZED (
+      |  SELECT ao.cell, ao.n_old, COALESCE(an.n_new, 0) AS n_new
+      |  FROM ao LEFT JOIN an ON an.cell = ao.cell),
+      |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+      |  CAST(sum(n_new) AS BIGINT) AS t_new FROM j)
+      |SELECT cell, n_old, n_new,
+      |  n_old * 1000000 // t_old AS share_old_ppm,
+      |  n_new * 1000000 // greatest(t_new, 1) AS share_new_ppm,
+      |  n_new * 1000000 // greatest(t_new, 1)
+      |    - n_old * 1000000 // t_old AS delta_ppm,
+      |  abs(n_new * 1000000 // greatest(t_new, 1)
+      |    - n_old * 1000000 // t_old) > 20000 AS drifted
+      |FROM j CROSS JOIN t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_centroid_drift" -> annCentroidDrift _,
     "knn_graph" -> knnGraph _,
     "emb_semdedup_sweep" -> embSemdedupSweep _,
     "emb_semdedup" -> embSemdedup _,
@@ -2379,6 +2477,7 @@ object AnnOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ann_centroid_drift" -> annCentroidDriftSql,
     "knn_graph" -> knnGraphSql,
     "emb_semdedup_sweep" -> embSemdedupSweepSql,
     "emb_semdedup" -> embSemdedupSql,

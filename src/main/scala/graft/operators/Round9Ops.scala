@@ -584,6 +584,77 @@ object Round9Ops {
       |FROM top t LEFT JOIN ref r ON r.qid = t.qid AND r.nid = t.nid
       |GROUP BY t.variant""".stripMargin
 
+  // ---------------------------------------------------------------- B72
+  /** CUSUM changepoint scan (Page 1954) over the per-type daily event
+    * series — the "WHEN did this feed change" locator beside the
+    * drift detectors that say THAT it changed (B59 PSI between fixed
+    * halves, A26 schema drift, B70 chi-square): per event type, the
+    * day maximizing |S_k| where S_k = Σ_{d≤k}(n_d − mean), plus the
+    * deviation mass normalized to ppm — the standard first tool for
+    * locating a level shift in a count series.
+    *
+    * Integerized exactly: S_k is computed as D·cum_k − k·N (scaled by
+    * the day count D so the mean never becomes a float), so the
+    * argmax compares identical BIGINTs in both engines, ties broken
+    * by earliest day via the min-struct idiom. One shuffle onto
+    * (type, day) for the daily rollup; the CUSUM windows run over the
+    * |types|×|days| relation, never the raw events. */
+  def qCusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val tot = Window.partitionBy(col("event_type"))
+    val s = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("d_cnt", count(lit(1)).over(tot))
+      .withColumn("total", sum(col("n")).over(tot))
+      .withColumn("s", col("d_cnt") * col("cum") - col("k") * col("total"))
+    s.groupBy(col("event_type"))
+      .agg(max(col("d_cnt")).as("n_days"), max(col("total")).as("total"),
+        min(struct((-abs(col("s"))).as("negabs"), col("day").as("d")))
+          .as("best"),
+        max(abs(col("s"))).as("cusum_max"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("best.d").as("cp_day"), col("cusum_max"),
+        expr("cusum_max * 1000000 div (n_days * total)").as("mag_ppm"))
+  }
+
+  val qCusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, day, n,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d_cnt,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM daily),
+      |s AS (
+      |  SELECT event_type, day, d_cnt, total,
+      |    d_cnt * cum - k * total AS s
+      |  FROM c),
+      |best AS (
+      |  SELECT event_type, day AS cp_day FROM (
+      |    SELECT event_type, day,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY abs(s) DESC, day) AS rn
+      |    FROM s) r WHERE rn = 1),
+      |agg AS (
+      |  SELECT event_type, max(d_cnt) AS n_days, max(total) AS total,
+      |    CAST(max(abs(s)) AS BIGINT) AS cusum_max
+      |  FROM s GROUP BY event_type)
+      |SELECT a.event_type, a.n_days, a.total, b.cp_day, a.cusum_max,
+      |  a.cusum_max * 1000000 // (a.n_days * a.total) AS mag_ppm
+      |FROM agg a JOIN best b ON b.event_type = a.event_type""".stripMargin
+
   // ---------------------------------------------------------------- I13
   /** Mergeable uniform sample sketch — the ROW-sampling axis of the
     * sketch family (I4 = frequencies, I5/I11 = quantiles, I6 = F₀,
@@ -630,6 +701,7 @@ object Round9Ops {
       |FROM r WHERE sample_rank <= 16""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum_changepoint" -> qCusumChangepoint _,
     "sketch_reservoir" -> sketchReservoir _,
     "etl_cdc_diff" -> etlCdcDiff _,
     "dedup_kcore" -> dedupKcore _,
@@ -639,6 +711,7 @@ object Round9Ops {
     "ann_sq_sweep" -> annSqSweep _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_cusum_changepoint" -> qCusumChangepointSql,
     "sketch_reservoir" -> sketchReservoirSql,
     "etl_cdc_diff" -> etlCdcDiffSql,
     "dedup_kcore" -> dedupKcoreSql,

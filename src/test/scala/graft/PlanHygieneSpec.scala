@@ -66,6 +66,9 @@ class PlanHygieneSpec extends SparkSuite {
       + "+ crossJoin(broadcast(1-row query count))"),
     "emb_incremental_encode" ->
       "crossJoin(broadcast(standing cell centroids)): ≤10 rows",
+    "ann_centroid_drift" -> ("crossJoin(broadcast(standing cell "
+      + "centroids)) ≤10 rows on both assignment scans + "
+      + "crossJoin(broadcast(1-row share totals))"),
     "emb_semdedup" ->
       "crossJoin(broadcast(cell centroids)): ≤10 rows (E3 assignment kernel)",
     "emb_semdedup_sweep" -> ("crossJoin(broadcast(cell centroids)) ≤10 "

@@ -100,6 +100,45 @@ class Round9Spec extends SparkSuite {
     assert(total > 0.1 && total < 0.35, s"keep fraction $total off 20%")
   }
 
+  test("custom expressions execute inside WholeStageCodegen spans") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import graft.functions.gf
+    // a hot-path shape: scan -> custom-expression projection -> filter
+    // -> aggregate. Every plan line carrying a graft_* expression must
+    // be inside a codegen stage (the '*(n)' annotation) — a custom
+    // Expression that fell out of whole-stage codegen would silently
+    // interpret per row at 100 TB.
+    // AQE wraps stages and defers codegen collapse to execution time;
+    // disabling it for the plan capture makes the WholeStageCodegen
+    // structure directly inspectable (codegen itself is orthogonal)
+    val old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Tables.documents(spark, sf)
+        .select(col("source"), gf.simhash_md5(col("text")).as("s"),
+          gf.h32(col("text")).as("h"))
+        .filter(col("s") =!= 0)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"), max(col("h")))
+      val plan = df.queryExecution.executedPlan
+      val wsc = plan.collect { case w: WholeStageCodegenExec => w }
+      assert(wsc.nonEmpty, s"no codegen stage in:\n$plan")
+      // a codegen'd operator line carries the '*(n)' stage annotation.
+      // FileScan lines echo pushed DataFilters in their metadata — an
+      // expression MENTION, not an execution site — so they're excluded
+      val exprLines = plan.toString.split("\n")
+        .filter(_.contains("graft_")).filterNot(_.contains("FileScan"))
+      assert(exprLines.nonEmpty, "expected graft_* expressions in the plan")
+      assert(exprLines.forall(_.contains("*(")),
+        s"custom expression outside codegen span:\n${exprLines.mkString("\n")}")
+      // and the generated source actually materializes (compiles past
+      // the fallback path)
+      val (_, src) = wsc.head.doCodeGen()
+      assert(src.body.nonEmpty)
+      // the fused kernels produce rows end-to-end under that plan
+      assert(df.collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
   test("etl_cdc_diff: churn counts derive from the snapshot construction") {
     val o = Tables.orders(spark, sf)
     val n3 = o.filter(col("o_orderkey") % 10 === 3).count()  // inserts
