@@ -240,7 +240,65 @@ object MultimodalOps {
       |  FROM documents)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- F6
+  /** Byte-entropy profile of the binary payloads — the compressibility
+    * probe a multimodal ingest runs to TRIAGE unknown blobs before
+    * decode (already-compressed media ≈ uniform bytes → high entropy;
+    * text/structured payloads → low): F4's 64 stride-sampled bytes
+    * reduced to a 16-bucket high-nibble histogram, Shannon entropy
+    * over it, and a low/mid/high class.
+    *
+    * Determinism: each bucket's −p·ln p term is integerized ONCE to
+    * micro-nats (p = c/64 is an exact binary fraction; the one ln is
+    * the round-convention float), so the per-doc entropy is an exact
+    * BIGINT sum — merge-order-independent. Pure narrow projection +
+    * one (doc, nibble) agg over the 64·|docs| sample relation; the
+    * payload itself never shuffles. */
+  def mmByteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = octet_length(payload)
+    def byteAt(i: Int) =
+      conv(hex(substring(payload, ((lit(i) * n) / 64).cast("int") + 1, lit(1))),
+        16, 10).cast("long")
+    val sampled = docs
+      .select(col("doc_id"), n.as("n_bytes"),
+        explode(array((0 until 64).map(i => byteAt(i)): _*)).as("b"))
+      .select(col("doc_id"), col("n_bytes"), expr("b div 16").as("nib"))
+    val hist = sampled.groupBy(col("doc_id"), col("n_bytes"), col("nib"))
+      .agg(count(lit(1)).as("c"))
+    hist.groupBy(col("doc_id"), col("n_bytes"))
+      .agg(count(lit(1)).as("distinct_nibbles"),
+        sum(expr(
+          "CAST(round(1000000.0 * (c / 64.0) * ln(64.0 / c)) AS BIGINT)"))
+          .as("entropy_micro"))
+      .withColumn("entropy_class",
+        when(col("entropy_micro") >= 2500000L, "high")
+          .when(col("entropy_micro") >= 1500000L, "mid").otherwise("low"))
+  }
+
+  val mmByteEntropySql: String =
+    """WITH s AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |    ('0x' || substr(hex(encode(text)),
+      |      2 * (1 + (i * octet_length(encode(text))) // 64) - 1, 2))::BIGINT
+      |      // 16 AS nib
+      |  FROM documents, (SELECT unnest(range(0, 64)) AS i) ii),
+      |h AS (
+      |  SELECT doc_id, n_bytes, nib, count(*) AS c
+      |  FROM s GROUP BY 1, 2, 3)
+      |SELECT doc_id, n_bytes,
+      |  CAST(count(*) AS BIGINT) AS distinct_nibbles,
+      |  CAST(sum(CAST(round(1000000.0 * (c / 64.0) * ln(64.0 / c))
+      |    AS BIGINT)) AS BIGINT) AS entropy_micro,
+      |  CASE WHEN sum(CAST(round(1000000.0 * (c / 64.0) * ln(64.0 / c))
+      |         AS BIGINT)) >= 2500000 THEN 'high'
+      |       WHEN sum(CAST(round(1000000.0 * (c / 64.0) * ln(64.0 / c))
+      |         AS BIGINT)) >= 1500000 THEN 'mid'
+      |       ELSE 'low' END AS entropy_class
+      |FROM h GROUP BY doc_id, n_bytes""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_entropy" -> mmByteEntropy _,
     "mm_meta" -> mmMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_phash_dedup" -> mmPhashDedup _,
@@ -248,6 +306,7 @@ object MultimodalOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_byte_entropy" -> mmByteEntropySql,
     "mm_meta" -> mmMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_phash_dedup" -> mmPhashDedupSql,

@@ -584,6 +584,192 @@ object Round9Ops {
       |FROM top t LEFT JOIN ref r ON r.qid = t.qid AND r.nid = t.nid
       |GROUP BY t.variant""".stripMargin
 
+  // ---------------------------------------------------------------- D22
+  /** LSH band-count design sweep — the (b, r) DESIGN table beside
+    * D12's threshold calibration: the same 128-value signatures banded
+    * three ways (32×4, 16×8, 8×16), with candidate volume, verified
+    * (est ≥ 0.5) pair count, precision, and recall relative to the
+    * most permissive config — the measured S-curve trade (more bands =
+    * higher recall + more candidate work) read before fixing a
+    * production banding.
+    *
+    * The three candidate sets are NESTED (a matching length-16 band
+    * implies its length-8 halves match, which imply their length-4
+    * halves match), so the exact-estimate join runs ONCE on the r=4
+    * superset and every config's verified count is a filter over it —
+    * one signature scan, one est join, three band self-joins, never
+    * all-pairs. */
+  def dedupBandSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = DedupOps.minhashSigs(
+      DedupOps.corpus(Tables.documents(spark, sfDir)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def candOf(r: Int): DataFrame = {
+      val bs = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(128 / r - 1)),
+          b => slice(col("sig"), b * r + 1, lit(r)))))
+        .toDF("doc_id", "band_id", "band_key")
+      bs.toDF("id1", "band_id", "band_key")
+        .join(bs.toDF("id2", "band_id", "band_key"),
+          Seq("band_id", "band_key"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+    }
+    val cand4 = candOf(4).persist(StorageLevel.MEMORY_AND_DISK)
+    val est4 = cand4
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est", size(filter(
+        zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+        b => b)) / lit(128.0))
+      .select(col("id1"), col("id2"), col("est"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val v4 = est4.agg(
+      sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("v4"))
+    Seq(4, 8, 16).map { r =>
+      val c = if (r == 4) cand4 else candOf(r)
+      c.join(est4, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_verified"))
+        .select(lit(128 / r).cast("long").as("n_bands"),
+          lit(r).cast("long").as("rows_per_band"),
+          col("n_cand"), col("n_verified"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(v4))
+      .select(col("n_bands"), col("rows_per_band"), col("n_cand"),
+        col("n_verified"),
+        expr("n_verified * 1000000 div greatest(n_cand, 1)")
+          .as("precision_ppm"),
+        expr("n_verified * 1000000 div greatest(v4, 1)").as("recall_ppm"))
+  }
+
+  val dedupBandSweepSql: String = {
+    def bandCte(r: Int): String =
+      s"""b$r AS MATERIALIZED (
+         |  SELECT doc_id, j // $r AS band_id, list(m ORDER BY j) AS key
+         |  FROM mh GROUP BY doc_id, j // $r),
+         |c$r AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM b$r x JOIN b$r y
+         |    ON x.band_id = y.band_id AND x.key = y.key
+         |   AND x.doc_id < y.doc_id)""".stripMargin
+    s"""WITH ${DedupOps.minhashSigSqlCtes},
+       |${bandCte(4)},
+       |${bandCte(8)},
+       |${bandCte(16)},
+       |e4 AS MATERIALIZED (
+       |  SELECT c.id1, c.id2,
+       |    CAST(sum(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / 128 AS est
+       |  FROM c4 c
+       |  JOIN mh m1 ON m1.doc_id = c.id1
+       |  JOIN mh m2 ON m2.doc_id = c.id2 AND m2.j = m1.j
+       |  GROUP BY c.id1, c.id2),
+       |v4 AS (SELECT CAST(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS v4 FROM e4),
+       |per AS (
+       |  SELECT 32 AS n_bands, 4 AS rows_per_band,
+       |    CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(sum(CASE WHEN e.est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_verified
+       |  FROM c4 c JOIN e4 e ON e.id1 = c.id1 AND e.id2 = c.id2
+       |  UNION ALL
+       |  SELECT 16, 8, CAST(count(*) AS BIGINT),
+       |    CAST(sum(CASE WHEN e.est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM c8 c JOIN e4 e ON e.id1 = c.id1 AND e.id2 = c.id2
+       |  UNION ALL
+       |  SELECT 8, 16, CAST(count(*) AS BIGINT),
+       |    CAST(sum(CASE WHEN e.est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM c16 c JOIN e4 e ON e.id1 = c.id1 AND e.id2 = c.id2)
+       |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band, n_cand, n_verified,
+       |  n_verified * 1000000 // greatest(n_cand, 1) AS precision_ppm,
+       |  n_verified * 1000000 // greatest(v4, 1) AS recall_ppm
+       |FROM per CROSS JOIN v4""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B73
+  /** Mann-Whitney U rank-sum test between two event cohorts
+    * (purchase vs click `value` distributions) — the NONPARAMETRIC
+    * complement to B65's two-proportion z-test: does one cohort
+    * stochastically dominate the other, with no normality assumption.
+    *
+    * The global average-rank assignment is the scale problem: ranks
+    * need a TOTAL order over N values. Solved without any
+    * unpartitioned window via the distributedRank discipline applied
+    * to the cumulative count: distinct values range-repartition, each
+    * partition computes a LOCAL cumulative count, and |partitions|-row
+    * broadcast offsets globalize it. Tie handling is exact: every row
+    * of a tied value gets the average rank, carried as the INTEGER
+    * 2·rank (= 2·cum − cnt + 1), so rank sums and both U statistics
+    * are exact BIGINTs; the tie-corrected normal approximation z is
+    * the one float expression, mirrored verbatim. */
+  def qMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val ab = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value"))
+    val dv = ab.groupBy(col("value")).agg(count(lit(1)).as("cnt"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("na_v"))
+    // distributed global cumulative count (no unpartitioned window)
+    val part = dv.repartitionByRange(32, col("value"))
+      .withColumn("__pid", spark_partition_id())
+    val local = part.withColumn("__lcum", sum(col("cnt")).over(
+      Window.partitionBy(col("__pid")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val offs = local.groupBy(col("__pid")).agg(sum(col("cnt")).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(
+        Window.partitionBy(lit(1)).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val ranked = local.join(broadcast(offs), "__pid")
+      .withColumn("cum", col("__off") + col("__lcum"))
+    ranked.agg(
+        sum(expr("na_v * (2 * cum - cnt + 1)")).as("r2a"),
+        sum(col("na_v")).as("n_a"),
+        sum(col("cnt") - col("na_v")).as("n_b"),
+        sum(expr("cnt * cnt * cnt - cnt")).as("tie_mass"))
+      .select(col("n_a"), col("n_b"),
+        expr("r2a - n_a * (n_a + 1)").as("u2_a"),
+        expr("2 * n_a * n_b - (r2a - n_a * (n_a + 1))").as("u2_b"),
+        col("tie_mass"),
+        expr("""round(((r2a - n_a * (n_a + 1)) - CAST(n_a * n_b AS DOUBLE))
+          / (2 * sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1)
+          - CAST(tie_mass AS DOUBLE)
+            / ((n_a + n_b) * (n_a + n_b - 1))))), 6)""").as("z"))
+  }
+
+  val qMannWhitneySql: String =
+    """WITH ab AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE event_type IN ('purchase', 'click')),
+      |dv AS (
+      |  SELECT value, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na_v
+      |  FROM ab GROUP BY value),
+      |r AS (
+      |  SELECT value, cnt, na_v,
+      |    CAST(sum(cnt) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM dv),
+      |s AS (
+      |  SELECT CAST(sum(na_v * (2 * cum - cnt + 1)) AS BIGINT) AS r2a,
+      |    CAST(sum(na_v) AS BIGINT) AS n_a,
+      |    CAST(sum(cnt - na_v) AS BIGINT) AS n_b,
+      |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_mass
+      |  FROM r)
+      |SELECT n_a, n_b,
+      |  r2a - n_a * (n_a + 1) AS u2_a,
+      |  2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS u2_b,
+      |  tie_mass,
+      |  round(((r2a - n_a * (n_a + 1)) - CAST(n_a * n_b AS DOUBLE))
+      |    / (2 * sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1)
+      |    - CAST(tie_mass AS DOUBLE)
+      |      / ((n_a + n_b) * (n_a + n_b - 1))))), 6) AS z
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- B72
   /** CUSUM changepoint scan (Page 1954) over the per-type daily event
     * series — the "WHEN did this feed change" locator beside the
@@ -702,6 +888,8 @@ object Round9Ops {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cusum_changepoint" -> qCusumChangepoint _,
+    "dedup_band_sweep" -> dedupBandSweep _,
+    "q_mann_whitney" -> qMannWhitney _,
     "sketch_reservoir" -> sketchReservoir _,
     "etl_cdc_diff" -> etlCdcDiff _,
     "dedup_kcore" -> dedupKcore _,
@@ -712,6 +900,8 @@ object Round9Ops {
 
   def oracleSql: Map[String, String] = Map(
     "q_cusum_changepoint" -> qCusumChangepointSql,
+    "dedup_band_sweep" -> dedupBandSweepSql,
+    "q_mann_whitney" -> qMannWhitneySql,
     "sketch_reservoir" -> sketchReservoirSql,
     "etl_cdc_diff" -> etlCdcDiffSql,
     "dedup_kcore" -> dedupKcoreSql,

@@ -43,7 +43,11 @@ class PlanHygieneSpec extends SparkSuite {
       + "offsets — the document ranks themselves are partition-local)"),
     "sketch_qdigest" -> ("postorder cumulative-mass window over the "
       + "digest relation: ≤ K+levels ≈ 1k rows by construction "
-      + "regardless of input size"))
+      + "regardless of input size"),
+    "q_mann_whitney" -> ("prefix-sum offsets window over the "
+      + "per-range-partition count relation: ≤32 rows (the "
+      + "distributedRank discipline applied to the global cumulative "
+      + "count; the value-level cumsum is partition-local)"))
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */
@@ -114,6 +118,8 @@ class PlanHygieneSpec extends SparkSuite {
       + "probe (theta join, both sides k-bounded)"),
     "dedup_kcore" ->
       "census assembly: crossJoin(broadcast(1-row edge-count agg)) per k",
+    "dedup_band_sweep" ->
+      "crossJoin(broadcast(1-row superset-verified-count scalar))",
     "sketch_bloom_calibration" -> ("crossJoin(broadcast(3-row m-config "
       + "relation)) on build+probe sides + crossJoin(broadcast(1-row "
       + "member count))"),

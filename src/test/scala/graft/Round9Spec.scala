@@ -139,6 +139,38 @@ class Round9Spec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", old)
   }
 
+  test("dedup_band_sweep: candidate sets nest and recall is monotone in band count") {
+    val rows = Round9Ops.dedupBandSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_bands"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("n_verified"), r.getAs[Long]("recall_ppm")))
+      .sortBy(-_._1)
+    assert(rows.map(_._1).toSeq == Seq(32L, 16L, 8L))
+    // nesting: a matching longer band implies its sub-bands match, so
+    // fewer/longer bands can only LOSE candidates and verified pairs
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 >= b._2 && a._3 >= b._3 })
+    assert(rows.head._4 == 1000000L, "most permissive config defines recall")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+  }
+
+  test("q_mann_whitney: U_A + U_B == 2 * n_A * n_B and z is finite") {
+    val r = Round9Ops.qMannWhitney(spark, sf).collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("u2_a") + r.getAs[Long]("u2_b") == 2 * na * nb)
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("mm_byte_entropy: ASCII payloads read low-entropy with bounded nibble support") {
+    val rows = MultimodalOps.mmByteEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // printable-ASCII high nibbles live in {2..7} -> at most 6 buckets,
+    // entropy far below the compressed-media band
+    rows.foreach { r =>
+      assert(r.getAs[Long]("distinct_nibbles") <= 6)
+      assert(r.getAs[String]("entropy_class") == "low")
+    }
+  }
+
   test("etl_cdc_diff: churn counts derive from the snapshot construction") {
     val o = Tables.orders(spark, sf)
     val n3 = o.filter(col("o_orderkey") % 10 === 3).count()  // inserts
