@@ -584,6 +584,212 @@ object Round9Ops {
       |FROM top t LEFT JOIN ref r ON r.qid = t.qid AND r.nid = t.nid
       |GROUP BY t.variant""".stripMargin
 
+  // ---------------------------------------------------------------- C23
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
+    * maximal stopword-free token runs, word score = degree/frequency
+    * (degree = Σ length of phrases containing the word), phrase score
+    * = Σ member word scores; corpus top-20 — the cheap unsupervised
+    * keyphrase surface beside C12's per-doc TF-IDF terms (RAKE scores
+    * PHRASES and rewards co-occurrence span, not just rarity).
+    *
+    * Determinism: per-word degree/frequency are exact integers; the
+    * one division is integerized ONCE per word (round(1e6·deg/freq)),
+    * so phrase scores are exact BIGINT sums and the top-20 order
+    * (score desc, phrase asc) is total. Plan: tokens shuffle once
+    * onto (doc, phrase-run) with n_words attached by a same-key
+    * window; word stats are a vocab-sized broadcast; phrase texts
+    * stay scan-side until the final phrase-key agg. */
+  def textRake(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "of", "and", "a", "to", "in", "is", "on",
+      "for", "with")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("is_stop", col("tok").isin(stop: _*))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pw = toks
+      .withColumn("pid",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wd))
+      .filter(!col("is_stop"))
+      .withColumn("n_words", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("pid"))))
+      // standard RAKE practice caps candidate phrases (uncapped, a
+      // stopword-poor document becomes one giant run that dominates
+      // every score by length alone)
+      .filter(col("n_words") <= 4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wordScores = pw.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .select(col("tok"),
+        expr("CAST(round(1000000.0 * deg / freq) AS BIGINT)").as("score_w"))
+    val phrases = pw.groupBy(col("doc_id"), col("pid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("phrase"),
+        max(col("n_words")).as("n_words"))
+    val scored = pw.join(broadcast(wordScores), Seq("tok"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(sum(col("score_w")).as("score_micro"))
+    phrases.join(scored, Seq("doc_id", "pid"))
+      .groupBy(col("phrase"), col("n_words"), col("score_micro"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("score_micro").desc, col("phrase")).limit(20)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_micro"))
+  }
+
+  val textRakeSql: String =
+    """WITH tok0 AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, g AS pos, l[g+1] AS tok
+      |  FROM tok0, unnest(range(0, len(l))) u(g)),
+      |st AS (
+      |  SELECT doc_id, pos, tok,
+      |    tok IN ('the','of','and','a','to','in','is','on','for','with')
+      |      AS is_stop
+      |  FROM toks),
+      |ph AS (
+      |  SELECT doc_id, pos, tok, is_stop,
+      |    CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS pid
+      |  FROM st),
+      |pw AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT doc_id, pid, pos, tok,
+      |      CAST(count(*) OVER (PARTITION BY doc_id, pid) AS BIGINT)
+      |        AS n_words
+      |    FROM ph WHERE NOT is_stop) c
+      |  WHERE n_words <= 4),
+      |wsc AS (
+      |  SELECT tok,
+      |    CAST(round(1000000.0 * sum(n_words) / count(*)) AS BIGINT)
+      |      AS score_w
+      |  FROM pw GROUP BY tok),
+      |phrases AS (
+      |  SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+      |    max(n_words) AS n_words
+      |  FROM pw GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT p.doc_id, p.pid, CAST(sum(w.score_w) AS BIGINT)
+      |    AS score_micro
+      |  FROM pw p JOIN wsc w ON w.tok = p.tok GROUP BY 1, 2)
+      |SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  score_micro
+      |FROM phrases JOIN sc USING (doc_id, pid)
+      |GROUP BY phrase, n_words, score_micro
+      |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- B74
+  /** Kaplan-Meier survival curve of the first→second purchase gap
+    * with right-censoring — the time-to-event axis no other operator
+    * covers (B27/B64 measure WHETHER users return per period; this
+    * estimates WHEN, handling the users who haven't yet): users with
+    * ≥2 purchases contribute an event at gap = days(first→second),
+    * single-purchase users are CENSORED at days(first→corpus-end) —
+    * dropping them (the naive mistake) biases survival low.
+    *
+    * Per observed day t: risk set n_t = N − Σ_{s<t}(d_s + c_s),
+    * events d_t, censored c_t, and Ŝ(t) = Π_{s≤t, d_s>0}(1 − d_s/n_s).
+    * The product is evaluated as the ordered cumulative sum of
+    * per-day ln terms each integerized ONCE to micro-nats — a
+    * deterministic fold in both engines (a float running product
+    * would drift under reordering); the one exp+round is mirrored.
+    * The day relation is calendar-bounded (≤ corpus span), so its
+    * cumulative windows are k-bounded regardless of corpus size;
+    * the only corpus-scale work is one (user) shuffle. */
+  def qSurvivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val perUser = p
+      .select(col("user_id"), col("ts"),
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("rn"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rn") === 1, col("ts"))).as("t1"),
+        min(when(col("rn") === 2, col("ts"))).as("t2"))
+    val maxTs = p.agg(max(col("ts")).as("tmax"))
+    val obs = perUser.crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        when(col("t2").isNotNull, datediff(col("t2"), col("t1")))
+          .otherwise(datediff(col("tmax"), col("t1"))).cast("long").as("t"),
+        col("t2").isNotNull.as("is_event"))
+    val byDay = obs.groupBy(col("t"))
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
+    val nTotal = obs.agg(count(lit(1)).as("n_users"))
+    val wd = Window.partitionBy(lit(1)).orderBy(col("t"))
+    val risk = byDay.crossJoin(broadcast(nTotal))
+      .withColumn("n_risk", col("n_users") - coalesce(
+        sum(col("d") + col("c")).over(
+          wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lterm", expr(
+        """CASE WHEN d = 0 THEN 0
+           WHEN d >= n_risk THEN CAST(-13815511 AS BIGINT)
+           ELSE CAST(round(1000000.0 * ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+             AS BIGINT) END"""))
+      .withColumn("lsum", sum(col("lterm")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    risk.select(col("t").as("gap_days"), col("n_risk"), col("d"), col("c"),
+      round(exp(col("lsum") / lit(1000000.0)), 6).as("survival"))
+  }
+
+  val qSurvivalKmSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |ranked AS (
+      |  SELECT user_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM p),
+      |peruser AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN rn = 1 THEN ts END) AS t1,
+      |    min(CASE WHEN rn = 2 THEN ts END) AS t2
+      |  FROM ranked GROUP BY user_id),
+      |mx AS (SELECT max(ts) AS tmax FROM p),
+      |obs AS (
+      |  SELECT user_id,
+      |    CAST(CASE WHEN t2 IS NOT NULL THEN date_diff('day', t1, t2)
+      |         ELSE date_diff('day', t1, tmax) END AS BIGINT) AS t,
+      |    t2 IS NOT NULL AS is_event
+      |  FROM peruser CROSS JOIN mx),
+      |byday AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM obs GROUP BY t),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM obs),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    n_users - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS n_risk
+      |  FROM byday CROSS JOIN nt),
+      |lt AS (
+      |  SELECT t, d, c, n_risk,
+      |    CASE WHEN d = 0 THEN 0
+      |         WHEN d >= n_risk THEN CAST(-13815511 AS BIGINT)
+      |         ELSE CAST(round(1000000.0
+      |           * ln(1.0 - CAST(d AS DOUBLE) / n_risk)) AS BIGINT)
+      |    END AS lterm
+      |  FROM risk),
+      |ls AS (
+      |  SELECT t, d, c, n_risk,
+      |    CAST(sum(lterm) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS lsum
+      |  FROM lt)
+      |SELECT t AS gap_days, n_risk, d, c,
+      |  round(exp(lsum / 1000000.0), 6) AS survival
+      |FROM ls""".stripMargin
+
   // ---------------------------------------------------------------- D22
   /** LSH band-count design sweep — the (b, r) DESIGN table beside
     * D12's threshold calibration: the same 128-value signatures banded
@@ -890,6 +1096,8 @@ object Round9Ops {
     "q_cusum_changepoint" -> qCusumChangepoint _,
     "dedup_band_sweep" -> dedupBandSweep _,
     "q_mann_whitney" -> qMannWhitney _,
+    "q_survival_km" -> qSurvivalKm _,
+    "text_rake" -> textRake _,
     "sketch_reservoir" -> sketchReservoir _,
     "etl_cdc_diff" -> etlCdcDiff _,
     "dedup_kcore" -> dedupKcore _,
@@ -902,6 +1110,8 @@ object Round9Ops {
     "q_cusum_changepoint" -> qCusumChangepointSql,
     "dedup_band_sweep" -> dedupBandSweepSql,
     "q_mann_whitney" -> qMannWhitneySql,
+    "q_survival_km" -> qSurvivalKmSql,
+    "text_rake" -> textRakeSql,
     "sketch_reservoir" -> sketchReservoirSql,
     "etl_cdc_diff" -> etlCdcDiffSql,
     "dedup_kcore" -> dedupKcoreSql,

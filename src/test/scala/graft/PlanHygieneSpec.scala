@@ -47,7 +47,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_mann_whitney" -> ("prefix-sum offsets window over the "
       + "per-range-partition count relation: ≤32 rows (the "
       + "distributedRank discipline applied to the global cumulative "
-      + "count; the value-level cumsum is partition-local)"))
+      + "count; the value-level cumsum is partition-local)"),
+    "q_survival_km" -> ("risk-set / survival-product cumulative windows "
+      + "over the per-day relation: calendar-bounded (≤ corpus span in "
+      + "days) regardless of corpus size"))
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */
@@ -120,6 +123,8 @@ class PlanHygieneSpec extends SparkSuite {
       "census assembly: crossJoin(broadcast(1-row edge-count agg)) per k",
     "dedup_band_sweep" ->
       "crossJoin(broadcast(1-row superset-verified-count scalar))",
+    "q_survival_km" -> ("crossJoin(broadcast(1-row corpus-max-ts + "
+      + "1-row user-count scalars))"),
     "sketch_bloom_calibration" -> ("crossJoin(broadcast(3-row m-config "
       + "relation)) on build+probe sides + crossJoin(broadcast(1-row "
       + "member count))"),

@@ -171,6 +171,32 @@ class Round9Spec extends SparkSuite {
     }
   }
 
+  test("q_survival_km: survival is monotone non-increasing and the risk set telescopes") {
+    val rows = Round9Ops.qSurvivalKm(spark, sf).collect()
+      .map(r => (r.getAs[Long]("gap_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d"), r.getAs[Long]("c"),
+        r.getAs[Double]("survival")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.head._5 <= 1.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 <= a._5 + 1e-9, s"survival increased: $a -> $b")
+      // the next day's risk set is exactly this day's minus its exits
+      assert(b._2 == a._2 - a._3 - a._4, s"risk set broke: $a -> $b")
+    case _ => ()
+    }
+  }
+
+  test("text_rake: phrases capped at 4 words with positive scores") {
+    val rows = Round9Ops.textRake(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") <= 4)
+      assert(r.getAs[Long]("score_micro") > 0)
+      assert(r.getAs[String]("phrase").split(" ").length
+        == r.getAs[Long]("n_words"))
+    }
+  }
+
   test("etl_cdc_diff: churn counts derive from the snapshot construction") {
     val o = Tables.orders(spark, sf)
     val n3 = o.filter(col("o_orderkey") % 10 === 3).count()  // inserts
