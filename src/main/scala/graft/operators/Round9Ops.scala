@@ -584,6 +584,103 @@ object Round9Ops {
       |FROM top t LEFT JOIN ref r ON r.qid = t.qid AND r.nid = t.nid
       |GROUP BY t.variant""".stripMargin
 
+  // ---------------------------------------------------------------- D23
+  /** Duplicate-cluster THRESHOLD stability — how much the clustering
+    * itself moves when the near-dup cutoff moves (D12 calibrates the
+    * pairwise estimate, this measures the downstream CLUSTER
+    * consequence): connected components at τ = 0.5 vs τ = 0.6,
+    * compared pairwise over the permissive (est ≥ 0.3) candidate set —
+    * same-cluster agreement, pairs split by tightening, and the
+    * Rand-style agreement share. Because the 0.6 edge set is a subset
+    * of the 0.5 set, the 0.6 clustering provably REFINES the 0.5 one
+    * (same cluster at 0.6 ⇒ same at 0.5) — `pairs_only_tight` must be
+    * 0, and the spec pins it; what the table measures is the split
+    * mass (`pairs_only_loose`).
+    *
+    * Both closures and all three pair relations come from the
+    * run-shared store (tighter cuts are filters over the stored
+    * est ≥ 0.3 relation); the comparison is joins of duplicate-sized
+    * label relations — no corpus-scale work beyond the shared front
+    * end. */
+  def dedupClusterStability(spark: SparkSession, sfDir: String): DataFrame = {
+    val l05 = DedupOps.sharedCcLabels(spark, sfDir)
+    val l06 = ClusterOps.connectedComponents(
+      DedupOps.sharedPairs(spark, sfDir, 0.6).select("id1", "id2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val evalPairs = DedupOps.sharedPairs(spark, sfDir, 0.3)
+      .select("id1", "id2")
+    def same(c1: Column, c2: Column): Column =
+      c1.isNotNull && c2.isNotNull && c1 === c2
+    val labeled = evalPairs
+      .join(l05.toDF("id1", "c05_1"), Seq("id1"), "left")
+      .join(l05.toDF("id2", "c05_2"), Seq("id2"), "left")
+      .join(l06.toDF("id1", "c06_1"), Seq("id1"), "left")
+      .join(l06.toDF("id2", "c06_2"), Seq("id2"), "left")
+      .select(same(col("c05_1"), col("c05_2")).as("s05"),
+        same(col("c06_1"), col("c06_2")).as("s06"))
+    val counts = labeled.agg(count(lit(1)).as("n_pairs_eval"),
+      sum(when(col("s05") && col("s06"), 1L).otherwise(0L)).as("same_both"),
+      sum(when(col("s05") && !col("s06"), 1L).otherwise(0L))
+        .as("pairs_only_loose"),
+      sum(when(!col("s05") && col("s06"), 1L).otherwise(0L))
+        .as("pairs_only_tight"))
+    val k05 = l05.agg(countDistinct(col("cluster_id")).as("n_clusters_loose"))
+    val k06 = l06.agg(countDistinct(col("cluster_id")).as("n_clusters_tight"))
+    counts.crossJoin(broadcast(k05)).crossJoin(broadcast(k06))
+      .withColumn("agreement_ppm", expr(
+        """(n_pairs_eval - pairs_only_loose - pairs_only_tight) * 1000000
+           div n_pairs_eval"""))
+  }
+
+  val dedupClusterStabilitySql: String =
+    s"""WITH RECURSIVE ${DedupOps.minhashSqlCtes},
+       |p05 AS MATERIALIZED (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |p06 AS MATERIALIZED (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.6),
+       |e05 AS (SELECT id1 AS a, id2 AS b FROM p05
+       |  UNION SELECT id2, id1 FROM p05),
+       |e06 AS (SELECT id1 AS a, id2 AS b FROM p06
+       |  UNION SELECT id2, id1 FROM p06),
+       |r05(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e05) n
+       |  UNION SELECT r.a, e.b FROM r05 r JOIN e05 e ON r.b = e.a),
+       |r06(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e06) n
+       |  UNION SELECT r.a, e.b FROM r06 r JOIN e06 e ON r.b = e.a),
+       |l05 AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id
+       |  FROM r05 GROUP BY a),
+       |l06 AS MATERIALIZED (SELECT a AS doc_id, min(b) AS cluster_id
+       |  FROM r06 GROUP BY a),
+       |ev AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.3),
+       |flags AS MATERIALIZED (
+       |  SELECT
+       |    (a1.cluster_id IS NOT NULL AND a2.cluster_id IS NOT NULL
+       |      AND a1.cluster_id = a2.cluster_id) AS s05,
+       |    (b1.cluster_id IS NOT NULL AND b2.cluster_id IS NOT NULL
+       |      AND b1.cluster_id = b2.cluster_id) AS s06
+       |  FROM ev
+       |  LEFT JOIN l05 a1 ON a1.doc_id = ev.id1
+       |  LEFT JOIN l05 a2 ON a2.doc_id = ev.id2
+       |  LEFT JOIN l06 b1 ON b1.doc_id = ev.id1
+       |  LEFT JOIN l06 b2 ON b2.doc_id = ev.id2),
+       |c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs_eval,
+       |    CAST(sum(CASE WHEN s05 AND s06 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS same_both,
+       |    CAST(sum(CASE WHEN s05 AND NOT s06 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pairs_only_loose,
+       |    CAST(sum(CASE WHEN NOT s05 AND s06 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pairs_only_tight
+       |  FROM flags),
+       |k5 AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT)
+       |  AS n_clusters_loose FROM l05),
+       |k6 AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT)
+       |  AS n_clusters_tight FROM l06)
+       |SELECT n_pairs_eval, same_both, pairs_only_loose, pairs_only_tight,
+       |  n_clusters_loose, n_clusters_tight,
+       |  (n_pairs_eval - pairs_only_loose - pairs_only_tight) * 1000000
+       |    // n_pairs_eval AS agreement_ppm
+       |FROM c CROSS JOIN k5 CROSS JOIN k6""".stripMargin
+
   // ---------------------------------------------------------------- C23
   /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
     * maximal stopword-free token runs, word score = degree/frequency
@@ -1098,6 +1195,7 @@ object Round9Ops {
     "q_mann_whitney" -> qMannWhitney _,
     "q_survival_km" -> qSurvivalKm _,
     "text_rake" -> textRake _,
+    "dedup_cluster_stability" -> dedupClusterStability _,
     "sketch_reservoir" -> sketchReservoir _,
     "etl_cdc_diff" -> etlCdcDiff _,
     "dedup_kcore" -> dedupKcore _,
@@ -1112,6 +1210,7 @@ object Round9Ops {
     "q_mann_whitney" -> qMannWhitneySql,
     "q_survival_km" -> qSurvivalKmSql,
     "text_rake" -> textRakeSql,
+    "dedup_cluster_stability" -> dedupClusterStabilitySql,
     "sketch_reservoir" -> sketchReservoirSql,
     "etl_cdc_diff" -> etlCdcDiffSql,
     "dedup_kcore" -> dedupKcoreSql,

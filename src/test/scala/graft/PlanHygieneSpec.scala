@@ -125,6 +125,8 @@ class PlanHygieneSpec extends SparkSuite {
       "crossJoin(broadcast(1-row superset-verified-count scalar))",
     "q_survival_km" -> ("crossJoin(broadcast(1-row corpus-max-ts + "
       + "1-row user-count scalars))"),
+    "dedup_cluster_stability" ->
+      "crossJoin(broadcast(1-row cluster-count scalars)) ×2",
     "sketch_bloom_calibration" -> ("crossJoin(broadcast(3-row m-config "
       + "relation)) on build+probe sides + crossJoin(broadcast(1-row "
       + "member count))"),

@@ -197,6 +197,17 @@ class Round9Spec extends SparkSuite {
     }
   }
 
+  test("dedup_cluster_stability: tightening the threshold refines the clustering") {
+    val r = Round9Ops.dedupClusterStability(spark, sf).collect()(0)
+    // same cluster under 0.6 implies connected via >=0.6 edges, all of
+    // which exist at 0.5 -> same cluster under 0.5. A violation means
+    // the closures disagree on shared edges.
+    assert(r.getAs[Long]("pairs_only_tight") == 0L)
+    assert(r.getAs[Long]("agreement_ppm") <= 1000000L)
+    assert(r.getAs[Long]("n_pairs_eval") >=
+      r.getAs[Long]("same_both") + r.getAs[Long]("pairs_only_loose"))
+  }
+
   test("etl_cdc_diff: churn counts derive from the snapshot construction") {
     val o = Tables.orders(spark, sf)
     val n3 = o.filter(col("o_orderkey") % 10 === 3).count()  // inserts
