@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+import graft.functions.gf
+
+/** Second round-9 widening (SURVEY.md §2 rows A29, B75, D24): URL
+  * canonicalization for the crawl frontier, an l-diversity privacy
+  * audit beside B66's k-anonymity, and an EXACT set-similarity join
+  * via prefix filtering (AllPairs/PPJoin family, Bayardo et al.
+  * WWW'07) — the zero-false-negative alternative to the D2 MinHash-LSH
+  * candidate generator.
+  *
+  * Scale discipline (100 TB): URL work is a narrow scan-side
+  * projection plus one group-by on the canonical key; the prefix join
+  * shuffles only 8-byte shingle hashes and bounds its candidate
+  * fan-out by the prefix-filter theorem (a pair with Jaccard ≥ τ MUST
+  * share a token among each side's rarest (n − ⌈τ·n⌉ + 1) tokens);
+  * verification is confined to the candidate relation via the shared
+  * D4 exact kernel. Text never shuffles.
+  */
+object Round9bOps {
+
+  // ---------------------------------------------------------------- A29
+  /** URL canonicalization + variant report — the crawl-frontier dedup
+    * step the reference's scraper (web_scrape.py:78-111 walks fixed
+    * page URLs) never needed but any multi-source crawl does: scheme
+    * and host case-folded, default :80 port stripped, fragments
+    * dropped, `utm_*` tracking parameters removed, surviving query
+    * parameters sorted, trailing slash stripped. Output is one row
+    * per canonical page with how many raw URLs (and distinct raw
+    * spellings) collapse onto it — the fan-in a frontier dedups on.
+    *
+    * The corpus has no URL column, so raw URLs are derived
+    * deterministically per doc (same discipline as C21's derived line
+    * structure): scheme/host case, port, trailing slash, tracking
+    * params, param ORDER, and fragment all vary by doc_id residues,
+    * while the underlying page identity is (source, doc_id mod 50,
+    * v = doc_id mod 3 when params are present). Canonicalization is
+    * genuine string parsing — the derivation only supplies variety.
+    *
+    * Scale: canonicalization is a narrow per-row projection (no UDF —
+    * regexp + higher-order array functions, all codegen'd); the one
+    * shuffle is the group-by on the canonical key. At 100 TB the
+    * frontier would group on a 64-bit hash of the canonical form and
+    * keep one exemplar string; here the canonical URL IS the output
+    * key, so it groups directly. */
+  /** Lowercased host with any `:80` default port stripped. */
+  def urlDomain(u: Column): Column = regexp_replace(
+    lower(regexp_extract(regexp_replace(u, "#.*$", ""),
+      "^[A-Za-z]+://([^/?#]+)", 1)), ":80$", "")
+
+  /** The canonicalization kernel: case-fold scheme+host, strip :80,
+    * drop fragment, drop `utm_*` params, sort surviving params, strip
+    * trailing slash. Pure column expression (codegen'd, no UDF);
+    * IDEMPOTENT — canonicalize∘canonicalize ≡ canonicalize, spec-pinned
+    * (`Round9bSpec`), the property a frontier needs to mix already-
+    * canonical and raw URLs in one stream. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = urlDomain(u)
+    val pathq = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^#]*)$", 1)
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/$", "")
+    val qs = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(qs, "&"),
+      p => !p.startsWith("utm_") && length(p) > 0))
+    concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  def etlUrlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val v = col("doc_id") % 3
+    val page = col("doc_id") % 50
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, "HTTP").otherwise("http"),
+      lit("://"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("WWW."), col("source"), lit(".Example.com")))
+        .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+      when(col("doc_id") % 5 === 0, ":80").otherwise(""),
+      lit("/p/"), page,
+      when(col("doc_id") % 7 === 0, "/").otherwise(""),
+      when(col("doc_id") % 4 === 0, concat(lit("?v="), v, lit("&utm_campaign=x")))
+        .when(col("doc_id") % 4 === 1, concat(lit("?utm_source=feed&v="), v))
+        .when(col("doc_id") % 4 === 2, concat(lit("?v="), v))
+        .otherwise(""),
+      when(col("doc_id") % 6 === 0, "#top").otherwise(""))
+    val withRaw = d.select(col("doc_id"), raw.as("raw_url"))
+    withRaw
+      .select(col("raw_url"), canonicalizeUrl(col("raw_url")).as("canon_url"),
+        urlDomain(col("raw_url")).as("domain"))
+      .groupBy("canon_url", "domain")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("raw_url")).as("n_variants"))
+  }
+
+  val etlUrlCanonicalSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' || source || '.Example.com'
+      |             ELSE 'www.' || source || '.example.com' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+      |    || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 4 = 0
+      |           THEN '?v=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+      |         WHEN doc_id % 4 = 1
+      |           THEN '?utm_source=feed&v=' || CAST(doc_id % 3 AS VARCHAR)
+      |         WHEN doc_id % 4 = 2 THEN '?v=' || CAST(doc_id % 3 AS VARCHAR)
+      |         ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS raw_url
+      |  FROM documents),
+      |parsed AS (
+      |  SELECT raw_url,
+      |    regexp_replace(raw_url, '#.*$', '') AS nofrag
+      |  FROM raw),
+      |parts AS (
+      |  SELECT raw_url,
+      |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_replace(
+      |      lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
+      |      ':80$', '') AS host,
+      |    regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^#]*)$', 1) AS pathq
+      |  FROM parsed),
+      |canon AS (
+      |  SELECT raw_url, host AS domain,
+      |    scheme || '://' || host
+      |    || regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '')
+      |    || (CASE WHEN len(kept) > 0
+      |             THEN '?' || array_to_string(kept, '&') ELSE '' END)
+      |      AS canon_url
+      |  FROM (SELECT raw_url, scheme, host, pathq,
+      |          list_sort(list_filter(
+      |            string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      |            p -> p NOT LIKE 'utm_%' AND len(p) > 0)) AS kept
+      |        FROM parts))
+      |SELECT canon_url, domain, count(*) AS n_raw,
+      |  count(DISTINCT raw_url) AS n_variants
+      |FROM canon GROUP BY canon_url, domain""".stripMargin
+
+  // ---------------------------------------------------------------- B75
+  /** l-diversity audit — the privacy lens B66's k-anonymity misses: a
+    * quasi-identifier class can be large (k-anonymous) yet expose its
+    * members because every row carries the SAME sensitive value.
+    * Classes are (mktsegment, nation) over customers joined to their
+    * orders; the sensitive attribute is o_orderpriority; a class
+    * passes at l ≥ 3 distinct sensitive values (Machanavajjhala et
+    * al., ICDE'06). Output: per-class size, distinct-sensitive count,
+    * and the pass flag — the table a release gate reads.
+    *
+    * Scale: one equi-join (customer side broadcastable at any
+    * realistic dimension size) and one group-by; COUNT(DISTINCT) is
+    * Spark's two-phase partial-distinct aggregate, so the shuffle
+    * carries (class, priority) pairs — bounded by |classes|·|priority
+    * domain|, not by orders. */
+  def qLDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("o_orderpriority")).as("l_distinct"))
+      .withColumn("l_ok",
+        when(col("l_distinct") >= 3, 1L).otherwise(0L))
+  }
+
+  val qLDiversitySql: String =
+    """SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+      |  count(DISTINCT o_orderpriority) AS l_distinct,
+      |  CAST(CASE WHEN count(DISTINCT o_orderpriority) >= 3
+      |       THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- D24
+  /** Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08) — the third candidate
+    * generator in the dedup family and the only EXACT one: D2's
+    * MinHash-LSH trades false negatives for speed, D4 verifies inside
+    * LSH candidates (inheriting their recall); prefix filtering has
+    * recall 1.0 BY THEOREM. Order each doc's 3-shingle set by global
+    * document frequency (rarest first); a pair with Jaccard ≥ τ must
+    * share at least one token within each side's first
+    * n − ⌈τ·n⌉ + 1 tokens, so the candidate join runs only on those
+    * prefixes. Candidates are then verified with the SHARED D4 exact
+    * kernel (one definition of Jaccard per engine). τ = 0.8.
+    *
+    * Scale: the document-frequency relation is vocabulary-bounded and
+    * the prefix equi-join shuffles 8-byte hashes; prefix length is
+    * ~n/5 at τ=0.8, and rarest-first ordering makes prefix tokens the
+    * LOW-fan-out ones — the theorem bounds recall, the ordering
+    * bounds cost. The per-doc position window partitions by doc_id
+    * (never global). Verification re-scans the corpus once via the
+    * shared kernel; a production run would reuse the shingle scan
+    * across both phases (the run-shared store discipline). */
+  def dedupPrefixJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val post = docs
+      .select(col("doc_id"),
+        explode(array_distinct(gf.shingle_md5_h32(col("text"), 3))).as("h"))
+    val dfreq = post.groupBy("h").agg(count(lit(1)).as("d"))
+    val sized = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pos = post.join(dfreq, "h")
+      .withColumn("p", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("d"), col("h"))))
+    val pref = pos.join(sized, "doc_id")
+      .filter(col("p") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    DedupOps.ngramJaccardPipeline(docs, 0.8, cand)
+  }
+
+  val dedupPrefixJoinSql: String = {
+    s"""WITH ${DedupOps.corpusSql},
+       |${DedupOps.shingleSqlCtes("corpus")},
+       |dfreq AS (SELECT h, count(*) AS d FROM shh GROUP BY h),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+       |pos AS (
+       |  SELECT s.doc_id, s.h, z.n,
+       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.d, s.h) AS p
+       |  FROM shh s JOIN dfreq f ON f.h = s.h
+       |  JOIN sizes z ON z.doc_id = s.doc_id),
+       |pref AS (
+       |  SELECT doc_id, h FROM pos
+       |  WHERE p <= n - ((4 * n + 4) // 5) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM pref a JOIN pref b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS i
+       |  FROM cand c
+       |  JOIN shh h1 ON h1.doc_id = c.id1
+       |  JOIN shh h2 ON h2.doc_id = c.id2 AND h2.h = h1.h
+       |  GROUP BY c.id1, c.id2)
+       |SELECT i.id1, i.id2,
+       |  CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) AS jaccard
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.id1
+       |JOIN sizes s2 ON s2.doc_id = i.id2
+       |WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.8""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_url_canonical" -> etlUrlCanonical _,
+    "q_l_diversity" -> qLDiversity _,
+    "dedup_prefix_join" -> dedupPrefixJoin _)
+
+  def oracleSql: Map[String, String] = Map(
+    "etl_url_canonical" -> etlUrlCanonicalSql,
+    "q_l_diversity" -> qLDiversitySql,
+    "dedup_prefix_join" -> dedupPrefixJoinSql)
+}

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectColumnar(_ => new GraftColumnarAffineRule)
   }
 }
 

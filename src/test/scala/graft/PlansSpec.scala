@@ -181,4 +181,33 @@ class ExtensionsSpec extends SparkSuite {
     val optimized = selfHamming(spark).queryExecution.optimizedPlan.toString
     assert(optimized.contains("graft_hamming64"), optimized)
   }
+
+  test("H16: marked affine projection executes COLUMNAR over the parquet scan, bit-equal to the row twin") {
+    import graft.plans.GraftColumnarAffineExec
+    val docs = Tables.documents(extSpark, sf)
+    val q = docs.select(col("doc_id"),
+      (col("n_chars") * 3L + 7L).as("graft_vscore"))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val plan = q.queryExecution.executedPlan
+    val nodes = plan.collect { case g: GraftColumnarAffineExec => g }
+    assert(nodes.nonEmpty, s"columnar rule did not fire:\n$plan")
+    // the path genuinely ran batch-wise: metrics counted batches/rows
+    assert(nodes.head.metrics("numBatches").value > 0, "no batches processed")
+    assert(nodes.head.metrics("numRows").value == docs.count())
+    // the row transition sits ABOVE our node (arithmetic stayed columnar)
+    assert(plan.toString.contains("ColumnarToRow"), plan.toString)
+    // unmarked twin takes the ordinary row/codegen path...
+    val twinDf = docs.select(col("doc_id"),
+      (col("n_chars") * 3L + 7L).as("vscore"))
+    assert(twinDf.queryExecution.executedPlan.collect {
+      case g: GraftColumnarAffineExec => g }.isEmpty, "rule overreached")
+    // ...and agrees bit-for-bit
+    val twin = twinDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(twin))
+    // base session (no extension): rule absent there too
+    assert(Tables.documents(spark, sf)
+      .select((col("n_chars") * 3L + 7L).as("graft_vscore"))
+      .queryExecution.executedPlan.collect {
+        case g: GraftColumnarAffineExec => g }.isEmpty)
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Second-batch round-9 invariants: idempotence of the URL
+  * canonicalization kernel, the l-diversity bound, and the
+  * prefix-filter theorem (recall 1.0 vs brute force) for D24. */
+class Round9bSpec extends SparkSuite {
+
+  test("etl_url_canonical: kernel is idempotent and the report conserves the corpus") {
+    val rep = Round9bOps.etlUrlCanonical(spark, sf)
+    // canonical URLs survive a second canonicalization unchanged —
+    // the property that lets a frontier mix raw and canonical input
+    val notFixed = rep
+      .select(col("canon_url"),
+        Round9bOps.canonicalizeUrl(col("canon_url")).as("twice"))
+      .filter(col("canon_url") =!= col("twice"))
+      .count()
+    assert(notFixed == 0L, s"$notFixed canonical URLs not a fixpoint")
+    // conservation: every doc lands in exactly one canonical bucket
+    val (nRaw, nDocs) = (
+      rep.agg(sum("n_raw")).collect()(0).getLong(0),
+      Tables.documents(spark, sf).count())
+    assert(nRaw == nDocs, s"report covers $nRaw raws for $nDocs docs")
+    // variants collapse: fan-in is real (some page has >1 raw spelling)
+    assert(rep.filter(col("n_variants") > 1).count() > 0,
+      "derivation produced no actual URL variety")
+    // domains are case-folded and port-stripped
+    assert(rep.filter(col("domain").rlike("[A-Z]|:80$")).count() == 0)
+  }
+
+  test("q_l_diversity: l bounded by class size and the sensitive domain") {
+    val rows = Round9bOps.qLDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (size, l, ok) = (r.getAs[Long]("class_size"),
+        r.getAs[Long]("l_distinct"), r.getAs[Long]("l_ok"))
+      assert(l >= 1 && l <= size, s"l=$l outside [1, $size]")
+      assert(l <= 5, s"l=$l exceeds the 5-value priority domain")
+      assert(ok == (if (l >= 3) 1L else 0L))
+    }
+  }
+
+  test("dedup_prefix_join: exactly the brute-force Jaccard>=0.8 pairs (prefix-filter recall is 1.0 by theorem)") {
+    import graft.functions.gf
+    val docs = DedupOps.corpus(Tables.documents(spark, sf))
+    val post = docs.select(col("doc_id"),
+      explode(array_distinct(gf.shingle_md5_h32(col("text"), 3))).as("h"))
+    val sized = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // brute force: every pair sharing >=1 shingle, exact Jaccard
+    val inter = post.as("a").join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    val brute = inter
+      .join(sized.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sized.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i"))
+        >= 0.8)
+      .select("id1", "id2")
+    val got = Round9bOps.dedupPrefixJoin(spark, sf).select("id1", "id2")
+    assert(got.exceptAll(brute).isEmpty, "false positives vs brute force")
+    assert(brute.exceptAll(got).isEmpty,
+      "missed pairs — prefix filter must have recall 1.0")
+    assert(got.count() > 0, "corpus has planted dups; result must be non-empty")
+  }
+}
