@@ -268,6 +268,14 @@ object ScaleProbe {
           operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5)
             .select("id1", "id2"), 2, 8).count()),
         (n: Int) => replicateDocs(docs, n), docs),
+      // D24 prefix join: constant duplicate density keeps the true-pair
+      // volume linear; prefix tokens are the globally RAREST ~n/5 per
+      // doc, so the candidate equi-join's fan-out rides the df tail —
+      // cost should track the shingle scan + df agg, not pair volume
+      ("prefix_join",
+        (d: DataFrame) => time(operators.Round9bOps.prefixJoinPipeline(
+          d.select("doc_id", "text")).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
       // I11 q-digest: leaf count grows ~linearly with distinct prices,
       // but the digest stays ≤ ~1k nodes and the 20 rounds shrink
       // geometrically — cost should track the leaf aggregation scan

@@ -74,25 +74,33 @@ object Round9bOps {
         .otherwise(lit("")))
   }
 
+  /** The deterministic raw-URL derivation (shared by A29 and the G20
+    * streaming frontier twin): page identity is (source, id mod 50,
+    * v = id mod 3 when params present); everything else — case, port,
+    * slash, tracking params, param ORDER, fragment — is spelling
+    * variety keyed on id residues. */
+  def rawUrlCol(id: Column, source: Column): Column = {
+    val v = id % 3
+    val page = id % 50
+    concat(
+      when(id % 3 === 0, "HTTP").otherwise("http"),
+      lit("://"),
+      when(id % 2 === 0, concat(lit("WWW."), source, lit(".Example.com")))
+        .otherwise(concat(lit("www."), source, lit(".example.com"))),
+      when(id % 5 === 0, ":80").otherwise(""),
+      lit("/p/"), page,
+      when(id % 7 === 0, "/").otherwise(""),
+      when(id % 4 === 0, concat(lit("?v="), v, lit("&utm_campaign=x")))
+        .when(id % 4 === 1, concat(lit("?utm_source=feed&v="), v))
+        .when(id % 4 === 2, concat(lit("?v="), v))
+        .otherwise(""),
+      when(id % 6 === 0, "#top").otherwise(""))
+  }
+
   def etlUrlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val v = col("doc_id") % 3
-    val page = col("doc_id") % 50
-    val raw = concat(
-      when(col("doc_id") % 3 === 0, "HTTP").otherwise("http"),
-      lit("://"),
-      when(col("doc_id") % 2 === 0,
-        concat(lit("WWW."), col("source"), lit(".Example.com")))
-        .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
-      when(col("doc_id") % 5 === 0, ":80").otherwise(""),
-      lit("/p/"), page,
-      when(col("doc_id") % 7 === 0, "/").otherwise(""),
-      when(col("doc_id") % 4 === 0, concat(lit("?v="), v, lit("&utm_campaign=x")))
-        .when(col("doc_id") % 4 === 1, concat(lit("?utm_source=feed&v="), v))
-        .when(col("doc_id") % 4 === 2, concat(lit("?v="), v))
-        .otherwise(""),
-      when(col("doc_id") % 6 === 0, "#top").otherwise(""))
-    val withRaw = d.select(col("doc_id"), raw.as("raw_url"))
+    val withRaw = d.select(col("doc_id"),
+      rawUrlCol(col("doc_id"), col("source")).as("raw_url"))
     withRaw
       .select(col("raw_url"), canonicalizeUrl(col("raw_url")).as("canon_url"),
         urlDomain(col("raw_url")).as("domain"))
@@ -101,8 +109,12 @@ object Round9bOps {
         countDistinct(col("raw_url")).as("n_variants"))
   }
 
-  val etlUrlCanonicalSql: String =
-    """WITH raw AS (
+  /** The derivation + canonicalization CTE chain (raw → parsed →
+    * parts → canon), the SQL mirror of `rawUrlCol` ∘ `canonicalizeUrl`
+    * — ONE definition shared by the A29 oracle and the G20 streaming
+    * frontier twin's oracle. */
+  val urlCanonSqlCtes: String =
+    """raw AS (
       |  SELECT doc_id,
       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'http' END)
       |    || '://'
@@ -142,10 +154,15 @@ object Round9bOps {
       |          list_sort(list_filter(
       |            string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
       |            p -> p NOT LIKE 'utm_%' AND len(p) > 0)) AS kept
-      |        FROM parts))
-      |SELECT canon_url, domain, count(*) AS n_raw,
-      |  count(DISTINCT raw_url) AS n_variants
-      |FROM canon GROUP BY canon_url, domain""".stripMargin
+      |        FROM parts))""".stripMargin
+
+  // NB: concatenation, NOT an interpolated stripMargin template — the
+  // CTE body's `|| '…'` concat lines would lose a pipe to stripMargin.
+  val etlUrlCanonicalSql: String =
+    "WITH " + urlCanonSqlCtes + "\n" +
+      """SELECT canon_url, domain, count(*) AS n_raw,
+        |  count(DISTINCT raw_url) AS n_variants
+        |FROM canon GROUP BY canon_url, domain""".stripMargin
 
   // ---------------------------------------------------------------- B75
   /** l-diversity audit — the privacy lens B66's k-anonymity misses: a
@@ -181,6 +198,69 @@ object Round9bOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment, c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- B76
+  /** Gini concentration index of order values per market segment —
+    * the inequality lens on revenue concentration (is a segment's
+    * revenue spread across orders or carried by a few?), beside B58's
+    * Pareto frontier and B69's skew profile. Classic rank formula:
+    * G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) over values sorted ascending.
+    *
+    * Exactness discipline: order values become exact integer CENTS
+    * (2-dp doubles, ×100 round is exact), ranks are per-segment
+    * row_numbers with a unique (cents, orderkey) order, and both Σ
+    * accumulate into Decimal(38,0) ↔ HUGEINT (Σ r·x overflows BIGINT
+    * near SF 100 — the B70 advisor lesson applied up front; headroom
+    * to ~1e38 ≈ SF 10⁶). The single float step — the final division —
+    * is mirrored VERBATIM (numerator/denominator each cast exact→
+    * double, one multiply, one divide, floor) so both engines make
+    * the identical IEEE decisions; output is integer ppm.
+    *
+    * Scale: one broadcastable dimension join, a per-segment
+    * (partitioned) rank window, one group-by. Nothing global. */
+  def qGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val x = Tables.orders(spark, sfDir)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey").as("tie"))
+    giniPipeline(x).withColumnRenamed("seg", "c_mktsegment")
+  }
+
+  /** Rank-formula Gini over (seg, cents, tie) — shared by the query
+    * surface and the `Round9bSpec` closed-form cases. */
+  def giniPipeline(x: DataFrame): DataFrame = {
+    val ranked = x.withColumn("r", row_number().over(
+      Window.partitionBy("seg").orderBy(col("cents"), col("tie"))))
+    ranked.groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum((col("r").cast("long") * col("cents")).cast("decimal(38,0)"))
+          .as("srx"))
+      .select(col("seg"), col("n"),
+        expr("""CAST(floor((1000000.0 * CAST(2 * srx - (n + 1) * sx AS DOUBLE))
+                / CAST(n * sx AS DOUBLE)) AS BIGINT)""").as("gini_ppm"))
+  }
+
+  val qGiniSql: String =
+    """WITH x AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT seg, cents,
+      |    row_number() OVER (PARTITION BY seg ORDER BY cents, o_orderkey) AS r
+      |  FROM x),
+      |a AS (
+      |  SELECT seg, count(*) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS sx,
+      |    sum(CAST(r AS HUGEINT) * cents) AS srx
+      |  FROM r GROUP BY seg)
+      |SELECT seg AS c_mktsegment, n,
+      |  CAST(floor((1000000.0 * CAST(2 * srx - (n + 1) * sx AS DOUBLE))
+      |       / CAST(n * sx AS DOUBLE)) AS BIGINT) AS gini_ppm
+      |FROM a""".stripMargin
+
   // ---------------------------------------------------------------- D24
   /** Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
     * Bayardo et al. WWW'07; Xiao et al. WWW'08) — the third candidate
@@ -202,8 +282,13 @@ object Round9bOps {
     * (never global). Verification re-scans the corpus once via the
     * shared kernel; a production run would reuse the shingle scan
     * across both phases (the run-shared store discipline). */
-  def dedupPrefixJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = DedupOps.corpus(Tables.documents(spark, sfDir))
+  def dedupPrefixJoin(spark: SparkSession, sfDir: String): DataFrame =
+    prefixJoinPipeline(DedupOps.corpus(Tables.documents(spark, sfDir)))
+
+  /** The full prefix-filter pipeline over an arbitrary (doc_id, text)
+    * relation at τ=0.8 — shared by the query surface and the ×N
+    * `ScaleProbe`. */
+  def prefixJoinPipeline(docs: DataFrame): DataFrame = {
     val post = docs
       .select(col("doc_id"),
         explode(array_distinct(gf.shingle_md5_h32(col("text"), 3))).as("h"))
@@ -219,7 +304,7 @@ object Round9bOps {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    DedupOps.ngramJaccardPipeline(docs, 0.8, cand)
+    DedupOps.ngramJaccardPipeline(docs.select("doc_id", "text"), 0.8, cand)
   }
 
   val dedupPrefixJoinSql: String = {
@@ -256,10 +341,12 @@ object Round9bOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_url_canonical" -> etlUrlCanonical _,
     "q_l_diversity" -> qLDiversity _,
+    "q_gini" -> qGini _,
     "dedup_prefix_join" -> dedupPrefixJoin _)
 
   def oracleSql: Map[String, String] = Map(
     "etl_url_canonical" -> etlUrlCanonicalSql,
     "q_l_diversity" -> qLDiversitySql,
+    "q_gini" -> qGiniSql,
     "dedup_prefix_join" -> dedupPrefixJoinSql)
 }

@@ -974,6 +974,52 @@ object StreamingTwins {
   val streamingQdigestSql: String =
     graft.operators.SketchOps.sketchQdigestSql
 
+  // --------------------------------------------------------------- G20
+  /** Streaming URL-frontier dedup — A29's canonicalization kernel over
+    * a document STREAM with stateful first-seen dedup (`dropDuplicates`
+    * on the canonical key): the crawl-frontier shape where raw URLs
+    * arrive continuously and only never-seen canonical pages pass to
+    * fetch scheduling. The corpus is staged as two micro-batch files
+    * split mid-stream, so the seen-set must carry across batch
+    * boundaries; the emitted columns are (canon_url, domain) — domain
+    * is a function of the canonical key, so the emitted SET is
+    * batch-boundary invariant and the oracle is the batch derivation's
+    * DISTINCT (shared CTE chain, one canonicalization definition per
+    * engine). State note: the seen-set grows with distinct pages —
+    * that is what a frontier is; at 100 TB this runs on the RocksDB
+    * state store, with `dropDuplicatesWithinWatermark` bounding state
+    * to the recrawl horizon when re-fetch is eventually allowed. */
+  def streamingUrlFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = stagedFrontier.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft_stream_frontier").toString
+      val docs = Tables.documents(spark, sfDir)
+        .select($"doc_id", $"source").coalesce(1)
+      docs.filter($"doc_id" % 2 === 0).write.parquet(s"$d/batch_0")
+      docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$d/batch_1")
+      d
+    })
+    val src = spark.readStream.schema(frontierSchema).parquet(s"$dir/batch_*")
+    val raw = graft.operators.Round9bOps.rawUrlCol($"doc_id", $"source")
+    val canon = src.select(
+      graft.operators.Round9bOps.canonicalizeUrl(raw).as("canon_url"),
+      graft.operators.Round9bOps.urlDomain(raw).as("domain"))
+    runToCompletion(canon.dropDuplicates("canon_url"), "append",
+      "twin_frontier")
+  }
+
+  private val stagedFrontier =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val frontierSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType)))
+
+  // concatenation, not an interpolated stripMargin template — the CTE
+  // body's `|| '…'` concat lines would lose a pipe to stripMargin
+  val streamingUrlFrontierSql: String =
+    "WITH " + graft.operators.Round9bOps.urlCanonSqlCtes + "\n" +
+      "SELECT DISTINCT canon_url, domain FROM canon"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_qdigest" -> streamingQdigest _,
     "streaming_semi_join" -> streamingSemiJoin _,
@@ -982,6 +1028,7 @@ object StreamingTwins {
     "streaming_upsert_sink" -> streamingUpsertSink _,
     "streaming_log_histogram" -> streamingLogHistogram _,
     "streaming_index_refresh" -> streamingIndexRefresh _,
+    "streaming_url_frontier" -> streamingUrlFrontier _,
     "streaming_band_probe" -> streamingBandProbe _,
     "streaming_session_window" -> streamingSessionWindow _,
     "streaming_left_join" -> streamingLeftJoin _,
@@ -1003,6 +1050,7 @@ object StreamingTwins {
     "streaming_upsert_sink" -> streamingUpsertSinkSql,
     "streaming_log_histogram" -> streamingLogHistogramSql,
     "streaming_index_refresh" -> streamingIndexRefreshSql,
+    "streaming_url_frontier" -> streamingUrlFrontierSql,
     "streaming_band_probe" -> streamingBandProbeSql,
     "streaming_session_window" -> streamingSessionWindowSql,
     "streaming_left_join" -> streamingLeftJoinSql,

@@ -43,6 +43,35 @@ class Round9bSpec extends SparkSuite {
     }
   }
 
+  test("q_gini: closed forms — uniform values give exactly 0; one concentrated value gives (n-1)/n") {
+    import spark.implicits._
+    // uniform: 2*sum(r*x) = x*n*(n+1) = (n+1)*sum(x) -> numerator exactly 0
+    val uniform = (1 to 100).map(i => ("u", 500L, i.toLong))
+      .toDF("seg", "cents", "tie")
+    val u = Round9bOps.giniPipeline(uniform).collect().head
+    assert(u.getAs[Long]("gini_ppm") == 0L)
+    // all mass on one order: G = (n-1)/n exactly; ppm floor of 99/100
+    val spike = (1 to 99).map(i => ("s", 0L, i.toLong)) :+ (("s", 700L, 100L))
+    val s = Round9bOps.giniPipeline(spike.toDF("seg", "cents", "tie"))
+      .collect().head
+    assert(s.getAs[Long]("gini_ppm") == 990000L, s.toString)
+    // real data: all segments in [0, 1e6)
+    Round9bOps.qGini(spark, sf).collect().foreach { r =>
+      val g = r.getAs[Long]("gini_ppm")
+      assert(g >= 0L && g < 1000000L, s"gini out of range: $r")
+    }
+  }
+
+  test("streaming_url_frontier: emitted set equals the batch distinct canonical pages") {
+    val got = graft.streaming.StreamingTwins.streamingUrlFrontier(spark, sf)
+    val batch = Round9bOps.etlUrlCanonical(spark, sf)
+      .select("canon_url", "domain")
+    assert(got.exceptAll(batch).isEmpty, "streamed a non-existent page")
+    assert(batch.exceptAll(got).isEmpty, "frontier missed a canonical page")
+    // dedup is real: fewer emitted rows than raw docs
+    assert(got.count() < Tables.documents(spark, sf).count())
+  }
+
   test("dedup_prefix_join: exactly the brute-force Jaccard>=0.8 pairs (prefix-filter recall is 1.0 by theorem)") {
     import graft.functions.gf
     val docs = DedupOps.corpus(Tables.documents(spark, sf))
