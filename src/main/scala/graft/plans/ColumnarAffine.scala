@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{ColumnarRule, ProjectExec, SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+import graft.functions.{GraftHash, RollingHash64}
 
 /** H16 — the VECTORIZED executor path, Scala-native (SURVEY §2 H16).
   *
@@ -19,11 +21,15 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * already produce `ColumnarBatch`es; ordinarily Spark inserts a
   * `ColumnarToRow` directly above the scan and every operator
   * touches one row at a time. This rule keeps the batch: a marked
-  * affine projection (`graft_vscore* = attr * m + c` over LongType,
-  * plus LongType passthroughs) is replaced by
-  * [[GraftColumnarAffineExec]], which consumes the scan's batches
-  * and computes the projection in a tight per-vector loop — the
-  * transition to rows happens AFTER the arithmetic, one node higher.
+  * projection (`graft_vscore* = attr * m + c` over LongType, or
+  * `graft_vhash* = graft_rolling_hash64(attr)` over StringType —
+  * the dedup scan front end's hash kernel — plus LongType
+  * passthroughs) is replaced by [[GraftColumnarAffineExec]], which
+  * consumes the scan's batches and computes the projection in a
+  * tight per-vector loop — the transition to rows happens AFTER the
+  * compute, one node higher. The hash lane calls the IDENTICAL
+  * static `GraftHash` kernel codegen calls per row, so bit-equality
+  * with the row path is by construction.
   *
   * Scope is honest and narrow: only the marked affine-over-long shape
   * vectorizes (the demo kernel), everything else is untouched, and
@@ -72,6 +78,17 @@ case class GraftColumnarAffineExec(projectList: Seq[NamedExpression],
             while (i < n) { // copy (don't alias) — scans recycle batches
               if (in.isNullAt(i)) out.putNull(i)
               else out.putLong(i, in.getLong(i))
+              i += 1
+            }
+          case Alias(e, _) if GraftAffineToColumnar.hashArg(e).isDefined =>
+            // vectorized string-hash lane: the IDENTICAL static kernel
+            // codegen calls per row, minus the row pipeline around it
+            val attr = GraftAffineToColumnar.hashArg(e).get
+            val in = batch.column(childOutput.indexWhere(_.exprId == attr.exprId))
+            var i = 0
+            while (i < n) {
+              if (in.isNullAt(i)) out.putNull(i)
+              else out.putLong(i, GraftHash.rolling64(in.getUTF8String(i)))
               i += 1
             }
           case Alias(e, _) =>
@@ -124,10 +141,23 @@ object GraftAffineToColumnar extends Rule[SparkPlan] {
       case _ => None
     }
 
+  /** Matches `graft_rolling_hash64(attr)` over StringType — the
+    * vectorized hash lane (same static kernel codegen calls per row,
+    * so equality with the row path is by construction). */
+  private[plans] def hashArg(e: Expression): Option[AttributeReference] =
+    e match {
+      case RollingHash64(a: AttributeReference) if a.dataType == StringType =>
+        Some(a)
+      case _ => None
+    }
+
+  private def marked(al: Alias): Boolean =
+    (al.name.startsWith("graft_vscore") && affine(al.child).isDefined) ||
+      (al.name.startsWith("graft_vhash") && hashArg(al.child).isDefined)
+
   private def eligible(ne: NamedExpression): Boolean = ne match {
     case a: AttributeReference => a.dataType == LongType
-    case al @ Alias(e, _) => al.name.startsWith("graft_vscore") &&
-      affine(e).isDefined
+    case al: Alias => marked(al)
     case _ => false
   }
 
@@ -135,8 +165,7 @@ object GraftAffineToColumnar extends Rule[SparkPlan] {
     plan.transformUp {
       case ProjectExec(pl, child)
           if child.supportsColumnar &&
-            pl.exists { case al: Alias => al.name.startsWith("graft_vscore")
-              case _ => false } &&
+            pl.exists { case al: Alias => marked(al); case _ => false } &&
             pl.forall(eligible) =>
         GraftColumnarAffineExec(pl, child)
     }

@@ -210,4 +210,23 @@ class ExtensionsSpec extends SparkSuite {
       .queryExecution.executedPlan.collect {
         case g: GraftColumnarAffineExec => g }.isEmpty)
   }
+
+  test("H16: vectorized string-hash lane computes the rolling hash batch-wise, bit-equal to the codegen row path") {
+    import graft.plans.GraftColumnarAffineExec
+    val docs = Tables.documents(extSpark, sf)
+    val q = docs.select(col("doc_id"),
+      gf.rolling_hash64(col("text")).as("graft_vhash"))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val nodes = q.queryExecution.executedPlan.collect {
+      case g: GraftColumnarAffineExec => g }
+    assert(nodes.nonEmpty, q.queryExecution.executedPlan.toString)
+    assert(nodes.head.metrics("numBatches").value > 0)
+    // unmarked alias -> the ordinary whole-stage-codegen row path
+    val twinDf = docs.select(col("doc_id"),
+      gf.rolling_hash64(col("text")).as("h"))
+    assert(twinDf.queryExecution.executedPlan.collect {
+      case g: GraftColumnarAffineExec => g }.isEmpty)
+    val twin = twinDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(twin))
+  }
 }
