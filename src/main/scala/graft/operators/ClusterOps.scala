@@ -218,7 +218,7 @@ object ClusterOps {
     * iterative min-label propagation converges to. Exactness
     * additionally pinned by ClusterSpec against a brute-force
     * union-find. */
-  private val componentsSqlCtes: String =
+  private[operators] val componentsSqlCtes: String =
     s"""${DedupOps.minhashSqlCtes},
        |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
        |edges AS (

@@ -338,15 +338,90 @@ object Round9bOps {
        |WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.8""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D25
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the D-family's second closure algorithm
+    * beside D6's label propagation + pointer jumping. Each round
+    * rewires edges toward component minima: large-star hangs every
+    * neighbor LARGER than the center onto the neighborhood minimum;
+    * small-star hangs the not-larger neighborhood onto its minimum.
+    * The edge set provably converges to per-component stars rooted at
+    * the minimum id in O(log² n) rounds (O(log n) observed) —
+    * DIAMETER-INDEPENDENT, unlike plain propagation's O(diameter):
+    * the property that matters when a 100 TB near-dup graph chains
+    * (template drift) rather than cliques.
+    *
+    * Convergence is verified (edge set unchanged — two anti-joins of
+    * the duplicate-sized relation), and non-convergence throws rather
+    * than silently returning a partial labeling (the D6 discipline).
+    * Output is the (doc_id, cluster_id) label relation; the oracle is
+    * the recursive-closure `lab` relation — hash equality proves the
+    * contraction computes EXACTLY the transitive closure's min-id
+    * labeling. Spec additionally pins equality with D6's
+    * `connectedComponents` on chain/star/clique shapes.
+    *
+    * Scale: every round is two (groupBy + equi-join) passes over the
+    * duplicate-sized edge relation, lineage-truncated; nothing ever
+    * fans out beyond the neighborhood minima being attached. */
+  def dedupCcTwostar(spark: SparkSession, sfDir: String): DataFrame =
+    twoStarComponents(
+      DedupOps.dedupMinhashLsh(spark, sfDir).select("id1", "id2"))
+
+  def twoStarComponents(pairs: DataFrame, maxIter: Int = 12): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("x").as("a"), col("y").as("b"))
+        .unionByName(e.select(col("y").as("a"), col("x").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    var edges = sym(pairs.select(col("id1").as("x"), col("id2").as("y")))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the full neighborhood: m = min(N(u) ∪ {u});
+      // every neighbor v > u re-hangs onto m
+      val mLarge = edges.groupBy("a")
+        .agg(least(min(col("b")), col("a")).as("m"))
+      val large = edges.join(mLarge, "a").filter(col("b") > col("a"))
+        .select(col("b").as("x"), col("m").as("y"))
+      val e1 = sym(large).localCheckpoint(true)
+      // SMALL-STAR over the not-larger neighborhood: centers keep
+      // their own edge to m, smaller neighbors re-hang onto m
+      val smallIn = e1.filter(col("b") < col("a"))
+      val mSmall = smallIn.groupBy("a").agg(min(col("b")).as("m"))
+      val withM = smallIn.join(mSmall, "a")
+      val small = withM.select(col("b").as("x"), col("m").as("y"))
+        .unionByName(withM.select(col("a").as("x"), col("m").as("y")))
+      val e2 = sym(small).localCheckpoint(true)
+      val changed = e2.exceptAll(edges).limit(1).count() +
+        edges.exceptAll(e2).limit(1).count()
+      edges = e2
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"two-star contraction did not converge in $maxIter rounds")
+    // converged edges are stars rooted at component minima
+    edges.groupBy(col("a").as("doc_id"))
+      .agg(least(min(col("b")), col("a")).as("cluster_id"))
+  }
+
+  val dedupCcTwostarSql: String =
+    s"""WITH RECURSIVE ${ClusterOps.componentsSqlCtes}
+       |SELECT doc_id, cluster_id FROM lab""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_url_canonical" -> etlUrlCanonical _,
     "q_l_diversity" -> qLDiversity _,
     "q_gini" -> qGini _,
+    "dedup_cc_twostar" -> dedupCcTwostar _,
     "dedup_prefix_join" -> dedupPrefixJoin _)
 
   def oracleSql: Map[String, String] = Map(
     "etl_url_canonical" -> etlUrlCanonicalSql,
     "q_l_diversity" -> qLDiversitySql,
     "q_gini" -> qGiniSql,
+    "dedup_cc_twostar" -> dedupCcTwostarSql,
     "dedup_prefix_join" -> dedupPrefixJoinSql)
 }

@@ -72,6 +72,30 @@ class Round9bSpec extends SparkSuite {
     assert(got.count() < Tables.documents(spark, sf).count())
   }
 
+  test("dedup_cc_twostar: two-star contraction equals label propagation on chain, star, clique, and the real pair graph") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3-4-5 (diameter stress), star 10<-{11,12,13},
+    // clique {20,21,22}, pair {30,31}
+    val shapes = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L))
+      .toDF("id1", "id2")
+    val two = labels(Round9bOps.twoStarComponents(shapes))
+    val prop = labels(ClusterOps.connectedComponents(shapes))
+    assert(two == prop, s"two-star $two vs propagation $prop")
+    assert(two(5L) == 1L && two(13L) == 10L && two(22L) == 20L)
+    // real graph: both algorithms produce the identical labeling
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf).select("id1", "id2")
+      .persist()
+    try {
+      val a = Round9bOps.twoStarComponents(pairs)
+      val b = ClusterOps.connectedComponents(pairs)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    } finally pairs.unpersist()
+  }
+
   test("dedup_prefix_join: exactly the brute-force Jaccard>=0.8 pairs (prefix-filter recall is 1.0 by theorem)") {
     import graft.functions.gf
     val docs = DedupOps.corpus(Tables.documents(spark, sf))
