@@ -250,10 +250,18 @@ object DedupOps {
   /** Same, with the candidate relation supplied (the query surface
     * passes the run-shared store's pairs; probes build inline). */
   def ngramJaccardPipeline(docs: DataFrame, threshold: Double,
-      candidates: DataFrame): DataFrame = {
-    val shingled = docs.select(col("doc_id"),
+      candidates: DataFrame): DataFrame =
+    ngramJaccardVerify(docs.select(col("doc_id"),
       gf.shingle_md5_h32(col("text"), 3).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, candidates)
+
+  /** The verify kernel over a PRE-SHINGLED (doc_id, sh) relation — the
+    * one exact-Jaccard definition on the Spark side; callers that
+    * already scanned/shingled the corpus (D24's prefix phase) pass
+    * their relation instead of paying a second text scan. */
+  def ngramJaccardVerify(shingled: DataFrame, threshold: Double,
+      candidates: DataFrame): DataFrame = {
     val s1 = shingled.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val s2 = shingled.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     candidates.join(s1, "id1").join(s2, "id2")

@@ -279,9 +279,9 @@ object Round9bOps {
     * ~n/5 at τ=0.8, and rarest-first ordering makes prefix tokens the
     * LOW-fan-out ones — the theorem bounds recall, the ordering
     * bounds cost. The per-doc position window partitions by doc_id
-    * (never global). Verification re-scans the corpus once via the
-    * shared kernel; a production run would reuse the shingle scan
-    * across both phases (the run-shared store discipline). */
+    * (never global), and the corpus is shingled ONCE — the persisted
+    * relation feeds both the prefix phase and the shared verify
+    * kernel. */
   def dedupPrefixJoin(spark: SparkSession, sfDir: String): DataFrame =
     prefixJoinPipeline(DedupOps.corpus(Tables.documents(spark, sfDir)))
 
@@ -289,9 +289,14 @@ object Round9bOps {
     * relation at τ=0.8 — shared by the query surface and the ×N
     * `ScaleProbe`. */
   def prefixJoinPipeline(docs: DataFrame): DataFrame = {
-    val post = docs
-      .select(col("doc_id"),
-        explode(array_distinct(gf.shingle_md5_h32(col("text"), 3))).as("h"))
+    // shingle ONCE: the persisted (doc_id, sh) relation feeds both the
+    // prefix candidate phase (as exploded postings) and the shared
+    // exact-verify kernel — one text scan for the whole operator
+    val shingled = docs.select(col("doc_id"),
+      gf.shingle_md5_h32(col("text"), 3).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val post = shingled
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("h"))
     val dfreq = post.groupBy("h").agg(count(lit(1)).as("d"))
     val sized = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pos = post.join(dfreq, "h")
@@ -304,7 +309,7 @@ object Round9bOps {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    DedupOps.ngramJaccardPipeline(docs.select("doc_id", "text"), 0.8, cand)
+    DedupOps.ngramJaccardVerify(shingled, 0.8, cand)
   }
 
   val dedupPrefixJoinSql: String = {
