@@ -194,6 +194,14 @@ object ScaleProbe {
           operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5))
           .count()),
         (n: Int) => replicateDocs(docs, n), docs),
+      // two-star contraction CC (D25): same input as cc_closure — the
+      // head-to-head of the two closure algorithms; rounds are
+      // diameter-independent, each two linear passes over the edges
+      ("cc_twostar",
+        (d: DataFrame) => time(operators.Round9bOps.twoStarComponents(
+          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5)
+            .select("id1", "id2")).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
       // triangle census: constant duplicate density → pair graph grows
       // linearly; degree orientation bounds the wedge join's fan-out by
       // oriented out-degree, so the census should track the LSH cost
