@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 
 import graft.operators._
 
@@ -29,6 +30,53 @@ class Round9bSpec extends SparkSuite {
       "derivation produced no actual URL variety")
     // domains are case-folded and port-stripped
     assert(rep.filter(col("domain").rlike("[A-Z]|:80$")).count() == 0)
+  }
+
+  test("etl_url_canonical: property — spellings differing only in case/port/order/tracking/fragment/slash canonicalize equal") {
+    import spark.implicits._
+    case class U(scheme: String, host: String, segs: List[String],
+      params: List[String], utm1: List[String], utm2: List[String])
+    val g: Gen[U] = for {
+      scheme <- Gen.oneOf("http", "https")
+      host <- Gen.oneOf("site.example.com", "a-b.example.org", "x.test")
+      segs <- Gen.listOfN(2, Gen.oneOf("Page", "p", "Q7", "idx"))
+        .map(_.take(2))
+      n <- Gen.choose(0, 3)
+      params <- Gen.pick(n, Seq("a=1", "b=2", "v=9", "zz=0")).map(_.toList)
+      utm1 <- Gen.someOf(Seq("utm_source=x", "utm_campaign=y")).map(_.toList)
+      utm2 <- Gen.someOf(Seq("utm_medium=z")).map(_.toList)
+    } yield U(scheme, host, segs, params, utm1, utm2)
+    def render(u: U, upcase: Boolean, port: Boolean, slash: Boolean,
+        frag: Boolean, utm: List[String], order: Boolean): String = {
+      val ps = (if (order) u.params.reverse else u.params) ++ utm
+      (if (upcase) u.scheme.toUpperCase else u.scheme) + "://" +
+        (if (upcase) u.host.toUpperCase else u.host) +
+        (if (port) ":80" else "") +
+        u.segs.map("/" + _).mkString +
+        (if (slash && u.segs.nonEmpty) "/" else "") +
+        (if (ps.nonEmpty) "?" + ps.mkString("&") else "") +
+        (if (frag) "#frag" else "")
+    }
+    val cases = Gen.listOfN(150, g).sample.getOrElse(Nil)
+    assert(cases.size >= 100)
+    val rows = cases.map { u =>
+      (render(u, upcase = false, port = false, slash = false, frag = false,
+        u.utm1, order = false),
+        render(u, upcase = true, port = true, slash = true, frag = true,
+          u.utm2, order = true))
+    }
+    val out = rows.toDF("u1", "u2").select(
+      Round9bOps.canonicalizeUrl(col("u1")).as("c1"),
+      Round9bOps.canonicalizeUrl(col("u2")).as("c2"),
+      Round9bOps.canonicalizeUrl(Round9bOps.canonicalizeUrl(col("u1")))
+        .as("cc1"),
+      col("u1"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"${r.getString(3)}: ${r.getString(0)} != ${r.getString(1)}")
+      assert(r.getString(0) == r.getString(2), s"not idempotent: $r")
+    }
   }
 
   test("q_l_diversity: l bounded by class size and the sensitive domain") {
