@@ -27,6 +27,9 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // graft extensions: inert except on marker column names — lets the
+      // vhash probes compare the H16 columnar lane vs the codegen row path
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read as long (pruned
       // away anyway — probes only use ids/type)
@@ -275,6 +278,24 @@ object ScaleProbe {
         (d: DataFrame) => time(operators.Round9Ops.kcorePipeline(
           operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5)
             .select("id1", "id2"), 2, 8).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // H16 columnar hash lane vs the codegen row path: same static
+      // GraftHash kernel either way; the columnar form skips the row
+      // pipeline (no per-row copy into UnsafeRow before the hash) at
+      // the price of per-batch output-vector allocation — measured,
+      // not assumed (the honest number for the §5 H16 note)
+      // (toRdd.count, not an agg: an aggregate above would collapse the
+      // projection and leave no ProjectExec for the rule to match —
+      // toRdd keeps the projection as the plan's output node)
+      ("vhash_columnar",
+        (d: DataFrame) => time(d.select(col("doc_id"),
+          graft.functions.gf.rolling_hash64(col("text")).as("graft_vhash"))
+          .queryExecution.toRdd.count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      ("vhash_row",
+        (d: DataFrame) => time(d.select(col("doc_id"),
+          graft.functions.gf.rolling_hash64(col("text")).as("h"))
+          .queryExecution.toRdd.count()),
         (n: Int) => replicateDocs(docs, n), docs),
       // D24 prefix join: constant duplicate density keeps the true-pair
       // volume linear; prefix tokens are the globally RAREST ~n/5 per
