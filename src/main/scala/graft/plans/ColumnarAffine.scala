@@ -42,10 +42,15 @@ import graft.functions.{GraftHash, RollingHash64}
   * two's-complement like codegen does. TRY mode is excluded by the
   * matcher.
   *
-  * At 100 TB this is the pattern that matters, not the constant: the
-  * scan's columnar output feeds the compute without per-row
-  * boxing/virtual calls, and `numBatches`/`numRows` SQL metrics prove
-  * the path executed batch-wise (spec-pinned, `ExtensionsSpec`:
+  * Measured honestly (§5 probe, vhash_columnar vs vhash_row): the
+  * marginal per-row cost EQUALS the codegen row path's — the shared
+  * static kernel dominates both pipelines — and the lane pays ~0.35 s
+  * fixed overhead (no codegen fusion, per-batch vector allocation).
+  * So on this box the lane is the correctness-proven PLUMBING of the
+  * vectorized path, not a throughput win; the slope only separates
+  * under a SIMD (jdk.incubator.vector) or GPU kernel — the backend
+  * class `injectColumnar` exists to host. `numBatches`/`numRows` SQL
+  * metrics prove batch-wise execution (spec-pinned, `ExtensionsSpec`:
   * plan shape, metrics, and bit-equality with the row twin).
   */
 case class GraftColumnarAffineExec(projectList: Seq[NamedExpression],
