@@ -261,6 +261,75 @@ object Round9bOps {
       |       / CAST(n * sx AS DOUBLE)) AS BIGINT) AS gini_ppm
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- B77
+  /** Bootstrap confidence interval for the mean purchase value by
+    * DETERMINISTIC hash subsampling — the uncertainty quantification
+    * B65/B73's parametric tests assume away (no normality needed),
+    * in the merge-friendly form distributed systems actually use
+    * (Kleiner et al.'s Bag of Little Bootstraps and Poisson-bootstrap
+    * streaming estimators are this family). B = 32 half-sample
+    * replicates: replicate b includes a row iff bit b of the row's
+    * portable md5-h32 is set — each replicate is a deterministic
+    * ~n/2 subsample, so the whole expansion collapses map-side into
+    * 32 (count, sum) partials and nothing row-sized ever shuffles.
+    * CI = 2nd and 31st order statistics of the 32 replicate means
+    * (≈ 94% nominal; half-sampling widens the interval by ~√2 vs the
+    * full n-bootstrap — subsampling à la Politis-Romano, documented
+    * conservative, not hidden).
+    *
+    * Exactness: values in integer cents, replicate sums are exact
+    * BIGINTs, the replicate mean is the one mirrored float division,
+    * and the order statistics tie-break on replicate id. */
+  def qBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        gf.h32(concat(lit("boot:"), col("event_id"))).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rs = ev
+      .select(col("cents"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .filter(expr("(shiftright(h, b) & 1) = 1"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_b"), sum(col("cents")).as("s_b"))
+    val m = rs
+      .withColumn("mean_b", col("s_b").cast("double") / col("n_b"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("mean_b"), col("b"))))
+    val tot = ev.agg(count(lit(1)).as("n"),
+      (sum(col("cents")).cast("double") / count(lit(1))).as("mean"))
+    tot
+      .crossJoin(broadcast(m.filter(col("r") === 2)
+        .select(col("mean_b").as("ci_lo"))))
+      .crossJoin(broadcast(m.filter(col("r") === 31)
+        .select(col("mean_b").as("ci_hi"))))
+      .select(lit(32L).as("n_resamples"), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  val qBootstrapCiSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT AS h
+      |  FROM events WHERE event_type = 'purchase'),
+      |ex AS (
+      |  SELECT cents, b FROM ev, range(32) t(b)
+      |  WHERE ((h >> CAST(b AS INT)) & 1) = 1),
+      |rs AS (SELECT b, count(*) AS n_b, sum(cents) AS s_b FROM ex GROUP BY b),
+      |m AS (
+      |  SELECT b, CAST(s_b AS DOUBLE) / n_b AS mean_b,
+      |    row_number() OVER (ORDER BY CAST(s_b AS DOUBLE) / n_b, b) AS r
+      |  FROM rs),
+      |tot AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(cents) AS DOUBLE) / count(*) AS mean
+      |  FROM ev)
+      |SELECT CAST(32 AS BIGINT) AS n_resamples, tot.n, tot.mean,
+      |  lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+      |FROM tot, (SELECT mean_b FROM m WHERE r = 2) lo,
+      |  (SELECT mean_b FROM m WHERE r = 31) hi""".stripMargin
+
   // ---------------------------------------------------------------- D24
   /** Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin,
     * Bayardo et al. WWW'07; Xiao et al. WWW'08) — the third candidate
@@ -420,6 +489,7 @@ object Round9bOps {
     "etl_url_canonical" -> etlUrlCanonical _,
     "q_l_diversity" -> qLDiversity _,
     "q_gini" -> qGini _,
+    "q_bootstrap_ci" -> qBootstrapCi _,
     "dedup_cc_twostar" -> dedupCcTwostar _,
     "dedup_prefix_join" -> dedupPrefixJoin _)
 
@@ -427,6 +497,7 @@ object Round9bOps {
     "etl_url_canonical" -> etlUrlCanonicalSql,
     "q_l_diversity" -> qLDiversitySql,
     "q_gini" -> qGiniSql,
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "dedup_cc_twostar" -> dedupCcTwostarSql,
     "dedup_prefix_join" -> dedupPrefixJoinSql)
 }

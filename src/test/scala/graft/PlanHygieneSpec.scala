@@ -50,7 +50,10 @@ class PlanHygieneSpec extends SparkSuite {
       + "count; the value-level cumsum is partition-local)"),
     "q_survival_km" -> ("risk-set / survival-product cumulative windows "
       + "over the per-day relation: calendar-bounded (≤ corpus span in "
-      + "days) regardless of corpus size"))
+      + "days) regardless of corpus size"),
+    "q_bootstrap_ci" -> ("order-statistic rank window over the "
+      + "replicate-mean relation: exactly 32 rows (B=32 bootstrap "
+      + "replicates) regardless of input size"))
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */
@@ -85,6 +88,8 @@ class PlanHygieneSpec extends SparkSuite {
     "event_cooccurrence" -> "crossJoin(broadcast(1-row user count))",
     "q11_important_parts" -> "crossJoin(broadcast(1-row total-value scalar))",
     "q22_dormant_value" -> "crossJoin(broadcast(1-row avg-acctbal scalar))",
+    "q_bootstrap_ci" -> ("crossJoin(broadcast(1-row ci_lo)) + "
+      + "crossJoin(broadcast(1-row ci_hi)) onto the 1-row totals"),
     "sketch_hll_distinct" -> "crossJoin(broadcast(1-row alpha/m constants))",
     "sketch_kmv_setops" -> ("source-pair matrix src1 < src2: |sources|² "
       + "pairs, |sources| ≤ 10"),

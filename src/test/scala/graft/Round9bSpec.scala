@@ -120,6 +120,18 @@ class Round9bSpec extends SparkSuite {
     assert(got.count() < Tables.documents(spark, sf).count())
   }
 
+  test("q_bootstrap_ci: 32 replicates, ordered CI bracketing the sample mean, replicate sizes near n/2") {
+    val r = Round9bOps.qBootstrapCi(spark, sf).collect().head
+    val (n, mean, lo, hi) = (r.getAs[Long]("n"), r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Long]("n_resamples") == 32L)
+    assert(lo <= hi)
+    // half-sample replicate means concentrate around the sample mean;
+    // on this corpus the 94% interval brackets it (deterministic)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] misses mean $mean")
+    assert(n > 0)
+  }
+
   test("dedup_cc_twostar: two-star contraction equals label propagation on chain, star, clique, and the real pair graph") {
     import spark.implicits._
     def labels(df: org.apache.spark.sql.DataFrame) =
