@@ -23,9 +23,15 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors: Seq[Int] =
       if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(5, 10)
+    // SPARK_GRAFT_PROBE_PARTITIONS: size the shuffle to the probed
+    // scale — a ×100 replica corpus on 32 partitions crosses the
+    // per-task sort-spill threshold, and naming that cause (vs taking
+    // the super-linear ratio at face value) needs the A/B
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTITIONS", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       // graft extensions: inert except on marker column names — lets the
       // vhash probes compare the H16 columnar lane vs the codegen row path
