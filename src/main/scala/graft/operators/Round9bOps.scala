@@ -453,22 +453,32 @@ object Round9bOps {
     var i = 0
     while (!converged && i < maxIter) {
       // LARGE-STAR over the full neighborhood: m = min(N(u) ∪ {u});
-      // every neighbor v > u re-hangs onto m
+      // every neighbor v > u re-hangs onto m. The min relation is
+      // |V|-sized — at scale it must NOT broadcast (measured: the
+      // size estimator under-calls it at ×50 replicas and the build
+      // OOMs the driver); shuffle_hash co-partitions it with the
+      // edge relation on the same key the groupBy just shuffled on
       val mLarge = edges.groupBy("a")
         .agg(least(min(col("b")), col("a")).as("m"))
-      val large = edges.join(mLarge, "a").filter(col("b") > col("a"))
+      val large = edges.join(mLarge.hint("shuffle_hash"), "a")
+        .filter(col("b") > col("a"))
         .select(col("b").as("x"), col("m").as("y"))
       val e1 = sym(large).localCheckpoint(true)
       // SMALL-STAR over the not-larger neighborhood: centers keep
       // their own edge to m, smaller neighbors re-hang onto m
       val smallIn = e1.filter(col("b") < col("a"))
       val mSmall = smallIn.groupBy("a").agg(min(col("b")).as("m"))
-      val withM = smallIn.join(mSmall, "a")
+      val withM = smallIn.join(mSmall.hint("shuffle_hash"), "a")
       val small = withM.select(col("b").as("x"), col("m").as("y"))
         .unionByName(withM.select(col("a").as("x"), col("m").as("y")))
       val e2 = sym(small).localCheckpoint(true)
-      val changed = e2.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(e2).limit(1).count()
+      // set equality via two anti-joins (both relations are distinct);
+      // exceptAll would let the planner broadcast a |E|-sized side
+      val changed =
+        e2.join(edges.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
+          .limit(1).count() +
+          edges.join(e2.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
+            .limit(1).count()
       edges = e2
       converged = changed == 0
       i += 1
