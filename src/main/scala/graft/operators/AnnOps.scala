@@ -167,7 +167,7 @@ object AnnOps {
     * it — is bit-identical, making the IVF layout oracle-checkable.
     * (The 1e-6 grid loses nothing that matters to cell assignment:
     * cells are a coarse partition to begin with.) */
-  private def quantize(v: Column): Column =
+  private[operators] def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
 
   /** IVF cell centroids on the quantized grid: per-dimension

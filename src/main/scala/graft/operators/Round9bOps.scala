@@ -412,6 +412,89 @@ object Round9bOps {
        |WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.8""".stripMargin
   }
 
+  // ---------------------------------------------------------------- J16
+  /** Coreset extraction by sensitivity-weighted PRIORITY SAMPLING —
+    * the data-selection primitive that keeps a provably useful small
+    * subset of a 100 TB embedding corpus (Bachem/Lucic/Krause's
+    * sensitivity framework for the weights, Duffield/Lund/Thorup
+    * priority sampling for the deterministic weighted
+    * without-replacement draw). Sensitivity proxy w(x) = d²(x,
+    * nearest standing centroid) + 1 on the E3 integer grid (outliers
+    * and cell-edge points carry the clustering cost — exactly the
+    * points a coreset must keep); priority = w / u with u = (h32+1)/2³²
+    * a deterministic hash-uniform, so there is NO RNG and both
+    * engines replay the draw bit-for-bit. The top-64 priorities are
+    * the sample; est_weight = max(w, τ) with τ the 65th priority —
+    * the Duffield estimator that makes Horvitz-Thompson sums
+    * unbiased.
+    *
+    * Scale: one broadcast-argmin assignment pass (the shared E3
+    * kernel), a narrow priority projection, and a TakeOrdered top-65
+    * (per-partition top-k + driver merge of 65 rows — NO global
+    * sort); the two windows after the cut run over exactly 65 rows
+    * (allowlisted). */
+  def sampleCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = AnnOps.ivfCentroids(emb)
+    val ad = emb.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        gf.l2sq_long(AnnOps.quantize(col("embedding")), col("centroid_q")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("dist2")),
+        struct(col("dist2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.dist2").as("d2"))
+    val pri = ad
+      .withColumn("h", gf.h32(concat(lit("core:"), col("vec_id"))))
+      .withColumn("priority", (col("d2") + 1).cast("double")
+        / ((col("h") + 1).cast("double") / lit(4294967296.0)))
+    val t = pri.orderBy(col("priority").desc, col("vec_id")).limit(65)
+    val w = Window.orderBy(col("priority").desc, col("vec_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t.withColumn("rn", row_number().over(w))
+      .withColumn("tau", min(col("priority")).over(wAll))
+      .filter(col("rn") <= 64)
+      .select(col("vec_id"), col("cell"), col("d2"),
+        greatest((col("d2") + 1).cast("double"), col("tau"))
+          .as("est_weight"))
+  }
+
+  val sampleCoresetSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label, dim,
+      |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
+      |  FROM embeddings, range(64) d(dim)),
+      |cent AS (
+      |  SELECT label AS cell, dim,
+      |    floor(CAST(sum(q) AS DOUBLE) / count(*))::BIGINT AS c
+      |  FROM qv GROUP BY label, dim),
+      |dist AS (
+      |  SELECT v.vec_id, c.cell,
+      |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS d2
+      |  FROM qv v JOIN cent c ON c.dim = v.dim
+      |  GROUP BY v.vec_id, c.cell),
+      |assign AS (
+      |  SELECT vec_id, cell, d2 FROM (
+      |    SELECT vec_id, cell, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |pri AS (
+      |  SELECT vec_id, cell, d2,
+      |    CAST(d2 + 1 AS DOUBLE)
+      |      / ((('0x' || substr(md5('core:' || CAST(vec_id AS VARCHAR)), 1, 8))
+      |           ::BIGINT + 1) / 4294967296.0) AS priority
+      |  FROM assign),
+      |t AS (SELECT * FROM pri ORDER BY priority DESC, vec_id LIMIT 65),
+      |r AS (
+      |  SELECT vec_id, cell, d2, priority,
+      |    row_number() OVER (ORDER BY priority DESC, vec_id) AS rn,
+      |    min(priority) OVER () AS tau
+      |  FROM t)
+      |SELECT vec_id, cell, d2,
+      |  greatest(CAST(d2 + 1 AS DOUBLE), tau) AS est_weight
+      |FROM r WHERE rn <= 64""".stripMargin
+
   // ---------------------------------------------------------------- D25
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce
@@ -500,6 +583,7 @@ object Round9bOps {
     "q_l_diversity" -> qLDiversity _,
     "q_gini" -> qGini _,
     "q_bootstrap_ci" -> qBootstrapCi _,
+    "sample_coreset" -> sampleCoreset _,
     "dedup_cc_twostar" -> dedupCcTwostar _,
     "dedup_prefix_join" -> dedupPrefixJoin _)
 
@@ -508,6 +592,7 @@ object Round9bOps {
     "q_l_diversity" -> qLDiversitySql,
     "q_gini" -> qGiniSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
+    "sample_coreset" -> sampleCoresetSql,
     "dedup_cc_twostar" -> dedupCcTwostarSql,
     "dedup_prefix_join" -> dedupPrefixJoinSql)
 }

@@ -53,7 +53,10 @@ class PlanHygieneSpec extends SparkSuite {
       + "days) regardless of corpus size"),
     "q_bootstrap_ci" -> ("order-statistic rank window over the "
       + "replicate-mean relation: exactly 32 rows (B=32 bootstrap "
-      + "replicates) regardless of input size"))
+      + "replicates) regardless of input size"),
+    "sample_coreset" -> ("rank + threshold-min windows over the "
+      + "post-TakeOrdered relation: exactly 65 rows (the m+1 "
+      + "priority-sampling cut) regardless of corpus size"))
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */
@@ -90,6 +93,8 @@ class PlanHygieneSpec extends SparkSuite {
     "q22_dormant_value" -> "crossJoin(broadcast(1-row avg-acctbal scalar))",
     "q_bootstrap_ci" -> ("crossJoin(broadcast(1-row ci_lo)) + "
       + "crossJoin(broadcast(1-row ci_hi)) onto the 1-row totals"),
+    "sample_coreset" ->
+      "crossJoin(broadcast(cell centroids)): ≤10 rows (E3 assignment kernel)",
     "sketch_hll_distinct" -> "crossJoin(broadcast(1-row alpha/m constants))",
     "sketch_kmv_setops" -> ("source-pair matrix src1 < src2: |sources|² "
       + "pairs, |sources| ≤ 10"),

@@ -132,6 +132,39 @@ class Round9bSpec extends SparkSuite {
     assert(n > 0)
   }
 
+  test("sample_coreset: top-64 by recomputed priority, Duffield weights, no duplicate draws") {
+    val out = Round9bOps.sampleCoreset(spark, sf).collect()
+    assert(out.length == 64)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 64)
+    // independently recompute every vector's priority and check the
+    // selected set IS the top-64 (deterministic draw, no RNG)
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val emb = Tables.embeddings(spark, sf)
+    val cents = AnnOps.ivfCentroids(emb)
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val pri = emb.crossJoin(bc(cents))
+      .withColumn("dist2", graft.functions.gf.l2sq_long(
+        quant, col("centroid_q")))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dist2")).as("d2"))
+      .withColumn("h", graft.functions.gf.h32(
+        concat(lit("core:"), col("vec_id"))))
+      .withColumn("p", (col("d2") + 1).cast("double")
+        / ((col("h") + 1).cast("double") / lit(4294967296.0)))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("p")))
+    val top64 = pri.sortBy { case (id, p) => (-p, id) }.take(64)
+      .map(_._1).toSet
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == top64)
+    // Duffield estimator: est_weight = max(w, tau) >= w, and every
+    // selected priority is >= tau (the 65th)
+    val tau = pri.sortBy { case (id, p) => (-p, id) }.apply(64)._2
+    out.foreach { r =>
+      val w = r.getAs[Long]("d2") + 1.0
+      assert(r.getAs[Double]("est_weight") == math.max(w, tau))
+    }
+  }
+
   test("dedup_cc_twostar: two-star contraction equals label propagation on chain, star, clique, and the real pair graph") {
     import spark.implicits._
     def labels(df: org.apache.spark.sql.DataFrame) =
