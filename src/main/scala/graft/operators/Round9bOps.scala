@@ -433,10 +433,12 @@ object Round9bOps {
     * (per-partition top-k + driver merge of 65 rows — NO global
     * sort); the two windows after the cut run over exactly 65 rows
     * (allowlisted). */
-  def sampleCoreset(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+  /** Nearest-standing-cell assignment carrying the squared distance —
+    * the E3 broadcast-argmin kernel with d² kept (shared by J16, its
+    * G21 streaming twin's join-back, and the spec). */
+  def assignWithD2(emb: DataFrame): DataFrame = {
     val cents = AnnOps.ivfCentroids(emb)
-    val ad = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .withColumn("dist2",
         gf.l2sq_long(AnnOps.quantize(col("embedding")), col("centroid_q")))
       .groupBy(col("vec_id"))
@@ -444,6 +446,10 @@ object Round9bOps {
         struct(col("dist2"), col("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.dist2").as("d2"))
+  }
+
+  def sampleCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    val ad = assignWithD2(Tables.embeddings(spark, sfDir))
     val pri = ad
       .withColumn("h", gf.h32(concat(lit("core:"), col("vec_id"))))
       .withColumn("priority", (col("d2") + 1).cast("double")

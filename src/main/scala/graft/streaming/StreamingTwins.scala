@@ -974,6 +974,91 @@ object StreamingTwins {
   val streamingQdigestSql: String =
     graft.operators.SketchOps.sketchQdigestSql
 
+  // --------------------------------------------------------------- G21
+  /** Streaming coreset maintenance — the WEIGHTED leg of the
+    * sample-the-firehose set (G19 keeps a uniform sample; this keeps
+    * J16's sensitivity-weighted one): each arriving vector computes
+    * its distance to the STANDING centroids (trained batch-side on
+    * the full corpus — the E11 encode-against-standing discipline)
+    * row-locally against a single broadcast centroid array, derives
+    * its deterministic hash-priority, and the streaming aggregation
+    * state is ONE bounded TopKAgg of the top-65 priorities —
+    * constant state no matter how long the stream runs. Priorities
+    * are fixed per item, so top-k of a union ≡ union of top-k's
+    * (I13's merge-order-independence, weighted): the final sample is
+    * batch-boundary invariant and the oracle is the batch J16 SQL
+    * VERBATIM — hash equality is itself the mergeability proof. The
+    * Duffield τ (the 65th priority) and the cell/d² join-back are
+    * computed on the 65-row result after the stream completes.
+    * (Priority ties across distinct vectors would need a double
+    * collision in w/u — hash-distinct u makes this ~2⁻⁵² per pair;
+    * the batch tie-break is (priority, vec_id) either way.) */
+  def streamingCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Round9bOps
+    val dir = stagedCoreset.computeIfAbsent(sfDir, { _ =>
+      val d = Files.createTempDirectory("graft_stream_coreset").toString
+      val emb = Tables.embeddings(spark, sfDir).coalesce(1)
+      emb.filter($"vec_id" % 2 === 0).write.parquet(s"$d/batch_0")
+      emb.filter($"vec_id" % 2 =!= 0).write.parquet(s"$d/batch_1")
+      val t0 = System.currentTimeMillis()
+      (0 to 1).foreach { i =>
+        val f = new java.io.File(s"$d/batch_$i")
+        (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      d
+    })
+    // standing centroids packed into ONE row: the stream side joins a
+    // broadcast single-row array — stateless, no stream-side shuffle
+    val centArr = graft.operators.AnnOps
+      .ivfCentroids(Tables.embeddings(spark, sfDir))
+      .agg(collect_list(struct($"cell", $"centroid_q")).as("cents"))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val src = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch_*")
+    val quant = transform($"embedding",
+      x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+    val withP = src.crossJoin(broadcast(centArr))
+      .withColumn("q", quant)
+      // row-local argmin over the ≤10-cell array: array_min on
+      // (d2, cell) structs IS the (dist, cell) tie-break
+      .withColumn("best", array_min(transform($"cents", c => struct(
+        graft.functions.gf.l2sq_long($"q", c.getField("centroid_q")).as("d2"),
+        c.getField("cell").as("cell")))))
+      .select($"vec_id", $"best.d2".as("d2"))
+      .withColumn("h",
+        graft.functions.gf.h32(concat(lit("core:"), $"vec_id")))
+      .withColumn("priority", ($"d2" + 1).cast("double")
+        / (($"h" + 1).cast("double") / lit(4294967296.0)))
+    val agg = withP.agg(
+      graft.functions.TopKAgg.top_k($"priority", $"vec_id", 65).as("top"))
+    val sink = runToCompletion(agg, "complete", "twin_coreset")
+    val sel = sink.select(explode($"top").as("t"))
+      .select($"t.v".as("priority"), $"t.id".as("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"priority".desc, $"vec_id")
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cut = sel.withColumn("rn", row_number().over(w))
+      .withColumn("tau", min($"priority").over(wAll))
+      .filter($"rn" <= 64)
+      .select($"vec_id", $"tau")
+    Round9bOps.assignWithD2(Tables.embeddings(spark, sfDir))
+      .join(broadcast(cut), "vec_id")
+      .select($"vec_id", $"cell", $"d2",
+        greatest(($"d2" + 1).cast("double"), $"tau").as("est_weight"))
+  }
+
+  private val stagedCoreset =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val streamingCoresetSql: String =
+    graft.operators.Round9bOps.sampleCoresetSql
+
   // --------------------------------------------------------------- G20
   /** Streaming URL-frontier dedup — A29's canonicalization kernel over
     * a document STREAM with stateful first-seen dedup (`dropDuplicates`
@@ -1029,6 +1114,7 @@ object StreamingTwins {
     "streaming_log_histogram" -> streamingLogHistogram _,
     "streaming_index_refresh" -> streamingIndexRefresh _,
     "streaming_url_frontier" -> streamingUrlFrontier _,
+    "streaming_coreset" -> streamingCoreset _,
     "streaming_band_probe" -> streamingBandProbe _,
     "streaming_session_window" -> streamingSessionWindow _,
     "streaming_left_join" -> streamingLeftJoin _,
@@ -1051,6 +1137,7 @@ object StreamingTwins {
     "streaming_log_histogram" -> streamingLogHistogramSql,
     "streaming_index_refresh" -> streamingIndexRefreshSql,
     "streaming_url_frontier" -> streamingUrlFrontierSql,
+    "streaming_coreset" -> streamingCoresetSql,
     "streaming_band_probe" -> streamingBandProbeSql,
     "streaming_session_window" -> streamingSessionWindowSql,
     "streaming_left_join" -> streamingLeftJoinSql,

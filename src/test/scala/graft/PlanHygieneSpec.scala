@@ -57,6 +57,10 @@ class PlanHygieneSpec extends SparkSuite {
     "sample_coreset" -> ("rank + threshold-min windows over the "
       + "post-TakeOrdered relation: exactly 65 rows (the m+1 "
       + "priority-sampling cut) regardless of corpus size"))
+  // streaming_coreset shares the same 65-row windows and ≤10-row
+  // centroid crosses post-sink, but streaming twins are excluded from
+  // the walk below (their plans embed a consumed memory sink), so the
+  // shape is documented here — the batch sample_coreset entry covers it.
 
   /** Queries allowed a non-equi (cartesian/BNLJ) join, with the
     * k-bound of the small side. */

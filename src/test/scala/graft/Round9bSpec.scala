@@ -165,6 +165,14 @@ class Round9bSpec extends SparkSuite {
     }
   }
 
+  test("streaming_coreset: streamed top-65 state reproduces the batch coreset exactly (weighted mergeability)") {
+    val stream = graft.streaming.StreamingTwins.streamingCoreset(spark, sf)
+    val batch = Round9bOps.sampleCoreset(spark, sf)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "streamed weighted sample diverged from the batch draw")
+    assert(stream.count() == 64)
+  }
+
   test("dedup_cc_twostar: two-star contraction equals label propagation on chain, star, clique, and the real pair graph") {
     import spark.implicits._
     def labels(df: org.apache.spark.sql.DataFrame) =
