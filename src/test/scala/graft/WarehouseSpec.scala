@@ -154,4 +154,71 @@ class WarehouseSpec extends SparkSuite {
     assert(totals.max - totals.min <= maxDocTokens,
       s"imbalance ${totals.max - totals.min} > max doc $maxDocTokens")
   }
+
+  test("A27 compaction plan EXECUTES: per-bin rewrite conserves rows/bytes and lands one file per bin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_exec").toString
+    // the "small files" input: one source's documents, written one
+    // row-group-ish file per doc via repartition on doc ranges
+    val src = graft.Tables.documents(spark, sf)
+      .filter($"source" === "src0")
+      .select($"source", $"doc_id", $"n_chars", $"text")
+    val plan = WarehouseOps.etlCompactionPlan(spark, sf)
+      .filter($"source" === "src0")
+      .select($"bin_id", $"first_doc", $"last_doc", $"n_files", $"bin_bytes")
+      .collect()
+    // execute: write each doc to its planned bin via a range join on
+    // the broadcast plan (bins are k-bounded per source), partitioned
+    // by bin_id — ONE output dir per bin, exactly what OPTIMIZE does
+    val binOf = src.join(
+      broadcast(plan.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("bin_id", "first_doc", "last_doc")),
+      $"doc_id" >= $"first_doc" && $"doc_id" <= $"last_doc")
+    binOf.repartition($"bin_id").write.partitionBy("bin_id")
+      .mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // conservation: every row lands in exactly one bin, bytes match
+    assert(back.count() == src.count())
+    // partition-column read-back infers INT — normalize to long
+    val gotBins = back.groupBy($"bin_id".cast("long").as("bin_id"))
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("b")).collect()
+      .map(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("n"), r.getAs[Long]("b")))
+      .sortBy(_._1)
+    val wantBins = plan.map(r => (r.getLong(0), r.getAs[Long]("n_files"),
+      r.getAs[Long]("bin_bytes"))).sortBy(_._1)
+    assert(gotBins.toSeq == wantBins.toSeq,
+      s"executed bins diverge from the plan")
+    // layout: one parquet data file per bin directory
+    plan.foreach { r =>
+      val files = new java.io.File(s"$dir/bin_id=${r.getLong(0)}")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"bin ${r.getLong(0)}: ${files.length} files")
+    }
+  }
+
+  test("schema evolution: mergeSchema unifies widened batches, null-fills, and pruning still reaches the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=0")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra")
+      .write.parquet(s"$dir/batch=1")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("batch", "extra", "id", "v"))
+    // old batch null-fills the widened column
+    val rows = df.orderBy($"id").collect()
+    assert(rows.length == 4)
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("extra"))))
+    assert(rows.drop(2).map(_.getAs[Long]("extra")).toSeq == Seq(30L, 40L))
+    // column pruning + filter pushdown survive the merged schema
+    val q = df.filter($"id" === 3L).select($"extra")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("IsNotNull(id)")
+      || scan.contains("EqualTo(id,3)"), scan)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(30L))
+  }
 }
