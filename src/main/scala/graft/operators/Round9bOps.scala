@@ -412,6 +412,107 @@ object Round9bOps {
        |WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.8""".stripMargin
   }
 
+  // ---------------------------------------------------------------- B79
+  /** Two-sample Kolmogorov-Smirnov test between the purchase and
+    * click value distributions — the SHAPE-sensitive nonparametric
+    * complement closing the test triad (B65 z-test: means under
+    * normality; B73 Mann-Whitney: location shifts; KS: ANY
+    * distributional difference, including variance/shape changes a
+    * rank test misses). D = sup|F_A − F_B| evaluated at every pooled
+    * distinct value.
+    *
+    * Exactness: the supremum numerator is the exact BIGINT
+    * max |n_B·cumA(v) − n_A·cumB(v)| (headroom n² ≈ 4·10¹⁴ at
+    * SF 100), located by the min-struct tie-break (largest
+    * difference, then smallest value — the B72 argmax discipline);
+    * D and the asymptotic λ = D·√(n_A·n_B/(n_A+n_B)) are the two
+    * mirrored float expressions, rounded 6 dp.
+    *
+    * Scale: the global ECDF cumsum runs with NO unpartitioned window —
+    * the B73/q_ntile distributedRank discipline (distinct values
+    * range-repartition; partition-local cumsums + broadcast 32-row
+    * offsets globalize both group counts in one pass). */
+  def qKsTest(spark: SparkSession, sfDir: String): DataFrame =
+    ksPipeline(Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value")))
+
+  /** KS over an (event_type ∈ {purchase, click}, value) relation —
+    * shared by the query surface and the `Round9bSpec` closed-form
+    * case. */
+  def ksPipeline(ab: DataFrame): DataFrame = {
+    val dv = ab.groupBy(col("value")).agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("na_v"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("nb_v"))
+    val part = dv.repartitionByRange(32, col("value"))
+      .withColumn("__pid", spark_partition_id())
+    val wloc = Window.partitionBy(col("__pid")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = part
+      .withColumn("__la", sum(col("na_v")).over(wloc))
+      .withColumn("__lb", sum(col("nb_v")).over(wloc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val woff = Window.partitionBy(lit(1)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("__pid"))
+      .agg(sum(col("na_v")).as("__pa"), sum(col("nb_v")).as("__pb"))
+      .withColumn("__offa", coalesce(sum(col("__pa")).over(woff), lit(0L)))
+      .withColumn("__offb", coalesce(sum(col("__pb")).over(woff), lit(0L)))
+      .select(col("__pid"), col("__offa"), col("__offb"))
+    val tot = dv.agg(sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"))
+    val m = local.join(broadcast(offs), "__pid")
+      .crossJoin(broadcast(tot))
+      .withColumn("absdiff", abs(
+        col("n_b") * (col("__offa") + col("__la"))
+          - col("n_a") * (col("__offb") + col("__lb"))))
+      .agg(min(struct((-col("absdiff")).as("nd"), col("value").as("v"),
+        col("n_a").as("na"), col("n_b").as("nb"))).as("m"))
+    m.select(col("m.na").as("n_a"), col("m.nb").as("n_b"),
+        (-col("m.nd")).as("d_num"), col("m.v").as("ks_at"))
+      .withColumn("ks",
+        round(col("d_num").cast("double") / (col("n_a") * col("n_b")), 6))
+      .withColumn("ks_lambda",
+        round((col("d_num").cast("double") / (col("n_a") * col("n_b")))
+          * sqrt((col("n_a").cast("double") * col("n_b"))
+            / (col("n_a") + col("n_b"))), 6))
+  }
+
+  val qKsTestSql: String =
+    """WITH ab AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE event_type IN ('purchase', 'click')),
+      |dv AS (
+      |  SELECT value,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na_v,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nb_v
+      |  FROM ab GROUP BY value),
+      |r AS (
+      |  SELECT value,
+      |    CAST(sum(na_v) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_a,
+      |    CAST(sum(nb_v) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_b
+      |  FROM dv),
+      |t AS (
+      |  SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+      |    CAST(sum(nb_v) AS BIGINT) AS n_b
+      |  FROM dv),
+      |d AS (
+      |  SELECT r.value, t.n_a, t.n_b,
+      |    abs(t.n_b * r.cum_a - t.n_a * r.cum_b) AS absdiff
+      |  FROM r, t)
+      |SELECT n_a, n_b, absdiff AS d_num, value AS ks_at,
+      |  round(CAST(absdiff AS DOUBLE) / (n_a * n_b), 6) AS ks,
+      |  round((CAST(absdiff AS DOUBLE) / (n_a * n_b))
+      |    * sqrt((CAST(n_a AS DOUBLE) * n_b) / (n_a + n_b)), 6) AS ks_lambda
+      |FROM d ORDER BY absdiff DESC, value LIMIT 1""".stripMargin
+
   // ---------------------------------------------------------------- J16
   /** Coreset extraction by sensitivity-weighted PRIORITY SAMPLING —
     * the data-selection primitive that keeps a provably useful small
@@ -589,6 +690,7 @@ object Round9bOps {
     "q_l_diversity" -> qLDiversity _,
     "q_gini" -> qGini _,
     "q_bootstrap_ci" -> qBootstrapCi _,
+    "q_ks_test" -> qKsTest _,
     "sample_coreset" -> sampleCoreset _,
     "dedup_cc_twostar" -> dedupCcTwostar _,
     "dedup_prefix_join" -> dedupPrefixJoin _)
@@ -598,6 +700,7 @@ object Round9bOps {
     "q_l_diversity" -> qLDiversitySql,
     "q_gini" -> qGiniSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
+    "q_ks_test" -> qKsTestSql,
     "sample_coreset" -> sampleCoresetSql,
     "dedup_cc_twostar" -> dedupCcTwostarSql,
     "dedup_prefix_join" -> dedupPrefixJoinSql)

@@ -51,6 +51,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_survival_km" -> ("risk-set / survival-product cumulative windows "
       + "over the per-day relation: calendar-bounded (≤ corpus span in "
       + "days) regardless of corpus size"),
+    "q_ks_test" -> ("prefix-sum offsets window over the "
+      + "per-range-partition count relation: ≤32 rows (the B73 "
+      + "distributedRank cumsum; the value-level ECDF cumsums are "
+      + "partition-local)"),
     "q_bootstrap_ci" -> ("order-statistic rank window over the "
       + "replicate-mean relation: exactly 32 rows (B=32 bootstrap "
       + "replicates) regardless of input size"),
@@ -97,6 +101,7 @@ class PlanHygieneSpec extends SparkSuite {
     "q22_dormant_value" -> "crossJoin(broadcast(1-row avg-acctbal scalar))",
     "q_bootstrap_ci" -> ("crossJoin(broadcast(1-row ci_lo)) + "
       + "crossJoin(broadcast(1-row ci_hi)) onto the 1-row totals"),
+    "q_ks_test" -> "crossJoin(broadcast(1-row group totals))",
     "sample_coreset" ->
       "crossJoin(broadcast(cell centroids)): ≤10 rows (E3 assignment kernel)",
     "sketch_hll_distinct" -> "crossJoin(broadcast(1-row alpha/m constants))",

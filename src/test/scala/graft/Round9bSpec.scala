@@ -165,6 +165,25 @@ class Round9bSpec extends SparkSuite {
     }
   }
 
+  test("q_ks_test: closed-form D on a constructed pair; bounds on real data") {
+    import spark.implicits._
+    // A={1,2,3,4}, B={3,4,5,6}: D=0.5, first attained at v=2
+    val ab = (Seq(1, 2, 3, 4).map(v => ("purchase", v.toDouble)) ++
+      Seq(3, 4, 5, 6).map(v => ("click", v.toDouble)))
+      .toDF("event_type", "value")
+    val r = Round9bOps.ksPipeline(ab).collect().head
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Long]("d_num") == 8L)
+    assert(r.getAs[Double]("ks") == 0.5)
+    assert(r.getAs[Double]("ks_at") == 2.0)
+    // real data: 0 <= ks <= 1, d_num <= n_a*n_b
+    val real = Round9bOps.qKsTest(spark, sf).collect().head
+    val (na, nb) = (real.getAs[Long]("n_a"), real.getAs[Long]("n_b"))
+    assert(real.getAs[Long]("d_num") <= na * nb)
+    val ks = real.getAs[Double]("ks")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
   test("streaming_coreset: streamed top-65 state reproduces the batch coreset exactly (weighted mergeability)") {
     val stream = graft.streaming.StreamingTwins.streamingCoreset(spark, sf)
     val batch = Round9bOps.sampleCoreset(spark, sf)
