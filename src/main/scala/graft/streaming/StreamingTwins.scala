@@ -1082,9 +1082,19 @@ object StreamingTwins {
         .select($"doc_id", $"source").coalesce(1)
       docs.filter($"doc_id" % 2 === 0).write.parquet(s"$d/batch_0")
       docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$d/batch_1")
+      // mtime-ordered + maxFilesPerTrigger(1) below: the two halves MUST
+      // replay as separate micro-batches, or the cross-batch seen-set
+      // claim would be untested (FileStreamSource otherwise takes all
+      // available files in the first batch)
+      val t0 = System.currentTimeMillis()
+      (0 to 1).foreach { i =>
+        val f = new java.io.File(s"$d/batch_$i")
+        (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
       d
     })
-    val src = spark.readStream.schema(frontierSchema).parquet(s"$dir/batch_*")
+    val src = spark.readStream.schema(frontierSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch_*")
     val raw = graft.operators.Round9bOps.rawUrlCol($"doc_id", $"source")
     val canon = src.select(
       graft.operators.Round9bOps.canonicalizeUrl(raw).as("canon_url"),
