@@ -297,7 +297,90 @@ object MultimodalOps {
       |       ELSE 'low' END AS entropy_class
       |FROM h GROUP BY doc_id, n_bytes""".stripMargin
 
+  // ---------------------------------------------------------------- F7
+  /** Payload size-anomaly triage — the "don't feed the decoder
+    * garbage" gate an ingest runs BEFORE decode: truncated downloads
+    * and concatenated/duplicated uploads surface as size outliers
+    * WITHIN their modality. Robust z on LOG-bytes (B54's median/MAD
+    * kernel): raw-byte MAD provably cannot flag the small side when
+    * median/MAD < cut/0.6745 — a truncated file is bounded at
+    * z ≈ −1.9 on this corpus — while the multiplicative log scale
+    * flags both tails; the Iglewicz-Hoaglin |z| > 3.5 cut. ln is
+    * integerized ONCE per row (round(1e6·ln bytes), the C8
+    * convention), so the medians interpolate over exact integers and
+    * the one remaining float expression is mirrored verbatim.
+    *
+    * The corpus's sizes are too regular to carry anomalies, so the
+    * staging PLANTS them (the E20/C22 plant-what-the-corpus-lacks
+    * discipline): doc_id ≡ 0 (mod 97) truncates to 16 bytes, ≡ 0
+    * (mod 89) concatenates ×8. Measured: every flag is a plant
+    * (zero false positives), every truncation flags, and small-base
+    * ×8 concats honestly do NOT (an 8× small file is still
+    * ordinary-sized — the log scale says so). Spec-pinned.
+    *
+    * Scale: payloads never shuffle — only (modality, log-size)
+    * pairs; medians swap to approx_percentile at 100 TB (B54's
+    * documented path). */
+  def mmSizeAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = Tables.documents(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % 97 === 0, substring(col("text"), 1, 16))
+          .when(col("doc_id") % 89 === 0,
+            concat(Seq.fill(8)(col("text")): _*))
+          .otherwise(col("text")))
+    val b0 = conv(hex(substring(payload, 1, 1)), 16, 10).cast("long")
+    val modality = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (b0 % 3 + 1).cast("int"))
+    val sized = staged.select(col("doc_id"), modality.as("modality"),
+      round(lit(1000000.0) * log(octet_length(payload).cast("double")))
+        .cast("long").as("log_bytes"))
+    val med = sized.groupBy(col("modality"))
+      .agg(expr("percentile(log_bytes, 0.5)").as("med"))
+    val mad = sized.join(broadcast(med), "modality")
+      .groupBy(col("modality"), col("med"))
+      .agg(expr("percentile(abs(log_bytes - med), 0.5)").as("mad"))
+      .filter(col("mad") > 0) // B54's zero-dispersion gate
+    sized.join(broadcast(mad), "modality")
+      .select(col("doc_id"), col("modality"), col("log_bytes"),
+        round(lit(0.6745) * (col("log_bytes") - col("med")) / col("mad"), 6)
+          .as("robust_z"))
+      .filter(abs(col("robust_z")) > 3.5)
+  }
+
+  val mmSizeAnomalySql: String =
+    """WITH staged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN substring(text, 1, 16)
+      |         WHEN doc_id % 89 = 0 THEN text || text || text || text
+      |           || text || text || text || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id,
+      |    CASE (('0x' || substr(hex(encode(text)), 1, 2))::BIGINT % 3)
+      |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+      |      AS modality,
+      |    CAST(round(1000000 * ln(octet_length(encode(text)))) AS BIGINT)
+      |      AS log_bytes
+      |  FROM staged),
+      |med AS (
+      |  SELECT modality, quantile_cont(log_bytes, 0.5) AS med
+      |  FROM sized GROUP BY 1),
+      |mad AS (
+      |  SELECT modality, med, mad FROM (
+      |    SELECT s.modality, med,
+      |      quantile_cont(abs(log_bytes - med), 0.5) AS mad
+      |    FROM sized s JOIN med USING (modality) GROUP BY 1, 2)
+      |  WHERE mad > 0),
+      |scored AS (
+      |  SELECT doc_id, s.modality, log_bytes,
+      |    round(0.6745 * (log_bytes - med) / mad, 6) AS robust_z
+      |  FROM sized s JOIN mad ON s.modality = mad.modality)
+      |SELECT * FROM scored WHERE abs(robust_z) > 3.5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_size_anomaly" -> mmSizeAnomaly _,
     "mm_byte_entropy" -> mmByteEntropy _,
     "mm_meta" -> mmMeta _,
     "mm_frame_sample" -> mmFrameSample _,
@@ -306,6 +389,7 @@ object MultimodalOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_size_anomaly" -> mmSizeAnomalySql,
     "mm_byte_entropy" -> mmByteEntropySql,
     "mm_meta" -> mmMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,

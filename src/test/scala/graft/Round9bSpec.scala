@@ -165,6 +165,26 @@ class Round9bSpec extends SparkSuite {
     }
   }
 
+  test("mm_size_anomaly: every flag is a plant, every truncation flags, small-base concats honestly pass") {
+    val flagged = MultimodalOps.mmSizeAnomaly(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("robust_z")))
+    assert(flagged.nonEmpty)
+    // zero false positives: only planted ids may flag
+    flagged.foreach { case (id, z) =>
+      assert(id % 97 == 0 || id % 89 == 0, s"unplanted doc $id flagged z=$z")
+    }
+    // the low side always flags: truncation to 16 bytes is extreme on
+    // the log scale for every base size
+    val truncated = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flaggedIds = flagged.map(_._1).toSet
+    assert(truncated.subsetOf(flaggedIds),
+      s"missed truncations: ${truncated -- flaggedIds}")
+    truncated.foreach(id =>
+      assert(flagged.find(_._1 == id).get._2 < -3.5))
+  }
+
   test("q_ks_test: closed-form D on a constructed pair; bounds on real data") {
     import spark.implicits._
     // A={1,2,3,4}, B={3,4,5,6}: D=0.5, first attained at v=2
