@@ -412,6 +412,86 @@ object Round9bOps {
        |WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.8""".stripMargin
   }
 
+  // ---------------------------------------------------------------- H17
+  /** Spatial grid-bucketed nearest-neighbor join — the geohash/S2
+    * pattern that makes "nearest X within radius r" an EQUI-join at
+    * any scale (the join family's missing spatial axis beside as-of
+    * (H1/H6) and interval-range (H4)): each probe point explodes to
+    * its 3×3 neighborhood of r-sized grid cells; candidates come from
+    * the cell equi-join ONLY; the containment theorem (any point
+    * within r of p lies in one of p's 9 cells when cell side = r)
+    * makes the bounded-NN result EXACT — spec-proven against the
+    * all-pairs brute force, which is also the DuckDB oracle.
+    *
+    * Coordinates derive deterministically per key on a power-of-2
+    * grid ((h32 mod 4096)·100/4096 — every value, difference, and
+    * squared distance is an EXACT double, so both engines make
+    * identical comparisons with zero trig/libm exposure). Nearest =
+    * min-struct (d², custkey). Suppliers with no customer within
+    * r = 5 are absent (bounded semantics, documented).
+    *
+    * Scale: probe side explodes ×9 scan-side; the only shuffle is the
+    * cell equi-join; candidate fan-out is bounded by cell occupancy
+    * (at 100 TB: pick r so cells hold ~O(1) neighbors, exactly how
+    * production geo-joins are tuned). Never all-pairs. */
+  def qGridKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def coord(prefix: String, id: Column): Column =
+      (gf.h32(concat(lit(prefix), id)) % 4096)
+        .cast("double") * lit(100.0) / lit(4096.0)
+    val s = Tables.supplier(spark, sfDir).select(col("s_suppkey"),
+      coord("gx:s", col("s_suppkey")).as("sx"),
+      coord("gy:s", col("s_suppkey")).as("sy"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"),
+      coord("gx:c", col("c_custkey")).as("cx"),
+      coord("gy:c", col("c_custkey")).as("cy"))
+      .withColumn("cellx", floor(col("cx") / 5.0))
+      .withColumn("celly", floor(col("cy") / 5.0))
+    val neighbors = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val sCells = s
+      .withColumn("bx", floor(col("sx") / 5.0))
+      .withColumn("by", floor(col("sy") / 5.0))
+      .withColumn("n", explode(neighbors))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        (col("bx") + col("n.dx")).as("cellx"),
+        (col("by") + col("n.dy")).as("celly"))
+    sCells.join(c, Seq("cellx", "celly"))
+      .withColumn("d2",
+        (col("sx") - col("cx")) * (col("sx") - col("cx"))
+          + (col("sy") - col("cy")) * (col("sy") - col("cy")))
+      .filter(col("d2") <= 25.0)
+      .groupBy(col("s_suppkey"))
+      .agg(min(struct(col("d2").as("d2"), col("c_custkey").as("c_custkey")))
+        .as("m"))
+      .select(col("s_suppkey"), col("m.c_custkey").as("c_custkey"),
+        col("m.d2").as("d2"))
+  }
+
+  val qGridKnnJoinSql: String =
+    """WITH sc AS (
+      |  SELECT s_suppkey,
+      |    (('0x' || substr(md5('gx:s' || CAST(s_suppkey AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 4096) * 100.0 / 4096 AS sx,
+      |    (('0x' || substr(md5('gy:s' || CAST(s_suppkey AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 4096) * 100.0 / 4096 AS sy
+      |  FROM supplier),
+      |cc AS (
+      |  SELECT c_custkey,
+      |    (('0x' || substr(md5('gx:c' || CAST(c_custkey AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 4096) * 100.0 / 4096 AS cx,
+      |    (('0x' || substr(md5('gy:c' || CAST(c_custkey AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 4096) * 100.0 / 4096 AS cy
+      |  FROM customer),
+      |cand AS (
+      |  SELECT s_suppkey, c_custkey,
+      |    (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) AS d2
+      |  FROM sc, cc)
+      |SELECT s_suppkey, c_custkey, d2 FROM (
+      |  SELECT s_suppkey, c_custkey, d2,
+      |    row_number() OVER (PARTITION BY s_suppkey ORDER BY d2, c_custkey)
+      |      AS rn
+      |  FROM cand WHERE d2 <= 25.0) WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- B79
   /** Two-sample Kolmogorov-Smirnov test between the purchase and
     * click value distributions — the SHAPE-sensitive nonparametric
@@ -691,6 +771,7 @@ object Round9bOps {
     "q_gini" -> qGini _,
     "q_bootstrap_ci" -> qBootstrapCi _,
     "q_ks_test" -> qKsTest _,
+    "q_grid_knn_join" -> qGridKnnJoin _,
     "sample_coreset" -> sampleCoreset _,
     "dedup_cc_twostar" -> dedupCcTwostar _,
     "dedup_prefix_join" -> dedupPrefixJoin _)
@@ -701,6 +782,7 @@ object Round9bOps {
     "q_gini" -> qGiniSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_ks_test" -> qKsTestSql,
+    "q_grid_knn_join" -> qGridKnnJoinSql,
     "sample_coreset" -> sampleCoresetSql,
     "dedup_cc_twostar" -> dedupCcTwostarSql,
     "dedup_prefix_join" -> dedupPrefixJoinSql)

@@ -165,6 +165,32 @@ class Round9bSpec extends SparkSuite {
     }
   }
 
+  test("q_grid_knn_join: grid candidates reproduce the all-pairs bounded-NN exactly (3x3 containment theorem)") {
+    import spark.implicits._
+    val got = Round9bOps.qGridKnnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // brute force in Spark: full cross, same derived coordinates
+    def coord(prefix: String, id: org.apache.spark.sql.Column) =
+      (graft.functions.gf.h32(concat(lit(prefix), id)) % 4096)
+        .cast("double") * lit(100.0) / lit(4096.0)
+    val s = Tables.supplier(spark, sf).select($"s_suppkey",
+      coord("gx:s", $"s_suppkey").as("sx"), coord("gy:s", $"s_suppkey").as("sy"))
+    val c = Tables.customer(spark, sf).select($"c_custkey",
+      coord("gx:c", $"c_custkey").as("cx"), coord("gy:c", $"c_custkey").as("cy"))
+    val brute = s.crossJoin(broadcast(c))
+      .withColumn("d2", ($"sx" - $"cx") * ($"sx" - $"cx")
+        + ($"sy" - $"cy") * ($"sy" - $"cy"))
+      .filter($"d2" <= 25.0)
+      .groupBy($"s_suppkey")
+      .agg(min(struct($"d2".as("d2"), $"c_custkey".as("c_custkey"))).as("m"))
+      .select($"s_suppkey", $"m.c_custkey", $"m.d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == brute.toSeq,
+      "grid-bucketed result diverges from all-pairs brute force")
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 <= 25.0))
+  }
+
   test("mm_size_anomaly: every flag is a plant, every truncation flags, small-base concats honestly pass") {
     val flagged = MultimodalOps.mmSizeAnomaly(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("robust_z")))
