@@ -412,6 +412,99 @@ object Round9bOps {
        |WHERE CAST(i.i AS DOUBLE) / (s1.n + s2.n - i.i) >= 0.8""".stripMargin
   }
 
+  // ---------------------------------------------------------------- B80
+  /** RFM customer segmentation — the classic marketing-BI scoring
+    * (Recency / Frequency / Monetary) the B-family's cohort (B27),
+    * retention (B64), and dormancy (B40) views all orbit: per
+    * customer, days since last order, order count, and lifetime spend
+    * in exact cents, each scored 1-5 against the corpus's quintile
+    * boundaries, plus the standard segment label.
+    *
+    * Scale discipline: NO windows anywhere — the four quintile
+    * boundaries per dimension come from one exact-percentile
+    * aggregation (B23b's kernel; approx_percentile at 100 TB) and
+    * broadcast back, so scoring is a pure scan-side comparison chain
+    * (score = 1 + Σ [v > qᵢ], exact integer vs interpolated-double
+    * comparisons mirrored verbatim). One groupBy on custkey + one
+    * 1-row broadcast cross. Recency is measured against the corpus
+    * max order date (both engines' max of the same dates). */
+  def qRfmSegmentation(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("monetary_cents"))
+      .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("corpus_max"))))
+      .withColumn("recency_days",
+        datediff(col("corpus_max"), col("last_order")))
+      .select(col("o_custkey").as("c_custkey"), col("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val bounds = rfm.agg(
+      expr("percentile(-recency_days, array(0.2, 0.4, 0.6, 0.8))").as("qr"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("qf"),
+      expr("percentile(monetary_cents, array(0.2, 0.4, 0.6, 0.8))").as("qm"))
+    def score(v: Column, qs: Column): Column =
+      (lit(1L) + (0 to 3).map(i =>
+        when(v > element_at(qs, i + 1), 1L).otherwise(0L)).reduce(_ + _))
+    rfm.crossJoin(broadcast(bounds))
+      .withColumn("r_score", score(-col("recency_days"), col("qr")))
+      .withColumn("f_score", score(col("frequency"), col("qf")))
+      .withColumn("m_score", score(col("monetary_cents"), col("qm")))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4
+          && col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+  }
+
+  val qRfmSegmentationSql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    date_diff('day', max(o_orderdate),
+      |      (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |b AS (
+      |  SELECT
+      |    quantile_cont(-recency_days, [0.2, 0.4, 0.6, 0.8]) AS qr,
+      |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS qf,
+      |    quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS qm
+      |  FROM rfm),
+      |scored AS (
+      |  SELECT c_custkey, recency_days, frequency, monetary_cents,
+      |    1 + (CASE WHEN -recency_days > qr[1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN -recency_days > qr[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN -recency_days > qr[3] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN -recency_days > qr[4] THEN 1 ELSE 0 END) AS r_score,
+      |    1 + (CASE WHEN frequency > qf[1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN frequency > qf[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN frequency > qf[3] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN frequency > qf[4] THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN monetary_cents > qm[1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_cents > qm[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_cents > qm[3] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_cents > qm[4] THEN 1 ELSE 0 END) AS m_score
+      |  FROM rfm, b)
+      |SELECT c_custkey, recency_days, frequency, monetary_cents,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      |         THEN 'champion'
+      |       WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+      |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |       ELSE 'regular' END AS segment
+      |FROM scored""".stripMargin
+
   // ---------------------------------------------------------------- H17
   /** Spatial grid-bucketed nearest-neighbor join — the geohash/S2
     * pattern that makes "nearest X within radius r" an EQUI-join at
@@ -769,6 +862,7 @@ object Round9bOps {
     "etl_url_canonical" -> etlUrlCanonical _,
     "q_l_diversity" -> qLDiversity _,
     "q_gini" -> qGini _,
+    "q_rfm_segmentation" -> qRfmSegmentation _,
     "q_bootstrap_ci" -> qBootstrapCi _,
     "q_ks_test" -> qKsTest _,
     "q_grid_knn_join" -> qGridKnnJoin _,
@@ -780,6 +874,7 @@ object Round9bOps {
     "etl_url_canonical" -> etlUrlCanonicalSql,
     "q_l_diversity" -> qLDiversitySql,
     "q_gini" -> qGiniSql,
+    "q_rfm_segmentation" -> qRfmSegmentationSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_ks_test" -> qKsTestSql,
     "q_grid_knn_join" -> qGridKnnJoinSql,

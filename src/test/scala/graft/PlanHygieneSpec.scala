@@ -102,6 +102,8 @@ class PlanHygieneSpec extends SparkSuite {
     "q_bootstrap_ci" -> ("crossJoin(broadcast(1-row ci_lo)) + "
       + "crossJoin(broadcast(1-row ci_hi)) onto the 1-row totals"),
     "q_ks_test" -> "crossJoin(broadcast(1-row group totals))",
+    "q_rfm_segmentation" -> ("crossJoin(broadcast(1-row corpus-max "
+      + "date)) + crossJoin(broadcast(1-row quintile boundaries))"),
     "sample_coreset" ->
       "crossJoin(broadcast(cell centroids)): ≤10 rows (E3 assignment kernel)",
     "sketch_hll_distinct" -> "crossJoin(broadcast(1-row alpha/m constants))",

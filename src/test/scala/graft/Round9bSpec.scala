@@ -165,6 +165,34 @@ class Round9bSpec extends SparkSuite {
     }
   }
 
+  test("q_rfm_segmentation: scores in 1..5, near-quintile balance, segment labels derive from scores") {
+    val rows = Round9bOps.qRfmSegmentation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      Seq(rs, fs, ms).foreach(s => assert(s >= 1 && s <= 5))
+      val seg = r.getAs[String]("segment")
+      val expect =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 4 && fs >= 3) "loyal"
+        else if (rs <= 2 && fs >= 4) "at_risk"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(seg == expect, s"$r")
+    }
+    // monetary has no mass ties at cents granularity: each m-score
+    // bucket holds ~n/5 (strict-inequality scoring shifts boundaary
+    // ties down a bucket, so allow slack)
+    val mCounts = rows.groupBy(_.getAs[Long]("m_score")).view
+      .mapValues(_.size).toMap
+    (1L to 5L).foreach { s =>
+      assert(mCounts.getOrElse(s, 0) > n / 10,
+        s"m-score $s holds ${mCounts.getOrElse(s, 0)} of $n")
+    }
+  }
+
   test("q_grid_knn_join: grid candidates reproduce the all-pairs bounded-NN exactly (3x3 containment theorem)") {
     import spark.implicits._
     val got = Round9bOps.qGridKnnJoin(spark, sf).collect()
