@@ -164,6 +164,57 @@ object Round9bOps {
         |  count(DISTINCT raw_url) AS n_variants
         |FROM canon GROUP BY canon_url, domain""".stripMargin
 
+  // ---------------------------------------------------------------- A31
+  /** Politeness-bounded crawl schedule — the planning step between
+    * A29's canonical frontier and A16's fetch stage: each domain's
+    * pages must fetch sequentially at one request per POLITENESS_S
+    * seconds (the reference's sleep-between-requests discipline,
+    * web_scrape.py, made a plan instead of a driver loop), domains
+    * spread across K=4 crawler slots by round-robin over the
+    * size-descending order (greedy LPT flavor: the B58/J12 ranking
+    * discipline — the max-min load gap telescopes to at most one
+    * domain's pages). Output per domain: its slot, its own crawl
+    * seconds, and its finish time within the slot's sequential
+    * schedule — the table a scheduler reads to predict completion
+    * and spot the long-pole domain.
+    *
+    * Scale: the per-domain page counts are A29's group-by output
+    * (domain-bounded, tiny); ranking and the in-slot cumsum are
+    * windows over that |domains|-row relation (allowlisted ≤|sources|
+    * rows); nothing row-scale shuffles. */
+  def etlCrawlSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val politeness = 5L // seconds between requests to one domain
+    val pages = etlUrlCanonical(spark, sfDir)
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_pages"))
+    val ranked = pages.withColumn("rk", row_number().over(
+      Window.orderBy(col("n_pages").desc, col("domain"))))
+      .withColumn("crawler", (col("rk") - 1) % 4)
+    val wSlot = Window.partitionBy(col("crawler")).orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("crawl_s", col("n_pages") * politeness)
+      .withColumn("finish_s", sum(col("crawl_s")).over(wSlot))
+      .select(col("domain"), col("n_pages"), col("crawler"),
+        col("crawl_s"), col("finish_s"))
+  }
+
+  val etlCrawlScheduleSql: String =
+    "WITH " + urlCanonSqlCtes + ",\n" +
+      """pages AS (
+        |  SELECT domain, count(DISTINCT canon_url) AS n_pages
+        |  FROM canon GROUP BY domain),
+        |ranked AS (
+        |  SELECT domain, n_pages,
+        |    row_number() OVER (ORDER BY n_pages DESC, domain) AS rk
+        |  FROM pages)
+        |SELECT domain, n_pages,
+        |  CAST((rk - 1) % 4 AS BIGINT) AS crawler,
+        |  n_pages * 5 AS crawl_s,
+        |  CAST(sum(n_pages * 5) OVER (PARTITION BY (rk - 1) % 4
+        |    ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS finish_s
+        |FROM ranked""".stripMargin
+
   // ---------------------------------------------------------------- B75
   /** l-diversity audit — the privacy lens B66's k-anonymity misses: a
     * quasi-identifier class can be large (k-anonymous) yet expose its
@@ -860,6 +911,7 @@ object Round9bOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_url_canonical" -> etlUrlCanonical _,
+    "etl_crawl_schedule" -> etlCrawlSchedule _,
     "q_l_diversity" -> qLDiversity _,
     "q_gini" -> qGini _,
     "q_rfm_segmentation" -> qRfmSegmentation _,
@@ -872,6 +924,7 @@ object Round9bOps {
 
   def oracleSql: Map[String, String] = Map(
     "etl_url_canonical" -> etlUrlCanonicalSql,
+    "etl_crawl_schedule" -> etlCrawlScheduleSql,
     "q_l_diversity" -> qLDiversitySql,
     "q_gini" -> qGiniSql,
     "q_rfm_segmentation" -> qRfmSegmentationSql,

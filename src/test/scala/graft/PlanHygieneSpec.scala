@@ -55,6 +55,9 @@ class PlanHygieneSpec extends SparkSuite {
       + "per-range-partition count relation: ≤32 rows (the B73 "
       + "distributedRank cumsum; the value-level ECDF cumsums are "
       + "partition-local)"),
+    "etl_crawl_schedule" -> ("size-descending ranking window over the "
+      + "per-domain page-count relation: ≤|sources| rows (~20); "
+      + "the in-slot cumsum is crawler-partitioned"),
     "q_bootstrap_ci" -> ("order-statistic rank window over the "
       + "replicate-mean relation: exactly 32 rows (B=32 bootstrap "
       + "replicates) regardless of input size"),

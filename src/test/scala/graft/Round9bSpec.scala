@@ -165,6 +165,29 @@ class Round9bSpec extends SparkSuite {
     }
   }
 
+  test("etl_crawl_schedule: conservation, sequential in-slot finish times, telescoped load balance") {
+    val rows = Round9bOps.etlCrawlSchedule(spark, sf).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_pages"),
+        r.getAs[Int]("crawler"), r.getAs[Long]("crawl_s"),
+        r.getAs[Long]("finish_s")))
+    // every frontier domain scheduled exactly once, on a valid slot
+    val nDomains = Round9bOps.etlUrlCanonical(spark, sf)
+      .select("domain").distinct().count()
+    assert(rows.length == nDomains)
+    assert(rows.map(_._3).forall(c => c >= 0 && c < 4))
+    // within a slot, finish times are the cumulative sequential plan
+    rows.groupBy(_._3).foreach { case (_, slot) =>
+      val ordered = slot.sortBy(_._5)
+      assert(ordered.map(_._4).scanLeft(0L)(_ + _).tail.toSeq
+        == ordered.map(_._5).toSeq)
+    }
+    // round-robin over the size-descending order: max-min slot load
+    // bounded by one largest domain's crawl seconds
+    val loads = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).values
+    assert(loads.max - loads.min <= rows.map(_._4).max,
+      s"imbalance ${loads.max - loads.min}")
+  }
+
   test("q_rfm_segmentation: scores in 1..5, near-quintile balance, segment labels derive from scores") {
     val rows = Round9bOps.qRfmSegmentation(spark, sf).collect()
     assert(rows.nonEmpty)
