@@ -826,6 +826,81 @@ object Round9bOps {
       |  greatest(CAST(d2 + 1 AS DOUBLE), tau) AS est_weight
       |FROM r WHERE rn <= 64""".stripMargin
 
+  // ---------------------------------------------------------------- D26
+  /** b-bit MinHash calibration (Li & König, WWW'10) — the STORAGE
+    * axis of the dedup trade space (D12 tunes the threshold, D22 the
+    * banding; this measures what surviving on 1 bit per permutation
+    * costs): keeping only the lowest bit of each of the 128 minhash
+    * values compresses signatures 64× (16 B vs 1 KB per doc — at
+    * 100 TB the difference between an index that fits in executor
+    * memory and one that doesn't), at the price of estimator
+    * variance. For b = 1, bits of non-matching permutations agree
+    * half the time, so Ĵ = 2·(match/128) − ½·2; the table shows, per
+    * full-estimate decile over the permissive candidate set, the
+    * full and b-bit estimates side by side — the measured
+    * variance-vs-storage curve read before committing an index
+    * layout.
+    *
+    * Exactness: matches are exact integer counts (zip_with over the
+    * shared signature kernels; the SQL replays Σ[m₁ mod 2 = m₂ mod 2]
+    * from the same mh relation), bucket = floor(10·k/128) on exact
+    * binary fractions, and the two mean estimates are the mirrored
+    * float divisions (6 dp). Candidates come from the run-shared
+    * store — no new corpus scan. */
+  def dedupBbitMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupOps.sharedPairs(spark, sfDir, 0.3)
+      .select(col("id1"), col("id2"))
+    val sigs = DedupOps.minhashSigs(
+      DedupOps.corpus(Tables.documents(spark, sfDir)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val joined = pairs
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
+      .withColumn("full_m", size(filter(
+        zip_with(col("s1"), col("s2"), (x, y) => x === y), b => b)))
+      .withColumn("bbit_m", size(filter(
+        zip_with(col("s1"), col("s2"), (x, y) => x % 2 === y % 2), b => b)))
+    joined
+      .withColumn("bucket",
+        floor(col("full_m").cast("double") * 10.0 / 128.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("full_m")).as("sum_full_m"),
+        sum(col("bbit_m")).as("sum_bbit_m"))
+      .withColumn("mean_full_est",
+        round(col("sum_full_m").cast("double") / (col("n_pairs") * 128), 6))
+      .withColumn("mean_bbit_est",
+        round(col("sum_bbit_m").cast("double") * 2.0
+          / (col("n_pairs") * 128) - 1.0, 6))
+  }
+
+  val dedupBbitMinhashSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |p AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.3),
+       |m2 AS (
+       |  SELECT p.id1, p.id2,
+       |    CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS full_m,
+       |    CAST(sum(CASE WHEN a.m % 2 = b.m % 2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS bbit_m
+       |  FROM p
+       |  JOIN mh a ON a.doc_id = p.id1
+       |  JOIN mh b ON b.doc_id = p.id2 AND b.j = a.j
+       |  GROUP BY p.id1, p.id2),
+       |bk AS (
+       |  SELECT CAST(floor(CAST(full_m AS DOUBLE) * 10.0 / 128.0)
+       |      AS BIGINT) AS bucket,
+       |    full_m, bbit_m
+       |  FROM m2)
+       |SELECT bucket, count(*) AS n_pairs,
+       |  CAST(sum(full_m) AS BIGINT) AS sum_full_m,
+       |  CAST(sum(bbit_m) AS BIGINT) AS sum_bbit_m,
+       |  round(CAST(sum(full_m) AS DOUBLE) / (count(*) * 128), 6)
+       |    AS mean_full_est,
+       |  round(CAST(sum(bbit_m) AS DOUBLE) * 2.0 / (count(*) * 128) - 1.0, 6)
+       |    AS mean_bbit_est
+       |FROM bk GROUP BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- D25
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce
@@ -918,6 +993,7 @@ object Round9bOps {
     "q_bootstrap_ci" -> qBootstrapCi _,
     "q_ks_test" -> qKsTest _,
     "q_grid_knn_join" -> qGridKnnJoin _,
+    "dedup_bbit_minhash" -> dedupBbitMinhash _,
     "sample_coreset" -> sampleCoreset _,
     "dedup_cc_twostar" -> dedupCcTwostar _,
     "dedup_prefix_join" -> dedupPrefixJoin _)
@@ -931,6 +1007,7 @@ object Round9bOps {
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_ks_test" -> qKsTestSql,
     "q_grid_knn_join" -> qGridKnnJoinSql,
+    "dedup_bbit_minhash" -> dedupBbitMinhashSql,
     "sample_coreset" -> sampleCoresetSql,
     "dedup_cc_twostar" -> dedupCcTwostarSql,
     "dedup_prefix_join" -> dedupPrefixJoinSql)

@@ -313,6 +313,25 @@ class Round9bSpec extends SparkSuite {
     } finally pairs.unpersist()
   }
 
+  test("dedup_bbit_minhash: exact-duplicate bucket estimates 1.0 on both axes; b-bit tracks full within its variance") {
+    val rows = Round9bOps.dedupBbitMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("mean_full_est"), r.getAs[Double]("mean_bbit_est")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // planted exact duplicates: the top bucket (all 128 match) exists
+    // and both estimators read exactly 1.0 there
+    val top = rows.last
+    assert(top._1 == 10L && top._3 == 1.0 && top._4 == 1.0, top.toString)
+    // b = 1 loses information, never gains: per bucket, the b-bit
+    // mean can exceed the full mean only within sampling noise of the
+    // 128-bit estimator (3 sigma ~ 0.13 at n=1)
+    rows.foreach { case (b, n, full, bbit) =>
+      assert(math.abs(bbit - full) <= 0.14 + 0.5 / math.sqrt(n.toDouble),
+        s"bucket $b: b-bit $bbit vs full $full at n=$n")
+    }
+  }
+
   test("dedup_prefix_join: exactly the brute-force Jaccard>=0.8 pairs (prefix-filter recall is 1.0 by theorem)") {
     import graft.functions.gf
     val docs = DedupOps.corpus(Tables.documents(spark, sf))
