@@ -62,6 +62,21 @@ object ScaleProbe {
         else ids.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + i))
       }.reduce(_ unionByName _)
 
+    /** Replicated docs WRITTEN to parquet and re-scanned, for the
+      * columnar-lane probes: the in-memory union's doc_id+offset /
+      * regexp_replace branches are non-attribute projections that
+      * GraftAffineToColumnar's eligibility guards (correctly) reject,
+      * so probing the union measured the ROW path at every scaled
+      * factor (round-9 advisor finding). Re-scanning parquet puts the
+      * marked projection directly over a columnar scan at every
+      * factor. Write cost is paid here, outside the timed action. */
+    def replicateDocsScan(df: DataFrame, times: Int): DataFrame = {
+      val p = s"/tmp/graft_probe_docs_x$times"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+        replicateDocs(df, times).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -293,16 +308,36 @@ object ScaleProbe {
       // (toRdd.count, not an agg: an aggregate above would collapse the
       // projection and leave no ProjectExec for the rule to match —
       // toRdd keeps the projection as the plan's output node)
+      // (replicateDocsScan, not replicateDocs: the rule only fires over
+      // a COLUMNAR child, so the scaled corpus is written to parquet
+      // and re-scanned — probing the in-memory union measured the row
+      // path at every factor; round-9 advisor finding)
       ("vhash_columnar",
         (d: DataFrame) => time(d.select(col("doc_id"),
           graft.functions.gf.rolling_hash64(col("text")).as("graft_vhash"))
           .queryExecution.toRdd.count()),
-        (n: Int) => replicateDocs(docs, n), docs),
+        (n: Int) => replicateDocsScan(docs, n), docs),
       ("vhash_row",
         (d: DataFrame) => time(d.select(col("doc_id"),
           graft.functions.gf.rolling_hash64(col("text")).as("h"))
           .queryExecution.toRdd.count()),
-        (n: Int) => replicateDocs(docs, n), docs),
+        (n: Int) => replicateDocsScan(docs, n), docs),
+      // H16 affine lane: the SIMD (jdk.incubator.vector) kernel vs the
+      // codegen row path on the same marked `attr * m + c` projection —
+      // the shape the Panama backend actually vectorizes (the hash
+      // lane's per-string loop is sequential by construction)
+      ("vscore_columnar",
+        (d: DataFrame) => time(d.select(col("doc_id"),
+          (col("doc_id") * lit(2654435761L) + lit(1099511628211L))
+            .as("graft_vscore"))
+          .queryExecution.toRdd.count()),
+        (n: Int) => replicateDocsScan(docs, n), docs),
+      ("vscore_row",
+        (d: DataFrame) => time(d.select(col("doc_id"),
+          (col("doc_id") * lit(2654435761L) + lit(1099511628211L))
+            .as("s"))
+          .queryExecution.toRdd.count()),
+        (n: Int) => replicateDocsScan(docs, n), docs),
       // D24 prefix join: constant duplicate density keeps the true-pair
       // volume linear; prefix tokens are the globally RAREST ~n/5 per
       // doc, so the candidate equi-join's fan-out rides the df tail —

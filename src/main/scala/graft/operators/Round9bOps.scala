@@ -49,10 +49,19 @@ object Round9bOps {
     * frontier would group on a 64-bit hash of the canonical form and
     * keep one exemplar string; here the canonical URL IS the output
     * key, so it groups directly. */
-  /** Lowercased host with any `:80` default port stripped. */
-  def urlDomain(u: Column): Column = regexp_replace(
-    lower(regexp_extract(regexp_replace(u, "#.*$", ""),
-      "^[A-Za-z]+://([^/?#]+)", 1)), ":80$", "")
+  /** Lowercased host with the scheme's DEFAULT port stripped — `:80`
+    * only under http, `:443` only under https (round-9 advisor fix:
+    * the unconditional strip folded `https://host:80`, a legal
+    * non-default port and a distinct origin, onto `https://host`).
+    * Non-default ports survive for any scheme. */
+  def urlDomain(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .otherwise(host)
+  }
 
   /** The canonicalization kernel: case-fold scheme+host, strip :80,
     * drop fragment, drop `utm_*` params, sort surviving params, strip
@@ -136,13 +145,18 @@ object Round9bOps {
       |    regexp_replace(raw_url, '#.*$', '') AS nofrag
       |  FROM raw),
       |parts AS (
-      |  SELECT raw_url,
-      |    lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
-      |    regexp_replace(
-      |      lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
-      |      ':80$', '') AS host,
+      |  SELECT raw_url, scheme,
+      |    CASE WHEN scheme = 'http'
+      |           THEN regexp_replace(rawhost, ':80$', '')
+      |         WHEN scheme = 'https'
+      |           THEN regexp_replace(rawhost, ':443$', '')
+      |         ELSE rawhost END AS host,
       |    regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^#]*)$', 1) AS pathq
-      |  FROM parsed),
+      |  FROM (SELECT raw_url, nofrag,
+      |          lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+      |          lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1))
+      |            AS rawhost
+      |        FROM parsed)),
       |canon AS (
       |  SELECT raw_url, host AS domain,
       |    scheme || '://' || host
@@ -429,7 +443,16 @@ object Round9bOps {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    DedupOps.ngramJaccardVerify(shingled, 0.8, cand)
+    // materialize the (duplicate-sized) verified pairs eagerly, then
+    // release the corpus-sized shingle cache — returning a lazy plan
+    // over the persisted relation leaked one cached corpus per
+    // invocation (bench reps, the ×N ScaleProbe loop) until session
+    // end (round-9 advisor fix). The eager localCheckpoint also cuts
+    // the plan lineage like the other iterative operators.
+    val out = DedupOps.ngramJaccardVerify(shingled, 0.8, cand)
+      .localCheckpoint(true)
+    shingled.unpersist()
+    out
   }
 
   val dedupPrefixJoinSql: String = {

@@ -51,7 +51,10 @@ class Round9bSpec extends SparkSuite {
       val ps = (if (order) u.params.reverse else u.params) ++ utm
       (if (upcase) u.scheme.toUpperCase else u.scheme) + "://" +
         (if (upcase) u.host.toUpperCase else u.host) +
-        (if (port) ":80" else "") +
+        // the SCHEME'S default port (the only one canonicalization may
+        // strip): :80 under http, :443 under https — https://host:80
+        // is a distinct origin and must NOT fold (advisor fix)
+        (if (port) (if (u.scheme == "https") ":443" else ":80") else "") +
         u.segs.map("/" + _).mkString +
         (if (slash && u.segs.nonEmpty) "/" else "") +
         (if (ps.nonEmpty) "?" + ps.mkString("&") else "") +
@@ -77,6 +80,23 @@ class Round9bSpec extends SparkSuite {
         s"${r.getString(3)}: ${r.getString(0)} != ${r.getString(1)}")
       assert(r.getString(0) == r.getString(2), s"not idempotent: $r")
     }
+  }
+
+  test("etl_url_canonical: non-default ports are distinct origins") {
+    import spark.implicits._
+    val rows = Seq("https://host.example:80/p", "http://host.example:443/p",
+      "http://host.example:8080/p", "https://host.example:443/p",
+      "http://host.example:80/p")
+      .toDF("u")
+      .select(col("u"), Round9bOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the scheme's OWN default port folds...
+    assert(rows("https://host.example:443/p") == "https://host.example/p")
+    assert(rows("http://host.example:80/p") == "http://host.example/p")
+    // ...but a non-default port (even another scheme's default) survives
+    assert(rows("https://host.example:80/p") == "https://host.example:80/p")
+    assert(rows("http://host.example:443/p") == "http://host.example:443/p")
+    assert(rows("http://host.example:8080/p") == "http://host.example:8080/p")
   }
 
   test("q_l_diversity: l bounded by class size and the sensitive domain") {
