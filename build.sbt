@@ -24,6 +24,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Panama vector API for the H16 SIMD kernel (graft.functions
+  // .SimdAffine); incubator module, so it must be linked explicitly.
+  // JVMs launched without it degrade to the scalar columnar loop
+  // (SimdSupport.available guard) — never a correctness dependency.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -42,16 +42,24 @@ import graft.functions.{GraftHash, RollingHash64}
   * two's-complement like codegen does. TRY mode is excluded by the
   * matcher.
   *
-  * Measured honestly (§5 probe, vhash_columnar vs vhash_row): the
-  * marginal per-row cost EQUALS the codegen row path's — the shared
-  * static kernel dominates both pipelines — and the lane pays ~0.35 s
-  * fixed overhead (no codegen fusion, per-batch vector allocation).
-  * So on this box the lane is the correctness-proven PLUMBING of the
-  * vectorized path, not a throughput win; the slope only separates
-  * under a SIMD (jdk.incubator.vector) or GPU kernel — the backend
-  * class `injectColumnar` exists to host. `numBatches`/`numRows` SQL
-  * metrics prove batch-wise execution (spec-pinned, `ExtensionsSpec`:
-  * plan shape, metrics, and bit-equality with the row twin).
+  * Measured honestly (§5 probe, vhash_columnar vs vhash_row, on the
+  * round-10 CORRECTED probe input — the ×N replicas are written to
+  * parquet and re-scanned so the rule actually fires at every factor;
+  * the round-9 scaled numbers had measured the row path): marginal
+  * per-row cost EQUALS the codegen row path's on the hash lane — the
+  * shared static kernel dominates both pipelines — with ~0.04 s fixed
+  * lane overhead (no codegen fusion, per-batch vector allocation).
+  * The AFFINE lane hosts the round-10 SIMD backend
+  * ([[graft.functions.SimdAffine]], jdk.incubator.vector): kernel-level
+  * it wins 1.25× in ANSI mode (Spark 4's default) where the scalar
+  * multiplyExact/addExact loop cannot auto-vectorize, and is parity in
+  * LEGACY where C2 superword already vectorizes the wrap loop
+  * (`graft.SimdBench`, SURVEY §5 round-10 addendum). End-to-end over a
+  * parquet scan both lanes are decode-bound — the lane's value is
+  * proven plumbing plus the ANSI kernel win where compute-bound.
+  * `numBatches`/`numRows` SQL metrics prove batch-wise execution
+  * (spec-pinned, `ExtensionsSpec`: plan shape, metrics, and
+  * bit-equality with the row twin; `SimdSpec`: kernel semantics).
   */
 case class GraftColumnarAffineExec(projectList: Seq[NamedExpression],
     child: SparkPlan) extends UnaryExecNode {
@@ -99,17 +107,29 @@ case class GraftColumnarAffineExec(projectList: Seq[NamedExpression],
           case Alias(e, _) =>
             val (attr, m, c, ansi) = GraftAffineToColumnar.affine(e).get
             val in = batch.column(childOutput.indexWhere(_.exprId == attr.exprId))
-            var i = 0
-            if (ansi) while (i < n) {
-              if (in.isNullAt(i)) out.putNull(i)
-              else out.putLong(i,
-                Math.addExact(Math.multiplyExact(in.getLong(i), m), c))
-              i += 1
-            }
-            else while (i < n) {
-              if (in.isNullAt(i)) out.putNull(i)
-              else out.putLong(i, in.getLong(i) * m + c)
-              i += 1
+            if (graft.functions.SimdSupport.available && !in.hasNull) {
+              // SIMD fast path (jdk.incubator.vector): bulk-copy the
+              // scan vector, species-width affine walk, bulk-write.
+              // Bit-identical to the scalar loops in both EvalModes —
+              // ANSI overflow pre-screens against the safe interval
+              // and re-runs flagged spans through the exact ops
+              // (SimdAffine scaladoc; SimdSpec pins the equality)
+              out.putLongs(0, n,
+                graft.functions.SimdAffine.affine(in.getLongs(0, n), n, m, c,
+                  ansi), 0)
+            } else {
+              var i = 0
+              if (ansi) while (i < n) {
+                if (in.isNullAt(i)) out.putNull(i)
+                else out.putLong(i,
+                  Math.addExact(Math.multiplyExact(in.getLong(i), m), c))
+                i += 1
+              }
+              else while (i < n) {
+                if (in.isNullAt(i)) out.putNull(i)
+                else out.putLong(i, in.getLong(i) * m + c)
+                i += 1
+              }
             }
         }
         out: ColumnVector
