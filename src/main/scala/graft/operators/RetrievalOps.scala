@@ -114,11 +114,108 @@ object RetrievalOps {
        |WHERE rank <= 10""".stripMargin
   }
 
+  // --------------------------------------------------------------- C24
+  /** BM25 over a STANDING inverted index (round 10, the retrieval twin
+    * of D13's standing band index): C17 rebuilds the posting relation
+    * from the text every run; a production retrieval stack REFRESHes
+    * per ingest batch and answers queries from the standing segments.
+    * The postings live on an H11 `IndexStore` bucketed by term (the
+    * probe's join key — each segment scan satisfies the join from its
+    * bucketing, NO Exchange on the index side), built here as
+    * create(batch₁) + refresh(batch₂) over a deterministic corpus
+    * split; a (doc_id, dl) doc-length SIDECAR store is maintained
+    * per batch the same way (at refresh time, from that batch's
+    * postings only — standing data never re-aggregates).
+    *
+    * Query path: ONE probe of the query-term table across segments
+    * yields the matched postings; df derives from the matched relation
+    * itself (postings are (doc, term)-distinct), dl/avgdl from the
+    * sidecar — the corpus text is never touched. Scoring and top-k are
+    * the SHARED C17 tail, so the DuckDB oracle is C17's
+    * segmentation-blind SQL: hash equality proves refresh ≡ rebuild
+    * (the G12 pattern). `Round10Spec` pins the Exchange-free index
+    * side and the two-segment layout. */
+  def bm25Standing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_bm25_$key").toString
+    val post = new IndexStore(spark, s"graft_bm25_post_$key", s"$root/post",
+      "tok")
+    val dls = new IndexStore(spark, s"graft_bm25_dl_$key", s"$root/dl",
+      "doc_id")
+    // rebuild per invocation: the store is the artifact under test, and
+    // a Bench rep must pay the honest build+probe cost (D13 times the
+    // probe separately; here the QUERY is the whole lifecycle)
+    post.drop(); dls.drop()
+    def postings(docs: DataFrame): DataFrame = docs
+      .select($"doc_id", explode(split(trim($"text"), wsPat)).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val corpus = Tables.documents(spark, sfDir)
+    val batch1 = postings(corpus.filter($"doc_id" % 3 =!= 0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batch2 = postings(corpus.filter($"doc_id" % 3 === 0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    post.create(batch1.select($"tok", $"doc_id", $"c"))
+    dls.create(batch1.groupBy($"doc_id").agg(sum($"c").as("dl")))
+    post.refresh(batch2.select($"tok", $"doc_id", $"c"))
+    dls.refresh(batch2.groupBy($"doc_id").agg(sum($"c").as("dl")))
+    batch1.unpersist(); batch2.unpersist()
+
+    val qterms = probeQueries.toDF("query_id", "tok")
+    val matched = post
+      .probe(broadcast(qterms.select($"tok").distinct()),
+        _.select($"tok", $"doc_id", $"c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = matched.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val dl = dls.segmentTables.reduce(_ unionByName _)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg($"dl".cast("double")).as("avgdl"))
+    val termScore =
+      log(($"n_docs".cast("double") - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)) *
+        ($"c".cast("double") * lit(K1 + 1.0)) /
+        ($"c".cast("double") + lit(K1) *
+          (lit(1.0) - lit(B) + lit(B) * $"dl".cast("double") / $"avgdl"))
+    val scored = matched.join(broadcast(qterms), "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy($"query_id", $"doc_id")
+      .agg(round(sum(termScore), 6).as("score"))
+    scored.groupBy($"query_id")
+      .agg(TopKAgg.top_k($"score", $"doc_id", 10).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("doc_id"), $"col.v".as("score"))
+  }
+
+  /** The two standing stores for plan-shape assertions (spec hook):
+    * returns (postings store, doc-length store) WITHOUT rebuilding. */
+  private[graft] def bm25Stores(spark: SparkSession,
+      sfDir: String): (graft.sources.IndexStore, graft.sources.IndexStore) = {
+    import graft.sources.IndexStore
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_bm25_$key").toString
+    (new IndexStore(spark, s"graft_bm25_post_$key", s"$root/post", "tok"),
+      new IndexStore(spark, s"graft_bm25_dl_$key", s"$root/dl", "doc_id"))
+  }
+
+  private[graft] def bm25ProbeTerms(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    probeQueries.toDF("query_id", "tok")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25" -> textBm25 _
+    "text_bm25" -> textBm25 _,
+    "bm25_standing" -> bm25Standing _
   )
 
   def oracleSql: Map[String, String] = Map(
-    "text_bm25" -> textBm25Sql
+    "text_bm25" -> textBm25Sql,
+    // segmentation-blind: the standing-index lifecycle must reproduce
+    // the rebuild-from-text result bit-for-bit (refresh ≡ rebuild)
+    "bm25_standing" -> textBm25Sql
   )
 }

@@ -52,30 +52,95 @@ import org.apache.spark.sql.functions._
   *   `maxSegments = 8` makes refresh enforce exactly that rule; at
   *   100 TB the same two measured numbers (δ from a probe sample, C
   *   from segment bytes) parameterize the same bound. */
+/** @param keepSnapshots TIME-TRAVEL retention (round 10): every
+  *   manifest write is also recorded as an immutable snapshot file
+  *   `MANIFEST.v<k>`; the last `keepSnapshots` versions stay readable
+  *   via [[IndexStore.probeAsOf]]/[[IndexStore.segmentsAsOf]]. Segment
+  *   DATA is vacuumed only once no retained snapshot references it —
+  *   so a compaction no longer destroys the pre-compaction view until
+  *   it ages out, exactly a table format's snapshot-isolation +
+  *   vacuum contract (the other half of the lakehouse story A27/A30
+  *   started; `IndexStoreSpec` pins refresh-isolation: a snapshot's
+  *   probe result is bit-stable under later refreshes and compactions
+  *   while retained). */
 final class IndexStore(
     spark: SparkSession,
     val name: String,
     val path: String,
     keyCol: String,
     buckets: Int = 8,
-    maxSegments: Int = 0) {
+    maxSegments: Int = 0,
+    keepSnapshots: Int = 4) {
+
+  require(keepSnapshots >= 1, "must retain at least the current snapshot")
 
   private def manifest: Path = Paths.get(path, "MANIFEST")
 
   private def tableName(seg: Int): String = s"${name}_seg$seg"
 
+  private def readSegList(p: Path): Seq[Int] =
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map(_.toInt)
+
   /** Live segment ids, oldest first (empty = store not created). */
   def segments: Seq[Int] =
     if (!Files.exists(manifest)) Seq.empty
-    else Files.readAllLines(manifest).asScala.toSeq
-      .filter(_.nonEmpty).map(_.toInt)
+    else readSegList(manifest)
+
+  private def listNames: Seq[String] =
+    if (!Files.exists(Paths.get(path))) Seq.empty
+    else {
+      val s = Files.list(Paths.get(path))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+
+  /** Retained snapshot versions, oldest first. The last one is always
+    * the current manifest's content. */
+  def snapshots: Seq[Int] =
+    listNames.flatMap(n =>
+      "^MANIFEST\\.v(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .sorted
+
+  /** The segment list as of a retained snapshot version. */
+  def segmentsAsOf(version: Int): Seq[Int] = {
+    val p = Paths.get(path, s"MANIFEST.v$version")
+    require(Files.exists(p),
+      s"snapshot v$version of $name is not retained (have: $snapshots)")
+    readSegList(p)
+  }
+
+  /** Every segment id referenced by any retained snapshot or the
+    * current manifest — the set vacuum must NOT touch. */
+  private def referencedSegs: Set[Int] =
+    (snapshots.flatMap(segmentsAsOf) ++ segments).toSet
+
+  /** Segment ids present on disk (live + not-yet-vacuumed). */
+  private def segsOnDisk: Seq[Int] =
+    listNames.flatMap(n =>
+      "^seg_(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toInt)).sorted
 
   private def writeManifest(segs: Seq[Int]): Unit = {
     Files.createDirectories(Paths.get(path))
+    // 1. record the snapshot (immutable, atomically placed)
+    val v = snapshots.lastOption.getOrElse(0) + 1
+    val tmpV = Paths.get(path, s"MANIFEST.tmp_v${System.nanoTime()}")
+    Files.writeString(tmpV, segs.mkString("", "\n", "\n"))
+    Files.move(tmpV, Paths.get(path, s"MANIFEST.v$v"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // 2. move the current pointer
     val tmp = Paths.get(path, s"MANIFEST.tmp${System.nanoTime()}")
     Files.writeString(tmp, segs.mkString("", "\n", "\n"))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // 3. expire snapshots beyond the retention window...
+    snapshots.dropRight(keepSnapshots)
+      .foreach(old => Files.delete(Paths.get(path, s"MANIFEST.v$old")))
+    // 4. ...then vacuum segment data no retained snapshot can reach
+    val refs = referencedSegs
+    segsOnDisk.filterNot(refs.contains).foreach { s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(s)}")
+      deleteRecursively(Paths.get(path, s"seg_$s"))
+    }
   }
 
   private def writeSegment(df: DataFrame, seg: Int): Unit =
@@ -102,28 +167,26 @@ final class IndexStore(
   def refresh(df: DataFrame): Unit = {
     val segs = segments
     require(segs.nonEmpty, s"index store $name not created")
-    val next = segs.max + 1
+    // ids never reuse a retained-but-not-live segment's (time travel)
+    val next = (segsOnDisk ++ segs).max + 1
     writeSegment(df, next)
     writeManifest(segs :+ next)
     if (maxSegments > 0 && segments.size >= maxSegments) compact()
   }
 
   /** Merge all live segments into one — pays one rewrite of the
-    * standing data to return probe fan-out to a single join. Old
-    * segment tables are dropped and their directories removed AFTER
-    * the manifest points at the merged segment. */
+    * standing data to return probe fan-out to a single join. The
+    * replaced segments are NOT deleted here: retained snapshots may
+    * still reference them (time travel); writeManifest's vacuum
+    * removes each one once the last referencing snapshot expires. */
   def compact(): Unit = {
     val segs = segments
     require(segs.nonEmpty, s"index store $name not created")
     if (segs.size == 1) return
-    val next = segs.max + 1
+    val next = (segsOnDisk ++ segs).max + 1
     writeSegment(segs.map(s => spark.table(tableName(s)))
       .reduce(_ unionByName _), next)
     writeManifest(Seq(next))
-    segs.foreach { s =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(s)}")
-      deleteRecursively(Paths.get(path, s"seg_$s"))
-    }
   }
 
   /** All live segments as DataFrames (bucketed scans). */
@@ -136,12 +199,25 @@ final class IndexStore(
     * joined segment relation to the output columns (applied BEFORE
     * the union so segment schemas can evolve additively). */
   def probe(batch: DataFrame, project: DataFrame => DataFrame): DataFrame =
-    segmentTables.map(seg => project(batch.join(seg, keyCol)))
+    probeSegs(segments, batch, project)
+
+  /** [[probe]] against a RETAINED snapshot's segment list — the
+    * time-travel read: bit-stable under any later refresh/compaction
+    * while the snapshot is retained (spec-pinned). */
+  def probeAsOf(version: Int, batch: DataFrame,
+      project: DataFrame => DataFrame): DataFrame =
+    probeSegs(segmentsAsOf(version), batch, project)
+
+  private def probeSegs(segs: Seq[Int], batch: DataFrame,
+      project: DataFrame => DataFrame): DataFrame =
+    segs.map(s => project(batch.join(spark.table(tableName(s)), keyCol)))
       .reduce(_ unionByName _)
 
-  /** Drop all segment tables and data (test cleanup). */
+  /** Drop all segment tables and data (test cleanup) — including
+    * segments only reachable from retained snapshots. */
   def drop(): Unit = {
-    segments.foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${tableName(s)}"))
+    (segsOnDisk ++ segments).distinct
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ${tableName(s)}"))
     deleteRecursively(Paths.get(path))
   }
 

@@ -76,6 +76,62 @@ class IndexStoreSpec extends SparkSuite {
     }
   }
 
+  test("time travel: a retained snapshot's probe is isolated from later refreshes/compactions; vacuum fires only on expiry") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idxtt").toString
+    val all = DedupOps.corpus(Tables.documents(spark, sf))
+      .withColumn("h", graft.functions.gf.h32($"doc_id".cast("string")) % 10)
+    def slice(lo: Int, hi: Int): DataFrame =
+      all.filter($"h" >= lo && $"h" <= hi).select("doc_id", "text")
+    val store = new IndexStore(spark, "graft_t_idxtt", s"$dir/a", "bk",
+      keepSnapshots = 2)
+    try {
+      val batch = bands(slice(9, 9)).select($"bk", $"doc_id".as("id_new"))
+      def keysAsOf(v: Int): Set[(Long, Long)] =
+        store.probeAsOf(v, batch, _.select("id_new", "id_old")).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      store.create(bands(slice(0, 5)).select($"bk", $"doc_id".as("id_old")))
+      val v1 = store.snapshots.last
+      val at1 = keysAsOf(v1)
+      assert(at1.nonEmpty)
+
+      // refresh-isolation: the v1 view is bit-stable under a refresh
+      store.refresh(bands(slice(6, 7)).select($"bk", $"doc_id".as("id_old")))
+      val v2 = store.snapshots.last
+      assert(v2 != v1)
+      assert(keysAsOf(v1) == at1, "later refresh leaked into snapshot v1")
+      val at2 = keysAsOf(v2)
+      assert(at2.size > at1.size) // the refresh really added matches
+
+      // compaction-isolation: keepSnapshots=2 retains v2 after compact;
+      // its pre-compaction segments must survive vacuum and replay
+      // bit-identically even though the LIVE manifest is one merged seg
+      store.compact()
+      val v3 = store.snapshots.last
+      assert(store.segments.size == 1)
+      assert(store.snapshots == Seq(v2, v3)) // v1 expired (retention 2)
+      assert(keysAsOf(v2) == at2, "compaction changed the v2 snapshot view")
+      assert(keysAsOf(v3) == at2, "compaction changed the probe result")
+      // the expired v1 snapshot is gone, and reading it says so
+      intercept[IllegalArgumentException](store.segmentsAsOf(v1))
+
+      // expiry-driven vacuum: two more refreshes age v2 out — its
+      // exclusive pre-compaction segments must then leave the disk
+      store.refresh(bands(slice(8, 8)).select($"bk", $"doc_id".as("id_old")))
+      store.refresh(bands(slice(6, 6)).select($"bk", $"doc_id".as("id_old")))
+      assert(!store.snapshots.contains(v2))
+      val liveDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/a"))
+        .iterator()
+      val segDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(liveDirs)
+        .asScala.map(_.getFileName.toString).filter(_.startsWith("seg_")).toSet
+      val reachable = store.snapshots.flatMap(store.segmentsAsOf).toSet
+        .map((s: Int) => s"seg_$s")
+      assert(segDirs == reachable,
+        s"vacuum drift: on disk $segDirs vs reachable $reachable")
+    } finally store.drop()
+  }
+
   test("refresh auto-compacts at the maxSegments bound, probe-result-neutral") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_idxauto").toString
