@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+
+/** Round-10 widening (SURVEY.md §2): exact-substring span EXTENTS
+  * (Lee et al. 2022's ExactSubstr made relational), graph-ANN beam
+  * search over the E19 kNN-graph substrate, BPE tokenizer training +
+  * encoding, and exact mergeable weighted quantiles.
+  *
+  * Scale discipline (100 TB): span extents are confined to the
+  * run-shared candidate pairs (never all-pairs) and their windows
+  * partition by (doc, peer); the gram relation shuffles STRING keys
+  * once (the D14 discipline).
+  */
+object Round10Ops {
+
+  // ---------------------------------------------------------------- D27
+  /** Maximal shared-span extents — the production form of D14's
+    * position-coverage signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": the dedup that
+    * REMOVES verbatim spans needs their extents, not just a coverage
+    * fraction). Per candidate pair and direction: every maximal run
+    * of consecutive token positions whose 8-gram also occurs in the
+    * peer document, as (span_start, span_len, n_gram_pos) — a
+    * contiguous verbatim copy of L ≥ 8 tokens shows up as one island
+    * of L−7 consecutive gram positions with span_len exactly L.
+    *
+    * Plan: candidate pairs come from the run-shared LSH store (D2's
+    * front end — never an all-pairs scan); the gram-position relation
+    * is computed ONCE (persisted, the D14 g8 kernel with positions
+    * kept); each pair direction semi-joins its own positions against
+    * the peer's gram set; islands are the classic gaps-and-islands
+    * window (p − row_number constant within a run, the B29
+    * discipline) PARTITIONED by (doc, peer) — bounded by a pair's
+    * shared positions, never corpus-global. span_len = last−first+8
+    * is the verbatim token extent (nominal 8 for sub-8-token docs,
+    * whose single gram is the whole doc).
+    *
+    * Scale: shared-gram work is linear in candidate-pair positions;
+    * at 100 TB an I2 Bloom prefilter on the peer gram sets drops the
+    * semi-join's probe volume exactly as D14 documents. */
+  def dedupSubstrSpans(spark: SparkSession, sfDir: String): DataFrame =
+    substrSpansPipeline(
+      DedupOps.corpus(Tables.documents(spark, sfDir)),
+      DedupOps.dedupMinhashLsh(spark, sfDir).select("id1", "id2"))
+
+  /** The span-extent pipeline over arbitrary (doc_id, text) docs and
+    * (id1, id2) candidate pairs — shared by the query surface and the
+    * `Round10Spec` planted-copy brute-force check. */
+  def substrSpansPipeline(docs: DataFrame, cand: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val g8 = when(size(toks) < 8, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - 8),
+        i => concat_ws(" ", slice(toks, i + 1, lit(8)))))
+    val pos = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(g8))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "g")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = cand.select(col("id1").as("doc_id"), col("id2").as("peer"))
+      .unionByName(cand.select(col("id2").as("doc_id"), col("id1").as("peer")))
+    val mine = pairs.join(pos, "doc_id")
+    val theirs = pos.select(col("doc_id").as("peer"), col("g"))
+    val shared = mine.join(theirs, Seq("peer", "g"), "left_semi")
+    val w = Window.partitionBy(col("doc_id"), col("peer")).orderBy(col("p"))
+    shared
+      .withColumn("isl", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("peer"), col("isl"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) - min(col("p")) + 8).cast("long").as("span_len"),
+        count(lit(1)).as("n_gram_pos"))
+      .select(col("doc_id"), col("peer"), col("span_start"),
+        col("span_len"), col("n_gram_pos"))
+  }
+
+  val dedupSubstrSpansSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |sym AS (
+       |  SELECT id1 AS doc_id, id2 AS peer FROM pairs
+       |  UNION ALL
+       |  SELECT id2 AS doc_id, id1 AS peer FROM pairs),
+       |tokp AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM corpus),
+       |g8p AS MATERIALIZED (
+       |  SELECT doc_id, g - 1 AS p,
+       |    CASE WHEN len(l) < 8 THEN array_to_string(l, ' ')
+       |         ELSE array_to_string(l[g:g+7], ' ') END AS s
+       |  FROM tokp, unnest(range(1, greatest(len(l) - 7, 1) + 1)) AS u(g)),
+       |shsp AS (
+       |  SELECT m.doc_id, m.peer, m.p
+       |  FROM (SELECT sym.doc_id, sym.peer, g.p, g.s
+       |        FROM sym JOIN g8p g ON g.doc_id = sym.doc_id) m
+       |  WHERE EXISTS (SELECT 1 FROM g8p o
+       |                WHERE o.doc_id = m.peer AND o.s = m.s)),
+       |islsp AS (
+       |  SELECT doc_id, peer, p,
+       |    p - row_number() OVER (PARTITION BY doc_id, peer ORDER BY p) AS i
+       |  FROM shsp)
+       |SELECT doc_id, peer,
+       |  CAST(min(p) AS BIGINT) AS span_start,
+       |  CAST(max(p) - min(p) + 8 AS BIGINT) AS span_len,
+       |  count(*) AS n_gram_pos
+       |FROM islsp GROUP BY doc_id, peer, i""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substr_spans" -> dedupSubstrSpans _)
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_substr_spans" -> dedupSubstrSpansSql)
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.RetrievalOps
+import graft.operators.{RetrievalOps, Round10Ops}
 
 /** Round-10 operator specs (SURVEY §2 rows landed this round). */
 class Round10Spec extends SparkSuite {
@@ -37,5 +37,58 @@ class Round10Spec extends SparkSuite {
       assert(indexSideExchanges == 0,
         s"index side shuffled:\n$plan")
     } finally prior.fold(spark.conf.unset(abt))(spark.conf.set(abt, _))
+  }
+
+  test("dedup_substr_spans: planted embedded copies recover exact extents, pinned against brute force") {
+    import spark.implicits._
+    // doc 1: 30 distinct tokens; doc 2 embeds tokens a4..a15 (12-token
+    // verbatim copy) inside its own stream; doc 3 embeds TWO disjoint
+    // copies (a0..a8, 9 toks; a20..a29, 10 toks); doc 4 shares nothing
+    def t(p: String, n: Int) = (0 until n).map(p + _)
+    val a = t("a", 30)
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, (t("b", 10) ++ a.slice(4, 16) ++ t("c", 10)).mkString(" ")),
+      (3L, (t("d", 5) ++ a.slice(0, 9) ++ t("e", 7) ++ a.slice(20, 30))
+        .mkString(" ")),
+      (4L, t("z", 25).mkString(" "))).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id1", "id2") // all pairs: recall is the LSH's job
+    val got = Round10Ops.substrSpansPipeline(docs, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // brute force: islands of 8-gram positions shared with the peer
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1)
+      .trim.split("\\s+").toSeq).toMap
+    def grams(id: Long): Seq[String] = {
+      val l = toks(id)
+      if (l.size < 8) Seq(l.mkString(" "))
+      else (0 to l.size - 8).map(i => l.slice(i, i + 8).mkString(" "))
+    }
+    val want = (for {
+      (x, y) <- Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L))
+      (d, p) <- Seq((x, y), (y, x))
+      peerSet = grams(p).toSet
+      spans = {
+        val ps = grams(d).zipWithIndex.collect {
+          case (g, i) if peerSet(g) => i }
+        // group consecutive positions into islands
+        ps.foldLeft(List.empty[(Int, Int, Int)]) {
+          case ((s, e, n) :: rest, i) if i == e + 1 => (s, i, n + 1) :: rest
+          case (acc, i) => (i, i, 1) :: acc
+        }
+      }
+      (s, e, n) <- spans
+    } yield (d, p, s.toLong, (e - s + 8).toLong, n.toLong)).toSet
+    assert(want.exists(_._4 == 12L)) // the 12-token copy is visible
+    assert(got == want, s"got ${got -- want} extra, missing ${want -- got}")
+
+    // the headline planted case reads exactly as the paper's semantics:
+    // a verbatim L-token copy = ONE island of L-7 grams, span_len = L
+    assert(got.contains((1L, 2L, 4L, 12L, 5L)))
+    assert(got.contains((2L, 1L, 10L, 12L, 5L)))
+    assert(got.contains((3L, 1L, 21L, 10L, 3L))) // 10-token copy
   }
 }
