@@ -109,9 +109,63 @@ object Round10Ops {
        |  count(*) AS n_gram_pos
        |FROM islsp GROUP BY doc_id, peer, i""".stripMargin
 
+  // ---------------------------------------------------------------- B81
+  /** Exact weighted quantiles per group via the mergeable
+    * `WeightedQuantileAgg` (round 10) — the sketch-family hole between
+    * I11 (approximate mergeable) and B23b (exact unweighted): per
+    * return flag, the quantity-weighted p25/p50/p75 of the price in
+    * integer DOLLARS (floor — the upfront domain quantization that
+    * makes EXACT affordable: the aggregate's buffer is bounded by the
+    * dollar domain, and the shuffle carries ≤ |domain| (value, Σw)
+    * pairs per group thanks to map-side partial aggregation).
+    *
+    * The selection is integer-exact percentile-disc (smallest v with
+    * 100·cumW ≥ p·W — no interpolation, no floats), so both engines
+    * pick the identical value; the oracle replays the definition as a
+    * cumulative-weight window. Merge-order independence is spec-pinned
+    * (the B42 discipline); the aggregate RAISES past its distinct
+    * bound rather than silently degrading (scaladoc contract). */
+  def qWeightedPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.WeightedQuantileAgg.weighted_quantiles
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice")).cast("long").as("d"),
+        col("l_quantity").cast("long").as("w"))
+    li.groupBy(col("l_returnflag"))
+      .agg(weighted_quantiles(col("d"), col("w"), Seq(25, 50, 75)).as("q"),
+        sum(col("w")).as("total_weight"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("total_weight"))
+  }
+
+  val qWeightedPercentilesSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS d,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, d, sum(w) AS w FROM v GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, d,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM g)
+      |SELECT l_returnflag,
+      |  CAST(min(CASE WHEN 100 * cw >= 25 * tw THEN d END) AS BIGINT) AS p25,
+      |  CAST(min(CASE WHEN 100 * cw >= 50 * tw THEN d END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN 100 * cw >= 75 * tw THEN d END) AS BIGINT) AS p75,
+      |  CAST(min(tw) AS BIGINT) AS total_weight
+      |FROM c GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_substr_spans" -> dedupSubstrSpans _)
+    "dedup_substr_spans" -> dedupSubstrSpans _,
+    "q_weighted_percentiles" -> qWeightedPercentiles _)
 
   def oracleSql: Map[String, String] = Map(
-    "dedup_substr_spans" -> dedupSubstrSpansSql)
+    "dedup_substr_spans" -> dedupSubstrSpansSql,
+    "q_weighted_percentiles" -> qWeightedPercentilesSql)
 }

@@ -91,4 +91,38 @@ class Round10Spec extends SparkSuite {
     assert(got.contains((2L, 1L, 10L, 12L, 5L)))
     assert(got.contains((3L, 1L, 21L, 10L, 3L))) // 10-token copy
   }
+
+  test("weighted quantiles: exact vs expanded brute force, merge-order independent, raises on bad weights") {
+    import spark.implicits._
+    import graft.functions.WeightedQuantileAgg.weighted_quantiles
+    // weighted set with ties, a heavy value, and a weight-1 tail
+    val rows = Seq((5L, 3L), (1L, 1L), (9L, 10L), (5L, 2L), (2L, 4L),
+      (7L, 1L), (1L, 6L))
+    val percents = Seq(10, 25, 50, 75, 90, 100)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(weighted_quantiles(col("v"), col("w"), percents).as("q"))
+        .collect().head.getSeq[Long](0)
+
+    // brute force: expand each value w times; percentile-disc lower
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val want = percents.map { p =>
+      val rank = math.ceil(p / 100.0 * expanded.size).toInt
+      expanded(rank - 1)
+    }
+    val base = rows.toDF("v", "w")
+    assert(run(base) == want)
+
+    // merge-order independence: any partitioning/order gives the bits
+    Seq(base.repartition(1), base.repartition(7),
+      base.orderBy(col("v").desc), base.orderBy(col("w"))).foreach { df =>
+      assert(run(df) == want, "partitioning changed the quantiles")
+    }
+
+    // contract: non-positive weights raise rather than mis-aggregate
+    val err = intercept[Exception] {
+      Seq((1L, 0L)).toDF("v", "w")
+        .agg(weighted_quantiles(col("v"), col("w"), Seq(50))).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
