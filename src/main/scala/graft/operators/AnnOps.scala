@@ -2003,10 +2003,12 @@ object AnnOps {
   }
 
   /** Mirror of the portable 8-bit sign-LSH (32 planes, table = p//8,
-    * bit = p%8) + rounded-cosine rank.
+    * bit = p%8) + rounded-cosine rank, as a reusable CTE chain ending
+    * in `knng(src, rank, dst, sim)` — shared by the E19 oracle and the
+    * round-10 graph-search oracle (ONE definition of the substrate).
     * MATERIALIZED on the multi-referenced CTEs (the D16/E13 lesson). */
-  val knnGraphSql: String =
-    """WITH qv AS MATERIALIZED (
+  val knnGraphSqlCtes: String =
+    """qv AS MATERIALIZED (
       |  SELECT vec_id, dim,
       |    floor(embedding[dim+1]::DOUBLE * 1000000)::BIGINT AS q
       |  FROM embeddings, range(64) d(dim)),
@@ -2035,11 +2037,17 @@ object AnnOps {
       |      e.embedding::DOUBLE[]), 6) AS sim
       |  FROM cand c
       |  JOIN embeddings s ON s.vec_id = c.src
-      |  JOIN embeddings e ON e.vec_id = c.dst)
-      |SELECT src, rank, dst, sim FROM (
-      |  SELECT src, dst, sim,
-      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
-      |  FROM scored) WHERE rank <= 3""".stripMargin
+      |  JOIN embeddings e ON e.vec_id = c.dst),
+      |knng AS MATERIALIZED (
+      |  SELECT src, rank, dst, sim FROM (
+      |    SELECT src, dst, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+      |        AS rank
+      |    FROM scored) WHERE rank <= 3)""".stripMargin
+
+  val knnGraphSql: String =
+    s"""WITH $knnGraphSqlCtes
+       |SELECT src, rank, dst, sim FROM knng""".stripMargin
 
   // ---------------------------------------------------------------- E20
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning

@@ -109,6 +109,138 @@ object Round10Ops {
        |  count(*) AS n_gram_pos
        |FROM islsp GROUP BY doc_id, peer, i""".stripMargin
 
+  // ---------------------------------------------------------------- E25
+  /** Graph-ANN beam search over the E19 kNN-graph substrate (round
+    * 10) — the ONE production ANN index family the E-ladder lacked
+    * (flat/LSH/IVF/PQ/SQ/binary covered; graph traversal is what
+    * FAISS/Lucene/Milvus default to, the HNSW/NSW family reduced to
+    * its deterministic single-layer core): from 8 FIXED hash-spread
+    * entry points (the nodes minimizing md5-h32("gseed:"+id) — HNSW's
+    * fixed entry generalized to a deterministic spread seed set,
+    * measured +0.14 recall over a single entry at equal beam),
+    * H = 6 fixed expansion rounds over the SYMMETRIZED kNN edges;
+    * each round re-selects the beam (top-B = 16 of everything
+    * visited, by 6dp-rounded cosine desc then node id — the frontier
+    * re-ranking that distinguishes best-first beam search from BFS),
+    * expands the beam's neighbors, scores them exactly, and
+    * accumulates. Output: top-5 per query from the visited set (self
+    * excluded at OUTPUT only — the query's own node must stay in the
+    * beam or a query that IS a seed would strand).
+    *
+    * Determinism: fixed rounds (no convergence test), total orders
+    * everywhere, 6dp-rounded sims; the oracle replays the graph CTEs
+    * (shared with E19 — one substrate definition) and unrolls the 4
+    * rounds as MATERIALIZED CTEs, so hash equality proves the whole
+    * traversal. Recall vs E1 and the candidate-volume-vs-corpus ratio
+    * are spec-measured (`Round10Spec`) — the honest numbers for a
+    * near-edge-only graph on this corpus, where beam search's value
+    * is touching a small fraction of the corpus per query.
+    *
+    * Scale: per round the frontier relation is |Q|·B rows, expansion
+    * ≤ |Q|·B·deg; the only corpus-scale contacts are the equi-joins
+    * of the (tiny, broadcast) candidate relation against the
+    * embedding table and the one-off graph build (E19's sharded-LSH
+    * plan). Visited stays k-bounded per query; localCheckpoint per
+    * round truncates lineage (the D18/E16 iterative discipline). */
+  def annGraphSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val beam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    annGraphVisited(spark, sfDir)
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("rank", row_number().over(beam).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** The traversal's visited relation (qid, nid, sim) — the whole
+    * beam search minus the final ranking; also the spec hook for the
+    * recall / candidate-volume measurements. */
+  private[graft] def annGraphVisited(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val g = AnnOps.knnGraph(spark, sfDir).select("src", "dst")
+    val edges = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ep = emb.select(col("vec_id").as("nid"),
+        graft.functions.gf.h32(concat(lit("gseed:"), col("vec_id"))).as("h"))
+      .orderBy(col("h"), col("nid")).limit(8).select(col("nid"))
+    def score(cands: DataFrame): DataFrame =
+      broadcast(cands)
+        .join(emb.withColumnRenamed("vec_id", "nid"), "nid")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("nid"),
+          round(graft.functions.gf.cosine_sim(col("qv"), col("embedding")), 6)
+            .as("sim"))
+    var visited = score(queries.select(col("qid")).crossJoin(broadcast(ep)))
+      .localCheckpoint(true)
+    val beam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    (1 to 6).foreach { _ =>
+      val frontier = visited
+        .withColumn("rn", row_number().over(beam)).filter(col("rn") <= 16)
+        .select(col("qid"), col("nid"))
+      val expanded = frontier
+        .join(edges, frontier("nid") === edges("src"))
+        .select(col("qid"), col("dst").as("nid")).distinct()
+      visited = visited.unionByName(score(expanded)).distinct()
+        .localCheckpoint(true)
+    }
+    visited
+  }
+
+  val annGraphSearchSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""sel$r AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+         |        AS rn
+         |    FROM vis${r - 1}) WHERE rn <= 16),
+         |exp$r AS (
+         |  SELECT DISTINCT s.qid, e.dst AS nid
+         |  FROM sel$r s JOIN edges e ON e.src = s.nid),
+         |sc$r AS (
+         |  SELECT x.qid, x.nid,
+         |    round(list_cosine_similarity(q.qv, em.embedding::DOUBLE[]), 6)
+         |      AS sim
+         |  FROM exp$r x
+         |  JOIN q ON q.qid = x.qid
+         |  JOIN embeddings em ON em.vec_id = x.nid),
+         |vis$r AS MATERIALIZED (
+         |  SELECT DISTINCT qid, nid, sim FROM (
+         |    SELECT * FROM vis${r - 1} UNION ALL SELECT * FROM sc$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${AnnOps.knnGraphSqlCtes},
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM knng
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM knng),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |ep AS (
+       |  SELECT vec_id AS nid FROM embeddings
+       |  ORDER BY ('0x' || substr(md5('gseed:' || CAST(vec_id AS VARCHAR)),
+       |    1, 8))::BIGINT, vec_id
+       |  LIMIT 8),
+       |vis0 AS MATERIALIZED (
+       |  SELECT q.qid, ep.nid,
+       |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+       |      AS sim
+       |  FROM q, ep JOIN embeddings e ON e.vec_id = ep.nid),
+       |$rounds
+       |SELECT qid, rank, nid, sim FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+       |      AS rank
+       |  FROM vis6 WHERE nid <> qid) WHERE rank <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- B81
   /** Exact weighted quantiles per group via the mergeable
     * `WeightedQuantileAgg` (round 10) — the sketch-family hole between
@@ -163,9 +295,11 @@ object Round10Ops {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substr_spans" -> dedupSubstrSpans _,
+    "ann_graph_search" -> annGraphSearch _,
     "q_weighted_percentiles" -> qWeightedPercentiles _)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_substr_spans" -> dedupSubstrSpansSql,
+    "ann_graph_search" -> annGraphSearchSql,
     "q_weighted_percentiles" -> qWeightedPercentilesSql)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RetrievalOps, Round10Ops}
+import graft.operators.{AnnOps, RetrievalOps, Round10Ops}
 
 /** Round-10 operator specs (SURVEY §2 rows landed this round). */
 class Round10Spec extends SparkSuite {
@@ -90,6 +90,55 @@ class Round10Spec extends SparkSuite {
     assert(got.contains((1L, 2L, 4L, 12L, 5L)))
     assert(got.contains((2L, 1L, 10L, 12L, 5L)))
     assert(got.contains((3L, 1L, 21L, 10L, 3L))) // 10-token copy
+  }
+
+  test("ann_graph_search: recall vs E1 brute force with candidate volume, vs IVF at its volume") {
+    def topsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    def recall(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double =
+      want.keys.toSeq.map(q =>
+        (got.getOrElse(q, Set.empty) & want(q)).size / 5.0)
+        .sum / want.size
+
+    // measured at sf0.1 (2000 vectors): at the 500-vector test corpus
+    // any 6-hop traversal saturates to a quarter of the corpus and the
+    // volume/lift numbers stop meaning anything
+    val sfBig = "/root/testdata/sf0.1"
+    val n = Tables.embeddings(spark, sfBig).count().toDouble
+    val exact = topsOf(AnnOps.queries("ann_bruteforce")(spark, sfBig))
+
+    // graph beam search: EXACT visited volume from the traversal state
+    val visited = Round10Ops.annGraphVisited(spark, sfBig)
+    val beamVolPerQ = visited.count() / exact.size.toDouble
+    val beamRecall = recall(topsOf(Round10Ops.annGraphSearch(spark, sfBig)),
+      exact)
+
+    // IVF (E3, nprobe=3) for the comparison row: recall from the
+    // public pipeline, volume ≈ nprobe × mean cell occupancy
+    val emb = Tables.embeddings(spark, sfBig)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ivfRecall = recall(topsOf(
+      AnnOps.ivfTopK(emb, queries, 5, nprobe = 3)
+        .select(col("qid"), col("rank"), col("nid"), col("sim"))), exact)
+    val nCells = AnnOps.ivfCentroids(emb).count().toDouble
+    val ivfVolPerQ = 3.0 / nCells * n
+
+    info(f"corpus=$n%.0f | beam: recall=$beamRecall%.2f vol/q=$beamVolPerQ%.0f "
+      + f"(${100 * beamVolPerQ / n}%.1f%%) | ivf(nprobe=3): recall=$ivfRecall%.2f "
+      + f"vol/q≈$ivfVolPerQ%.0f (${100 * ivfVolPerQ / n}%.1f%%)")
+
+    // pinned from measurement: the graph traversal concentrates — its
+    // recall beats random sampling at equal volume by ≥2× (on RANDOM
+    // embeddings there is no cluster structure to navigate, so the
+    // honest claim is the lift, not absolute recall), touching ≤15%
+    // of the corpus per query
+    assert(beamRecall >= 0.15, f"beam recall $beamRecall%.2f")
+    assert(beamVolPerQ / n <= 0.15, f"beam volume ${beamVolPerQ / n}%.2f")
+    assert(beamRecall >= 2.0 * (beamVolPerQ / n),
+      f"no lift over random sampling: recall=$beamRecall%.2f at "
+        + f"${beamVolPerQ / n}%.2f volume")
   }
 
   test("weighted quantiles: exact vs expanded brute force, merge-order independent, raises on bad weights") {
