@@ -241,6 +241,170 @@ object Round10Ops {
        |  FROM vis6 WHERE nid <> qid) WHERE rank <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------- C25/C26
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — C16 computes one
+    * merge round's pair statistics; this runs the actual K = 20-round
+    * training loop and (C26) encodes the corpus under the trained
+    * merges. Training operates on the distinct-WORD histogram (the
+    * standard BPE formulation and the scale discipline: the corpus
+    * collapses ONCE to (word, count) — vocabulary-bounded — and every
+    * round touches only that relation, never the text again).
+    *
+    * Word state is a delimiter-wrapped symbol string `|a||b||c|`
+    * (symbols are pipe-free by construction, so the merge pattern
+    * `|a||b|` → `|ab|` is unambiguous and plain left-to-right
+    * non-overlapping `replace` IS the greedy BPE merge — both
+    * engines' replace scans identically, e.g. `aaaa` under merge
+    * (a,a) → [aa, aa]). Per round: adjacent-pair counts weighted by
+    * word frequency (one vocab-sized agg), argmax by (count desc,
+    * pair asc) via min-struct (a 1-row relation, broadcast), apply =
+    * one `replace` projection, localCheckpoint (the iterative
+    * discipline — 20 rounds over a vocabulary-bounded relation).
+    * The merge table (round, a, b, merged, n) is C25's output; the
+    * oracle unrolls all 20 rounds as MATERIALIZED CTEs and
+    * hash-matching it proves the entire training trajectory.
+    *
+    * C26 `text_bpe_encode`: the trained vocab's final segmentation
+    * joins back to the corpus word stream — per document, word count
+    * and BPE token count (the compression the tokenizer actually
+    * achieves; fertility = tokens/words). Encoding a new corpus at
+    * 100 TB is exactly this broadcast join of the (tiny) trained
+    * vocab against the word stream. */
+  private val bpeRounds = 20
+
+  /** (merge table, final vocab (w, seq, cnt)) after K training
+    * rounds over the corpus's lowercased word histogram. */
+  private[graft] def bpeTrainPipeline(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) =
+    bpeTrainOn(Tables.documents(spark, sfDir))
+
+  /** Training over an arbitrary (doc_id, text) relation — shared by
+    * the query surface and the `Round10Spec` reference-trainer check. */
+  private[graft] def bpeTrainOn(docs: DataFrame): (DataFrame, DataFrame) = {
+    val vocab = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var cur = vocab.select(col("w"),
+      regexp_replace(col("w"), "(.)", "|$1|").as("seq"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to bpeRounds).foreach { r =>
+      val pairs = cur
+        .select(expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").as("s"),
+          col("cnt"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> concat(element_at(s, i), '|', element_at(s, i + 1)))"""
+            .stripMargin)).as("pk"), col("cnt"))
+        .groupBy(col("pk")).agg(sum(col("cnt")).as("n"))
+      // TakeOrdered over the vocab-bounded pair relation; EMPTY when
+      // training exhausts (every word one symbol) — that round then
+      // contributes no merge row and the LEFT join below leaves the
+      // segmentation untouched (a crossJoin would EMPTY the vocab)
+      val m = pairs.orderBy(col("n").desc, col("pk")).limit(1)
+        .localCheckpoint(true)
+      merges += m.withColumn("round", lit(r.toLong))
+      cur = cur.join(broadcast(m.select(col("pk"))), lit(true), "left")
+        .select(col("w"), expr(
+          """CASE WHEN pk IS NULL THEN seq ELSE replace(seq,
+            |  concat('|', element_at(split(pk, '\\|'), 1), '||',
+            |         element_at(split(pk, '\\|'), 2), '|'),
+            |  concat('|', element_at(split(pk, '\\|'), 1),
+            |         element_at(split(pk, '\\|'), 2), '|')) END"""
+            .stripMargin).as("seq"), col("cnt"))
+        .localCheckpoint(true)
+    }
+    val table = merges.reduce(_ unionByName _)
+      .select(col("round"),
+        expr("element_at(split(pk, '\\\\|'), 1)").as("a"),
+        expr("element_at(split(pk, '\\\\|'), 2)").as("b"),
+        col("n"))
+      .withColumn("merged", concat(col("a"), col("b")))
+      .select(col("round"), col("a"), col("b"), col("merged"), col("n"))
+    (table, cur)
+  }
+
+  def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainPipeline(spark, sfDir)._1
+
+  def textBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, vocabF) = bpeTrainPipeline(spark, sfDir)
+    val enc = vocabF.select(col("w"),
+      size(expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')"))
+        .cast("long").as("n_syms"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(enc), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+  }
+
+  /** The shared training-CTE chain: `vocab` → `w0` … `w{K}` with one
+    * (p{r}, m{r}) pair per round — the DuckDB replay of the exact
+    * argmax/replace trajectory. Ends at w$bpeRounds; consumers append
+    * their own final SELECT. */
+  private def bpeSqlCtes: String = {
+    val rounds = (1 to bpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT s[i] || '|' || s[i+1] AS pk, sum(cnt) AS n
+         |  FROM (SELECT string_split(trim(seq, '|'), '||') AS s, cnt
+         |        FROM w${r - 1}),
+         |    unnest(generate_series(1, len(s) - 1)) g(i)
+         |  WHERE len(s) >= 2
+         |  GROUP BY 1),
+         |m$r AS (SELECT pk, n FROM p$r ORDER BY n DESC, pk LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w,
+         |    CASE WHEN pk IS NULL THEN seq ELSE replace(seq,
+         |      concat('|', string_split(pk, '|')[1], '||',
+         |             string_split(pk, '|')[2], '|'),
+         |      concat('|', string_split(pk, '|')[1],
+         |             string_split(pk, '|')[2], '|')) END AS seq,
+         |    cnt
+         |  FROM w${r - 1} LEFT JOIN m$r ON true)""".stripMargin
+    }.mkString(",\n")
+    s"""vocab AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) >= 1 GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS seq, cnt
+       |  FROM vocab),
+       |$rounds""".stripMargin
+  }
+
+  val textBpeTrainSql: String = {
+    val unions = (1 to bpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  string_split(pk, '|')[1] AS a, string_split(pk, '|')[2] AS b,
+         |  string_split(pk, '|')[1] || string_split(pk, '|')[2] AS merged,
+         |  CAST(n AS BIGINT) AS n
+         |FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $bpeSqlCtes\n$unions"
+  }
+
+  val textBpeEncodeSql: String =
+    s"""WITH $bpeSqlCtes,
+       |enc AS (
+       |  SELECT w,
+       |    CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS n_syms
+       |  FROM w$bpeRounds),
+       |stream AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT s.doc_id, count(*) AS n_words,
+       |  CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM stream s JOIN enc e ON e.w = s.w
+       |WHERE len(s.w) >= 1
+       |GROUP BY s.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- B81
   /** Exact weighted quantiles per group via the mergeable
     * `WeightedQuantileAgg` (round 10) — the sketch-family hole between
@@ -296,10 +460,14 @@ object Round10Ops {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substr_spans" -> dedupSubstrSpans _,
     "ann_graph_search" -> annGraphSearch _,
+    "text_bpe_train" -> textBpeTrain _,
+    "text_bpe_encode" -> textBpeEncode _,
     "q_weighted_percentiles" -> qWeightedPercentiles _)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_substr_spans" -> dedupSubstrSpansSql,
     "ann_graph_search" -> annGraphSearchSql,
+    "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "q_weighted_percentiles" -> qWeightedPercentilesSql)
 }

@@ -141,6 +141,64 @@ class Round10Spec extends SparkSuite {
         + f"${beamVolPerQ / n}%.2f volume")
   }
 
+  test("bpe training: merge trajectory and final segmentation equal a reference greedy trainer") {
+    import spark.implicits._
+    // words with a known useful merge structure: "the"-family shares
+    // th/he, repeats force multi-char merges, "aaaa" exercises the
+    // left-to-right overlap rule
+    val docs = Seq(
+      (1L, "the the the then there the banana bandana"),
+      (2L, "then banana aaaa aaa the there hehe"),
+      (3L, "banana banana then the hehe aaaa")).toDF("doc_id", "text")
+
+    // reference trainer: plain Scala greedy BPE with the identical
+    // (count desc, "a|b" asc) tie-break and left-to-right merges
+    val words: Map[String, Long] = docs.collect()
+      .flatMap(_.getString(1).toLowerCase.trim.split("\\s+"))
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    var segs: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val refMerges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    (1 to 20).foreach { _ =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, s) <- segs; i <- 0 until s.size - 1)
+        counts((s(i), s(i + 1))) += words(w)
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a + "|" + b) }
+        refMerges += ((a, b, n))
+        segs = segs.map { case (w, s) =>
+          val out = scala.collection.mutable.Buffer.empty[String]
+          var i = 0
+          while (i < s.size) {
+            if (i + 1 < s.size && s(i) == a && s(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          w -> out.toVector
+        }
+      }
+    }
+
+    val (table, vocabF) = graft.operators.Round10Ops.bpeTrainOn(docs)
+    val gotMerges = table.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(gotMerges == refMerges.toSeq,
+      s"trajectory diverged:\n got $gotMerges\n ref ${refMerges.toSeq}")
+
+    val gotSegs = vocabF.collect().map { r =>
+      r.getString(0) ->
+        r.getString(1).stripPrefix("|").stripSuffix("|").split("\\|\\|")
+          .toVector
+    }.toMap
+    assert(gotSegs == segs, "final segmentation diverged")
+    // the overlap rule did its job: aaaa under the (a,a)-family merges
+    // segments greedily left-to-right, never overlapping
+    assert(segs("aaaa").mkString("+") == gotSegs("aaaa").mkString("+"))
+  }
+
   test("weighted quantiles: exact vs expanded brute force, merge-order independent, raises on bad weights") {
     import spark.implicits._
     import graft.functions.WeightedQuantileAgg.weighted_quantiles
