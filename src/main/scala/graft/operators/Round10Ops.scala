@@ -405,6 +405,87 @@ object Round10Ops {
        |WHERE len(s.w) >= 1
        |GROUP BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- C27
+  /** Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney
+    * 1995; Chen & Goodman 1999) — the serious-smoothing upgrade over
+    * C10's add-1 LM and the relational form of the KenLM-perplexity
+    * filter CCNet-style pipelines actually ship: per document, the
+    * mean log of
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/|bigram types|
+    * with fixed discount D = 0.75. The continuation probability
+    * N₁₊(·w₂)/B — "in how many contexts does w₂ complete a bigram" —
+    * is the KN insight add-1 lacks: frequent-but-context-locked words
+    * ("francisco") stop inflating the backoff mass.
+    *
+    * Plan: four corpus-wide count relations off the one bigram stream
+    * (bigram counts, context totals, forward/backward distinct
+    * continuation counts — all map-side-combinable token-key aggs;
+    * text never shuffles, bigram KEYS do, hashed at 100 TB per the
+    * C10 note), one 1-row type-count broadcast, then the doc stream
+    * joins the model and reduces per doc. Scoring the training corpus
+    * itself keeps every c(w₁w₂) ≥ 1, so the discounted term is
+    * always positive. Float discipline: the per-bigram ln is summed
+    * via `avg` and bridged by round(…,6) — the C10/C19 libm
+    * convention. */
+  def textKnLm(spark: SparkSession, sfDir: String): DataFrame =
+    knLmPipeline(Tables.documents(spark, sfDir))
+
+  /** The KN pipeline over an arbitrary (doc_id, text) relation —
+    * shared by the query surface and the `Round10Spec` reference
+    * check. */
+  private[graft] def knLmPipeline(documents: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val docBg = documents
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = docBg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = docBg.groupBy(col("w1")).agg(count(lit(1)).as("cu"),
+      countDistinct(col("w2")).as("n1p_fwd"))
+    val cont = docBg.groupBy(col("w2"))
+      .agg(countDistinct(col("w1")).as("n1p_bwd"))
+    val btypes = docBg.select(col("bg")).agg(countDistinct(col("bg")).as("b"))
+    val d = lit(0.75)
+    val p = (greatest(col("cb") - d, lit(0.0)) / col("cu")) +
+      (d * col("n1p_fwd") / col("cu")) * (col("n1p_bwd") / col("b"))
+    docBg.join(cb, "bg").join(cu, "w1").join(cont, "w2")
+      .crossJoin(broadcast(btypes))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(p)), 6).as("kn_score"))
+  }
+
+  val textKnLmSql: String =
+    """WITH dbg AS MATERIALIZED (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS bg, l[i] AS w1,
+      |    l[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |        FROM documents),
+      |    unnest(generate_series(1, len(l) - 1)) g(i)
+      |  WHERE len(l) >= 2),
+      |cb AS (SELECT bg, count(*) AS cb FROM dbg GROUP BY 1),
+      |cu AS (
+      |  SELECT w1, count(*) AS cu, count(DISTINCT w2) AS n1p_fwd
+      |  FROM dbg GROUP BY 1),
+      |cont AS (SELECT w2, count(DISTINCT w1) AS n1p_bwd FROM dbg GROUP BY 1),
+      |bt AS (SELECT count(DISTINCT bg) AS b FROM dbg)
+      |SELECT d.doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln(
+      |    greatest(cb.cb - 0.75, 0.0) / cu.cu
+      |    + (0.75 * cu.n1p_fwd / cu.cu) * (cont.n1p_bwd / CAST(bt.b AS DOUBLE))
+      |  )), 6) AS kn_score
+      |FROM dbg d
+      |JOIN cb ON cb.bg = d.bg
+      |JOIN cu ON cu.w1 = d.w1
+      |JOIN cont ON cont.w2 = d.w2
+      |CROSS JOIN bt
+      |GROUP BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- B81
   /** Exact weighted quantiles per group via the mergeable
     * `WeightedQuantileAgg` (round 10) — the sketch-family hole between
@@ -462,6 +543,7 @@ object Round10Ops {
     "ann_graph_search" -> annGraphSearch _,
     "text_bpe_train" -> textBpeTrain _,
     "text_bpe_encode" -> textBpeEncode _,
+    "text_kn_lm" -> textKnLm _,
     "q_weighted_percentiles" -> qWeightedPercentiles _)
 
   def oracleSql: Map[String, String] = Map(
@@ -469,5 +551,6 @@ object Round10Ops {
     "ann_graph_search" -> annGraphSearchSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_kn_lm" -> textKnLmSql,
     "q_weighted_percentiles" -> qWeightedPercentilesSql)
 }

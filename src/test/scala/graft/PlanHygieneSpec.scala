@@ -129,6 +129,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_k_anonymity" -> "crossJoin(broadcast(1-row table total))",
     "sketch_ams_f2" -> "crossJoin(broadcast(1-row exact-F2 scalar))",
     "text_bm25" -> "crossJoin(broadcast(1-row N/avgdl corpus scalar))",
+    "text_kn_lm" -> "crossJoin(broadcast(1-row bigram-type-count scalar))",
+    "bm25_standing" -> ("crossJoin(broadcast(1-row N/avgdl corpus "
+      + "scalar)) — the shared C17 scoring tail over the standing "
+      + "segments"),
     "q_decay_agg" -> "crossJoin(broadcast(1-row max-timestamp anchor))",
     "dedup_pagerank" ->
       "crossJoin(broadcast(1-row node-count scalar)) per iteration",

@@ -199,6 +199,56 @@ class Round10Spec extends SparkSuite {
     assert(segs("aaaa").mkString("+") == gotSegs("aaaa").mkString("+"))
   }
 
+  test("text_kn_lm: per-doc scores equal a reference KN scorer; the model normalizes over the vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "san francisco is a city and san diego is a city"),
+      (2L, "new york is a city new jersey is a state"),
+      (3L, "the city and the state and the city")).toDF("doc_id", "text")
+
+    // reference model from plain counts
+    val streams = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val bigs = streams.flatMap { case (_, t) => t.zip(t.tail) }
+    val cb = bigs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cu = bigs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n1pFwd = bigs.distinct.groupBy(_._1)
+      .map { case (k, v) => k -> v.size.toLong }
+    val n1pBwd = bigs.distinct.groupBy(_._2)
+      .map { case (k, v) => k -> v.size.toLong }
+    val b = bigs.distinct.size.toDouble
+    val d = 0.75
+    def p(w1: String, w2: String): Double =
+      math.max(cb.getOrElse((w1, w2), 0L) - d, 0.0) / cu(w1) +
+        (d * n1pFwd(w1) / cu(w1)) * (n1pBwd.getOrElse(w2, 0L) / b)
+
+    // KN's defining property: interpolated P(·|w1) sums to 1 over the
+    // FULL vocab (discount mass exactly funds the continuation term)
+    val vocab = streams.flatMap(_._2).distinct
+    cu.keys.foreach { w1 =>
+      val total = vocab.map(w2 => p(w1, w2)).sum
+      assert(math.abs(total - 1.0) < 1e-9, f"sum P(.|$w1) = $total%.12f")
+    }
+
+    // pipeline scores = reference mean-log scores (6dp)
+    val want = streams.map { case (id, t) =>
+      val lps = t.zip(t.tail).map { case (a, w) => math.log(p(a, w)) }
+      id -> BigDecimal(lps.sum / lps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = graft.operators.Round10Ops.knLmPipeline(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) <= 1e-6, s"doc $id: $s vs ${want(id)}")
+    }
+
+    // the KN insight: "francisco" is frequent-after-"san" but
+    // context-locked, so its continuation mass is the floor, below a
+    // versatile completer like "city"
+    assert(n1pBwd(("francisco")) < n1pBwd(("city")))
+  }
+
   test("weighted quantiles: exact vs expanded brute force, merge-order independent, raises on bad weights") {
     import spark.implicits._
     import graft.functions.WeightedQuantileAgg.weighted_quantiles
