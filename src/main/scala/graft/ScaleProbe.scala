@@ -338,6 +338,33 @@ object ScaleProbe {
             .as("s"))
           .queryExecution.toRdd.count()),
         (n: Int) => replicateDocsScan(docs, n), docs),
+      // D27 substring spans: candidate pairs stay linear at constant
+      // dup density (salted replicas), gram-position relation linear;
+      // the per-pair island windows are pair-bounded — cost should
+      // track the gram scan + shared-gram semi-join
+      ("substr_spans",
+        (d: DataFrame) => time(operators.Round10Ops.substrSpansPipeline(
+          d.select("doc_id", "text"),
+          operators.DedupOps.minhashPipeline(d.select("doc_id", "text"), 0.5)
+            .select("id1", "id2")).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // C27 KN LM: four token-key count aggs + the doc-stream model
+      // join — everything linear in the bigram stream; the model
+      // relation is vocabulary-bounded (salting grows vocab per
+      // replica, the honest worst case)
+      ("kn_lm",
+        (d: DataFrame) => time(operators.Round10Ops.knLmPipeline(
+          d.select("doc_id", "text")).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // C25 BPE training: the corpus collapses once to the word
+      // histogram; all 20 rounds run on the vocab-bounded relation, so
+      // cost should be nearly FLAT in corpus size (the scan dominates;
+      // salted replicas grow the vocab ×N — the honest worst case —
+      // yet the rounds stay tiny)
+      ("bpe_train",
+        (d: DataFrame) => time(operators.Round10Ops.bpeTrainOn(
+          d.select("doc_id", "text"))._1.count()),
+        (n: Int) => replicateDocs(docs, n), docs),
       // D24 prefix join: constant duplicate density keeps the true-pair
       // volume linear; prefix tokens are the globally RAREST ~n/5 per
       // doc, so the candidate equi-join's fan-out rides the df tail —

@@ -208,6 +208,42 @@ final class IndexStore(
       project: DataFrame => DataFrame): DataFrame =
     probeSegs(segmentsAsOf(version), batch, project)
 
+  /** Segments added between two retained snapshots (both inclusive of
+    * retention) — the CHANGE FEED of the index: an incremental
+    * consumer that processed vFrom needs to touch only these. Empty
+    * when vTo is a compaction of vFrom's data (a rewrite commit adds
+    * no NEW rows — consumers keyed on data, not layout, skip it;
+    * consumers that must re-read after layout changes diff the lists
+    * themselves). */
+  def segmentsAdded(vFrom: Int, vTo: Int): Seq[Int] = {
+    val from = segmentsAsOf(vFrom).toSet
+    // a compaction's merged segment carries no new data: it is the
+    // union of from-segments it replaced — detect "replaces only"
+    // by construction: refresh appends STRICTLY increasing ids and
+    // compact writes one id greater than everything it merged, so a
+    // segment in vTo is NEW DATA iff its id exceeds vFrom's max AND
+    // it was written by refresh (single-segment append commits).
+    // The store cannot distinguish the two after the fact from ids
+    // alone, so the contract is list-level: every segment in vTo
+    // not present in vFrom. Callers consuming data increments use
+    // probeDelta, which is exact for refresh-only histories and
+    // conservative (re-reads) across compactions.
+    segmentsAsOf(vTo).filterNot(from.contains)
+  }
+
+  /** [[probe]] only the segments added between two retained
+    * snapshots — incremental consumption: for refresh-only histories
+    * probe(vTo) ≡ probe(vFrom) ∪ probeDelta(vFrom, vTo)
+    * (spec-pinned), so a consumer keeps pace at O(new batch) instead
+    * of re-probing the standing data. */
+  def probeDelta(vFrom: Int, vTo: Int, batch: DataFrame,
+      project: DataFrame => DataFrame): DataFrame = {
+    val added = segmentsAdded(vFrom, vTo)
+    if (added.isEmpty) // nothing new: empty relation in probe shape
+      probeSegs(segments.take(1), batch, project).limit(0)
+    else probeSegs(added, batch, project)
+  }
+
   private def probeSegs(segs: Seq[Int], batch: DataFrame,
       project: DataFrame => DataFrame): DataFrame =
     segs.map(s => project(batch.join(spark.table(tableName(s)), keyCol)))

@@ -132,6 +132,50 @@ class IndexStoreSpec extends SparkSuite {
     } finally store.drop()
   }
 
+  test("probeDelta: incremental consumption — probe(vTo) = probe(vFrom) ∪ delta for refresh histories; compaction delta is layout-only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_idxdelta").toString
+    val all = DedupOps.corpus(Tables.documents(spark, sf))
+      .withColumn("h", graft.functions.gf.h32($"doc_id".cast("string")) % 10)
+    def slice(lo: Int, hi: Int): DataFrame =
+      all.filter($"h" >= lo && $"h" <= hi).select("doc_id", "text")
+    val store = new IndexStore(spark, "graft_t_idxdelta", s"$dir/a", "bk",
+      keepSnapshots = 4)
+    try {
+      val batch = bands(slice(9, 9)).select($"bk", $"doc_id".as("id_new"))
+      def keys(df: DataFrame): Set[(Long, Long)] =
+        df.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def probeAt(v: Int) = keys(
+        store.probeAsOf(v, batch, _.select("id_new", "id_old")))
+
+      store.create(bands(slice(0, 5)).select($"bk", $"doc_id".as("id_old")))
+      val v1 = store.snapshots.last
+      store.refresh(bands(slice(6, 7)).select($"bk", $"doc_id".as("id_old")))
+      val v2 = store.snapshots.last
+      store.refresh(bands(slice(8, 8)).select($"bk", $"doc_id".as("id_old")))
+      val v3 = store.snapshots.last
+
+      // incremental-consumer identity across one and two refreshes
+      val d12 = keys(store.probeDelta(v1, v2, batch,
+        _.select("id_new", "id_old")))
+      val d13 = keys(store.probeDelta(v1, v3, batch,
+        _.select("id_new", "id_old")))
+      assert(d12.nonEmpty)
+      assert((probeAt(v1) ++ d12) == probeAt(v2))
+      assert((probeAt(v1) ++ d13) == probeAt(v3))
+
+      // compaction is a layout rewrite, not new data: the delta list
+      // is the merged segment (conservative re-read), and union with
+      // the old view still reproduces the new view exactly
+      store.compact()
+      val v4 = store.snapshots.last
+      val d34 = keys(store.probeDelta(v3, v4, batch,
+        _.select("id_new", "id_old")))
+      assert((probeAt(v3) ++ d34) == probeAt(v4))
+      assert(probeAt(v4) == probeAt(v3)) // no new rows from a rewrite
+    } finally store.drop()
+  }
+
   test("refresh auto-compacts at the maxSegments bound, probe-result-neutral") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_idxauto").toString
