@@ -405,6 +405,167 @@ object Round10Ops {
        |WHERE len(s.w) >= 1
        |GROUP BY s.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- B82
+  /** Markov removal-effect multi-touch attribution (Anderl et al.
+    * 2014, the data-driven attribution model) — the CAUSAL upgrade
+    * over first/last-touch (A18): build the first-order journey chain
+    * (START → touches → CONV/NULL, conversion = the user's first
+    * purchase; touches strictly before it), compute the absorption
+    * probability of CONV, then re-compute it with each channel
+    * REMOVED (its incoming edges redirected to NULL); a channel's
+    * attribution share is its removal effect — how much conversion
+    * probability vanishes without it.
+    *
+    * Exactness discipline (the D18 PageRank form): absorption
+    * probabilities are ×10⁹ fixed-point BIGINTs and each of the 12
+    * fixed-point rounds is pure integer arithmetic
+    * (p'(s) = Σ_t n(s,t)·p(t) div n(s·)) — addition-order/partition
+    * independent in both engines, so the oracle can unroll the exact
+    * trajectory. All removal variants iterate TOGETHER as one
+    * (variant, state) keyed relation (the D22 sweep discipline —
+    * one chain, not |channels| chains). Removal monotonically
+    * decreases reachability, so effects are ≥ 0 (spec-pinned).
+    *
+    * Scale: the corpus-sized work is ONE user-keyed shuffle to build
+    * journeys; the matrix is |variants|·|states|² rows and the 12
+    * rounds never touch the events again. */
+  def qMarkovAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    markovPipeline(spark, Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
+
+  /** The attribution pipeline over an arbitrary (user_id, event_id,
+    * ts, event_type) relation — shared by the query surface and the
+    * `Round10Spec` closed-form chain. */
+  private[graft] def markovPipeline(spark: SparkSession,
+      ev: DataFrame): DataFrame = {
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .join(fp, Seq("user_id"), "left")
+      .filter(col("fp").isNull ||
+        struct(col("ts"), col("event_id")) < col("fp"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = touches
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+    val edges = seq
+      .select(coalesce(col("prev"), lit("START")).as("s"),
+        col("event_type").as("t"))
+      .unionByName(seq.filter(col("nxt").isNull)
+        .select(col("event_type").as("s"),
+          when(col("fp").isNotNull, "CONV").otherwise("NULL").as("t")))
+      .unionByName(fp.join(touches.select(col("user_id")).distinct(),
+          Seq("user_id"), "left_anti")
+        .select(lit("START").as("s"), lit("CONV").as("t")))
+    val trans = edges.groupBy(col("s"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val variants = touches.select(col("event_type").as("v")).distinct()
+      .unionByName(spark.range(1).select(lit("none").as("v")))
+    val m = broadcast(variants).crossJoin(trans)
+      .select(col("v"), col("s"),
+        when(col("t") === col("v"), lit("NULL")).otherwise(col("t")).as("t"),
+        col("n"))
+      .groupBy(col("v"), col("s"), col("t")).agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
+    val absorb = m.select(col("v")).distinct()
+      .select(col("v"), lit("CONV").as("state"), lit(1000000000L).as("p"))
+      .unionByName(m.select(col("v")).distinct()
+        .select(col("v"), lit("NULL").as("state"), lit(0L).as("p")))
+    var p = m.select(col("v"), col("s").as("state")).distinct()
+      .withColumn("p", lit(0L))
+      .unionByName(absorb).localCheckpoint(true)
+    (1 to 12).foreach { _ =>
+      val upd = m.join(p.select(col("v"), col("state").as("t"),
+          col("p").as("pt")), Seq("v", "t"))
+        .groupBy(col("v"), col("s"))
+        .agg(expr("sum(n * pt) div sum(n)").as("p"))
+        .select(col("v"), col("s").as("state"), col("p"))
+      p = upd.unionByName(absorb).localCheckpoint(true)
+    }
+    val base = p.filter(col("v") === "none" && col("state") === "START")
+      .select(col("p").as("base_ppb"))
+    val eff = p.filter(col("v") =!= "none" && col("state") === "START")
+      .select(col("v").as("channel"), col("p").as("removal_ppb"))
+      .crossJoin(broadcast(base))
+      .withColumn("effect_ppb", col("base_ppb") - col("removal_ppb"))
+    eff.crossJoin(broadcast(
+        eff.agg(sum(col("effect_ppb")).as("tot"))))
+      .select(col("channel"), col("base_ppb"), col("removal_ppb"),
+        col("effect_ppb"),
+        expr("effect_ppb * 1000000 div tot").as("share_ppm"))
+  }
+
+  val qMarkovAttributionSql: String = {
+    val rounds = (1 to 12).map { k =>
+      s"""pp$k AS MATERIALIZED (
+         |  SELECT m.v, m.s AS state,
+         |    CAST(sum(m.n * pr.p) // sum(m.n) AS BIGINT) AS p
+         |  FROM mm m JOIN pp${k - 1} pr ON pr.v = m.v AND pr.state = m.t
+         |  GROUP BY m.v, m.s
+         |  UNION ALL SELECT v, state, p FROM absorb)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ts, event_type FROM events),
+       |fp AS (
+       |  SELECT user_id, ts AS fpts, event_id AS fpid FROM (
+       |    SELECT user_id, ts, event_id,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS rn
+       |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+       |touches AS MATERIALIZED (
+       |  SELECT e.user_id, e.event_id, e.ts, e.event_type,
+       |    (fp.user_id IS NOT NULL) AS converted
+       |  FROM ev e LEFT JOIN fp USING (user_id)
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (fp.user_id IS NULL OR (e.ts, e.event_id) < (fpts, fpid))),
+       |sq AS (
+       |  SELECT user_id, event_type, converted,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS nxt
+       |  FROM touches),
+       |edges AS (
+       |  SELECT coalesce(prev, 'START') AS s, event_type AS t FROM sq
+       |  UNION ALL
+       |  SELECT event_type AS s,
+       |    CASE WHEN converted THEN 'CONV' ELSE 'NULL' END AS t
+       |  FROM sq WHERE nxt IS NULL
+       |  UNION ALL
+       |  SELECT 'START' AS s, 'CONV' AS t FROM fp
+       |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM touches)),
+       |trans AS (SELECT s, t, count(*) AS n FROM edges GROUP BY 1, 2),
+       |variants AS (
+       |  SELECT DISTINCT event_type AS v FROM touches
+       |  UNION ALL SELECT 'none'),
+       |mm AS MATERIALIZED (
+       |  SELECT v, s, CASE WHEN t = v THEN 'NULL' ELSE t END AS t,
+       |    CAST(sum(n) AS BIGINT) AS n
+       |  FROM variants, trans GROUP BY 1, 2, 3),
+       |absorb AS (
+       |  SELECT v, 'CONV' AS state, CAST(1000000000 AS BIGINT) AS p
+       |  FROM variants
+       |  UNION ALL
+       |  SELECT v, 'NULL' AS state, CAST(0 AS BIGINT) AS p FROM variants),
+       |pp0 AS (
+       |  SELECT DISTINCT v, s AS state, CAST(0 AS BIGINT) AS p FROM mm
+       |  UNION ALL SELECT v, state, p FROM absorb),
+       |$rounds,
+       |base AS (
+       |  SELECT p AS base_ppb FROM pp12
+       |  WHERE v = 'none' AND state = 'START'),
+       |eff AS (
+       |  SELECT v AS channel, p AS removal_ppb,
+       |    base_ppb, base_ppb - p AS effect_ppb
+       |  FROM pp12, base WHERE v <> 'none' AND state = 'START'),
+       |tot AS (SELECT sum(effect_ppb) AS tot FROM eff)
+       |SELECT channel, base_ppb, removal_ppb, effect_ppb,
+       |  CAST(effect_ppb * 1000000 // tot.tot AS BIGINT) AS share_ppm
+       |FROM eff, tot""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C27
   /** Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney
     * 1995; Chen & Goodman 1999) — the serious-smoothing upgrade over
@@ -544,6 +705,7 @@ object Round10Ops {
     "text_bpe_train" -> textBpeTrain _,
     "text_bpe_encode" -> textBpeEncode _,
     "text_kn_lm" -> textKnLm _,
+    "q_markov_attribution" -> qMarkovAttribution _,
     "q_weighted_percentiles" -> qWeightedPercentiles _)
 
   def oracleSql: Map[String, String] = Map(
@@ -552,5 +714,6 @@ object Round10Ops {
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_kn_lm" -> textKnLmSql,
+    "q_markov_attribution" -> qMarkovAttributionSql,
     "q_weighted_percentiles" -> qWeightedPercentilesSql)
 }

@@ -130,6 +130,10 @@ class PlanHygieneSpec extends SparkSuite {
     "sketch_ams_f2" -> "crossJoin(broadcast(1-row exact-F2 scalar))",
     "text_bm25" -> "crossJoin(broadcast(1-row N/avgdl corpus scalar))",
     "text_kn_lm" -> "crossJoin(broadcast(1-row bigram-type-count scalar))",
+    "q_markov_attribution" -> ("crossJoin(broadcast(1-row base "
+      + "conversion prob)) + crossJoin(broadcast(1-row effect total)) — "
+      + "the |channels|-row effect assembly; the variants × transition "
+      + "cross sits below the matrix localCheckpoint"),
     "bm25_standing" -> ("crossJoin(broadcast(1-row N/avgdl corpus "
       + "scalar)) — the shared C17 scoring tail over the standing "
       + "segments"),

@@ -199,6 +199,41 @@ class Round10Spec extends SparkSuite {
     assert(segs("aaaa").mkString("+") == gotSegs("aaaa").mkString("+"))
   }
 
+  test("q_markov_attribution: closed-form depth-1 chains give exact removal effects; effects non-negative on the corpus") {
+    import spark.implicits._
+    // 10 users: 6 view→purchase, 1 view-only, 2 click-only, 1
+    // click→purchase → base conversion 7/10, removal(view) leaves
+    // only the click path (1/10), removal(click) only view (6/10)
+    val rows = (1 to 6).flatMap(u => Seq((u.toLong, u * 10L, 1L, "view"),
+      (u.toLong, u * 10L + 1, 2L, "purchase"))) ++
+      Seq((10L, 100L, 1L, "view")) ++
+      Seq((7L, 70L, 1L, "click"), (8L, 80L, 1L, "click")) ++
+      Seq((9L, 90L, 1L, "click"), (9L, 91L, 2L, "purchase"))
+    val ev = rows.toDF("user_id", "event_id", "off", "event_type")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_seconds(1700000000 + off)").as("ts"),
+        col("event_type"))
+    val got = graft.operators.Round10Ops.markovPipeline(spark, ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact fixed-point integers: p(view)=6e9 div 7, p(click)=1e9 div 3,
+    // base=(7·857142857+3·333333333) div 10, removals per construction
+    assert(got("view") == (699999999L, 99999999L, 600000000L, 857142L))
+    assert(got("click") == (699999999L, 599999999L, 100000000L, 142857L))
+
+    // corpus-level sanity: removal never increases reachability, and
+    // shares floor-sum to ≤ 1e6 within |channels| ulps
+    val corp = graft.operators.Round10Ops
+      .qMarkovAttribution(spark, sf).collect()
+    assert(corp.nonEmpty)
+    corp.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"negative removal effect: $r")
+      assert(r.getLong(1) >= r.getLong(2))
+    }
+    val shares = corp.map(_.getLong(4)).sum
+    assert(shares <= 1000000L && shares >= 1000000L - corp.length)
+  }
+
   test("text_kn_lm: per-doc scores equal a reference KN scorer; the model normalizes over the vocab") {
     import spark.implicits._
     val docs = Seq(
