@@ -1115,7 +1115,61 @@ object StreamingTwins {
     "WITH " + graft.operators.Round9bOps.urlCanonSqlCtes + "\n" +
       "SELECT DISTINCT canon_url, domain FROM canon"
 
+  // ---------------------------------------------------------------- G22
+  /** Streaming twin of B81's exact weighted quantiles: the same
+    * `WeightedQuantileAgg` TypedImperativeAggregate maintained as
+    * STREAMING STATE (Complete mode) — micro-batches update per-group
+    * buffers via the aggregate's own merge, so the final trigger's
+    * state equals the batch aggregation IFF the buffer really is
+    * merge-order independent under incremental arrival. Hash equality
+    * with the batch-definition oracle is that proof at the engine
+    * level (the G21/B42 pattern applied to the quantile buffer).
+    * Value = floor(value) dollars (the B81 bounded-domain
+    * discipline); weight = 1 + event_id mod 5, a deterministic
+    * synthetic weight that exercises the weighted path portably. */
+  def streamingWeightedQuantiles(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.WeightedQuantileAgg.weighted_quantiles
+    val dir = stageWithSentinels(spark, sfDir)
+    val src = spark.readStream.schema(streamSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/batch_*")
+    val agg = src
+      .filter($"user_id" >= 0)
+      .select($"event_type", floor($"value").cast("long").as("d"),
+        (($"event_id" % 5) + 1).as("w"))
+      .groupBy($"event_type")
+      .agg(weighted_quantiles($"d", $"w", Seq(25, 50, 75)).as("q"),
+        sum($"w").as("total_weight"))
+    runToCompletion(agg, "complete", "twin_weighted_quantiles")
+      .select($"event_type",
+        element_at($"q", 1).as("p25"),
+        element_at($"q", 2).as("p50"),
+        element_at($"q", 3).as("p75"),
+        $"total_weight")
+  }
+
+  val streamingWeightedQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS d,
+      |    CAST(event_id % 5 + 1 AS BIGINT) AS w
+      |  FROM events),
+      |g AS (SELECT event_type, d, sum(w) AS w FROM v GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, d,
+      |    sum(w) OVER (PARTITION BY event_type ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(w) OVER (PARTITION BY event_type) AS tw
+      |  FROM g)
+      |SELECT event_type,
+      |  CAST(min(CASE WHEN 100 * cw >= 25 * tw THEN d END) AS BIGINT) AS p25,
+      |  CAST(min(CASE WHEN 100 * cw >= 50 * tw THEN d END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN 100 * cw >= 75 * tw THEN d END) AS BIGINT) AS p75,
+      |  CAST(min(tw) AS BIGINT) AS total_weight
+      |FROM c GROUP BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_weighted_quantiles" -> streamingWeightedQuantiles _,
     "streaming_qdigest" -> streamingQdigest _,
     "streaming_semi_join" -> streamingSemiJoin _,
     "streaming_reservoir" -> streamingReservoir _,
@@ -1139,6 +1193,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_weighted_quantiles" -> streamingWeightedQuantilesSql,
     "streaming_qdigest" -> streamingQdigestSql,
     "streaming_semi_join" -> streamingSemiJoinSql,
     "streaming_reservoir" -> streamingReservoirSql,
