@@ -241,6 +241,153 @@ object Round10Ops {
        |  FROM vis6 WHERE nid <> qid) WHERE rank <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E26
+  /** Graph-search beam-width calibration sweep — the recall-vs-volume
+    * table read before picking E25's beam (the D12/D22/E10 calibration
+    * pattern applied to graph traversal, and the production knob HNSW
+    * calls efSearch): beams B ∈ {4, 8, 16} traverse TOGETHER as one
+    * beam-parameterized relation (4 fixed rounds, same seeds/edges as
+    * E25), then each beam's top-5 per query is scored against the
+    * IN-ENGINE exact brute force. Output per beam: total visited
+    * (candidate volume = the cost axis), matched@5 against exact, and
+    * recall in ppm — the measured curve, not a guess.
+    *
+    * Exactness: the recall numerator joins two deterministic top-5
+    * relations on (qid, nid); visited counts are exact; recall_ppm is
+    * integer (matched·10⁶ div slots). The oracle replays the shared
+    * graph CTEs + 4 beam-parameterized rounds + the brute force. */
+  def annGraphSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val g = AnnOps.knnGraph(spark, sfDir).select("src", "dst")
+    val edges = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ep = emb.select(col("vec_id").as("nid"),
+        graft.functions.gf.h32(concat(lit("gseed:"), col("vec_id"))).as("h"))
+      .orderBy(col("h"), col("nid")).limit(8).select(col("nid"))
+    val beams = spark.range(1).select(explode(
+      array(lit(4L), lit(8L), lit(16L))).as("beam"))
+    def score(cands: DataFrame): DataFrame =
+      broadcast(cands)
+        .join(emb.withColumnRenamed("vec_id", "nid"), "nid")
+        .join(broadcast(queries), "qid")
+        .select(col("beam"), col("qid"), col("nid"),
+          round(graft.functions.gf.cosine_sim(col("qv"), col("embedding")), 6)
+            .as("sim"))
+    var visited = score(broadcast(beams)
+        .crossJoin(queries.select(col("qid")))
+        .crossJoin(broadcast(ep)))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("beam"), col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    (1 to 4).foreach { _ =>
+      val frontier = visited
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("beam"))
+        .select(col("beam"), col("qid"), col("nid"))
+      val expanded = frontier
+        .join(edges, frontier("nid") === edges("src"))
+        .select(col("beam"), col("qid"), col("dst").as("nid")).distinct()
+      visited = visited.unionByName(score(expanded)).distinct()
+        .localCheckpoint(true)
+    }
+    val got5 = visited.filter(col("nid") =!= col("qid"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("beam"), col("qid"), col("nid"))
+    val exact5 = queries
+      .crossJoin(emb.withColumnRenamed("vec_id", "nid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(graft.functions.gf.cosine_sim(col("qv"), col("embedding")), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= 5).select(col("qid"), col("nid"))
+    val matched = got5.join(exact5, Seq("qid", "nid"))
+      .groupBy(col("beam")).agg(count(lit(1)).as("matched_at_5"))
+    val slots = exact5.agg(count(lit(1)).as("slots"))
+    visited.groupBy(col("beam")).agg(count(lit(1)).as("visited_pairs"))
+      .join(matched, Seq("beam"), "left")
+      .crossJoin(broadcast(slots))
+      .select(col("beam"), col("visited_pairs"),
+        coalesce(col("matched_at_5"), lit(0L)).as("matched_at_5"),
+        expr("coalesce(matched_at_5, 0) * 1000000 div slots")
+          .as("recall_ppm"))
+  }
+
+  val annGraphSweepSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""gsel$r AS (
+         |  SELECT beam, qid, nid FROM (
+         |    SELECT beam, qid, nid,
+         |      row_number() OVER (PARTITION BY beam, qid
+         |        ORDER BY sim DESC, nid) AS rn
+         |    FROM gvis${r - 1}) WHERE rn <= beam),
+         |gexp$r AS (
+         |  SELECT DISTINCT s.beam, s.qid, e.dst AS nid
+         |  FROM gsel$r s JOIN edges e ON e.src = s.nid),
+         |gsc$r AS (
+         |  SELECT x.beam, x.qid, x.nid,
+         |    round(list_cosine_similarity(q.qv, em.embedding::DOUBLE[]), 6)
+         |      AS sim
+         |  FROM gexp$r x
+         |  JOIN q ON q.qid = x.qid
+         |  JOIN embeddings em ON em.vec_id = x.nid),
+         |gvis$r AS MATERIALIZED (
+         |  SELECT DISTINCT beam, qid, nid, sim FROM (
+         |    SELECT * FROM gvis${r - 1} UNION ALL SELECT * FROM gsc$r))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${AnnOps.knnGraphSqlCtes},
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM knng
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM knng),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |ep AS (
+       |  SELECT vec_id AS nid FROM embeddings
+       |  ORDER BY ('0x' || substr(md5('gseed:' || CAST(vec_id AS VARCHAR)),
+       |    1, 8))::BIGINT, vec_id
+       |  LIMIT 8),
+       |beams AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS beam),
+       |gvis0 AS MATERIALIZED (
+       |  SELECT b.beam, q.qid, ep.nid,
+       |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+       |      AS sim
+       |  FROM beams b, q, ep JOIN embeddings e ON e.vec_id = ep.nid),
+       |$rounds,
+       |got5 AS (
+       |  SELECT beam, qid, nid FROM (
+       |    SELECT beam, qid, nid,
+       |      row_number() OVER (PARTITION BY beam, qid
+       |        ORDER BY sim DESC, nid) AS rank
+       |    FROM gvis4 WHERE nid <> qid) WHERE rank <= 5),
+       |exact5 AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6)
+       |          DESC, e.vec_id) AS rank
+       |    FROM q, embeddings e WHERE e.vec_id <> q.qid) WHERE rank <= 5),
+       |mt AS (
+       |  SELECT g.beam, count(*) AS matched_at_5
+       |  FROM got5 g JOIN exact5 x ON x.qid = g.qid AND x.nid = g.nid
+       |  GROUP BY g.beam),
+       |vols AS (
+       |  SELECT beam, count(*) AS visited_pairs FROM gvis4 GROUP BY beam),
+       |slots AS (SELECT count(*) AS slots FROM exact5)
+       |SELECT v.beam, v.visited_pairs,
+       |  CAST(coalesce(mt.matched_at_5, 0) AS BIGINT) AS matched_at_5,
+       |  CAST(coalesce(mt.matched_at_5, 0) * 1000000 // slots.slots
+       |    AS BIGINT) AS recall_ppm
+       |FROM vols v LEFT JOIN mt ON mt.beam = v.beam, slots""".stripMargin
+  }
+
   // ---------------------------------------------------------- C25/C26
   /** BPE tokenizer TRAINING (Sennrich et al. 2016) — C16 computes one
     * merge round's pair statistics; this runs the actual K = 20-round
@@ -702,6 +849,7 @@ object Round10Ops {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substr_spans" -> dedupSubstrSpans _,
     "ann_graph_search" -> annGraphSearch _,
+    "ann_graph_sweep" -> annGraphSweep _,
     "text_bpe_train" -> textBpeTrain _,
     "text_bpe_encode" -> textBpeEncode _,
     "text_kn_lm" -> textKnLm _,
@@ -711,6 +859,7 @@ object Round10Ops {
   def oracleSql: Map[String, String] = Map(
     "dedup_substr_spans" -> dedupSubstrSpansSql,
     "ann_graph_search" -> annGraphSearchSql,
+    "ann_graph_sweep" -> annGraphSweepSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_kn_lm" -> textKnLmSql,

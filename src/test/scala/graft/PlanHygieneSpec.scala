@@ -130,6 +130,10 @@ class PlanHygieneSpec extends SparkSuite {
     "sketch_ams_f2" -> "crossJoin(broadcast(1-row exact-F2 scalar))",
     "text_bm25" -> "crossJoin(broadcast(1-row N/avgdl corpus scalar))",
     "text_kn_lm" -> "crossJoin(broadcast(1-row bigram-type-count scalar))",
+    "ann_graph_sweep" -> ("the E1-style exact-reference cross: corpus × "
+      + "10-query relation for the recall denominator (the traversal "
+      + "itself sits below its per-round localCheckpoints) + "
+      + "crossJoin(broadcast(1-row slots scalar))"),
     "q_markov_attribution" -> ("crossJoin(broadcast(1-row base "
       + "conversion prob)) + crossJoin(broadcast(1-row effect total)) — "
       + "the |channels|-row effect assembly; the variants × transition "
