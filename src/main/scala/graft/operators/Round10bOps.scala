@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 second widening (SURVEY.md §2): the graph-distance and
+  * community layers over the dedup pair graph, plus two classic
+  * mining/learning primitives the relational family still lacked —
+  * association rules (a-priori) and exact decision-stump split
+  * search. All four are fixed-round / closed-form deterministic and
+  * DuckDB-oracled (the D-family oracles replay the shared MinHash
+  * pair CTEs; D28's BFS is a bounded recursive CTE, D29's rounds are
+  * unrolled).
+  *
+  * Scale discipline (100 TB): both graph ops run over the run-shared
+  * LSH pair store (duplicate-pair-sized, never corpus-sized) with
+  * per-round localCheckpoint lineage truncation (the D18/E16
+  * discipline); the rule miner prunes to frequent items BEFORE
+  * pairing (the a-priori downward-closure step — the pair shuffle is
+  * then bounded by frequent-item baskets, and within-basket fanout
+  * by items-per-order); the split search aggregates the fact table
+  * to |distinct thresholds| rows FIRST, so its unpartitioned
+  * cumulative window orders ~50 rows, not 6×10⁹.
+  */
+object Round10bOps {
+
+  /** Symmetric edge list (a, b) of the ≥0.5 near-dup pair graph,
+    * served from the run-shared store and checkpointed once — the
+    * iterative consumers below re-join it every round. */
+  private def dupEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupOps.dedupMinhashLsh(spark, sfDir).select("id1", "id2")
+    pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** The shared symmetric-edge CTE over the MinHash `est` relation —
+    * prefix-named to stay disjoint from every other oracle CTE. */
+  private val dupEdgesSql: String =
+    """gpe AS MATERIALIZED (
+      |  SELECT id1 AS a, id2 AS b FROM est WHERE est_jaccard >= 0.5
+      |  UNION
+      |  SELECT id2 AS a, id1 AS b FROM est WHERE est_jaccard >= 0.5)"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- D28
+  /** Multi-source BFS hop distance over the near-dup pair graph —
+    * the graph-distance layer the D family lacked (CC answers "same
+    * cluster?", k-core answers "how dense?"; this answers "how FAR
+    * from a trusted seed?" — the provenance/contagion question a
+    * curation pipeline asks when one cluster member is flagged).
+    * Sources are the graph nodes with `doc_id % 13 = 0` (a
+    * deterministic, hash-free seed set); dist = min #hops to any
+    * source, capped at 4 (beyond 4 hops of near-duplication the
+    * signal is noise); unreached nodes are absent.
+    *
+    * Determinism: min-hop BFS is iteration-order-free; rounds are
+    * fixed (no convergence test). The oracle is a bounded RECURSIVE
+    * CTE over the same shared pair relation — hash equality proves
+    * the whole traversal, frontier by frontier.
+    *
+    * Scale: every round joins the current frontier (≤ graph nodes)
+    * against the checkpointed edge list on a single BIGINT key —
+    * duplicate-pair-sized relations throughout, never the corpus;
+    * per-round localCheckpoint truncates lineage so round k's plan
+    * is one join + one min-agg regardless of k. */
+  def graphShortestPaths(spark: SparkSession, sfDir: String): DataFrame =
+    bfsPipeline(dupEdges(spark, sfDir), maxHops = 4)
+
+  /** BFS over a symmetric (a, b) edge list from the `a % 13 = 0`
+    * seed set — the spec hook (`Round10bSpec` plants a path and an
+    * unseeded component). */
+  private[graft] def bfsPipeline(edges: DataFrame, maxHops: Int): DataFrame = {
+    var dist = edges.filter(col("a") % 13 === 0)
+      .select(col("a").as("doc_id")).distinct()
+      .withColumn("dist", lit(0))
+    (1 to maxHops).foreach { r =>
+      val next = dist.filter(col("dist") === r - 1)
+        .join(edges, col("doc_id") === col("a"))
+        .select(col("b").as("doc_id"), lit(r).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("doc_id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("doc_id"), col("dist"))
+  }
+
+  val graphShortestPathsSql: String =
+    s"""WITH RECURSIVE ${DedupOps.minhashSqlCtes},
+       |$dupEdgesSql,
+       |spr(doc_id, dist) AS (
+       |  SELECT DISTINCT a AS doc_id, 0 AS dist FROM gpe WHERE a % 13 = 0
+       |  UNION
+       |  SELECT e.b, r.dist + 1
+       |  FROM spr r JOIN gpe e ON e.a = r.doc_id
+       |  WHERE r.dist < 4)
+       |SELECT doc_id, min(dist) AS dist FROM spr GROUP BY doc_id"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- D29
+  /** Synchronous majority-vote label propagation (Raghavan et al.
+    * 2007) — community structure on the near-dup graph, distinct
+    * from D4's min-label CC: LPA's majority vote splits a sparse
+    * bridge between two dense groups that CC necessarily merges
+    * (the spec pins exactly that shape). 3 synchronous rounds from
+    * label = doc_id; each node adopts its neighbors' most frequent
+    * label, ties broken by smallest label — a total order, so the
+    * rounds are deterministic (asynchronous LPA famously isn't).
+    *
+    * Scale: per round one equi-join of the label relation against
+    * the checkpointed edges + one (node, label) count-agg + one
+    * per-node argmax window partitioned by node — all
+    * duplicate-pair-sized; fixed rounds, checkpoint-per-round. */
+  def graphLabelProp(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropPipeline(dupEdges(spark, sfDir), rounds = 3)
+
+  /** Synchronous LPA over a symmetric (a, b) edge list — the spec
+    * hook (`Round10bSpec` plants two bridged triangles and pins the
+    * community split CC cannot produce). */
+  private[graft] def labelPropPipeline(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    val argmax = Window.partitionBy(col("a"))
+      .orderBy(col("c").desc, col("label"))
+    (1 to rounds).foreach { _ =>
+      labels = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(argmax))
+        .filter(col("rn") === 1)
+        .select(col("a").as("doc_id"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  val graphLabelPropSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""lp$r AS MATERIALIZED (
+         |  SELECT a AS doc_id, label FROM (
+         |    SELECT e.a, l.label,
+         |      row_number() OVER (PARTITION BY e.a
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM gpe e JOIN lp${r - 1} l ON l.doc_id = e.b
+         |    GROUP BY e.a, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |$dupEdgesSql,
+       |lp0 AS (SELECT DISTINCT a AS doc_id, a AS label FROM gpe),
+       |$rounds
+       |SELECT doc_id, label FROM lp3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B83
+  /** A-priori association rules over order baskets (Agrawal &
+    * Srikant VLDB'94) — the market-basket family: parts co-purchased
+    * in the same order, as directed rules `ante → cons` with exact
+    * support, confidence, and lift. The a-priori downward-closure
+    * prune (items below min-support can't form a frequent pair)
+    * filters baskets BEFORE the pair self-join — at 100 TB that step
+    * is the difference between pairing all baskets and pairing only
+    * the frequent-item slice; the pair generation itself is a
+    * same-order self-join (shuffle on orderkey, within-order fanout
+    * bounded by items-per-order, ~7 for these baskets), then one
+    * count-agg on the pair key. Min support 3 on items and pairs.
+    *
+    * conf = supp(a,b)/supp(a) and lift = N·supp(a,b)/(supp(a)·
+    * supp(b)) are computed in DOUBLE from exact BIGINT counts in an
+    * identical expression shape on both sides (IEEE-deterministic),
+    * rounded to 6dp. */
+  def qAssocRules(spark: SparkSession, sfDir: String): DataFrame =
+    assocRulesPipeline(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct(),
+      minSupp = 3)
+
+  /** Rule mining over arbitrary (o, p) baskets — the spec hook
+    * (`Round10bSpec` plants baskets with closed-form counts). */
+  private[graft] def assocRulesPipeline(baskets: DataFrame,
+      minSupp: Int): DataFrame = {
+    val totals = baskets.agg(countDistinct(col("o")).as("n"))
+    val supp1 = baskets.groupBy(col("p")).agg(count(lit(1)).as("c1"))
+      .filter(col("c1") >= minSupp)
+    val frequent = baskets
+      .join(broadcast(supp1.select(col("p"))), Seq("p"))
+    val pairs = frequent.as("x")
+      .join(frequent.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupp)
+    val directed = pairs
+      .select(col("pa").as("ante"), col("pb").as("cons"), col("c12"))
+      .unionByName(pairs
+        .select(col("pb").as("ante"), col("pa").as("cons"), col("c12")))
+    directed
+      .join(broadcast(supp1.select(col("p").as("ante"), col("c1").as("ca"))),
+        Seq("ante"))
+      .join(broadcast(supp1.select(col("p").as("cons"), col("c1").as("cc"))),
+        Seq("cons"))
+      .crossJoin(broadcast(totals))
+      .select(col("ante"), col("cons"), col("c12").as("supp"),
+        round(col("c12").cast("double") / col("ca"), 6).as("conf"),
+        round(col("n").cast("double") * col("c12")
+          / (col("ca").cast("double") * col("cc")), 6).as("lift"))
+  }
+
+  val qAssocRulesSql: String =
+    """WITH arb AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |arn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM arb),
+      |ars AS MATERIALIZED (
+      |  SELECT p, CAST(count(*) AS BIGINT) AS c1 FROM arb
+      |  GROUP BY p HAVING count(*) >= 3),
+      |arf AS (SELECT b.o, b.p FROM arb b JOIN ars s ON s.p = b.p),
+      |arp AS MATERIALIZED (
+      |  SELECT x.p AS pa, y.p AS pb, CAST(count(*) AS BIGINT) AS c12
+      |  FROM arf x JOIN arf y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY x.p, y.p HAVING count(*) >= 3),
+      |ard AS (
+      |  SELECT pa AS ante, pb AS cons, c12 FROM arp
+      |  UNION ALL
+      |  SELECT pb AS ante, pa AS cons, c12 FROM arp)
+      |SELECT d.ante, d.cons, d.c12 AS supp,
+      |  round(CAST(d.c12 AS DOUBLE) / a.c1, 6) AS conf,
+      |  round(CAST(n.n AS DOUBLE) * d.c12
+      |    / (CAST(a.c1 AS DOUBLE) * c.c1), 6) AS lift
+      |FROM ard d
+      |JOIN ars a ON a.p = d.ante
+      |JOIN ars c ON c.p = d.cons, arn n""".stripMargin
+
+  // ---------------------------------------------------------------- B84
+  /** Exact decision-stump split search — the supervised-learning
+    * primitive behind tree training (CART, Breiman 1984): for every
+    * candidate threshold v of a numeric feature, the weighted Gini
+    * impurity of the split `feature ≤ v`, from ONE aggregation pass.
+    * Feature: l_quantity; label: l_returnflag = 'R'. The classic
+    * distributed trick: aggregate the fact table to per-value
+    * (positives, total) FIRST — the cumulative window that turns
+    * those into left/right class counts then orders |distinct
+    * values| rows (50 here; bounded by the value domain, not the
+    * row count), so the unpartitioned window is NOT a scale hazard.
+    * Squares are taken in DOUBLE (counts are exact up to 2⁵³ — the
+    * B44/StatsOps overflow discipline), identical expression shape
+    * both sides, rounded to 6dp. The best split is the min-gini row;
+    * all candidate rows are emitted so the oracle pins the whole
+    * impurity curve, not one argmin. */
+  def qGiniSplit(spark: SparkSession, sfDir: String): DataFrame =
+    giniSplitPipeline(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_quantity").cast("long").as("q"),
+          (col("l_returnflag") === "R").cast("long").as("y")))
+
+  /** Split search over arbitrary (q, y∈{0,1}) labeled rows — the
+    * spec hook (`Round10bSpec` plants a perfectly separable set and
+    * pins gini = 0 at the separating threshold). */
+  private[graft] def giniSplitPipeline(labeled: DataFrame): DataFrame = {
+    val byValue = labeled
+      .groupBy(col("q"))
+      .agg(sum(col("y")).as("p"), count(lit(1)).as("t"))
+    val cum = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val staged = byValue
+      .withColumn("pl", sum(col("p")).over(cum))
+      .withColumn("tl", sum(col("t")).over(cum))
+      .withColumn("pp", sum(col("p")).over(all))
+      .withColumn("nn", sum(col("t")).over(all))
+      .filter(col("tl") < col("nn"))
+    staged.select(col("q").as("threshold"), col("pl"), col("tl"),
+      round(
+        ((d(col("tl"))
+          - (d(col("pl")) * d(col("pl"))
+             + d(col("tl") - col("pl")) * d(col("tl") - col("pl")))
+            / d(col("tl")))
+         + (d(col("nn") - col("tl"))
+          - (d(col("pp") - col("pl")) * d(col("pp") - col("pl"))
+             + d((col("nn") - col("tl")) - (col("pp") - col("pl")))
+               * d((col("nn") - col("tl")) - (col("pp") - col("pl"))))
+            / d(col("nn") - col("tl"))))
+        / d(col("nn")), 6).as("gini"))
+  }
+
+  val qGiniSplitSql: String =
+    """WITH gsv AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS p,
+      |    CAST(count(*) AS BIGINT) AS t
+      |  FROM lineitem GROUP BY 1),
+      |gsc AS (
+      |  SELECT q, p, t,
+      |    CAST(sum(p) OVER (ORDER BY q) AS BIGINT) AS pl,
+      |    CAST(sum(t) OVER (ORDER BY q) AS BIGINT) AS tl,
+      |    CAST(sum(p) OVER () AS BIGINT) AS pp,
+      |    CAST(sum(t) OVER () AS BIGINT) AS nn
+      |  FROM gsv)
+      |SELECT q AS threshold, pl, tl,
+      |  round(
+      |    ((CAST(tl AS DOUBLE)
+      |      - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+      |         + CAST(tl - pl AS DOUBLE) * CAST(tl - pl AS DOUBLE))
+      |        / CAST(tl AS DOUBLE))
+      |     + (CAST(nn - tl AS DOUBLE)
+      |      - (CAST(pp - pl AS DOUBLE) * CAST(pp - pl AS DOUBLE)
+      |         + CAST((nn - tl) - (pp - pl) AS DOUBLE)
+      |           * CAST((nn - tl) - (pp - pl) AS DOUBLE))
+      |        / CAST(nn - tl AS DOUBLE)))
+      |    / CAST(nn AS DOUBLE), 6) AS gini
+      |FROM gsc WHERE tl < nn""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_shortest_paths" -> graphShortestPaths _,
+    "graph_label_prop" -> graphLabelProp _,
+    "q_assoc_rules" -> qAssocRules _,
+    "q_gini_split" -> qGiniSplit _)
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_shortest_paths" -> graphShortestPathsSql,
+    "graph_label_prop" -> graphLabelPropSql,
+    "q_assoc_rules" -> qAssocRulesSql,
+    "q_gini_split" -> qGiniSplitSql)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{ClusterOps, Round10bOps}
+
+/** Specs for the round-10 second widening: BFS distances, label
+  * propagation, association rules, gini split search — each pinned
+  * against a hand-computed closed form on planted inputs. */
+class Round10bSpec extends SparkSuite {
+
+  private def sym(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("a", "b")
+  }
+
+  test("graph_shortest_paths: planted chain gets exact hop counts, unseeded component absent") {
+    // chain 13-1-2-3-4-5 (13 is the only % 13 == 0 seed) plus an
+    // unseeded component 7-8; hop cap 4 leaves node 5 unreached
+    val edges = sym(Seq((13L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (7L, 8L)))
+    val got = Round10bOps.bfsPipeline(edges, maxHops = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(13L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4),
+      s"got $got")
+  }
+
+  test("graph_label_prop: bridged triangles split into two communities where CC merges them") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4: ONE connected
+    // component, but majority vote confines each triangle's label —
+    // the community structure CC is blind to. 3 synchronous rounds
+    // with (count desc, label asc) tie-breaks, hand-simulated.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Round10bOps.labelPropPipeline(sym(pairs), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+    // the contrast: connected components sees a single cluster
+    import spark.implicits._
+    val cc = ClusterOps.connectedComponents(
+      pairs.toDF("id1", "id2")).collect()
+    assert(cc.map(_.getLong(1)).distinct.length == 1)
+  }
+
+  test("q_assoc_rules: planted baskets give closed-form support/confidence/lift") {
+    import spark.implicits._
+    // baskets: o1{1,2} o2{1,2} o3{1,2,3} o4{1,3} o5{2,3} →
+    // supp(1)=4 supp(2)=4 supp(3)=3, supp(1,2)=3 (the only pair ≥ 3),
+    // N=5 → conf(1→2)=3/4, lift=5·3/(4·4)=0.9375 (symmetric)
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 3L), (4L, 1L), (4L, 3L),
+      (5L, 2L), (5L, 3L)).toDF("o", "p")
+    val got = Round10bOps.assocRulesPipeline(baskets, minSupp = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set((1L, 2L, 3L, 0.75, 0.9375),
+      (2L, 1L, 3L, 0.75, 0.9375)), s"got $got")
+  }
+
+  test("q_gini_split: perfectly separating threshold scores 0, interior split matches closed form") {
+    import spark.implicits._
+    // q=1 → 4 negatives, q=2 → 4 positives, q=3 → 2 positives:
+    // split ≤1 is pure both sides (gini 0); split ≤2 mixes the left
+    // (4 pos, 4 neg → 0.5) against a pure right: (8·0.5 + 2·0)/10 = 0.4
+    val labeled = (Seq.fill(4)((1L, 0L)) ++ Seq.fill(4)((2L, 1L)) ++
+      Seq.fill(2)((3L, 1L))).toDF("q", "y")
+    val got = Round10bOps.giniSplitPipeline(labeled).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set((1L, 0L, 4L, 0.0), (2L, 4L, 8L, 0.4)), s"got $got")
+  }
+}
