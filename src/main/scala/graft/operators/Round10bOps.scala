@@ -317,15 +317,240 @@ object Round10bOps {
       |    / CAST(nn AS DOUBLE), 6) AS gini
       |FROM gsc WHERE tl < nn""".stripMargin
 
+  // ---------------------------------------------------------------- C28
+  /** Positional phrase search — the retrieval capability bag-of-words
+    * BM25 (C17/C24) cannot express: documents matching an exact
+    * 2-token phrase, ranked by phrase frequency. The positional
+    * posting relation (doc, pos, tok) is the standard index
+    * extension (Lucene's positions); phrase match = self-join of the
+    * postings on (doc, pos+1) with the two phrase terms pinned.
+    *
+    * Plan: postings are PREFILTERED to the probe phrases' terms by a
+    * broadcast semi-join BEFORE the position self-join — the
+    * corpus-scale relation is touched once and only matching-term
+    * postings shuffle (on doc_id); phrase tf aggregates per (query,
+    * doc); ranking windows over ≤ matched docs per query. At 100 TB
+    * the prefiltered postings come off a C24-style standing segment
+    * keyed by term instead of a text re-scan. */
+  private val phraseProbes: Seq[(String, String, String)] = Seq(
+    ("q1", "order", "fast"), ("q2", "hash", "join"), ("q3", "table", "scan"))
+
+  def textPhraseSearch(spark: SparkSession, sfDir: String): DataFrame =
+    phraseSearchPipeline(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      phraseProbes)
+
+  /** Phrase pipeline over arbitrary (doc_id, text) docs — the spec
+    * hook (`Round10bSpec` plants docs with known phrase counts). */
+  private[graft] def phraseSearchPipeline(docs: DataFrame,
+      phrases: Seq[(String, String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrases.toDF("query_id", "t1", "t2")
+    val terms = phrases.flatMap(p => Seq(p._2, p._3)).distinct.toDF("tok")
+    val posts = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .join(broadcast(terms), Seq("tok"))
+    val first = posts.join(broadcast(ph), posts("tok") === ph("t1"))
+      .select(col("query_id"), col("doc_id"), col("pos"), col("t2"))
+    val second = posts
+      .select(col("doc_id").as("doc2"), col("pos").as("pos2"),
+        col("tok").as("tok2"))
+    val tf = first.join(second,
+        col("doc2") === col("doc_id") && col("tok2") === col("t2") &&
+          col("pos2") === col("pos") + 1)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("phrase_tf"))
+    val rank = Window.partitionBy(col("query_id"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+    tf.withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("phrase_tf"))
+  }
+
+  val textPhraseSearchSql: String = {
+    val values = phraseProbes
+      .map { case (q, a, b) => s"('$q','$a','$b')" }.mkString(", ")
+    s"""WITH phd AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |php AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok
+       |  FROM phd, unnest(range(1, len(toks) + 1)) AS r(i)),
+       |phq(query_id, t1, t2) AS (VALUES $values),
+       |phtf AS (
+       |  SELECT q.query_id, a.doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+       |  FROM phq q
+       |  JOIN php a ON a.tok = q.t1
+       |  JOIN php b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |   AND b.tok = q.t2
+       |  GROUP BY q.query_id, a.doc_id)
+       |SELECT query_id, rank, doc_id, phrase_tf FROM (
+       |  SELECT query_id, doc_id, phrase_tf,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY phrase_tf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM phtf)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- A32
+  /** Functional-dependency discovery over the denormalized
+    * customer→nation→region dimension (TANE's pairwise level,
+    * Huhtala et al. 1999) — the profiling question A20's per-column
+    * stats can't answer: which column DETERMINES which (the
+    * normalization structure of a flattened table). For every
+    * directed column pair (det, dep): the number of det-groups, how
+    * many of them see >1 distinct dep value (violations), and
+    * whether the FD holds exactly.
+    *
+    * Plan: one branch per pair — each a column-pruned 2-column scan
+    * into a (groupBy det, countDistinct dep) agg reduced to ONE row,
+    * unioned; the denormalized relation is built once with broadcast
+    * dim joins and persisted across branches. FD discovery targets
+    * DIMENSION tables (bounded); for fact-scale columns the branches
+    * fuse into a single melt pass (rows × pairs) — the same
+    * trade documented for A20. */
+  private val fdCols = Seq("c_custkey", "c_nationkey", "c_mktsegment",
+    "n_name", "n_regionkey", "r_name")
+
+  private val fdPairs: Seq[(String, String)] =
+    for (a <- fdCols; b <- fdCols if a != b) yield (a, b)
+
+  def etlFdDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val denorm = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(fdCols.map(col): _*)
+      .persist()
+    fdPairs.map { case (a, b) =>
+      denorm.groupBy(col(a))
+        .agg(countDistinct(col(b)).as("nb"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("violating_groups"))
+        .select(lit(a).as("det"), lit(b).as("dep"),
+          col("n_groups"), col("violating_groups"),
+          (col("violating_groups") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  val etlFdDiscoverySql: String = {
+    val branches = fdPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS det, '$b' AS dep,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS violating_groups,
+         |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $a, count(DISTINCT $b) AS nb FROM fdd GROUP BY $a)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fdd AS MATERIALIZED (
+       |  SELECT c_custkey, c_nationkey, c_mktsegment,
+       |    n_name, n_regionkey, r_name
+       |  FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey)
+       |$branches""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B85
+  /** Item-item collaborative filtering (Sarwar et al. WWW'01) — the
+    * neighborhood-recsys primitive: each part's top-5 most similar
+    * parts by co-purchase cosine, cos(a,b) = supp(a,b) /
+    * √(supp(a)·supp(b)) over order baskets. B83's rule miner ranks
+    * by directional confidence; CF's symmetric normalized cosine is
+    * what an item-to-item recommender serves.
+    *
+    * Plan: shares B83's a-priori-pruned pair generation (frequent
+    * items only, same-order self-join bounded by items-per-order);
+    * cosine in DOUBLE from exact BIGINT supports (mirrored
+    * expression, 6 dp); neighbor ranking windows per item over
+    * pair-count-bounded relations. */
+  def qItemCf(spark: SparkSession, sfDir: String): DataFrame =
+    itemCfPipeline(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct(),
+      minSupp = 2, k = 5)
+
+  /** CF pipeline over arbitrary (o, p) baskets — the spec hook. */
+  private[graft] def itemCfPipeline(baskets: DataFrame, minSupp: Int,
+      k: Int): DataFrame = {
+    val supp1 = baskets.groupBy(col("p")).agg(count(lit(1)).as("c1"))
+      .filter(col("c1") >= minSupp)
+    val frequent = baskets
+      .join(broadcast(supp1.select(col("p"))), Seq("p"))
+    val pairs = frequent.as("x")
+      .join(frequent.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupp)
+    val directed = pairs
+      .select(col("pa").as("item"), col("pb").as("neighbor"), col("c12"))
+      .unionByName(pairs
+        .select(col("pb").as("item"), col("pa").as("neighbor"), col("c12")))
+    val scored = directed
+      .join(broadcast(supp1.select(col("p").as("item"), col("c1").as("ci"))),
+        Seq("item"))
+      .join(broadcast(supp1.select(col("p").as("neighbor"),
+        col("c1").as("cn"))), Seq("neighbor"))
+      .select(col("item"), col("neighbor"),
+        round(col("c12").cast("double")
+          / sqrt(col("ci").cast("double") * col("cn")), 6).as("cosine"))
+    val rank = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("neighbor"), col("cosine"))
+  }
+
+  val qItemCfSql: String =
+    """WITH cfb AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cfs AS MATERIALIZED (
+      |  SELECT p, CAST(count(*) AS BIGINT) AS c1 FROM cfb
+      |  GROUP BY p HAVING count(*) >= 2),
+      |cff AS (SELECT b.o, b.p FROM cfb b JOIN cfs s ON s.p = b.p),
+      |cfp AS MATERIALIZED (
+      |  SELECT x.p AS pa, y.p AS pb, CAST(count(*) AS BIGINT) AS c12
+      |  FROM cff x JOIN cff y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY x.p, y.p HAVING count(*) >= 2),
+      |cfd AS (
+      |  SELECT pa AS item, pb AS neighbor, c12 FROM cfp
+      |  UNION ALL
+      |  SELECT pb AS item, pa AS neighbor, c12 FROM cfp),
+      |cfc AS (
+      |  SELECT d.item, d.neighbor,
+      |    round(CAST(d.c12 AS DOUBLE)
+      |      / sqrt(CAST(i.c1 AS DOUBLE) * n.c1), 6) AS cosine
+      |  FROM cfd d
+      |  JOIN cfs i ON i.p = d.item
+      |  JOIN cfs n ON n.p = d.neighbor)
+      |SELECT item, rank, neighbor, cosine FROM (
+      |  SELECT item, neighbor, cosine,
+      |    CAST(row_number() OVER (PARTITION BY item
+      |      ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+      |  FROM cfc)
+      |WHERE rank <= 5""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_shortest_paths" -> graphShortestPaths _,
     "graph_label_prop" -> graphLabelProp _,
     "q_assoc_rules" -> qAssocRules _,
-    "q_gini_split" -> qGiniSplit _)
+    "q_gini_split" -> qGiniSplit _,
+    "text_phrase_search" -> textPhraseSearch _,
+    "etl_fd_discovery" -> etlFdDiscovery _,
+    "q_item_cf" -> qItemCf _)
 
   def oracleSql: Map[String, String] = Map(
     "graph_shortest_paths" -> graphShortestPathsSql,
     "graph_label_prop" -> graphLabelPropSql,
     "q_assoc_rules" -> qAssocRulesSql,
-    "q_gini_split" -> qGiniSplitSql)
+    "q_gini_split" -> qGiniSplitSql,
+    "text_phrase_search" -> textPhraseSearchSql,
+    "etl_fd_discovery" -> etlFdDiscoverySql,
+    "q_item_cf" -> qItemCfSql)
 }

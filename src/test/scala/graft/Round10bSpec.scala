@@ -69,4 +69,48 @@ class Round10bSpec extends SparkSuite {
         r.getDouble(3))).toSet
     assert(got == Set((1L, 0L, 4L, 0.0), (2L, 4L, 8L, 0.4)), s"got $got")
   }
+
+  test("text_phrase_search: planted docs get exact phrase frequencies, non-matches absent") {
+    import spark.implicits._
+    // d1 contains "a b" twice (non-overlapping), d2 once, d3 has both
+    // tokens but never adjacent in order — bag-of-words would match it
+    val docs = Seq((1L, "a b a b c"), (2L, "x a b"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val got = Round10bOps
+      .phraseSearchPipeline(docs, Seq(("q", "a", "b"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("q", 1L, 1L, 2L), ("q", 2L, 2L, 1L)), s"got $got")
+  }
+
+  test("etl_fd_discovery: key and hierarchy FDs hold, segment->key does not") {
+    val fds = Round10bOps.etlFdDiscovery(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getBoolean(4))).toMap
+    assert(fds.size == 30)
+    // the planted warehouse hierarchy: key determines all, nation
+    // determines its name/region/region-name, region its name
+    assert(fds(("c_custkey", "c_mktsegment")))
+    assert(fds(("c_custkey", "r_name")))
+    assert(fds(("c_nationkey", "n_name")))
+    assert(fds(("c_nationkey", "r_name")))
+    assert(fds(("n_regionkey", "r_name")))
+    // a 5-value segment over thousands of customers cannot determine
+    // the key; a region spans many nations
+    assert(!fds(("c_mktsegment", "c_custkey")))
+    assert(!fds(("r_name", "n_name")))
+  }
+
+  test("q_item_cf: planted baskets give the closed-form cosine, infrequent item pruned") {
+    import spark.implicits._
+    // supp(1)=3 supp(2)=2 supp(3)=1 (pruned at minSupp 2);
+    // supp(1,2)=2 → cos = 2/√(3·2) = 0.816497
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L)).toDF("o", "p")
+    val got = Round10bOps.itemCfPipeline(baskets, minSupp = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set((1L, 1L, 2L, 0.816497), (2L, 1L, 1L, 0.816497)),
+      s"got $got")
+  }
 }
