@@ -381,7 +381,58 @@ object ScaleProbe {
           d.select(expr(
             "CAST(floor(l_extendedprice * 100) AS BIGINT) div 16").as("id"))
             .groupBy(col("id")).agg(count(lit(1)).as("c"))).count()),
-        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li))
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B83 association rules: orders replicate against the SAME part
+      // catalog (partkeys not offset — the realistic shape: more
+      // baskets, fixed catalog), so supports grow ×N on a constant
+      // key set; the frequent-item prune and the same-order self-join
+      // (fan-out bounded by items-per-order) keep the pair shuffle
+      // linear in baskets — cost should track the basket scan
+      ("assoc_rules",
+        (d: DataFrame) => time(operators.Round10bOps.assocRulesPipeline(
+          d.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+            .distinct(), 3).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // D28 BFS: constant duplicate density → edge relation linear;
+      // each of the 4 rounds is one frontier⋈edges equi-join + a
+      // min-agg on BIGINT keys — should track the LSH candidate cost
+      // like cc_closure, with fewer rounds (fixed 4, not diameter)
+      ("bfs_paths",
+        (d: DataFrame) => time({
+          val pr = operators.DedupOps.minhashPipeline(
+            d.select("doc_id", "text"), 0.5).select("id1", "id2")
+          val e = pr.select(col("id1").as("a"), col("id2").as("b"))
+            .unionByName(pr.select(col("id2").as("a"), col("id1").as("b")))
+            .distinct().localCheckpoint(true)
+          operators.Round10bOps.bfsPipeline(e, 4).count()
+        }),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // D29 label propagation: same edge substrate; each of the 3
+      // rounds adds a per-node argmax window on top of the join+agg —
+      // the window partitions by node over label-count rows (degree-
+      // bounded), so the slope should match bfs_paths with a
+      // constant-factor premium for the extra per-round shuffle
+      ("label_prop",
+        (d: DataFrame) => time({
+          val pr = operators.DedupOps.minhashPipeline(
+            d.select("doc_id", "text"), 0.5).select("id1", "id2")
+          val e = pr.select(col("id1").as("a"), col("id2").as("b"))
+            .unionByName(pr.select(col("id2").as("a"), col("id1").as("b")))
+            .distinct().localCheckpoint(true)
+          operators.Round10bOps.labelPropPipeline(e, 3).count()
+        }),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // C28 phrase search: the corpus-scale posting scan grows ×N but
+      // replica salting means only replica 0 matches the probe terms —
+      // the broadcast term prefilter should absorb the growth before
+      // the position self-join, so cost tracks the tokenize+filter
+      // scan while the match-side work stays constant
+      ("phrase",
+        (d: DataFrame) => time(operators.Round10bOps.phraseSearchPipeline(
+          d.select("doc_id", "text"),
+          Seq(("q1", "order", "fast"), ("q2", "hash", "join"),
+            ("q3", "table", "scan"))).count()),
+        (n: Int) => replicateDocs(docs, n), docs))
     // GRAFT_PROBES=name1,name2 runs a subset (A/B iteration)
     val selected = sys.env.get("GRAFT_PROBES")
       .map(_.split(",").toSet)
