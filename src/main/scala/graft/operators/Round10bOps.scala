@@ -257,6 +257,39 @@ object Round10bOps {
         .select(col("l_quantity").cast("long").as("q"),
           (col("l_returnflag") === "R").cast("long").as("y")))
 
+  /** Weighted Gini impurity of the split left = (pl, tl) vs right =
+    * (pp−pl, nn−tl), in DOUBLE from exact BIGINT counts (counts are
+    * exact as doubles to 2⁵³ — the B44 overflow discipline), 6 dp.
+    * `giniSql` renders the IDENTICAL expression shape for DuckDB —
+    * one formula, two engines (B84 and the B86 tree share it). */
+  private def giniCol(): org.apache.spark.sql.Column = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    round(
+      ((d(col("tl"))
+        - (d(col("pl")) * d(col("pl"))
+           + d(col("tl") - col("pl")) * d(col("tl") - col("pl")))
+          / d(col("tl")))
+       + (d(col("nn") - col("tl"))
+        - (d(col("pp") - col("pl")) * d(col("pp") - col("pl"))
+           + d((col("nn") - col("tl")) - (col("pp") - col("pl")))
+             * d((col("nn") - col("tl")) - (col("pp") - col("pl"))))
+          / d(col("nn") - col("tl"))))
+      / d(col("nn")), 6)
+  }
+
+  private val giniSql: String =
+    """round(
+      |    ((CAST(tl AS DOUBLE)
+      |      - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+      |         + CAST(tl - pl AS DOUBLE) * CAST(tl - pl AS DOUBLE))
+      |        / CAST(tl AS DOUBLE))
+      |     + (CAST(nn - tl AS DOUBLE)
+      |      - (CAST(pp - pl AS DOUBLE) * CAST(pp - pl AS DOUBLE)
+      |         + CAST((nn - tl) - (pp - pl) AS DOUBLE)
+      |           * CAST((nn - tl) - (pp - pl) AS DOUBLE))
+      |        / CAST(nn - tl AS DOUBLE)))
+      |    / CAST(nn AS DOUBLE), 6)""".stripMargin
+
   /** Split search over arbitrary (q, y∈{0,1}) labeled rows — the
     * spec hook (`Round10bSpec` plants a perfectly separable set and
     * pins gini = 0 at the separating threshold). */
@@ -268,54 +301,33 @@ object Round10bOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val staged = byValue
+    byValue
       .withColumn("pl", sum(col("p")).over(cum))
       .withColumn("tl", sum(col("t")).over(cum))
       .withColumn("pp", sum(col("p")).over(all))
       .withColumn("nn", sum(col("t")).over(all))
       .filter(col("tl") < col("nn"))
-    staged.select(col("q").as("threshold"), col("pl"), col("tl"),
-      round(
-        ((d(col("tl"))
-          - (d(col("pl")) * d(col("pl"))
-             + d(col("tl") - col("pl")) * d(col("tl") - col("pl")))
-            / d(col("tl")))
-         + (d(col("nn") - col("tl"))
-          - (d(col("pp") - col("pl")) * d(col("pp") - col("pl"))
-             + d((col("nn") - col("tl")) - (col("pp") - col("pl")))
-               * d((col("nn") - col("tl")) - (col("pp") - col("pl"))))
-            / d(col("nn") - col("tl"))))
-        / d(col("nn")), 6).as("gini"))
+      .select(col("q").as("threshold"), col("pl"), col("tl"),
+        giniCol().as("gini"))
   }
 
   val qGiniSplitSql: String =
-    """WITH gsv AS (
-      |  SELECT CAST(l_quantity AS BIGINT) AS q,
-      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS p,
-      |    CAST(count(*) AS BIGINT) AS t
-      |  FROM lineitem GROUP BY 1),
-      |gsc AS (
-      |  SELECT q, p, t,
-      |    CAST(sum(p) OVER (ORDER BY q) AS BIGINT) AS pl,
-      |    CAST(sum(t) OVER (ORDER BY q) AS BIGINT) AS tl,
-      |    CAST(sum(p) OVER () AS BIGINT) AS pp,
-      |    CAST(sum(t) OVER () AS BIGINT) AS nn
-      |  FROM gsv)
-      |SELECT q AS threshold, pl, tl,
-      |  round(
-      |    ((CAST(tl AS DOUBLE)
-      |      - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
-      |         + CAST(tl - pl AS DOUBLE) * CAST(tl - pl AS DOUBLE))
-      |        / CAST(tl AS DOUBLE))
-      |     + (CAST(nn - tl AS DOUBLE)
-      |      - (CAST(pp - pl AS DOUBLE) * CAST(pp - pl AS DOUBLE)
-      |         + CAST((nn - tl) - (pp - pl) AS DOUBLE)
-      |           * CAST((nn - tl) - (pp - pl) AS DOUBLE))
-      |        / CAST(nn - tl AS DOUBLE)))
-      |    / CAST(nn AS DOUBLE), 6) AS gini
-      |FROM gsc WHERE tl < nn""".stripMargin
+    s"""WITH gsv AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS p,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM lineitem GROUP BY 1),
+       |gsc AS (
+       |  SELECT q, p, t,
+       |    CAST(sum(p) OVER (ORDER BY q) AS BIGINT) AS pl,
+       |    CAST(sum(t) OVER (ORDER BY q) AS BIGINT) AS tl,
+       |    CAST(sum(p) OVER () AS BIGINT) AS pp,
+       |    CAST(sum(t) OVER () AS BIGINT) AS nn
+       |  FROM gsv)
+       |SELECT q AS threshold, pl, tl,
+       |  $giniSql AS gini
+       |FROM gsc WHERE tl < nn""".stripMargin
 
   // ---------------------------------------------------------------- C28
   /** Positional phrase search — the retrieval capability bag-of-words
@@ -536,7 +548,245 @@ object Round10bOps {
       |  FROM cfc)
       |WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- B86
+  /** Depth-2 decision-tree training — B84 grown into an actual CART
+    * round (Breiman 1984): the root picks the best l_quantity
+    * threshold by exact weighted Gini; the data splits on it; each
+    * child independently picks its best l_discount threshold (in
+    * integer cents). The whole tree is one declarative plan — the
+    * argmin roots flow as 1-row broadcast relations, never a driver
+    * collect, so the recursion depth is a pipeline length, not a
+    * driver loop over materialized scalars.
+    *
+    * Scale: level 1 aggregates the fact table to |thresholds| rows
+    * (the B84 trick); the side assignment is a broadcast-join
+    * projection over one more scan; level 2 is the same aggregation
+    * partitioned by side — 2 linear passes total regardless of fan-
+    * out, which is how distributed tree learners (PLANET, Panda et
+    * al. VLDB'09) schedule node expansion: one pass per LEVEL, not
+    * per node. A child with a single feature value yields no
+    * threshold row and is absent — the leaf case. */
+  def qTreeDepth2(spark: SparkSession, sfDir: String): DataFrame =
+    treeDepth2Pipeline(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+        (col("l_returnflag") === "R").cast("long").as("y")))
+
+  /** Tree pipeline over arbitrary (q, dd, y∈{0,1}) rows — the spec
+    * hook (`Round10bSpec` plants a set whose left child separates
+    * perfectly and whose right child is a single-value leaf). */
+  private[graft] def treeDepth2Pipeline(labeled: DataFrame): DataFrame = {
+    // per-side impurity curve over (side, v, y) rows
+    def curve(df: DataFrame): DataFrame = {
+      val cum = Window.partitionBy(col("side")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("side")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      df.groupBy(col("side"), col("v"))
+        .agg(sum(col("y")).as("p"), count(lit(1)).as("t"))
+        .withColumn("pl", sum(col("p")).over(cum))
+        .withColumn("tl", sum(col("t")).over(cum))
+        .withColumn("pp", sum(col("p")).over(all))
+        .withColumn("nn", sum(col("t")).over(all))
+        .filter(col("tl") < col("nn"))
+        .select(col("side"), col("v"), giniCol().as("gini"))
+    }
+    def argmin(df: DataFrame): DataFrame = {
+      val best = Window.partitionBy(col("side"))
+        .orderBy(col("gini"), col("v"))
+      df.withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val data = labeled.persist()
+    val rootSel = argmin(curve(
+      data.select(lit("root").as("side"), col("q").as("v"), col("y"))))
+    val sided = data
+      .crossJoin(broadcast(rootSel.select(col("v").as("root_thr"))))
+      .select(
+        when(col("q") <= col("root_thr"), "left").otherwise("right")
+          .as("side"),
+        col("dd").as("v"), col("y"))
+    val childSel = argmin(curve(sided))
+    rootSel.select(lit("root").as("node"), lit("l_quantity").as("feature"),
+        col("v").as("threshold"), col("gini"))
+      .unionByName(childSel.select(col("side").as("node"),
+        lit("l_discount").as("feature"), col("v").as("threshold"),
+        col("gini")))
+  }
+
+  val qTreeDepth2Sql: String =
+    s"""WITH ttl AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |  FROM lineitem),
+       |ttrv AS (
+       |  SELECT q AS v, CAST(sum(y) AS BIGINT) AS p,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM ttl GROUP BY 1),
+       |ttrc AS (
+       |  SELECT v,
+       |    CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS pl,
+       |    CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS tl,
+       |    CAST(sum(p) OVER () AS BIGINT) AS pp,
+       |    CAST(sum(t) OVER () AS BIGINT) AS nn
+       |  FROM ttrv),
+       |ttrg AS (SELECT v, $giniSql AS gini FROM ttrc WHERE tl < nn),
+       |ttroot AS MATERIALIZED (
+       |  SELECT v, gini FROM (
+       |    SELECT v, gini, row_number() OVER (ORDER BY gini, v) AS rn
+       |    FROM ttrg) WHERE rn = 1),
+       |tts AS (
+       |  SELECT CASE WHEN l.q <= r.v THEN 'left' ELSE 'right' END AS side,
+       |    l.dd, l.y
+       |  FROM ttl l, ttroot r),
+       |ttcv AS (
+       |  SELECT side, dd AS v, CAST(sum(y) AS BIGINT) AS p,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM tts GROUP BY 1, 2),
+       |ttcc AS (
+       |  SELECT side, v,
+       |    CAST(sum(p) OVER (PARTITION BY side ORDER BY v) AS BIGINT) AS pl,
+       |    CAST(sum(t) OVER (PARTITION BY side ORDER BY v) AS BIGINT) AS tl,
+       |    CAST(sum(p) OVER (PARTITION BY side) AS BIGINT) AS pp,
+       |    CAST(sum(t) OVER (PARTITION BY side) AS BIGINT) AS nn
+       |  FROM ttcv),
+       |ttcg AS (
+       |  SELECT side, v, $giniSql AS gini FROM ttcc WHERE tl < nn),
+       |ttchild AS (
+       |  SELECT side, v, gini FROM (
+       |    SELECT side, v, gini, row_number() OVER (PARTITION BY side
+       |      ORDER BY gini, v) AS rn
+       |    FROM ttcg) WHERE rn = 1)
+       |SELECT 'root' AS node, 'l_quantity' AS feature, v AS threshold, gini
+       |FROM ttroot
+       |UNION ALL
+       |SELECT side AS node, 'l_discount' AS feature, v AS threshold, gini
+       |FROM ttchild""".stripMargin
+
+  // ---------------------------------------------------------------- D30
+  /** HITS hubs & authorities (Kleinberg JACM'99) on the DIRECTED
+    * containment graph — the ranking question the undirected family
+    * (D16 PageRank ranks within symmetric near-dup clusters) can't
+    * pose: containment is asymmetric (a collage CONTAINS its
+    * sources), and HITS separates the two roles — hubs (documents
+    * assembled from many others) from authorities (documents many
+    * others embed). Edges src→dst where dst is ≥0.9-contained in
+    * src, from D19's candidate-confined containment relation.
+    *
+    * Determinism: 4 fixed synchronous rounds on a ×10⁶ integer grid
+    * normalized by the round MAXIMUM (the ∞-norm HITS variant) —
+    * sums of BIGINTs, max, integer div only; exact while in-degree
+    * · 10¹² < 2⁶³ (in-degree ≤ ~9·10⁶ — beyond it, stage the
+    * division as StatsOps' chi-square does). The oracle unrolls the
+    * rounds over the replayed containment CTEs.
+    *
+    * Scale: the edge relation is containment-pair-sized (candidate-
+    * confined, never corpus²); each half-round is one edge⋈score
+    * equi-join + key agg + a 1-row max broadcast — the D18/D28
+    * fixed-round discipline with localCheckpoint per round. */
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame =
+    hitsPipeline(containmentEdges(spark, sfDir), rounds = 4)
+
+  private def containmentEdges(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cont = DedupMore.dedupContainment(spark, sfDir)
+    cont.filter(col("cont21") >= 0.9)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(cont.filter(col("cont12") >= 0.9)
+        .select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** HITS over an arbitrary directed (src, dst) edge list — the spec
+    * hook (`Round10bSpec` pins a planted star against an in-test
+    * exact integer simulation). */
+  private[graft] def hitsPipeline(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("doc_id"))
+      .unionByName(edges.select(col("dst").as("doc_id")))
+      .distinct().localCheckpoint(true)
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(1000000L))
+    (1 to rounds).foreach { _ =>
+      val ar = edges.join(hub, edges("src") === hub("doc_id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      auth = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("am"))))
+        .select(col("dst").as("doc_id"), expr("ar * 1000000 div am").as("a"))
+        .localCheckpoint(true)
+      val hr = edges.join(auth, edges("dst") === auth("doc_id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      hub = hr.crossJoin(broadcast(hr.agg(max(col("hr")).as("hm"))))
+        .select(col("src").as("doc_id"), expr("hr * 1000000 div hm").as("h"))
+        .localCheckpoint(true)
+    }
+    nodes.join(hub, Seq("doc_id"), "left")
+      .join(auth, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+  }
+
+  val graphHitsSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""htar$r AS (
+         |  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS ar
+         |  FROM hte e JOIN hth${r - 1} h ON h.doc_id = e.src
+         |  GROUP BY e.dst),
+         |hta$r AS MATERIALIZED (
+         |  SELECT dst AS doc_id,
+         |    ar * 1000000 // (SELECT max(ar) FROM htar$r) AS a
+         |  FROM htar$r),
+         |hthr$r AS (
+         |  SELECT e.src, CAST(sum(a.a) AS BIGINT) AS hr
+         |  FROM hte e JOIN hta$r a ON a.doc_id = e.dst
+         |  GROUP BY e.src),
+         |hth$r AS MATERIALIZED (
+         |  SELECT src AS doc_id,
+         |    hr * 1000000 // (SELECT max(hr) FROM hthr$r) AS h
+         |  FROM hthr$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |htcand AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.3),
+       |htsz AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM shh
+       |  GROUP BY doc_id),
+       |htix AS (
+       |  SELECT c.id1, c.id2, CAST(count(*) AS DOUBLE) AS ix
+       |  FROM htcand c
+       |  JOIN shh a ON a.doc_id = c.id1
+       |  JOIN shh b ON b.doc_id = c.id2 AND b.h = a.h
+       |  GROUP BY c.id1, c.id2),
+       |htc AS (
+       |  SELECT i.id1, i.id2,
+       |    round(i.ix / z1.n, 6) AS cont12,
+       |    round(i.ix / z2.n, 6) AS cont21
+       |  FROM htix i
+       |  JOIN htsz z1 ON z1.doc_id = i.id1
+       |  JOIN htsz z2 ON z2.doc_id = i.id2
+       |  WHERE greatest(i.ix / z1.n, i.ix / z2.n) >= 0.9),
+       |hte AS MATERIALIZED (
+       |  SELECT id1 AS src, id2 AS dst FROM htc WHERE cont21 >= 0.9
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM htc WHERE cont12 >= 0.9),
+       |htn AS MATERIALIZED (
+       |  SELECT DISTINCT src AS doc_id FROM hte
+       |  UNION
+       |  SELECT DISTINCT dst FROM hte),
+       |hth0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS h FROM htn),
+       |$rounds
+       |SELECT n.doc_id,
+       |  coalesce(h.h, 0) AS hub, coalesce(a.a, 0) AS auth
+       |FROM htn n
+       |LEFT JOIN hth4 h ON h.doc_id = n.doc_id
+       |LEFT JOIN hta4 a ON a.doc_id = n.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tree_depth2" -> qTreeDepth2 _,
+    "graph_hits" -> graphHits _,
     "graph_shortest_paths" -> graphShortestPaths _,
     "graph_label_prop" -> graphLabelProp _,
     "q_assoc_rules" -> qAssocRules _,
@@ -546,6 +796,8 @@ object Round10bOps {
     "q_item_cf" -> qItemCf _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_tree_depth2" -> qTreeDepth2Sql,
+    "graph_hits" -> graphHitsSql,
     "graph_shortest_paths" -> graphShortestPathsSql,
     "graph_label_prop" -> graphLabelPropSql,
     "q_assoc_rules" -> qAssocRulesSql,

@@ -113,4 +113,48 @@ class Round10bSpec extends SparkSuite {
     assert(got == Set((1L, 1L, 2L, 0.816497), (2L, 1L, 1L, 0.816497)),
       s"got $got")
   }
+
+  test("q_tree_depth2: root splits on quantity, left child separates perfectly, leaf child absent") {
+    import spark.implicits._
+    // q=1: two (dd=1, y=0) + two (dd=2, y=1); q=9: four (dd=1, y=1).
+    // Root thr q≤1: (4·0.5 + 4·0)/8 = 0.25; left child separates on
+    // dd≤1 (gini 0); right child has ONE dd value → leaf, no row.
+    val rows = Seq((1L, 1L, 0L), (1L, 1L, 0L), (1L, 2L, 1L), (1L, 2L, 1L),
+      (9L, 1L, 1L), (9L, 1L, 1L), (9L, 1L, 1L), (9L, 1L, 1L))
+      .toDF("q", "dd", "y")
+    val got = Round10bOps.treeDepth2Pipeline(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(("root", "l_quantity", 1L, 0.25),
+      ("left", "l_discount", 1L, 0.0)), s"got $got")
+  }
+
+  test("graph_hits: planted star matches an exact integer simulation, sinks get zero hub") {
+    import spark.implicits._
+    // 1 → {2, 3}, 4 → 2: node 1 is the stronger hub, 2 the stronger
+    // authority; 2/3 have no out-edges (hub 0), 1/4 no in-edges (auth 0)
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L))
+    def simulate(rounds: Int): Map[Long, (Long, Long)] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var h = nodes.map(_ -> 1000000L).toMap
+      var a = Map.empty[Long, Long]
+      (1 to rounds).foreach { _ =>
+        val ar = edges.groupBy(_._2)
+          .map { case (d, es) => d -> es.map(e => h(e._1)).sum }
+        val am = ar.values.max
+        a = ar.map { case (k, v) => k -> v * 1000000L / am }
+        val hr = edges.groupBy(_._1)
+          .map { case (s, es) => s -> es.map(e => a(e._2)).sum }
+        val hm = hr.values.max
+        h = hr.map { case (k, v) => k -> v * 1000000L / hm }
+      }
+      nodes.map(n => n -> (h.getOrElse(n, 0L), a.getOrElse(n, 0L))).toMap
+    }
+    val got = Round10bOps.hitsPipeline(edges.toDF("src", "dst"), 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == simulate(4), s"got $got expected ${simulate(4)}")
+    assert(got(1L)._1 == 1000000L && got(2L)._2 == 1000000L)
+    assert(got(2L)._1 == 0L && got(1L)._2 == 0L)
+  }
 }
