@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -181,12 +182,19 @@ object Round10bOps {
       minSupp = 3)
 
   /** Rule mining over arbitrary (o, p) baskets — the spec hook
-    * (`Round10bSpec` plants baskets with closed-form counts). */
-  private[graft] def assocRulesPipeline(baskets: DataFrame,
+    * (`Round10bSpec` plants baskets with closed-form counts).
+    * The basket relation and the item supports each feed multiple
+    * consumers (self-join sides, totals, the two rule joins) —
+    * persisted so the fact table is scanned ONCE, not once per
+    * consumer (plan-audited: unpersisted, the optimizer expanded
+    * the distinct into a scan per subtree). */
+  private[graft] def assocRulesPipeline(rawBaskets: DataFrame,
       minSupp: Int): DataFrame = {
+    val baskets = rawBaskets.persist(StorageLevel.MEMORY_AND_DISK)
     val totals = baskets.agg(countDistinct(col("o")).as("n"))
     val supp1 = baskets.groupBy(col("p")).agg(count(lit(1)).as("c1"))
       .filter(col("c1") >= minSupp)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val frequent = baskets
       .join(broadcast(supp1.select(col("p"))), Seq("p"))
     val pairs = frequent.as("x")
@@ -360,10 +368,13 @@ object Round10bOps {
     import spark.implicits._
     val ph = phrases.toDF("query_id", "t1", "t2")
     val terms = phrases.flatMap(p => Seq(p._2, p._3)).distinct.toDF("tok")
+    // tokenize+prefilter ONCE for both phrase positions (unpersisted,
+    // each join side re-scanned and re-tokenized the corpus)
     val posts = docs
       .select(col("doc_id"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
       .join(broadcast(terms), Seq("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val first = posts.join(broadcast(ph), posts("tok") === ph("t1"))
       .select(col("query_id"), col("doc_id"), col("pos"), col("t2"))
     val second = posts
@@ -487,11 +498,14 @@ object Round10bOps {
         .distinct(),
       minSupp = 2, k = 5)
 
-  /** CF pipeline over arbitrary (o, p) baskets — the spec hook. */
-  private[graft] def itemCfPipeline(baskets: DataFrame, minSupp: Int,
+  /** CF pipeline over arbitrary (o, p) baskets — the spec hook.
+    * Same persist discipline as B83: baskets/supports scan once. */
+  private[graft] def itemCfPipeline(rawBaskets: DataFrame, minSupp: Int,
       k: Int): DataFrame = {
+    val baskets = rawBaskets.persist(StorageLevel.MEMORY_AND_DISK)
     val supp1 = baskets.groupBy(col("p")).agg(count(lit(1)).as("c1"))
       .filter(col("c1") >= minSupp)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val frequent = baskets
       .join(broadcast(supp1.select(col("p"))), Seq("p"))
     val pairs = frequent.as("x")
