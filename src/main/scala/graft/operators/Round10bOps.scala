@@ -798,7 +798,159 @@ object Round10bOps {
        |LEFT JOIN hta4 a ON a.doc_id = n.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- J17
+  /** Epoch-capped mixture planning by iterative water-filling — the
+    * sampling-plan computation behind Gopher/Llama-style training
+    * mixes (Rae et al. 2021 §A3; Hoffmann 2022): allocate a token
+    * budget across sources proportional to target weights, where no
+    * source may repeat beyond E epochs. J5's rebalancer caps its
+    * rate at 1.0 and WASTES the budget a capped source can't absorb;
+    * the planner redistributes that excess among unsaturated sources
+    * (proportional to their weights) until the budget is placed —
+    * the water-filling fixed point, reached geometrically.
+    *
+    * Exactness: token counts, caps, and allocations are BIGINTs; each
+    * of the 4 rounds gives min(headroom, remaining·w div unsatW) —
+    * integer arithmetic only, so the rounds are order-independent
+    * and oracle-unrolled. Budget = current corpus tokens (re-mix at
+    * constant size), cap = 2 epochs, weights = the J5 hash-derived
+    * target (mirrored md5 grid).
+    *
+    * Scale: ONE corpus-scale token-count agg; all rounds run on the
+    * |sources|-row relation (the unpartitioned window is
+    * source-bounded, never row-bounded). */
+  def mixEpochCaps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    waterFill(
+      Tables.documents(spark, sfDir)
+        .groupBy($"source")
+        .agg(sum(size(split(trim($"text"), "\\s+")).cast("long"))
+          .as("avail"))
+        .withColumn("cap", $"avail" * 2)
+        .withColumn("w",
+          (graft.functions.gf.h32($"source") % 3 + 1).cast("long")),
+      rounds = 4)
+  }
+
+  /** The water-filling rounds over arbitrary (source, avail, cap, w)
+    * rows, budget = Σ avail — the spec hook (`Round10bSpec` plants a
+    * two-source scenario whose fixed point is closed-form). */
+  private[graft] def waterFill(init: DataFrame, rounds: Int): DataFrame = {
+    val w1 = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    var st = init
+      .withColumn("b", sum(col("avail")).over(w1))
+      .withColumn("alloc", lit(0L))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      st = st
+        .withColumn("r", col("b") - sum(col("alloc")).over(w1))
+        .withColumn("rem", col("cap") - col("alloc"))
+        .withColumn("wp",
+          sum(when(col("rem") > 0, col("w")).otherwise(0L)).over(w1))
+        .withColumn("give", when(col("rem") > 0 && col("wp") > 0,
+          least(col("rem"),
+            expr("r * w div (CASE WHEN wp = 0 THEN 1 ELSE wp END)")))
+          .otherwise(0L))
+        .select(col("source"), col("avail"), col("cap"), col("w"),
+          col("b"), (col("alloc") + col("give")).as("alloc"))
+        .localCheckpoint(true)
+    }
+    st.select(col("source"), col("avail").as("avail_tokens"),
+      col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
+      expr("alloc * 1000000 div avail").as("epochs_ppm"))
+  }
+
+  val mixEpochCapsSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""msx$r AS (
+         |  SELECT CAST(sum(alloc) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN cap - alloc > 0 THEN w ELSE 0 END)
+         |      AS BIGINT) AS wp
+         |  FROM ms${r - 1}),
+         |ms$r AS MATERIALIZED (
+         |  SELECT s.source, s.avail, s.cap, s.w, s.b,
+         |    s.alloc + CASE WHEN s.cap - s.alloc > 0 AND x.wp > 0
+         |      THEN least(s.cap - s.alloc,
+         |        (s.b - x.sa) * s.w
+         |          // (CASE WHEN x.wp = 0 THEN 1 ELSE x.wp END))
+         |      ELSE 0 END AS alloc
+         |  FROM ms${r - 1} s, msx$r x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH msa AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+       |      AS BIGINT) AS avail
+       |  FROM documents GROUP BY source),
+       |ms0 AS (
+       |  SELECT source, avail, avail * 2 AS cap,
+       |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 3 + 1 AS w,
+       |    (SELECT CAST(sum(avail) AS BIGINT) FROM msa) AS b,
+       |    CAST(0 AS BIGINT) AS alloc
+       |  FROM msa),
+       |$rounds
+       |SELECT source, avail AS avail_tokens, cap AS cap_tokens,
+       |  alloc AS alloc_tokens, alloc * 1000000 // avail AS epochs_ppm
+       |FROM ms4""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B87
+  /** Gap-constrained sequential patterns (GSP's length-2 level,
+    * Srikant & Agrawal EDBT'96) — the sequence-mining question B49's
+    * adjacent transitions and B68's contiguous 3-paths can't answer:
+    * how often does B follow A within a WINDOW of k events, not
+    * necessarily adjacent? Per (ante, succ) event-type pair with
+    * 1 ≤ gap ≤ 3: total occurrences and distinct-user support.
+    *
+    * Plan: one user-partitioned window indexes each user's stream;
+    * the gap window is EXPLODED into 3 exact probe positions so the
+    * self-join is a pure (user, rn) EQUI-join with fanout exactly 3
+    * per event — a `y.rn BETWEEN x.rn+1 AND x.rn+3` band predicate
+    * would instead match on user alone and post-filter the within-
+    * user cross product (the B62 range-join lesson: derive the key,
+    * don't filter the blowup); the pattern agg shuffles (type, type)
+    * keys. */
+  def qSeqPatterns(spark: SparkSession, sfDir: String): DataFrame =
+    seqPatternsPipeline(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")))
+
+  /** Pattern mining over arbitrary (user_id, ts, event_id,
+    * event_type) streams — the spec hook. */
+  private[graft] def seqPatternsPipeline(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val idx = events
+      .withColumn("rn", row_number().over(w))
+      .select($"user_id", $"event_type", $"rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probes = idx
+      .withColumn("g", explode(array(lit(1), lit(2), lit(3))))
+      .select($"user_id", $"event_type".as("ante"),
+        ($"rn" + $"g").as("rn"))
+    probes.join(idx.withColumnRenamed("event_type", "succ"),
+        Seq("user_id", "rn"))
+      .groupBy($"ante", $"succ")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  val qSeqPatternsSql: String =
+    """WITH spi AS MATERIALIZED (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT x.event_type AS ante, y.event_type AS succ,
+      |  CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(count(DISTINCT x.user_id) AS BIGINT) AS n_users
+      |FROM spi x JOIN spi y
+      |  ON y.user_id = x.user_id AND y.rn > x.rn AND y.rn <= x.rn + 3
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_epoch_caps" -> mixEpochCaps _,
+    "q_seq_patterns" -> qSeqPatterns _,
     "q_tree_depth2" -> qTreeDepth2 _,
     "graph_hits" -> graphHits _,
     "graph_shortest_paths" -> graphShortestPaths _,
@@ -810,6 +962,8 @@ object Round10bOps {
     "q_item_cf" -> qItemCf _)
 
   def oracleSql: Map[String, String] = Map(
+    "mix_epoch_caps" -> mixEpochCapsSql,
+    "q_seq_patterns" -> qSeqPatternsSql,
     "q_tree_depth2" -> qTreeDepth2Sql,
     "graph_hits" -> graphHitsSql,
     "graph_shortest_paths" -> graphShortestPathsSql,

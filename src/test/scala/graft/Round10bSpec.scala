@@ -157,4 +157,38 @@ class Round10bSpec extends SparkSuite {
     assert(got(1L)._1 == 1000000L && got(2L)._2 == 1000000L)
     assert(got(2L)._1 == 0L && got(1L)._2 == 0L)
   }
+
+  test("mix_epoch_caps: capped source's excess redistributes, budget fully placed") {
+    import spark.implicits._
+    // A: 100 tokens, cap 200; B: 1000 tokens, cap 2000; equal weights,
+    // budget 1100. Round 1 gives A min(200, 550)=200 (capped) and
+    // B 550; round 2 places the 150 excess entirely on B → 900.
+    val init = Seq(("A", 100L, 200L, 1L), ("B", 1000L, 2000L, 1L))
+      .toDF("source", "avail", "cap", "w")
+    val got = Round10bOps.waterFill(init, rounds = 4).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "A" -> ((100L, 200L, 200L, 2000000L)),
+      "B" -> ((1000L, 2000L, 900L, 900000L))), s"got $got")
+    assert(got.values.map(_._3).sum == 1100L, "budget not fully placed")
+  }
+
+  test("q_seq_patterns: gapped pairs counted, adjacent-only miner would miss them") {
+    import spark.implicits._
+    // user 1: a b c a b — (b,a) occurs at gap 2; user 2: b a — gap 1.
+    // (b,a) support must be 2 users even though it is adjacent only
+    // for user 2; (a,a) needs gap 3 (invisible to B49 transitions).
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "a"), (1L, 5L, 5L, "b"),
+      (2L, 1L, 6L, "b"), (2L, 2L, 7L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Round10bOps.seqPatternsPipeline(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("b", "a")) == ((2L, 2L)), s"got $got")
+    assert(got(("a", "a")) == ((1L, 1L)))
+    assert(got(("a", "b")) == ((2L, 1L)))
+    assert(got(("c", "b")) == ((1L, 1L)))
+  }
 }
