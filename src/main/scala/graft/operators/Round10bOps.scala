@@ -948,7 +948,81 @@ object Round10bOps {
       |  ON y.user_id = x.user_id AND y.rn > x.rn AND y.rn <= x.rn + 3
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- B88
+  /** Exact ROC curve + AUC — the model-evaluation primitive (Fawcett
+    * 2006) the stats family lacked: B64's Mann-Whitney U tests
+    * whether two samples differ; the ROC curve SHOWS the operating
+    * points (TP/FP at every score threshold) and AUC summarizes
+    * them, ties handled exactly by the trapezoid identity
+    * AUC·2PN = Σ (TPᵢ + TPᵢ₋₁)·(FPᵢ − FPᵢ₋₁). Score: l_discount
+    * (predicting l_returnflag = 'R'); thresholds descend so the
+    * curve walks (0,0) → (N, P).
+    *
+    * Exactness: the fact table collapses to per-score (pos, tot)
+    * counts FIRST (the B84 trick — the cumulative windows order
+    * |distinct scores| rows); TP/FP/P/N are BIGINTs; tpr/fpr/auc are
+    * ×10⁶ integer div — exact while P·N < 4.6·10¹⁸ (beyond, stage
+    * the division as chi-square does). The same-ordered lag gives
+    * the trapezoid increment; the first threshold's lag defaults to
+    * (0, 0) — the curve's origin. */
+  def qRocAuc(spark: SparkSession, sfDir: String): DataFrame =
+    rocAucPipeline(Tables.lineitem(spark, sfDir).select(
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("s"),
+      (col("l_returnflag") === "R").cast("long").as("y")))
+
+  /** ROC over arbitrary (s, y∈{0,1}) scored rows — the spec hook
+    * (`Round10bSpec` plants a perfect ranker → AUC 1, and a
+    * label-independent score → AUC ½). */
+  private[graft] def rocAucPipeline(scored: DataFrame): DataFrame = {
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ordered = Window.orderBy(col("s").desc)
+    scored.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("fp", sum(col("tot") - col("pos")).over(cum))
+      .withColumn("pp", sum(col("pos")).over(all))
+      .withColumn("nn", sum(col("tot") - col("pos")).over(all))
+      .withColumn("tp0", coalesce(lag(col("tp"), 1).over(ordered), lit(0L)))
+      .withColumn("fp0", coalesce(lag(col("fp"), 1).over(ordered), lit(0L)))
+      .withColumn("auc_num",
+        sum((col("tp") + col("tp0")) * (col("fp") - col("fp0"))).over(all))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        expr("tp * 1000000 div pp").as("tpr_ppm"),
+        expr("fp * 1000000 div nn").as("fpr_ppm"),
+        expr("auc_num * 1000000 div (2 * pp * nn)").as("auc_ppm"))
+  }
+
+  val qRocAucSql: String =
+    """WITH rcv AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(count(*) AS BIGINT) AS tot
+      |  FROM lineitem GROUP BY 1),
+      |rcc AS (
+      |  SELECT s,
+      |    CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+      |    CAST(sum(tot - pos) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+      |    CAST(sum(pos) OVER () AS BIGINT) AS pp,
+      |    CAST(sum(tot - pos) OVER () AS BIGINT) AS nn
+      |  FROM rcv),
+      |rcl AS (
+      |  SELECT s, tp, fp, pp, nn,
+      |    coalesce(lag(tp, 1) OVER (ORDER BY s DESC), 0) AS tp0,
+      |    coalesce(lag(fp, 1) OVER (ORDER BY s DESC), 0) AS fp0
+      |  FROM rcc)
+      |SELECT s AS threshold, tp, fp,
+      |  tp * 1000000 // pp AS tpr_ppm,
+      |  fp * 1000000 // nn AS fpr_ppm,
+      |  CAST(sum((tp + tp0) * (fp - fp0)) OVER () AS BIGINT)
+      |    * 1000000 // (2 * pp * nn) AS auc_ppm
+      |FROM rcl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_roc_auc" -> qRocAuc _,
     "mix_epoch_caps" -> mixEpochCaps _,
     "q_seq_patterns" -> qSeqPatterns _,
     "q_tree_depth2" -> qTreeDepth2 _,
@@ -962,6 +1036,7 @@ object Round10bOps {
     "q_item_cf" -> qItemCf _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_roc_auc" -> qRocAucSql,
     "mix_epoch_caps" -> mixEpochCapsSql,
     "q_seq_patterns" -> qSeqPatternsSql,
     "q_tree_depth2" -> qTreeDepth2Sql,

@@ -191,4 +191,21 @@ class Round10bSpec extends SparkSuite {
     assert(got(("a", "b")) == ((2L, 1L)))
     assert(got(("c", "b")) == ((1L, 1L)))
   }
+
+  test("q_roc_auc: perfect ranker scores AUC 1, uninformative score scores 1/2") {
+    import spark.implicits._
+    val perfect = (Seq.fill(2)((2L, 1L)) ++ Seq.fill(3)((1L, 0L)))
+      .toDF("s", "y")
+    val gotP = Round10bOps.rocAucPipeline(perfect).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(gotP == Set((2L, 2L, 0L, 1000000L, 0L, 1000000L),
+      (1L, 2L, 3L, 1000000L, 1000000L, 1000000L)), s"got $gotP")
+    // one score bucket with mixed labels: the curve is the diagonal
+    val flat = (Seq.fill(2)((1L, 1L)) ++ Seq.fill(2)((1L, 0L)))
+      .toDF("s", "y")
+    val gotF = Round10bOps.rocAucPipeline(flat).collect()
+      .map(r => r.getLong(5)).toSet
+    assert(gotF == Set(500000L), s"got $gotF")
+  }
 }
