@@ -432,6 +432,54 @@ object ScaleProbe {
           d.select("doc_id", "text"),
           Seq(("q1", "order", "fast"), ("q2", "hash", "join"),
             ("q3", "table", "scan"))).count()),
+        (n: Int) => replicateDocs(docs, n), docs),
+      // B87 sequential patterns: replicas multiply events per user
+      // (ids offset, users shared) — per-user streams grow ×N, but
+      // the exploded gap probes keep join fanout at exactly 3/event,
+      // so the window sort + equi-join should both stay linear
+      ("seq_patterns",
+        (d: DataFrame) => time(operators.Round10bOps.seqPatternsPipeline(
+          d.withColumn("ts", col("event_id"))).count()),
+        (n: Int) => replicate(ev, n, Seq("event_id"), 10000000L), ev),
+      // B86 depth-2 tree: both levels collapse the fact table to
+      // |distinct thresholds| rows before any window — cost should
+      // track the two aggregation scans, domain-bounded everywhere
+      ("tree_depth2",
+        (d: DataFrame) => time(operators.Round10bOps.treeDepth2Pipeline(
+          d.select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+            (col("l_returnflag") === lit("R")).cast("long").as("y")))
+          .count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // D30 HITS: constant duplicate density keeps the containment
+      // edge relation linear; 4 fixed rounds of edge⋈score joins on
+      // the (tiny) graph — cost should track the LSH+containment
+      // front end like the other pair-confined graph ops
+      ("hits",
+        (d: DataFrame) => time({
+          val dd = d.select("doc_id", "text")
+          val sh = dd.select(col("doc_id"),
+            graft.functions.gf.shingle_md5_h32(col("text"), 3).as("sh"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cand = operators.DedupOps.minhashPipeline(dd, 0.3)
+            .select("id1", "id2")
+          val s1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+          val s2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+          val cont = cand.join(s1, "id1").join(s2, "id2")
+            .withColumn("ix",
+              size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+            .withColumn("cont12", col("ix") / size(col("sh1")))
+            .withColumn("cont21", col("ix") / size(col("sh2")))
+            .filter(greatest(col("cont12"), col("cont21")) >= 0.9)
+          val e = cont.filter(col("cont21") >= 0.9)
+            .select(col("id1").as("src"), col("id2").as("dst"))
+            .unionByName(cont.filter(col("cont12") >= 0.9)
+              .select(col("id2").as("src"), col("id1").as("dst")))
+            .distinct().localCheckpoint(true)
+          val t = operators.Round10bOps.hitsPipeline(e, 4).count()
+          sh.unpersist()
+          t
+        }),
         (n: Int) => replicateDocs(docs, n), docs))
     // GRAFT_PROBES=name1,name2 runs a subset (A/B iteration)
     val selected = sys.env.get("GRAFT_PROBES")
