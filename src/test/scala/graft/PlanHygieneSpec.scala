@@ -63,7 +63,17 @@ class PlanHygieneSpec extends SparkSuite {
       + "replicates) regardless of input size"),
     "sample_coreset" -> ("rank + threshold-min windows over the "
       + "post-TakeOrdered relation: exactly 65 rows (the m+1 "
-      + "priority-sampling cut) regardless of corpus size"))
+      + "priority-sampling cut) regardless of corpus size"),
+    "q_gini_split" -> ("cumulative class-count window over the "
+      + "per-threshold relation: |distinct feature values| rows "
+      + "(50 — the fact table collapses to value counts BEFORE the "
+      + "window, the B84 collapse-first discipline)"),
+    "q_tree_depth2" -> ("root-level impurity curve + argmin windows "
+      + "over the per-threshold relation: |distinct values| rows; "
+      + "the child-level windows partition by tree side"),
+    "q_roc_auc" -> ("cumulative TP/FP, lag, and trapezoid-sum windows "
+      + "over the per-score relation: |distinct scores| rows (11 — "
+      + "the same collapse-first discipline)"))
   // streaming_coreset shares the same 65-row windows and ≤10-row
   // centroid crosses post-sink, but streaming twins are excluded from
   // the walk below (their plans embed a consumed memory sink), so the
@@ -100,6 +110,12 @@ class PlanHygieneSpec extends SparkSuite {
       + "count))"),
     "etl_profile" -> "profile assembly: joins of 1-row per-column aggregates",
     "event_cooccurrence" -> "crossJoin(broadcast(1-row user count))",
+    "q_assoc_rules" -> ("crossJoin(broadcast(1-row basket-count "
+      + "scalar)) for lift; the basket self-join itself is EQUI on "
+      + "orderkey with the p<p guard as a residual conjunct"),
+    "q_tree_depth2" -> ("crossJoin(broadcast(1-row root-threshold "
+      + "argmin)) — the level-2 side assignment; never a driver "
+      + "collect"),
     "q11_important_parts" -> "crossJoin(broadcast(1-row total-value scalar))",
     "q22_dormant_value" -> "crossJoin(broadcast(1-row avg-acctbal scalar))",
     "q_bootstrap_ci" -> ("crossJoin(broadcast(1-row ci_lo)) + "
