@@ -366,7 +366,6 @@ object Round10bOps {
       phrases: Seq[(String, String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ph = phrases.toDF("query_id", "t1", "t2")
     val terms = phrases.flatMap(p => Seq(p._2, p._3)).distinct.toDF("tok")
     // tokenize+prefilter ONCE for both phrase positions (unpersisted,
     // each join side re-scanned and re-tokenized the corpus)
@@ -375,6 +374,18 @@ object Round10bOps {
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
       .join(broadcast(terms), Seq("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    phraseTail(posts, phrases)
+  }
+
+  /** The phrase-match tail over a term-prefiltered positional posting
+    * relation (doc_id, pos, tok) — shared by the C28 rebuild path and
+    * the C29 standing-index path, so C29's oracle is C28's
+    * segmentation-blind SQL (the G12 refresh ≡ rebuild pattern). */
+  private def phraseTail(posts: DataFrame,
+      phrases: Seq[(String, String, String)]): DataFrame = {
+    val spark = posts.sparkSession
+    import spark.implicits._
+    val ph = phrases.toDF("query_id", "t1", "t2")
     val first = posts.join(broadcast(ph), posts("tok") === ph("t1"))
       .select(col("query_id"), col("doc_id"), col("pos"), col("t2"))
     val second = posts
@@ -390,6 +401,54 @@ object Round10bOps {
     tf.withColumn("rank", row_number().over(rank).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("doc_id"), col("phrase_tf"))
+  }
+
+  // ---------------------------------------------------------------- C29
+  /** Phrase search over a STANDING positional index (the C24 pattern
+    * applied to C28): C28 re-tokenizes the corpus per query; a
+    * production retrieval stack maintains the positional posting
+    * relation (tok, doc_id, pos) on H11 `IndexStore` segments
+    * bucketed by term and answers phrase queries from them — the
+    * corpus text is never touched at query time. Built as
+    * create(batch₁) + refresh(batch₂) over the deterministic
+    * doc_id % 3 corpus split; the query path probes the phrase
+    * terms ONCE across segments (bucket-joined on tok — no Exchange
+    * on the index side, spec-pinned) and runs the SHARED C28 tail,
+    * so the DuckDB oracle is C28's segmentation-blind SQL: hash
+    * equality proves refresh ≡ rebuild. */
+  def phraseStanding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.IndexStore
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_phrase_$key").toString
+    val store = new IndexStore(spark, s"graft_phrase_post_$key",
+      s"$root/post", "tok")
+    // rebuild per invocation — the store lifecycle IS the query (C24)
+    store.drop()
+    def positional(docs: DataFrame): DataFrame = docs
+      .select($"doc_id",
+        posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "tok")))
+      .select($"tok", $"doc_id", $"pos")
+    val corpus = Tables.documents(spark, sfDir)
+    store.create(positional(corpus.filter($"doc_id" % 3 =!= 0)))
+    store.refresh(positional(corpus.filter($"doc_id" % 3 === 0)))
+    val terms = phraseProbes.flatMap(p => Seq(p._2, p._3)).distinct
+      .toDF("tok")
+    val matched = store
+      .probe(broadcast(terms), _.select($"tok", $"doc_id", $"pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    phraseTail(matched, phraseProbes)
+  }
+
+  /** The standing positional store WITHOUT rebuilding (spec hook). */
+  private[graft] def phraseStore(spark: SparkSession,
+      sfDir: String): graft.sources.IndexStore = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_phrase_$key").toString
+    new graft.sources.IndexStore(spark, s"graft_phrase_post_$key",
+      s"$root/post", "tok")
   }
 
   val textPhraseSearchSql: String = {
@@ -1022,6 +1081,7 @@ object Round10bOps {
       |FROM rcl""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "phrase_standing" -> phraseStanding _,
     "q_roc_auc" -> qRocAuc _,
     "mix_epoch_caps" -> mixEpochCaps _,
     "q_seq_patterns" -> qSeqPatterns _,
@@ -1036,6 +1096,7 @@ object Round10bOps {
     "q_item_cf" -> qItemCf _)
 
   def oracleSql: Map[String, String] = Map(
+    "phrase_standing" -> textPhraseSearchSql,
     "q_roc_auc" -> qRocAucSql,
     "mix_epoch_caps" -> mixEpochCapsSql,
     "q_seq_patterns" -> qSeqPatternsSql,

@@ -208,4 +208,37 @@ class Round10bSpec extends SparkSuite {
       .map(r => r.getLong(5)).toSet
     assert(gotF == Set(500000L), s"got $gotF")
   }
+
+  test("phrase_standing: equals the rebuild-from-text C28, index side probes Exchange-free") {
+    import org.apache.spark.sql.functions.col
+    val standing = graft.operators.Round10bOps.phraseStanding(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val rebuilt = graft.operators.Round10bOps.textPhraseSearch(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(standing.nonEmpty)
+    assert(standing == rebuilt, "standing positional index diverged from rebuild")
+
+    val store = graft.operators.Round10bOps.phraseStore(spark, sf)
+    assert(store.segments.size == 2, "expected 2 positional segments")
+
+    // Exchange-free index side under forced SMJ: no Exchange directly
+    // above a positional-segment bucketed scan in the probe plan
+    val abt = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.getOption(abt)
+    spark.conf.set(abt, "-1")
+    try {
+      import spark.implicits._
+      val probe = store.probe(
+        Seq("order", "fast").toDF("tok"),
+        _.select(col("tok"), col("doc_id"), col("pos")))
+      val plan = probe.queryExecution.executedPlan.toString
+      val indexSideExchanges =
+        "Exchange[^\\n]*\\n[^\\n]*graft_phrase_post".r.findAllMatchIn(plan).size
+      assert(indexSideExchanges == 0, s"index side shuffled:\n$plan")
+    } finally prior.fold(spark.conf.unset(abt))(spark.conf.set(abt, _))
+  }
 }
