@@ -486,9 +486,19 @@ object ScaleProbe {
       .map(_.split(",").toSet)
       .map(want => probes.filter(p => want.contains(p._1)))
       .getOrElse(probes)
+    // release operator-internal persists + checkpoint blocks between
+    // runs: a ×100 probe's cached relations (e.g. the rule miner's
+    // baskets) would otherwise occupy the heap into the NEXT probe —
+    // the same leak class the round-9 prefix-join advisor finding
+    // fixed, applied at the harness level (Bench does the same)
+    def isolated(f: => Double): Double = {
+      val t = f
+      CacheHygiene.release(spark, blocking = true)
+      t
+    }
     selected.foreach { case (name, run, mk, base) =>
-      val t1 = run(base)
-      val scaled = factors.map(n => n -> run(mk(n)))
+      val t1 = isolated(run(base))
+      val scaled = factors.map(n => n -> isolated(run(mk(n))))
       val s = scaled.map { case (n, t) =>
         f"${n}x=$t%.2fs r=${t / t1}%.1f" }.mkString(" ")
       println(f"PROBE $name%-12s 1x=$t1%.2fs $s")

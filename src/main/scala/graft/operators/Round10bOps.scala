@@ -80,7 +80,10 @@ object Round10bOps {
       .select(col("a").as("doc_id")).distinct()
       .withColumn("dist", lit(0))
     (1 to maxHops).foreach { r =>
-      val next = dist.filter(col("dist") === r - 1)
+      // shuffle_hash: the frontier is node-sized and GROWS with the
+      // graph — letting AQE driver-broadcast it OOMs at ×50 replicas
+      // (the D25 two-star lesson applied here)
+      val next = dist.filter(col("dist") === r - 1).hint("shuffle_hash")
         .join(edges, col("doc_id") === col("a"))
         .select(col("b").as("doc_id"), lit(r).as("dist"))
       dist = dist.unionByName(next)
@@ -129,7 +132,9 @@ object Round10bOps {
     val argmax = Window.partitionBy(col("a"))
       .orderBy(col("c").desc, col("label"))
     (1 to rounds).foreach { _ =>
-      labels = edges.join(labels, edges("b") === labels("doc_id"))
+      // shuffle_hash on the node-sized label relation (see bfsPipeline)
+      labels = edges.join(labels.hint("shuffle_hash"),
+          edges("b") === labels("doc_id"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(argmax))
         .filter(col("rn") === 1)
@@ -784,12 +789,15 @@ object Round10bOps {
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth = nodes.withColumn("a", lit(1000000L))
     (1 to rounds).foreach { _ =>
-      val ar = edges.join(hub, edges("src") === hub("doc_id"))
+      // shuffle_hash on the node-sized score relations (see bfsPipeline)
+      val ar = edges.join(hub.hint("shuffle_hash"),
+          edges("src") === hub("doc_id"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
       auth = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("doc_id"), expr("ar * 1000000 div am").as("a"))
         .localCheckpoint(true)
-      val hr = edges.join(auth, edges("dst") === auth("doc_id"))
+      val hr = edges.join(auth.hint("shuffle_hash"),
+          edges("dst") === auth("doc_id"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
       hub = hr.crossJoin(broadcast(hr.agg(max(col("hr")).as("hm"))))
         .select(col("src").as("doc_id"), expr("hr * 1000000 div hm").as("h"))
