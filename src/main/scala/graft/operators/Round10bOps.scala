@@ -105,6 +105,79 @@ object Round10bOps {
        |SELECT doc_id, min(dist) AS dist FROM spr GROUP BY doc_id"""
       .stripMargin
 
+  // ---------------------------------------------------------------- D31
+  /** Weighted (min-plus) shortest paths — D28's BFS counts HOPS; the
+    * curation question is often cumulative DISSIMILARITY: along the
+    * near-dup chain from a trusted seed, how much text drift
+    * accumulated? Edge weight = 128 − m where m is the exact integer
+    * MinHash match count (est_jaccard is m/128 exactly, so the
+    * weight is exact BIGINT — no float distance ever sums); dist =
+    * min over ≤4-relaxation paths of Σ weights from the same
+    * `doc_id % 13 = 0` seed set. The spec plants a graph where the
+    * cheapest path is NOT the fewest-hop path — the case BFS gets
+    * wrong by construction.
+    *
+    * 4 Bellman-Ford relaxation rounds (synchronous, order-free); the
+    * D28 plan discipline: node-sized dist relation shuffle_hash-
+    * joined against the checkpointed edge list per round, min-agg,
+    * localCheckpoint; oracle-unrolled rounds. */
+  def graphWeightedPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupOps.dedupMinhashLsh(spark, sfDir)
+    val w = (lit(128) - round(col("est_jaccard") * 128)).cast("long")
+    val edges = pairs
+      .select(col("id1").as("a"), col("id2").as("b"), w.as("w"))
+      .unionByName(pairs
+        .select(col("id2").as("a"), col("id1").as("b"), w.as("w")))
+      .distinct()
+      .localCheckpoint(true)
+    weightedPathsPipeline(edges, rounds = 4)
+  }
+
+  /** Min-plus relaxation over a symmetric weighted (a, b, w) edge
+    * list — the spec hook (`Round10bSpec` plants a cheap two-hop
+    * path beating an expensive direct edge). */
+  private[graft] def weightedPathsPipeline(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = edges.filter(col("a") % 13 === 0)
+      .select(col("a").as("doc_id")).distinct()
+      .withColumn("dist", lit(0L))
+    (1 to rounds).foreach { _ =>
+      val relax = dist.hint("shuffle_hash")
+        .join(edges, col("doc_id") === col("a"))
+        .select(col("b").as("doc_id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("doc_id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("doc_id"), col("dist"))
+  }
+
+  val graphWeightedPathsSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""wd$r AS MATERIALIZED (
+         |  SELECT doc_id, min(dist) AS dist FROM (
+         |    SELECT doc_id, dist FROM wd${r - 1}
+         |    UNION ALL
+         |    SELECT e.b AS doc_id, d.dist + e.w AS dist
+         |    FROM wd${r - 1} d JOIN wpe e ON e.a = d.doc_id)
+         |  GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |wpe AS MATERIALIZED (
+       |  SELECT id1 AS a, id2 AS b,
+       |    128 - CAST(round(est_jaccard * 128) AS BIGINT) AS w
+       |  FROM est WHERE est_jaccard >= 0.5
+       |  UNION
+       |  SELECT id2 AS a, id1 AS b,
+       |    128 - CAST(round(est_jaccard * 128) AS BIGINT) AS w
+       |  FROM est WHERE est_jaccard >= 0.5),
+       |wd0 AS (
+       |  SELECT DISTINCT a AS doc_id, CAST(0 AS BIGINT) AS dist
+       |  FROM wpe WHERE a % 13 = 0),
+       |$rounds
+       |SELECT doc_id, dist FROM wd4""".stripMargin
+  }
+
   // ---------------------------------------------------------------- D29
   /** Synchronous majority-vote label propagation (Raghavan et al.
     * 2007) — community structure on the near-dup graph, distinct
@@ -1090,6 +1163,7 @@ object Round10bOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "phrase_standing" -> phraseStanding _,
+    "graph_weighted_paths" -> graphWeightedPaths _,
     "q_roc_auc" -> qRocAuc _,
     "mix_epoch_caps" -> mixEpochCaps _,
     "q_seq_patterns" -> qSeqPatterns _,
@@ -1105,6 +1179,7 @@ object Round10bOps {
 
   def oracleSql: Map[String, String] = Map(
     "phrase_standing" -> textPhraseSearchSql,
+    "graph_weighted_paths" -> graphWeightedPathsSql,
     "q_roc_auc" -> qRocAucSql,
     "mix_epoch_caps" -> mixEpochCapsSql,
     "q_seq_patterns" -> qSeqPatternsSql,

@@ -23,6 +23,18 @@ class Round10bSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("graph_weighted_paths: cheap two-hop path beats the expensive direct edge BFS would pick") {
+    import spark.implicits._
+    // 13→1 costs 10 direct, but 13→2→1 costs 3+3=6; hop-BFS reaches
+    // 1 in one hop — min-plus must return 6, not 10
+    val pairs = Seq((13L, 1L, 10L), (13L, 2L, 3L), (2L, 1L, 3L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("a", "b", "w")
+    val got = Round10bOps.weightedPathsPipeline(edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(13L -> 0L, 2L -> 3L, 1L -> 6L), s"got $got")
+  }
+
   test("graph_label_prop: bridged triangles split into two communities where CC merges them") {
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4: ONE connected
     // component, but majority vote confines each triangle's label —
