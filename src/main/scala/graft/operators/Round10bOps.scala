@@ -178,6 +178,95 @@ object Round10bOps {
        |SELECT doc_id, dist FROM wd4""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D32
+  /** Per-node clustering coefficient — D23's triangle census is one
+    * global number; the per-node coefficient 2T(v)/(deg(v)·(deg(v)−1))
+    * is the LOCAL density signal (Watts-Strogatz 1998): a template
+    * family (every member near-dups every other) scores 1, a hub
+    * stitching unrelated near-dup pairs scores ≈0 — different cleanup
+    * actions. Exact ×10⁶ integer grid; nodes with deg < 2 have no
+    * defined coefficient and are absent.
+    *
+    * Plan: D23's degree-ordered acyclic orientation bounds the wedge
+    * self-join by oriented out-degree; each found triangle explodes
+    * into its 3 members for the per-node count — one extra
+    * triple-sized union + key agg over the census plan, everything
+    * candidate-pair-sized. */
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringCoeffPipeline(
+      DedupOps.dedupMinhashLsh(spark, sfDir).select("id1", "id2"))
+
+  /** Coefficient pipeline over (id1 < id2) pair rows — the spec hook
+    * (`Round10bSpec` plants a triangle with a pendant edge). */
+  private[graft] def clusteringCoeffPipeline(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.select(col("id1"), col("id2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = pairs.select(col("id1").as("v"))
+      .unionByName(pairs.select(col("id2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = pairs
+      .join(deg.select(col("v").as("id1"), col("deg").as("d1")), Seq("id1"))
+      .join(deg.select(col("v").as("id2"), col("deg").as("d2")), Seq("id2"))
+    val fwd = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("id1") < col("id2"))
+    val dir = e.select(
+        when(fwd, col("id1")).otherwise(col("id2")).as("src"),
+        when(fwd, col("id2")).otherwise(col("id1")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = dir.as("a").join(dir.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("n0"), col("a.dst").as("id1"),
+        col("b.dst").as("id2"))
+      .join(pairs, Seq("id1", "id2"))
+    val perNode = tri.select(col("n0").as("v"))
+      .unionByName(tri.select(col("id1").as("v")))
+      .unionByName(tri.select(col("id2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .filter(col("deg") >= 2)
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("2 * coalesce(n_tri, 0) * 1000000 div (deg * (deg - 1))")
+          .as("coeff_ppm"))
+  }
+
+  val graphClusteringCoeffSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |ccp AS MATERIALIZED (
+       |  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |ccd AS MATERIALIZED (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT id1 AS v FROM ccp UNION ALL SELECT id2 FROM ccp)
+       |  GROUP BY v),
+       |ccdir AS MATERIALIZED (
+       |  SELECT CASE WHEN d1.deg < d2.deg
+       |      OR (d1.deg = d2.deg AND p.id1 < p.id2)
+       |      THEN p.id1 ELSE p.id2 END AS src,
+       |    CASE WHEN d1.deg < d2.deg
+       |      OR (d1.deg = d2.deg AND p.id1 < p.id2)
+       |      THEN p.id2 ELSE p.id1 END AS dst
+       |  FROM ccp p
+       |  JOIN ccd d1 ON d1.v = p.id1
+       |  JOIN ccd d2 ON d2.v = p.id2),
+       |cctri AS MATERIALIZED (
+       |  SELECT a.src AS n0, a.dst AS n1, b.dst AS n2
+       |  FROM ccdir a
+       |  JOIN ccdir b ON b.src = a.src AND a.dst < b.dst
+       |  JOIN ccp p ON p.id1 = a.dst AND p.id2 = b.dst),
+       |ccnt AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT n0 AS v FROM cctri
+       |    UNION ALL SELECT n1 FROM cctri
+       |    UNION ALL SELECT n2 FROM cctri)
+       |  GROUP BY v)
+       |SELECT d.v AS doc_id, d.deg,
+       |  coalesce(t.n_tri, 0) AS n_tri,
+       |  2 * coalesce(t.n_tri, 0) * 1000000 // (d.deg * (d.deg - 1))
+       |    AS coeff_ppm
+       |FROM ccd d LEFT JOIN ccnt t ON t.v = d.v
+       |WHERE d.deg >= 2""".stripMargin
+
   // ---------------------------------------------------------------- D29
   /** Synchronous majority-vote label propagation (Raghavan et al.
     * 2007) — community structure on the near-dup graph, distinct
@@ -1164,6 +1253,7 @@ object Round10bOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "phrase_standing" -> phraseStanding _,
     "graph_weighted_paths" -> graphWeightedPaths _,
+    "graph_clustering_coeff" -> graphClusteringCoeff _,
     "q_roc_auc" -> qRocAuc _,
     "mix_epoch_caps" -> mixEpochCaps _,
     "q_seq_patterns" -> qSeqPatterns _,
@@ -1180,6 +1270,7 @@ object Round10bOps {
   def oracleSql: Map[String, String] = Map(
     "phrase_standing" -> textPhraseSearchSql,
     "graph_weighted_paths" -> graphWeightedPathsSql,
+    "graph_clustering_coeff" -> graphClusteringCoeffSql,
     "q_roc_auc" -> qRocAucSql,
     "mix_epoch_caps" -> mixEpochCapsSql,
     "q_seq_patterns" -> qSeqPatternsSql,

@@ -35,6 +35,22 @@ class Round10bSpec extends SparkSuite {
     assert(got == Map(13L -> 0L, 2L -> 3L, 1L -> 6L), s"got $got")
   }
 
+  test("graph_clustering_coeff: triangle scores 1, the hub stitching it to a pendant scores below, pendant absent") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant edge 3-4: nodes 1,2 → deg 2, 1
+    // triangle → 10⁶ ppm; node 3 → deg 3, 1 triangle → 2·10⁶/6 =
+    // 333333; node 4 → deg 1, coefficient undefined → absent
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("id1", "id2")
+    val got = Round10bOps.clusteringCoeffPipeline(pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L))), s"got $got")
+  }
+
   test("graph_label_prop: bridged triangles split into two communities where CC merges them") {
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4: ONE connected
     // component, but majority vote confines each triangle's label —
