@@ -237,6 +237,46 @@ class Round10bSpec extends SparkSuite {
     assert(gotF == Set(500000L), s"got $gotF")
   }
 
+  test("mix_epoch_caps: water-fill invariants hold across uneven weight/cap configurations") {
+    import spark.implicits._
+    // deterministic uneven scenario: weights 1..5, availability
+    // spanning 3 orders of magnitude, caps at 2 epochs
+    val init = (1 to 5).map { i =>
+      (s"s$i", (math.pow(10, 1 + i % 3) * i).toLong,
+        (math.pow(10, 1 + i % 3) * i).toLong * 2, i.toLong)
+    }.toDF("source", "avail", "cap", "w")
+    val b = (1 to 5).map(i => (math.pow(10, 1 + i % 3) * i).toLong).sum
+    val rows = Round10bOps.waterFill(init, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // invariants: alloc never exceeds cap; total never exceeds budget;
+    // the shortfall is bounded by integer flooring (< |sources| per
+    // round) unless every source is saturated
+    rows.foreach { case (s, _, cap, alloc) =>
+      assert(alloc <= cap, s"$s allocated past its epoch cap") }
+    val total = rows.map(_._4).sum
+    assert(total <= b, "over-allocated the budget")
+    val allSaturated = rows.forall { case (_, _, cap, alloc) => alloc == cap }
+    assert(allSaturated || b - total < 4L * rows.length,
+      s"unplaced budget ${b - total} exceeds the flooring bound")
+  }
+
+  test("q_roc_auc: trapezoid AUC equals the brute-force pairwise Mann-Whitney count") {
+    import spark.implicits._
+    // deterministic mixed data with heavy ties: score = i % 7,
+    // label = (i % 3 == 0). AUC·2PN must equal
+    // 2·#(pos.score > neg.score) + #(pos.score == neg.score).
+    val data = (1 to 60).map(i => ((i % 7).toLong, if (i % 3 == 0) 1L else 0L))
+    val pos = data.filter(_._2 == 1L).map(_._1)
+    val neg = data.filter(_._2 == 0L).map(_._1)
+    val expectedNum = pos.map(p =>
+      2L * neg.count(n => p > n) + neg.count(n => p == n)).sum
+    val expectedAucPpm = expectedNum * 1000000L / (2L * pos.size * neg.size)
+    val got = Round10bOps.rocAucPipeline(data.toDF("s", "y")).collect()
+      .map(r => r.getLong(5)).distinct
+    assert(got.toSeq == Seq(expectedAucPpm),
+      s"got $got expected $expectedAucPpm")
+  }
+
   test("phrase_standing: equals the rebuild-from-text C28, index side probes Exchange-free") {
     import org.apache.spark.sql.functions.col
     val standing = graft.operators.Round10bOps.phraseStanding(spark, sf)
