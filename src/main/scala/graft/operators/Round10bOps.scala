@@ -1085,9 +1085,13 @@ object Round10bOps {
           col("b"), (col("alloc") + col("give")).as("alloc"))
         .localCheckpoint(true)
     }
+    // avail=0 guard: a tokenless source would null the ppm in Spark
+    // but ERROR DuckDB's `//` — mirror a defensive divisor (alloc is
+    // 0 anyway when avail is 0, since cap = 2·avail)
     st.select(col("source"), col("avail").as("avail_tokens"),
       col("cap").as("cap_tokens"), col("alloc").as("alloc_tokens"),
-      expr("alloc * 1000000 div avail").as("epochs_ppm"))
+      expr("alloc * 1000000 div (CASE WHEN avail = 0 THEN 1 ELSE avail END)")
+        .as("epochs_ppm"))
   }
 
   val mixEpochCapsSql: String = {
@@ -1119,7 +1123,9 @@ object Round10bOps {
        |  FROM msa),
        |$rounds
        |SELECT source, avail AS avail_tokens, cap AS cap_tokens,
-       |  alloc AS alloc_tokens, alloc * 1000000 // avail AS epochs_ppm
+       |  alloc AS alloc_tokens,
+       |  alloc * 1000000 // (CASE WHEN avail = 0 THEN 1 ELSE avail END)
+       |    AS epochs_ppm
        |FROM ms4""".stripMargin
   }
 
