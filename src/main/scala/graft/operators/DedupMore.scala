@@ -941,7 +941,8 @@ object DedupMore {
     "source_overlap" -> sourceOverlap _,
     "dedup_graph_degree" -> dedupGraphDegree _,
     "text_tfidf" -> textTfidf _,
-    "dedup_containment" -> dedupContainment _,
+    "dedup_containment" -> ((s: SparkSession, d: String) =>
+      DedupOps.sharedContainment(s, d)),
     "dedup_incremental" -> dedupIncremental _,
     "ann_rerank" -> annRerank _,
     "text_novelty" -> textNovelty _)

@@ -129,8 +129,9 @@ object Round10Ops {
     *
     * Determinism: fixed rounds (no convergence test), total orders
     * everywhere, 6dp-rounded sims; the oracle replays the graph CTEs
-    * (shared with E19 — one substrate definition) and unrolls the 4
-    * rounds as MATERIALIZED CTEs, so hash equality proves the whole
+    * (shared with E19 — one substrate definition) and unrolls the 6
+    * rounds as MATERIALIZED CTEs (the E26 calibration sweep runs a
+    * shallower 4-round traversal), so hash equality proves the whole
     * traversal. Recall vs E1 and the candidate-volume-vs-corpus ratio
     * are spec-measured (`Round10Spec`) — the honest numbers for a
     * near-edge-only graph on this corpus, where beam search's value
@@ -159,7 +160,7 @@ object Round10Ops {
       sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val g = AnnOps.knnGraph(spark, sfDir).select("src", "dst")
+    val g = AnnOps.knnGraphShared(spark, sfDir).select("src", "dst")
     val edges = g.unionByName(
         g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -259,7 +260,7 @@ object Round10Ops {
   def annGraphSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val g = AnnOps.knnGraph(spark, sfDir).select("src", "dst")
+    val g = AnnOps.knnGraphShared(spark, sfDir).select("src", "dst")
     val edges = g.unionByName(
         g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)

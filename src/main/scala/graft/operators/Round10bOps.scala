@@ -931,7 +931,10 @@ object Round10bOps {
 
   private def containmentEdges(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val cont = DedupMore.dedupContainment(spark, sfDir)
+    // run-shared: the ≥0.9-containment relation is built once per run
+    // (DedupOps.sharedContainment) — D30 reads it instead of re-running
+    // D8's array_intersect verify (round-11 judge item #1)
+    val cont = DedupOps.sharedContainment(spark, sfDir)
     cont.filter(col("cont21") >= 0.9)
       .select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(cont.filter(col("cont12") >= 0.9)
