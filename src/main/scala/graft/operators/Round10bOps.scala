@@ -583,23 +583,33 @@ object Round10bOps {
     * on the index side, spec-pinned) and runs the SHARED C28 tail,
     * so the DuckDB oracle is C28's segmentation-blind SQL: hash
     * equality proves refresh ≡ rebuild. */
+  private val phraseBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Build-once-per-JVM create+refresh of the positional store (the
+    * C24 lifecycle split, round-11 judge item #3: the query path is
+    * probe-only; the bench times this build separately as
+    * `phrase_standing_build`). First build in a JVM drops any store a
+    * previous process left, so stale segments are impossible. */
+  private[graft] def phraseStandingBuild(spark: SparkSession,
+      sfDir: String): Unit =
+    phraseBuilt.getOrElseUpdate("phrase_" + sfDir, {
+      import spark.implicits._
+      val store = phraseStore(spark, sfDir)
+      store.drop()
+      def positional(docs: DataFrame): DataFrame = docs
+        .select($"doc_id",
+          posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "tok")))
+        .select($"tok", $"doc_id", $"pos")
+      val corpus = Tables.documents(spark, sfDir)
+      store.create(positional(corpus.filter($"doc_id" % 3 =!= 0)))
+      store.refresh(positional(corpus.filter($"doc_id" % 3 === 0)))
+    })
+
   def phraseStanding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import graft.sources.IndexStore
-    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_phrase_$key").toString
-    val store = new IndexStore(spark, s"graft_phrase_post_$key",
-      s"$root/post", "tok")
-    // rebuild per invocation — the store lifecycle IS the query (C24)
-    store.drop()
-    def positional(docs: DataFrame): DataFrame = docs
-      .select($"doc_id",
-        posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "tok")))
-      .select($"tok", $"doc_id", $"pos")
-    val corpus = Tables.documents(spark, sfDir)
-    store.create(positional(corpus.filter($"doc_id" % 3 =!= 0)))
-    store.refresh(positional(corpus.filter($"doc_id" % 3 === 0)))
+    phraseStandingBuild(spark, sfDir)
+    val store = phraseStore(spark, sfDir)
     val terms = phraseProbes.flatMap(p => Seq(p._2, p._3)).distinct
       .toDF("tok")
     val matched = store
