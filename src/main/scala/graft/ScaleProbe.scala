@@ -71,7 +71,11 @@ object ScaleProbe {
       * marked projection directly over a columnar scan at every
       * factor. Write cost is paid here, outside the timed action. */
     def replicateDocsScan(df: DataFrame, times: Int): DataFrame = {
-      val p = s"/tmp/graft_probe_docs_x$times"
+      // cache key carries the corpus dir (sanitized) — a factor-only
+      // key would silently reuse a stale parquet if the base corpus
+      // changed between runs (round-10 advisor)
+      val corpusKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = s"/tmp/graft_probe_docs_${corpusKey}_x$times"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
         replicateDocs(df, times).write.mode("overwrite").parquet(p)
       spark.read.parquet(p)

@@ -399,7 +399,11 @@ object Round10Ops {
     * round touches only that relation, never the text again).
     *
     * Word state is a delimiter-wrapped symbol string `|a||b||c|`
-    * (symbols are pipe-free by construction, so the merge pattern
+    * (words containing a literal '|' are filtered before training in
+    * both engines — without that, symbols would collide with the
+    * delimiter encoding and corrupt merges identically on both sides,
+    * invisible to the oracle; with it, symbols are pipe-free, so the
+    * merge pattern
     * `|a||b|` → `|ab|` is unambiguous and plain left-to-right
     * non-overlapping `replace` IS the greedy BPE merge — both
     * engines' replace scans identically, e.g. `aaaa` under merge
@@ -432,6 +436,11 @@ object Round10Ops {
     val vocab = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) >= 1)
+      // a literal '|' in a corpus token would collide with the |a||b|
+      // delimiter encoding and silently corrupt merges in BOTH engines
+      // (so the oracle could not catch it) — filter such words out of
+      // training, mirrored by the oracle's NOT LIKE '%|%'
+      .filter(!col("w").contains("|"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     var cur = vocab.select(col("w"),
       regexp_replace(col("w"), "(.)", "|$1|").as("seq"), col("cnt"))
@@ -519,7 +528,7 @@ object Round10Ops {
        |  SELECT w, count(*) AS cnt FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |    FROM documents)
-       |  WHERE len(w) >= 1 GROUP BY w),
+       |  WHERE len(w) >= 1 AND w NOT LIKE '%|%' GROUP BY w),
        |w0 AS MATERIALIZED (
        |  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS seq, cnt
        |  FROM vocab),

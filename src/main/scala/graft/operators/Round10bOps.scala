@@ -1238,9 +1238,13 @@ object Round10bOps {
       .withColumn("auc_num",
         sum((col("tp") + col("tp0")) * (col("fp") - col("fp0"))).over(all))
       .select(col("s").as("threshold"), col("tp"), col("fp"),
-        expr("tp * 1000000 div pp").as("tpr_ppm"),
-        expr("fp * 1000000 div nn").as("fpr_ppm"),
-        expr("auc_num * 1000000 div (2 * pp * nn)").as("auc_ppm"))
+        // greatest(…, 1) guards the single-class input (pp or nn = 0):
+        // Spark div would yield null but DuckDB // errors — the same
+        // engine-divergence class mix_epoch_caps guards against. With
+        // a missing class the numerators are 0, so the rates read 0.
+        expr("tp * 1000000 div greatest(pp, 1)").as("tpr_ppm"),
+        expr("fp * 1000000 div greatest(nn, 1)").as("fpr_ppm"),
+        expr("auc_num * 1000000 div greatest(2 * pp * nn, 1)").as("auc_ppm"))
   }
 
   val qRocAucSql: String =
@@ -1263,10 +1267,10 @@ object Round10bOps {
       |    coalesce(lag(fp, 1) OVER (ORDER BY s DESC), 0) AS fp0
       |  FROM rcc)
       |SELECT s AS threshold, tp, fp,
-      |  tp * 1000000 // pp AS tpr_ppm,
-      |  fp * 1000000 // nn AS fpr_ppm,
+      |  tp * 1000000 // greatest(pp, 1) AS tpr_ppm,
+      |  fp * 1000000 // greatest(nn, 1) AS fpr_ppm,
       |  CAST(sum((tp + tp0) * (fp - fp0)) OVER () AS BIGINT)
-      |    * 1000000 // (2 * pp * nn) AS auc_ppm
+      |    * 1000000 // greatest(2 * pp * nn, 1) AS auc_ppm
       |FROM rcl""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -210,11 +210,12 @@ final class IndexStore(
 
   /** Segments added between two retained snapshots (both inclusive of
     * retention) — the CHANGE FEED of the index: an incremental
-    * consumer that processed vFrom needs to touch only these. Empty
-    * when vTo is a compaction of vFrom's data (a rewrite commit adds
-    * no NEW rows — consumers keyed on data, not layout, skip it;
-    * consumers that must re-read after layout changes diff the lists
-    * themselves). */
+    * consumer that processed vFrom needs to touch only these. The
+    * contract is LIST-LEVEL: every segment in vTo not present in
+    * vFrom, so a compaction's merged segment IS returned even though
+    * it carries no new rows — exact data increments for refresh-only
+    * histories, a conservative full re-read across compactions
+    * (spec-pinned in IndexStoreSpec). */
   def segmentsAdded(vFrom: Int, vTo: Int): Seq[Int] = {
     val from = segmentsAsOf(vFrom).toSet
     // a compaction's merged segment carries no new data: it is the

@@ -235,6 +235,13 @@ class Round10bSpec extends SparkSuite {
     val gotF = Round10bOps.rocAucPipeline(flat).collect()
       .map(r => r.getLong(5)).toSet
     assert(gotF == Set(500000L), s"got $gotF")
+    // single-class input: the greatest(…, 1) guard keeps the rates
+    // defined (all 0) instead of nulling (Spark) / erroring (DuckDB) —
+    // the round-10 advisor's engine-divergence class
+    val onlyPos = Seq((2L, 1L), (1L, 1L)).toDF("s", "y")
+    val gotO = Round10bOps.rocAucPipeline(onlyPos).collect()
+    assert(gotO.forall(r => !r.anyNull), s"nulls in $gotO")
+    assert(gotO.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L))
   }
 
   test("mix_epoch_caps: water-fill invariants hold across uneven weight/cap configurations") {
