@@ -423,16 +423,64 @@ object Round10Ops {
     * 100 TB is exactly this broadcast join of the (tiny) trained
     * vocab against the word stream. */
   private val bpeRounds = 20
+  /** C30 sweep checkpoints: merge-count prefixes of ONE training run
+    * (greedy BPE's trajectory is prefix-stable — rounds 1..k of a
+    * K-round run ARE the k-round run, so one pass serves every
+    * vocabulary size). */
+  private[graft] val bpeSweepVocabs = Seq(10, 20, 40)
 
-  /** (merge table, final vocab (w, seq, cnt)) after K training
-    * rounds over the corpus's lowercased word histogram. */
-  private[graft] def bpeTrainPipeline(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) =
-    bpeTrainOn(Tables.documents(spark, sfDir))
+  /** Run-shared BPE store (the AnnIndexStore pattern): ONE 40-round
+    * training pass per corpus per run, persisted as the merge table
+    * plus segmentation snapshots at the sweep checkpoints. C25 reads
+    * merges round ≤ 20, C26 encodes off the round-20 snapshot, C30
+    * sweeps all three — previously each invocation re-trained. A
+    * trained tokenizer IS a written artifact (its lifecycle is
+    * independent of any query), and all stored columns are strings +
+    * longs, so the write/read round-trip is bit-exact. */
+  private object BpeStore {
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("graft-bpe")
+    private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    def get(spark: SparkSession, key: String, names: Seq[String])
+        (build: => Seq[DataFrame]): Seq[DataFrame] = {
+      val dir = root.resolve(key)
+      built.getOrElseUpdate(key, {
+        names.zip(build).foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(dir.resolve(n).toString)
+        }
+      })
+      names.map(n => spark.read.parquet(dir.resolve(n).toString))
+    }
+  }
+
+  /** (full 40-round merge table, segmentation snapshot per sweep
+    * checkpoint) for the corpus at `sfDir`, from the run-shared store. */
+  private[graft] def bpeShared(spark: SparkSession,
+      sfDir: String): (DataFrame, Map[Int, DataFrame]) = {
+    val names = "merges" +: bpeSweepVocabs.map(v => s"seg$v")
+    val out = BpeStore.get(spark,
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_"), names) {
+      val (table, snaps) = bpeTrainSnapshots(
+        Tables.documents(spark, sfDir), bpeSweepVocabs.max, bpeSweepVocabs)
+      table +: bpeSweepVocabs.map(snaps)
+    }
+    (out.head, bpeSweepVocabs.zip(out.tail).toMap)
+  }
 
   /** Training over an arbitrary (doc_id, text) relation — shared by
-    * the query surface and the `Round10Spec` reference-trainer check. */
+    * the query surface and the `Round10Spec` reference-trainer check.
+    * Returns (merge table, final vocab (w, seq, cnt)) after
+    * `bpeRounds` rounds. */
   private[graft] def bpeTrainOn(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (table, snaps) = bpeTrainSnapshots(docs, bpeRounds, Seq(bpeRounds))
+    (table, snaps(bpeRounds))
+  }
+
+  /** The K-round training loop with segmentation snapshots captured at
+    * the requested rounds (each round's state is localCheckpointed, so
+    * a captured reference stays valid). */
+  private[graft] def bpeTrainSnapshots(docs: DataFrame, rounds: Int,
+      snapAt: Seq[Int]): (DataFrame, Map[Int, DataFrame]) = {
     val vocab = docs
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -446,7 +494,8 @@ object Round10Ops {
       regexp_replace(col("w"), "(.)", "|$1|").as("seq"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    (1 to bpeRounds).foreach { r =>
+    val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+    (1 to rounds).foreach { r =>
       val pairs = cur
         .select(expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')").as("s"),
           col("cnt"))
@@ -472,6 +521,7 @@ object Round10Ops {
             |         element_at(split(pk, '\\|'), 2), '|')) END"""
             .stripMargin).as("seq"), col("cnt"))
         .localCheckpoint(true)
+      if (snapAt.contains(r)) snaps(r) = cur
     }
     val table = merges.reduce(_ unionByName _)
       .select(col("round"),
@@ -480,14 +530,14 @@ object Round10Ops {
         col("n"))
       .withColumn("merged", concat(col("a"), col("b")))
       .select(col("round"), col("a"), col("b"), col("merged"), col("n"))
-    (table, cur)
+    (table, snaps.toMap)
   }
 
   def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
-    bpeTrainPipeline(spark, sfDir)._1
+    bpeShared(spark, sfDir)._1.filter(col("round") <= bpeRounds)
 
   def textBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, vocabF) = bpeTrainPipeline(spark, sfDir)
+    val vocabF = bpeShared(spark, sfDir)._2(bpeRounds)
     val enc = vocabF.select(col("w"),
       size(expr("split(trim(BOTH '|' FROM seq), '\\\\|\\\\|')"))
         .cast("long").as("n_syms"))
@@ -504,8 +554,8 @@ object Round10Ops {
     * (p{r}, m{r}) pair per round — the DuckDB replay of the exact
     * argmax/replace trajectory. Ends at w$bpeRounds; consumers append
     * their own final SELECT. */
-  private def bpeSqlCtes: String = {
-    val rounds = (1 to bpeRounds).map { r =>
+  private def bpeSqlCtes(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { r =>
       s"""p$r AS (
          |  SELECT s[i] || '|' || s[i+1] AS pk, sum(cnt) AS n
          |  FROM (SELECT string_split(trim(seq, '|'), '||') AS s, cnt
@@ -543,11 +593,11 @@ object Round10Ops {
          |  CAST(n AS BIGINT) AS n
          |FROM m$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"WITH $bpeSqlCtes\n$unions"
+    s"WITH ${bpeSqlCtes(bpeRounds)}\n$unions"
   }
 
   val textBpeEncodeSql: String =
-    s"""WITH $bpeSqlCtes,
+    s"""WITH ${bpeSqlCtes(bpeRounds)},
        |enc AS (
        |  SELECT w,
        |    CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS n_syms
@@ -561,6 +611,53 @@ object Round10Ops {
        |FROM stream s JOIN enc e ON e.w = s.w
        |WHERE len(s.w) >= 1
        |GROUP BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C30
+  /** Vocabulary-size sweep over ONE BPE training trajectory (round
+    * 11) — the table a tokenizer choice actually reads: corpus-level
+    * token totals and fertility (tokens per word, ppm) at merge
+    * counts 10 / 20 / 40. Greedy BPE is prefix-stable, so the three
+    * vocabularies are snapshots of a single 40-round pass (the E22
+    * one-pass/many-readouts discipline), served from the run-shared
+    * BpeStore — no per-size retraining, and no corpus re-scan at all:
+    * the word HISTOGRAM (w, seq, cnt) already carries every total
+    * (token count per word = pipe-pairs in `seq`, weighted by cnt).
+    *
+    * Exactness: token counts are (len(seq) − len(seq without '|'))/2
+    * — pure integer arithmetic over the delimiter encoding; sums are
+    * BIGINT; fertility is ×10⁶ integer div. The oracle unrolls the
+    * full 40 training rounds and aggregates the same three
+    * checkpoint CTEs. Fertility is monotonically non-increasing in
+    * vocabulary size (every merge can only shrink a word's token
+    * count) — `Round10Spec` pins that and the constant word total. */
+  def textBpeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val snaps = bpeShared(spark, sfDir)._2
+    bpeSweepVocabs.map { v =>
+      snaps(v)
+        .select(col("cnt"),
+          expr("(length(seq) - length(replace(seq, '|', ''))) div 2")
+            .as("nt"))
+        .agg(sum(col("cnt")).as("total_words"),
+          sum(col("cnt") * col("nt")).as("total_tokens"))
+        .select(lit(v.toLong).as("vocab_size"),
+          col("total_words"), col("total_tokens"),
+          expr("total_tokens * 1000000 div total_words")
+            .as("fertility_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  val textBpeSweepSql: String = {
+    val rows = bpeSweepVocabs.map { v =>
+      s"""SELECT CAST($v AS BIGINT) AS vocab_size,
+         |  CAST(sum(cnt) AS BIGINT) AS total_words,
+         |  CAST(sum(cnt * ((len(seq) - len(replace(seq, '|', ''))) // 2))
+         |    AS BIGINT) AS total_tokens,
+         |  CAST(sum(cnt * ((len(seq) - len(replace(seq, '|', ''))) // 2))
+         |    * 1000000 // sum(cnt) AS BIGINT) AS fertility_ppm
+         |FROM w$v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${bpeSqlCtes(bpeSweepVocabs.max)}\n$rows"
+  }
 
   // ---------------------------------------------------------------- B82
   /** Markov removal-effect multi-touch attribution (Anderl et al.
@@ -862,6 +959,7 @@ object Round10Ops {
     "ann_graph_sweep" -> annGraphSweep _,
     "text_bpe_train" -> textBpeTrain _,
     "text_bpe_encode" -> textBpeEncode _,
+    "text_bpe_sweep" -> textBpeSweep _,
     "text_kn_lm" -> textKnLm _,
     "q_markov_attribution" -> qMarkovAttribution _,
     "q_weighted_percentiles" -> qWeightedPercentiles _)
@@ -872,6 +970,7 @@ object Round10Ops {
     "ann_graph_sweep" -> annGraphSweepSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_sweep" -> textBpeSweepSql,
     "text_kn_lm" -> textKnLmSql,
     "q_markov_attribution" -> qMarkovAttributionSql,
     "q_weighted_percentiles" -> qWeightedPercentilesSql)
