@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Scale-behavior probe: runs headline operators on 1× and N×
   * replicas of the sf tables (ids offset per replica so keys stay
@@ -71,10 +72,26 @@ object ScaleProbe {
       * marked projection directly over a columnar scan at every
       * factor. Write cost is paid here, outside the timed action. */
     def replicateDocsScan(df: DataFrame, times: Int): DataFrame = {
-      // cache key carries the corpus dir (sanitized) — a factor-only
-      // key would silently reuse a stale parquet if the base corpus
-      // changed between runs (round-10 advisor)
-      val corpusKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      // cache key carries the corpus path AND a content fingerprint
+      // (file sizes + mtimes of the source parquet) — a path-only key
+      // silently reuses stale /tmp parquet when the corpus is
+      // regenerated in place, and a sanitized path alone can collide
+      // distinct dirs like /a/b vs /a_b (round-11 advisor); hashing
+      // the RAW path plus the fingerprint closes both
+      val srcDir = java.nio.file.Paths.get(sfDir, "documents.parquet")
+      val fingerprint: Long =
+        try {
+          val s = java.nio.file.Files.list(srcDir)
+          try s.iterator().asScala.foldLeft(17L) { (h, f) =>
+            val sz = try java.nio.file.Files.size(f) catch { case _: Throwable => 0L }
+            val mt = try java.nio.file.Files.getLastModifiedTime(f).toMillis
+                     catch { case _: Throwable => 0L }
+            h * 1000003L + sz * 31L + mt
+          } finally s.close()
+        } catch { case _: Throwable => 0L }
+      val corpusKey = java.lang.Long.toHexString(
+        sfDir.hashCode.toLong << 32 | (fingerprint & 0xffffffffL)) +
+        "_" + java.lang.Long.toHexString(fingerprint >>> 32)
       val p = s"/tmp/graft_probe_docs_${corpusKey}_x$times"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
         replicateDocs(df, times).write.mode("overwrite").parquet(p)

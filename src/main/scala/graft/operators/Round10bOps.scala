@@ -437,7 +437,7 @@ object Round10bOps {
     * exact as doubles to 2⁵³ — the B44 overflow discipline), 6 dp.
     * `giniSql` renders the IDENTICAL expression shape for DuckDB —
     * one formula, two engines (B84 and the B86 tree share it). */
-  private def giniCol(): org.apache.spark.sql.Column = {
+  private[operators] def giniCol(): org.apache.spark.sql.Column = {
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     round(
       ((d(col("tl"))
@@ -452,7 +452,7 @@ object Round10bOps {
       / d(col("nn")), 6)
   }
 
-  private val giniSql: String =
+  private[operators] val giniSql: String =
     """round(
       |    ((CAST(tl AS DOUBLE)
       |      - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)

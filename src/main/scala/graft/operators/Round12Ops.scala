@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-12 surface (SURVEY.md §2 rows A33, B89): incremental view
+  * maintenance under a CDC delta feed, and the depth-k PLANET tree —
+  * B86's one-pass-per-LEVEL schedule generalized to arbitrary depth.
+  *
+  * Scale discipline (100 TB): the IVM path touches only the STANDING
+  * view state (|groups| rows) and the churn-sized delta — the base
+  * table is never re-scanned for maintenance (that is the point; the
+  * oracle IS the full recompute, so hash equality proves
+  * maintenance ≡ recompute, the G12 pattern on a materialized view).
+  * The tree does one aggregation pass per LEVEL regardless of node
+  * fan-out (Panda et al., PLANET, VLDB'09): each level collapses the
+  * fact table to |node|×|thresholds| rows before any window, and node
+  * assignment flows as a broadcast join of the per-node argmin
+  * relation — never a driver collect.
+  */
+object Round12Ops {
+
+  private val dec12 = DecimalType(12, 2)
+  // a stable, widening-proof state type: sum(DECIMAL(38,2)) stays
+  // (38,2) in Spark, so maintained state can be re-maintained any
+  // number of times without changing schema (the two-batch spec)
+  private val dec38 = DecimalType(38, 2)
+
+  // ---------------------------------------------------------------- A33
+  /** Incremental view maintenance of a warehouse aggregate under
+    * A28's CDC delta feed — the MATERIALIZED-VIEW half of the CDC
+    * story: the view GROUP BY (o_orderstatus, o_orderpriority) →
+    * (count, exact decimal revenue) is maintained from its OLD state
+    * plus the churn-sized I/D/U delta, as ONE declarative plan. An
+    * update retracts the old group image and asserts the new one (so
+    * group-changing updates move rows between groups); a group whose
+    * count reaches 0 vanishes, exactly as a recompute would drop it.
+    *
+    * The two snapshots reuse A28's deterministic derivation from
+    * `orders` (OLD drops keys ≡3 (mod 10); NEW drops keys ≡7 and
+    * bumps totalprice for keys ≡0 (mod 5)) — but the revenue is cast
+    * to DECIMAL(12,2) BEFORE any arithmetic, so all sums are exact
+    * and addition-order-free: the maintained total and the oracle's
+    * full recompute over the NEW snapshot agree to the bit, which is
+    * what lets a hash comparison PROVE maintenance ≡ recompute.
+    *
+    * Scale: at 100 TB the OLD state is a stored |groups|-row table
+    * and the delta is churn-sized — this plan reads those two
+    * relations only. (Here the OLD state is derived in-plan from the
+    * OLD snapshot because the bench environment stores no tables
+    * between queries; that derivation is outside the maintenance
+    * path, which is `ivmMaintain` and never sees the NEW snapshot.) */
+  def warehouseIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def p(c: Column) = c.cast(dec12)
+    val old = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("st"), col("o_orderpriority").as("prio"),
+        p(col("o_totalprice")).as("price"))
+    val neu = o.filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("st2"), col("o_orderpriority").as("prio2"),
+        when(col("o_orderkey") % 5 === 0,
+          (p(col("o_totalprice")) + lit(1).cast(dec12)).cast(dec12))
+          .otherwise(p(col("o_totalprice"))).as("price2"))
+    // the standing view state over the OLD snapshot (in production: a
+    // stored |groups|-row table; the maintenance path reads ONLY this
+    // and the delta)
+    val state = old.groupBy(col("st"), col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast(dec38).as("total"))
+    // churn-sized CDC delta with both row images (A28's diff carrying
+    // the view's group columns)
+    val delta = old.join(neu, Seq("key"), "full_outer")
+      .filter(col("st").isNull || col("st2").isNull
+        || col("price") =!= col("price2") || col("st") =!= col("st2")
+        || col("prio") =!= col("prio2"))
+      .select(col("st").as("old_st"), col("prio").as("old_prio"),
+        col("price").as("old_price"), col("st2").as("new_st"),
+        col("prio2").as("new_prio"), col("price2").as("new_price"))
+    ivmMaintain(state, delta)
+      .select(col("st").as("o_orderstatus"),
+        col("prio").as("o_orderpriority"), col("n_orders"),
+        col("total").cast("double").as("total_price"))
+  }
+
+  /** The maintenance step — state(st, prio, n_orders, total) + delta
+    * with old/new row images → new state, never touching the base
+    * table. Output schema equals the input state schema, so batches
+    * chain (`Round12Spec` applies two delta batches and pins each
+    * maintained state against a from-scratch recompute). */
+  private[graft] def ivmMaintain(state: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val retract = delta.filter(col("old_st").isNotNull)
+      .select(col("old_st").as("st"), col("old_prio").as("prio"),
+        lit(-1L).as("dn"), (-col("old_price")).cast(dec38).as("dp"))
+    val assertNew = delta.filter(col("new_st").isNotNull)
+      .select(col("new_st").as("st"), col("new_prio").as("prio"),
+        lit(1L).as("dn"), col("new_price").cast(dec38).as("dp"))
+    state.select(col("st"), col("prio"), col("n_orders").as("dn"),
+        col("total").as("dp"))
+      .unionByName(retract).unionByName(assertNew)
+      .groupBy(col("st"), col("prio"))
+      .agg(sum(col("dn")).as("n_orders"),
+        sum(col("dp")).cast(dec38).as("total"))
+      .filter(col("n_orders") > 0)
+  }
+
+  val warehouseIvmSql: String =
+    """WITH neu AS (
+      |  SELECT o_orderstatus AS st, o_orderpriority AS prio,
+      |    CASE WHEN o_orderkey % 5 = 0
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+      |             + CAST(1 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+      |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 10 <> 7)
+      |SELECT st AS o_orderstatus, prio AS o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(price) AS DOUBLE) AS total_price
+      |FROM neu GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- B89
+  /** Depth-k CART training via the PLANET level loop (Panda et al.
+    * VLDB'09) — B86's depth-2 tree generalized: K levels, each level
+    * ONE aggregation pass over the (node, value, label) relation for
+    * every open node at once, best split per node by exact weighted
+    * Gini (B84's shared formula), node assignment appended as a
+    * broadcast-join projection (node path strings "r", "rL", "rR",
+    * "rLL", …). A node with a single feature value yields no
+    * threshold row and its rows leave the open set — the leaf case.
+    * Features alternate by level (odd: l_quantity; even: l_discount
+    * in integer cents), the two-feature analog of per-level feature
+    * scheduling.
+    *
+    * Scale: one linear pass per LEVEL regardless of the 2^k node
+    * fan-out — level ℓ's aggregation collapses the fact table to
+    * |open nodes| × |distinct values| rows (domain-bounded) BEFORE
+    * any window; the per-node cumulative window partitions by node,
+    * so it is as parallel as the node set. Depth 4 = 4 passes where
+    * one-pass-per-node would pay 15. */
+  def qTreeDepthK(spark: SparkSession, sfDir: String): DataFrame =
+    treeDepthKPipeline(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+        (col("l_returnflag") === "R").cast("long").as("y")),
+      treeDepth)
+
+  private[graft] val treeDepth = 4
+
+  /** The level loop over arbitrary (q, dd, y∈{0,1}) rows — the spec
+    * hook (`Round12Spec` pins depth 3 against an in-test recursive
+    * reference trainer with the identical gini rounding and
+    * tie-breaks). */
+  private[graft] def treeDepthKPipeline(labeled: DataFrame,
+      depth: Int): DataFrame = {
+    def featCol(lvl: Int): Column =
+      if (lvl % 2 == 1) col("q") else col("dd")
+    def featName(lvl: Int): String =
+      if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
+    // per-node impurity curve + per-node argmin — B86's shapes,
+    // partitioned by the node path
+    def curve(df: DataFrame): DataFrame = {
+      val cum = Window.partitionBy(col("node")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("node")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      df.groupBy(col("node"), col("v"))
+        .agg(sum(col("y")).as("p"), count(lit(1)).as("t"))
+        .withColumn("pl", sum(col("p")).over(cum))
+        .withColumn("tl", sum(col("t")).over(cum))
+        .withColumn("pp", sum(col("p")).over(all))
+        .withColumn("nn", sum(col("t")).over(all))
+        .filter(col("tl") < col("nn"))
+        .select(col("node"), col("v"), Round10bOps.giniCol().as("gini"))
+    }
+    def argmin(df: DataFrame): DataFrame = {
+      val best = Window.partitionBy(col("node"))
+        .orderBy(col("gini"), col("v"))
+      df.withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val data = labeled.persist()
+    var assigned = data.select(lit("r").as("node"),
+      col("q"), col("dd"), col("y"))
+    val levels = (1 to depth).map { lvl =>
+      val sel = argmin(curve(
+        assigned.select(col("node"), featCol(lvl).as("v"), col("y"))))
+      if (lvl < depth) {
+        // INNER join: rows under a leaf (no threshold row) drop out
+        assigned = assigned
+          .join(broadcast(sel.select(col("node"), col("v").as("thr"))),
+            Seq("node"))
+          .select(
+            concat(col("node"), when(featCol(lvl) <= col("thr"),
+              lit("L")).otherwise(lit("R"))).as("node"),
+            col("q"), col("dd"), col("y"))
+      }
+      sel.select(lit(lvl.toLong).as("level"), col("node"),
+        lit(featName(lvl)).as("feature"), col("v").as("threshold"),
+        col("gini"))
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** Oracle: the identical level unroll as MATERIALIZED CTEs — hash
+    * equality pins the entire training trajectory (every level's
+    * per-node argmin), not just the final tree. */
+  val qTreeDepthKSql: String = {
+    def feat(lvl: Int) = if (lvl % 2 == 1) "q" else "dd"
+    def featName(lvl: Int) =
+      if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
+    val g = Round10bOps.giniSql
+    val base =
+      """tk0 AS MATERIALIZED (
+        |  SELECT 'r' AS node, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem)""".stripMargin
+    val lvls = (1 to treeDepth).map { l =>
+      val assign =
+        if (l < treeDepth)
+          s""",
+             |tk$l AS MATERIALIZED (
+             |  SELECT a.node || CASE WHEN a.${feat(l)} <= s.v
+             |    THEN 'L' ELSE 'R' END AS node, a.q, a.dd, a.y
+             |  FROM tk${l - 1} a JOIN sel$l s ON s.node = a.node)""".stripMargin
+        else ""
+      s"""cv$l AS (
+         |  SELECT node, ${feat(l)} AS v, CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(count(*) AS BIGINT) AS t
+         |  FROM tk${l - 1} GROUP BY 1, 2),
+         |cc$l AS (
+         |  SELECT node, v,
+         |    CAST(sum(p) OVER (PARTITION BY node ORDER BY v) AS BIGINT) AS pl,
+         |    CAST(sum(t) OVER (PARTITION BY node ORDER BY v) AS BIGINT) AS tl,
+         |    CAST(sum(p) OVER (PARTITION BY node) AS BIGINT) AS pp,
+         |    CAST(sum(t) OVER (PARTITION BY node) AS BIGINT) AS nn
+         |  FROM cv$l),
+         |cg$l AS (SELECT node, v, $g AS gini FROM cc$l WHERE tl < nn),
+         |sel$l AS MATERIALIZED (
+         |  SELECT node, v, gini FROM (
+         |    SELECT node, v, gini, row_number() OVER (PARTITION BY node
+         |      ORDER BY gini, v) AS rn
+         |    FROM cg$l) WHERE rn = 1)""".stripMargin + assign
+    }
+    val out = (1 to treeDepth).map(l =>
+      s"""SELECT CAST($l AS BIGINT) AS level, node,
+         |  '${featName(l)}' AS feature, v AS threshold, gini
+         |FROM sel$l""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH $base,\n${lvls.mkString(",\n")}\n$out"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "warehouse_ivm" -> warehouseIvm _,
+    "q_tree_depthk" -> qTreeDepthK _)
+
+  val oracleSql: Map[String, String] = Map(
+    "warehouse_ivm" -> warehouseIvmSql,
+    "q_tree_depthk" -> qTreeDepthKSql)
+}

@@ -317,4 +317,33 @@ class Round10Spec extends SparkSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("text_bpe_sweep: fertility non-increasing in vocab size, word total constant, agrees with encode at the shared vocabulary") {
+    val rows = graft.operators.Round10Ops.textBpeSweep(spark, sf)
+      .orderBy("vocab_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(10L, 20L, 40L))
+
+    // every merge can only shrink a word's token count, so token
+    // totals and fertility are monotone non-increasing in vocab size;
+    // the word total is a property of the corpus, not the vocabulary
+    assert(rows.map(_._2).distinct.size == 1,
+      s"word total varies across vocab sizes: ${rows.toSeq}")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 <= lo._3, s"token total increased: $lo -> $hi")
+      assert(hi._4 <= lo._4, s"fertility increased: $lo -> $hi")
+    }
+    rows.foreach { case (_, w, t, f) =>
+      assert(f == t * 1000000L / w, "fertility is not the x1e6 ratio")
+      assert(t >= w, "BPE cannot emit fewer tokens than words")
+    }
+
+    // the 20-merge snapshot is the SAME vocabulary C26 encodes with,
+    // so the sweep's corpus totals must equal encode's per-doc sums
+    val enc = graft.operators.Round10Ops.textBpeEncode(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).collect()(0)
+    val at20 = rows.find(_._1 == 20L).get
+    assert((enc.getLong(0), enc.getLong(1)) == (at20._2, at20._3),
+      s"sweep@20 ${at20} != encode totals $enc")
+  }
 }

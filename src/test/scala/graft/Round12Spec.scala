@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Round12Ops
+
+/** Round-12 specs: incremental view maintenance chained across two
+  * delta batches (each maintained state ≡ a from-scratch recompute),
+  * and the depth-k PLANET tree against an in-test recursive reference
+  * trainer with identical gini rounding and tie-breaks. */
+class Round12Spec extends SparkSuite {
+
+  private val dec12 = DecimalType(12, 2)
+  private val dec38 = DecimalType(38, 2)
+
+  /** The view: GROUP BY (st, prio) → (count, exact decimal total) in
+    * the maintained-state schema. */
+  private def recompute(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy(col("st"), col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast(dec38).as("total"))
+
+  private def stateMap(df: DataFrame): Map[(String, String), (Long, BigDecimal)] =
+    df.collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), BigDecimal(r.getDecimal(3)))
+    }.toMap
+
+  test("warehouse_ivm: two chained delta batches each maintain exactly the recompute; emptied groups vanish; group moves handled") {
+    import spark.implicits._
+    def snap(rows: Seq[(Long, String, String, String)]): DataFrame =
+      rows.toDF("key", "st", "prio", "p")
+        .select(col("key"), col("st"), col("prio"),
+          col("p").cast(dec12).as("price"))
+
+    // v0: two groups; (O,1-URGENT) has a single row so batch 1 can
+    // empty it; key 4 will MOVE groups in batch 2
+    val v0 = snap(Seq(
+      (1L, "O", "1-URGENT", "10.00"), (2L, "F", "2-HIGH", "20.00"),
+      (3L, "F", "2-HIGH", "30.00"), (4L, "F", "2-HIGH", "40.00")))
+    // batch 1: delete key 1 (group empties), update key 2's price,
+    // insert key 5 into a NEW group
+    val v1 = snap(Seq(
+      (2L, "F", "2-HIGH", "25.50"), (3L, "F", "2-HIGH", "30.00"),
+      (4L, "F", "2-HIGH", "40.00"), (5L, "P", "3-MEDIUM", "7.25")))
+    // batch 2: key 4 moves (F,2-HIGH) → (O,1-URGENT) with a new price
+    val v2 = snap(Seq(
+      (2L, "F", "2-HIGH", "25.50"), (3L, "F", "2-HIGH", "30.00"),
+      (4L, "O", "1-URGENT", "41.00"), (5L, "P", "3-MEDIUM", "7.25")))
+
+    def delta(a: DataFrame, b: DataFrame): DataFrame = {
+      val bb = b.select(col("key"), col("st").as("st2"),
+        col("prio").as("prio2"), col("price").as("price2"))
+      a.join(bb, Seq("key"), "full_outer")
+        .filter(col("st").isNull || col("st2").isNull
+          || col("price") =!= col("price2") || col("st") =!= col("st2")
+          || col("prio") =!= col("prio2"))
+        .select(col("st").as("old_st"), col("prio").as("old_prio"),
+          col("price").as("old_price"), col("st2").as("new_st"),
+          col("prio2").as("new_prio"), col("price2").as("new_price"))
+    }
+
+    val state0 = recompute(v0)
+    val state1 = Round12Ops.ivmMaintain(state0, delta(v0, v1))
+    assert(stateMap(state1) == stateMap(recompute(v1)),
+      s"batch 1 diverged: ${stateMap(state1)} vs ${stateMap(recompute(v1))}")
+    // the emptied group is GONE, not zero-count
+    assert(!stateMap(state1).contains(("O", "1-URGENT")))
+
+    // chain: maintain the MAINTAINED state, not a recompute
+    val state2 = Round12Ops.ivmMaintain(state1, delta(v1, v2))
+    assert(stateMap(state2) == stateMap(recompute(v2)),
+      s"batch 2 diverged: ${stateMap(state2)} vs ${stateMap(recompute(v2))}")
+    // the group move re-created (O,1-URGENT) with key 4's new price
+    assert(stateMap(state2)(("O", "1-URGENT")) == (1L, BigDecimal("41.00")))
+  }
+
+  test("warehouse_ivm on the corpus: groups and exact-cents totals") {
+    val rows = Round12Ops.warehouseIvm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0)
+      val t = r.getDouble(3)
+      // exact decimal sum cast to double: an exact multiple of 0.01
+      assert(math.rint(t * 100) / 100.0 == t, s"inexact total: $r")
+    }
+  }
+
+  test("q_tree_depthk: depth-3 trajectory equals a recursive reference trainer (identical rounding and tie-breaks)") {
+    import spark.implicits._
+    // planted so depth 3 exercises every path kind: a perfectly
+    // separable child (gini 0), a single-value leaf (absent node),
+    // and live grandchildren on the alternating feature
+    val rows = Seq(
+      // q <= 5 region: y depends on dd at threshold 10
+      (1L, 5L, 0L), (2L, 8L, 0L), (3L, 12L, 1L), (4L, 15L, 1L),
+      (5L, 9L, 0L), (5L, 20L, 1L),
+      // q > 5 region: mixed, splits again on dd then q
+      (8L, 5L, 1L), (8L, 30L, 0L), (9L, 5L, 1L), (9L, 30L, 0L),
+      (10L, 5L, 0L), (10L, 30L, 1L), (12L, 5L, 0L), (12L, 30L, 1L))
+      .toDF("q", "dd", "y")
+
+    // reference: plain recursive CART with per-level alternating
+    // features, Spark's round(gini, 6) HALF_UP, and (gini, v) argmin
+    type Row3 = (Long, Long, Long)
+    val data: Seq[Row3] = rows.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def gini(pl: Long, tl: Long, pp: Long, nn: Long): Double = {
+      def side(p: Long, t: Long): Double =
+        t - (p.toDouble * p + (t - p).toDouble * (t - p)) / t
+      BigDecimal(
+        (side(pl, tl) + side(pp - pl, nn - tl)) / nn)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def best(rs: Seq[Row3], feat: Row3 => Long): Option[(Long, Double)] = {
+      val byV = rs.groupBy(feat).toSeq.sortBy(_._1)
+        .map { case (v, g) => (v, g.map(_._3).sum, g.size.toLong) }
+      val pp = byV.map(_._2).sum; val nn = byV.map(_._3).sum
+      var pl = 0L; var tl = 0L
+      val cands = byV.flatMap { case (v, p, t) =>
+        pl += p; tl += t
+        if (tl < nn) Some((v, gini(pl, tl, pp, nn))) else None
+      }
+      if (cands.isEmpty) None
+      else Some(cands.minBy { case (v, g) => (g, v) })
+    }
+    val ref = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Double)]
+    def grow(node: String, rs: Seq[Row3], lvl: Int, depth: Int): Unit = {
+      if (lvl > depth || rs.isEmpty) return
+      val feat: Row3 => Long = if (lvl % 2 == 1) _._1 else _._2
+      val fname = if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
+      best(rs, feat) match {
+        case Some((thr, g)) =>
+          ref += ((lvl.toLong, node, fname, thr, g))
+          grow(node + "L", rs.filter(feat(_) <= thr), lvl + 1, depth)
+          grow(node + "R", rs.filter(feat(_) > thr), lvl + 1, depth)
+        case None => // single-value leaf: no row, subtree closed
+      }
+    }
+    grow("r", data, 1, 3)
+
+    val got = Round12Ops.treeDepthKPipeline(rows, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == ref.toSet,
+      s"trajectory diverged:\n got ${got.toSeq.sorted}\n ref ${ref.toSeq.sorted}")
+    // the planted structure did its job: some node is absent at a
+    // level where its sibling split (the leaf case), and at least one
+    // split is perfect
+    val lvl2nodes = ref.filter(_._1 == 2L).map(_._2).toSet
+    assert(ref.exists(_._5 == 0.0), "no perfect split planted")
+    assert(lvl2nodes.subsetOf(Set("rL", "rR")))
+  }
+
+  test("q_tree_depthk on the corpus: 4 levels, paths well-formed, root matches the depth-2 tree's root") {
+    val got = Round12Ops.qTreeDepthK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.exists(_._1 == 4L), "depth-4 level missing entirely")
+    got.foreach { case (lvl, node, feat, _, g) =>
+      assert(node.length == lvl.toInt && node.head == 'r'
+        && node.tail.forall(c => c == 'L' || c == 'R'), s"bad path $node")
+      val expected =
+        if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
+      assert(feat == expected)
+      assert(g >= 0.0 && g <= 0.5 + 1e-9, s"gini out of range: $g")
+    }
+    // same data, same formula: the depth-k root equals B86's root
+    val b86root = graft.operators.Round10bOps.qTreeDepth2(spark, sf)
+      .filter(col("node") === "root").collect()(0)
+    val root = got.find(_._1 == 1L).get
+    assert(root._4 == b86root.getLong(2) && root._5 == b86root.getDouble(3),
+      s"roots diverged: $root vs $b86root")
+  }
+}
