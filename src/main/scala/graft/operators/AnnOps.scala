@@ -457,16 +457,18 @@ object AnnOps {
     * round-trip parquet bit-exactly, so the oracle hashes are
     * unchanged. */
   private object AnnIndexStore {
-    private lazy val root =
-      java.nio.file.Files.createTempDirectory("graft-ann-index")
+    private def root(spark: SparkSession) =
+      graft.sources.StoreRoot.resolve(spark, "graft-ann-index")
     private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
     /** Build-once-read-many: first call for `key` runs `build` and
       * writes each named relation; every call returns parquet readers
-      * over the written index. */
+      * over the written index. The cache keys on the RESOLVED dir so a
+      * mid-JVM `graft.store.root` change builds fresh under the new
+      * root instead of reusing the old one. */
     def get(spark: SparkSession, key: String, names: Seq[String])
         (build: => Seq[DataFrame]): Seq[DataFrame] = {
-      val dir = root.resolve(key)
-      built.getOrElseUpdate(key, {
+      val dir = root(spark).resolve(key)
+      built.getOrElseUpdate(dir.toString, {
         names.zip(build).foreach { case (n, df) =>
           df.write.mode("overwrite").parquet(dir.resolve(n).toString)
         }

@@ -158,12 +158,12 @@ object DedupOps {
     * parquet round-trips doubles bit-exactly), so every consumer's
     * oracle hash is unchanged. */
   private object DedupIndexStore {
-    private lazy val root =
-      java.nio.file.Files.createTempDirectory("graft-dedup-index")
+    private def root(spark: SparkSession) =
+      graft.sources.StoreRoot.resolve(spark, "graft-dedup-index")
     private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
     def get(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-      val dir = root.resolve(key)
-      built.getOrElseUpdate(key, {
+      val dir = root(spark).resolve(key)
+      built.getOrElseUpdate(dir.toString, {
         build.write.mode("overwrite").parquet(dir.toString)
       })
       spark.read.parquet(dir.toString)

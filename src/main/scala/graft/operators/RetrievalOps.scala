@@ -151,7 +151,11 @@ object RetrievalOps {
     * and doc-length stores (idempotent; the bench's timed build hook). */
   private[graft] def bm25StandingBuild(spark: SparkSession,
       sfDir: String): Unit =
-    standingBuilt.getOrElseUpdate("bm25_" + sfDir, {
+    // keyed on the resolved store root too: a mid-JVM
+    // `graft.store.root` change must build fresh under the new root
+    standingBuilt.getOrElseUpdate(
+      "bm25_" + sfDir + "@" + graft.sources.StoreRoot
+        .resolve(spark, s"graft_bm25_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"), {
       import spark.implicits._
       val (post, dls) = bm25Stores(spark, sfDir)
       post.drop(); dls.drop()
@@ -207,8 +211,8 @@ object RetrievalOps {
       sfDir: String): (graft.sources.IndexStore, graft.sources.IndexStore) = {
     import graft.sources.IndexStore
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_bm25_$key").toString
+    val root = graft.sources.StoreRoot
+      .resolve(spark, s"graft_bm25_$key").toString
     (new IndexStore(spark, s"graft_bm25_post_$key", s"$root/post", "tok"),
       new IndexStore(spark, s"graft_bm25_dl_$key", s"$root/dl", "doc_id"))
   }

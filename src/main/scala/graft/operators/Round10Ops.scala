@@ -438,13 +438,13 @@ object Round10Ops {
     * independent of any query), and all stored columns are strings +
     * longs, so the write/read round-trip is bit-exact. */
   private object BpeStore {
-    private lazy val root =
-      java.nio.file.Files.createTempDirectory("graft-bpe")
+    private def root(spark: SparkSession) =
+      graft.sources.StoreRoot.resolve(spark, "graft-bpe")
     private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
     def get(spark: SparkSession, key: String, names: Seq[String])
         (build: => Seq[DataFrame]): Seq[DataFrame] = {
-      val dir = root.resolve(key)
-      built.getOrElseUpdate(key, {
+      val dir = root(spark).resolve(key)
+      built.getOrElseUpdate(dir.toString, {
         names.zip(build).foreach { case (n, df) =>
           df.write.mode("overwrite").parquet(dir.resolve(n).toString)
         }

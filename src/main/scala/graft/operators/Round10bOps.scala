@@ -593,7 +593,11 @@ object Round10bOps {
     * previous process left, so stale segments are impossible. */
   private[graft] def phraseStandingBuild(spark: SparkSession,
       sfDir: String): Unit =
-    phraseBuilt.getOrElseUpdate("phrase_" + sfDir, {
+    // keyed on the resolved store root too: a mid-JVM
+    // `graft.store.root` change must build fresh under the new root
+    phraseBuilt.getOrElseUpdate(
+      "phrase_" + sfDir + "@" + graft.sources.StoreRoot
+        .resolve(spark, s"graft_phrase_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"), {
       import spark.implicits._
       val store = phraseStore(spark, sfDir)
       store.drop()
@@ -622,8 +626,8 @@ object Round10bOps {
   private[graft] def phraseStore(spark: SparkSession,
       sfDir: String): graft.sources.IndexStore = {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_phrase_$key").toString
+    val root = graft.sources.StoreRoot
+      .resolve(spark, s"graft_phrase_$key").toString
     new graft.sources.IndexStore(spark, s"graft_phrase_post_$key",
       s"$root/post", "tok")
   }

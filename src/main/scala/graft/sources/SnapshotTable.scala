@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated warehouse TABLE — H18's manifest/time-travel/
+  * vacuum contract applied to the A13 parquet sink (the table-format
+  * half of the lakehouse story; IndexStore covers the index half).
+  * Copy-on-write at hash-bucket granularity, the Iceberg/Delta CoW
+  * shape:
+  *
+  *   - data files are immutable parquet directories, one per (commit,
+  *     bucket); a row lives in bucket pmod(hash(key), buckets)
+  *   - a snapshot is a manifest mapping bucket → data dir; every
+  *     commit writes an immutable `MANIFEST.v<k>` plus the current
+  *     pointer, both by atomic rename (a reader never sees a half
+  *     list; a crashed commit leaves at worst an orphan dir invisible
+  *     to every manifest)
+  *   - MERGE (the A20b upsert) rewrites ONLY the buckets its keys
+  *     touch; untouched buckets' files are SHARED between snapshots
+  *     by reference — the pre-merge view stays readable at O(0) extra
+  *     storage for the untouched fraction
+  *   - COMPACT rewrites the live layout into one fresh commit;
+  *     result-neutral by construction (spec-pinned), retained older
+  *     snapshots keep reading the pre-compaction files
+  *   - VACUUM (inside every commit) deletes data dirs referenced by
+  *     NO retained snapshot — reference counting at bucket-dir
+  *     granularity, so a dir shared by five snapshots survives until
+  *     the last one expires
+  *
+  * At 100 TB this is exactly a table format's metadata discipline:
+  * commits are O(touched data) not O(table), readers are isolated
+  * from concurrent rewrites by snapshot pinning, and storage is
+  * bounded by the retention window. `WarehouseSpec` pins read
+  * isolation across MERGE + compaction, file sharing, vacuum
+  * exactness, and retention expiry. */
+final class SnapshotTable(
+    spark: SparkSession,
+    val path: String,
+    keyCol: String,
+    buckets: Int = 4,
+    keepSnapshots: Int = 3) {
+
+  require(keepSnapshots >= 1, "must retain at least the current snapshot")
+
+  private def manifest: Path = Paths.get(path, "MANIFEST")
+
+  private def listNames(dir: Path): Seq[String] =
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+
+  /** Retained snapshot versions, oldest first. */
+  def snapshots: Seq[Int] =
+    listNames(Paths.get(path)).flatMap(n =>
+      "^MANIFEST\\.v(\\d+)$".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .sorted
+
+  /** Current snapshot version (0 = not created). */
+  def version: Int = snapshots.lastOption.getOrElse(0)
+
+  private def readRefs(p: Path): Map[Int, String] =
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, dir) = line.split(" ", 2)
+      b.toInt -> dir
+    }.toMap
+
+  /** bucket → data-dir refs of the CURRENT snapshot (spec hook). */
+  def refs: Map[Int, String] =
+    if (!Files.exists(manifest)) Map.empty else readRefs(manifest)
+
+  /** bucket → data-dir refs as of a retained snapshot. */
+  def refsAsOf(v: Int): Map[Int, String] = {
+    val p = Paths.get(path, s"MANIFEST.v$v")
+    require(Files.exists(p),
+      s"snapshot v$v of $path is not retained (have: $snapshots)")
+    readRefs(p)
+  }
+
+  /** Data dirs on disk, relative to `path` (spec hook for vacuum). */
+  def dataDirsOnDisk: Set[String] = {
+    val dataRoot = Paths.get(path, "data")
+    listNames(dataRoot).flatMap { commit =>
+      listNames(dataRoot.resolve(commit)).filter(_.startsWith("__b="))
+        .map(b => s"data/$commit/$b")
+    }.toSet
+  }
+
+  private def bucketed(df: DataFrame): DataFrame =
+    df.withColumn("__b", pmod(hash(col(keyCol)), lit(buckets)))
+
+  /** Write `df` as commit `c`'s per-bucket dirs; returns the refs it
+    * produced (only non-empty buckets get a dir). */
+  private def writeData(df: DataFrame, c: Int): Map[Int, String] = {
+    val dir = s"$path/data/c$c"
+    bucketed(df).write.partitionBy("__b").mode("errorifexists").parquet(dir)
+    (0 until buckets).flatMap { b =>
+      val d = s"data/c$c/__b=$b"
+      if (Files.exists(Paths.get(path, d))) Some(b -> d) else None
+    }.toMap
+  }
+
+  private def commitManifest(newRefs: Map[Int, String]): Unit = {
+    val v = version + 1
+    val body = newRefs.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b $d" }.mkString("", "\n", "\n")
+    // 1. the immutable snapshot, atomically placed
+    val tmpV = Paths.get(path, s"MANIFEST.tmp_v${System.nanoTime()}")
+    Files.writeString(tmpV, body)
+    Files.move(tmpV, Paths.get(path, s"MANIFEST.v$v"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // 2. the current pointer
+    val tmp = Paths.get(path, s"MANIFEST.tmp${System.nanoTime()}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // 3. expire snapshots beyond retention...
+    snapshots.dropRight(keepSnapshots)
+      .foreach(old => Files.delete(Paths.get(path, s"MANIFEST.v$old")))
+    // 4. ...then vacuum data dirs no retained snapshot references
+    val live: Set[String] =
+      snapshots.flatMap(refsAsOf(_).values).toSet ++ refs.values
+    dataDirsOnDisk.filterNot(live.contains).foreach { d =>
+      deleteRecursively(Paths.get(path, d))
+      // drop the commit dir once its last bucket is gone
+      val parent = Paths.get(path, d).getParent
+      if (listNames(parent).forall(n => !n.startsWith("__b=")))
+        deleteRecursively(parent)
+    }
+  }
+
+  /** Create the table (errors if it exists). */
+  def create(df: DataFrame): Unit = {
+    require(version == 0, s"snapshot table $path already exists")
+    Files.createDirectories(Paths.get(path))
+    commitManifest(writeData(df, 1))
+  }
+
+  /** MERGE (A20b upsert): rows in `updates` replace current rows with
+    * the same key; new keys insert. Copy-on-write at bucket
+    * granularity — only buckets containing an update key are
+    * rewritten; every other bucket's file is carried into the new
+    * snapshot BY REFERENCE. O(touched buckets' data + batch), never
+    * O(table). */
+  def merge(updates: DataFrame): Unit = {
+    val cur = refs
+    require(cur.nonEmpty, s"snapshot table $path not created")
+    // touched buckets: metadata-sized (≤ `buckets` ints) off the
+    // update batch alone — the standing table is not scanned for this
+    val touched = bucketed(updates).select(col("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val standing = touched.toSeq.sorted.flatMap(cur.get) match {
+      case Nil => None
+      case dirs => Some(spark.read.parquet(
+        dirs.map(d => s"$path/$d"): _*))
+    }
+    val upserted = standing match {
+      case Some(s) =>
+        updates.unionByName(
+          s.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti"))
+      case None => updates
+    }
+    val c = version + 1
+    val newRefs = writeData(upserted, c)
+    commitManifest(cur -- touched ++ newRefs)
+  }
+
+  /** Rewrite the live layout into one fresh commit — result-neutral
+    * (the data is byte-identical relationally); retained snapshots
+    * keep reading the pre-compaction files until they expire. */
+  def compact(): Unit = {
+    val cur = refs
+    require(cur.nonEmpty, s"snapshot table $path not created")
+    val all = spark.read.parquet(cur.values.toSeq.map(d => s"$path/$d"): _*)
+    commitManifest(writeData(all, version + 1))
+  }
+
+  /** The current table. */
+  def read(): DataFrame = readRefsDf(refs)
+
+  /** Time travel: the table as of a RETAINED snapshot — bit-stable
+    * under any later merge/compaction while retained (spec-pinned);
+    * raises once the snapshot has expired. */
+  def readAsOf(v: Int): DataFrame = readRefsDf(refsAsOf(v))
+
+  private def readRefsDf(r: Map[Int, String]): DataFrame = {
+    require(r.nonEmpty, s"snapshot table $path has no data")
+    spark.read.parquet(r.values.toSeq.map(d => s"$path/$d"): _*)
+  }
+
+  /** Drop everything (test cleanup). */
+  def drop(): Unit = deleteRecursively(Paths.get(path))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+}
