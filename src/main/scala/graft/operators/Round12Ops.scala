@@ -123,6 +123,121 @@ object Round12Ops {
       |  CAST(sum(price) AS DOUBLE) AS total_price
       |FROM neu GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- A34
+  /** Incremental maintenance of a JOIN-aggregate view under deltas to
+    * BOTH inputs — the bilinear delta rule A33's single-table case
+    * can't express: with signed (±1) delta multisets,
+    * (O+ΔO)⋈(C+ΔC) = O⋈C + ΔO⋈C + O⋈ΔC + ΔO⋈ΔC, so the view
+    * revenue-per-nation(orders ⋈ customer) updates from its old state
+    * plus three delta joins whose signs multiply — a customer moving
+    * nations retracts and re-asserts every one of their orders'
+    * contributions without any order changing; a deleted customer
+    * orphans its orders out of the view; an inserted order matching
+    * an inserted customer lands via the ΔO⋈ΔC cross term.
+    *
+    * Snapshots are derived deterministically: orders as A33 (OLD
+    * drops keys ≡3 (mod 10); NEW drops ≡7, bumps price for ≡0 (mod
+    * 5)); customers OLD drops keys ≡8 (mod 17) (inserts), NEW drops
+    * ≡6 (mod 13) (deletes) and moves keys ≡4 (mod 11) to nation
+    * (nk+7) mod 25 (the group-moving update). Revenue is DECIMAL
+    * before any arithmetic, so maintained ≡ recomputed to the bit and
+    * the DuckDB full-recompute oracle proves the maintenance.
+    *
+    * Scale: ΔO⋈C and ΔO⋈ΔC broadcast the churn; O⋈ΔC broadcasts ΔC
+    * against one pruned pass of the standing facts (bucketed on the
+    * key at 100 TB, that pass touches only matching buckets) — never
+    * a recompute of the full join. */
+  def warehouseIvmJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    def p(col0: Column) = col0.cast(dec12)
+    val oOld = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck"),
+        p(col("o_totalprice")).as("price"))
+    val oNew = o.filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck2"),
+        when(col("o_orderkey") % 5 === 0,
+          (p(col("o_totalprice")) + lit(1).cast(dec12)).cast(dec12))
+          .otherwise(p(col("o_totalprice"))).as("price2"))
+    val cOld = c.filter(col("c_custkey") % 17 =!= 8)
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nk"))
+    val cNew = c.filter(col("c_custkey") % 13 =!= 6)
+      .select(col("c_custkey").as("ck"),
+        when(col("c_custkey") % 11 === 4,
+          (col("c_nationkey") + 7) % 25).otherwise(col("c_nationkey"))
+          .cast("long").as("nk2"))
+    ivmJoinPipeline(oOld, oNew, cOld, cNew)
+  }
+
+  /** The join-view maintenance over arbitrary old/new snapshot pairs —
+    * orders as (okey, ck, price∈DECIMAL(12,2)) and customers as
+    * (ck, nk) with the new sides renamed (ck2/price2, nk2) — the spec
+    * hook (`Round12Spec` plants a closed-form scenario and pins every
+    * delta term by hand). */
+  private[graft] def ivmJoinPipeline(oOld: DataFrame, oNew: DataFrame,
+      cOld: DataFrame, cNew: DataFrame): DataFrame = {
+    // churn-sized SIGNED deltas: retract the old image, assert the new
+    val dO = oOld.join(oNew, oOld("okey") === oNew("okey"), "full_outer")
+      .filter(col("ck").isNull || col("ck2").isNull
+        || col("price") =!= col("price2"))
+      .select(col("ck"), col("price"), col("ck2"), col("price2"))
+    val dOs = dO.filter(col("ck").isNotNull)
+        .select(col("ck"), col("price"), lit(-1L).as("sign"))
+      .unionByName(dO.filter(col("ck2").isNotNull)
+        .select(col("ck2").as("ck"), col("price2").as("price"),
+          lit(1L).as("sign")))
+    val dC = cOld.join(cNew.withColumnRenamed("ck", "ckb"),
+        col("ck") === col("ckb"), "full_outer")
+      .filter(col("nk").isNull || col("nk2").isNull
+        || col("nk") =!= col("nk2"))
+      .select(col("ck"), col("nk"), col("ckb"), col("nk2"))
+    val dCs = dC.filter(col("ck").isNotNull)
+        .select(col("ck"), col("nk"), lit(-1L).as("csign"))
+      .unionByName(dC.filter(col("ckb").isNotNull)
+        .select(col("ckb").as("ck"), col("nk2").as("nk"),
+          lit(1L).as("csign")))
+    // the standing view state over the OLD snapshots
+    val state = oOld.join(cOld, "ck").groupBy(col("nk"))
+      .agg(count(lit(1)).as("dn"), sum(col("price")).cast(dec38).as("dp"))
+    // the three delta joins; signs multiply on the cross term
+    val t1 = broadcast(dOs).join(cOld, "ck")
+      .select(col("nk"), col("sign").as("dn"),
+        (col("price") * col("sign")).cast(dec38).as("dp"))
+    val t2 = oOld.join(broadcast(dCs), "ck")
+      .select(col("nk"), col("csign").as("dn"),
+        (col("price") * col("csign")).cast(dec38).as("dp"))
+    val t3 = broadcast(dOs).join(broadcast(dCs), "ck")
+      .select(col("nk"), (col("sign") * col("csign")).as("dn"),
+        (col("price") * col("sign") * col("csign")).cast(dec38).as("dp"))
+    state.select(col("nk"), col("dn"), col("dp"))
+      .unionByName(t1).unionByName(t2).unionByName(t3)
+      .groupBy(col("nk"))
+      .agg(sum(col("dn")).as("n_orders"),
+        sum(col("dp")).cast("double").as("total_price"))
+      .filter(col("n_orders") > 0)
+      .select(col("nk").as("c_nationkey"), col("n_orders"),
+        col("total_price"))
+  }
+
+  val warehouseIvmJoinSql: String =
+    """WITH o_new AS (
+      |  SELECT o_custkey AS ck,
+      |    CASE WHEN o_orderkey % 5 = 0
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+      |             + CAST(1 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+      |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 10 <> 7),
+      |c_new AS (
+      |  SELECT c_custkey AS ck,
+      |    CAST(CASE WHEN c_custkey % 11 = 4 THEN (c_nationkey + 7) % 25
+      |         ELSE c_nationkey END AS BIGINT) AS nk
+      |  FROM customer WHERE c_custkey % 13 <> 6)
+      |SELECT nk AS c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(price) AS DOUBLE) AS total_price
+      |FROM o_new JOIN c_new USING (ck)
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- B89
   /** Depth-k CART training via the PLANET level loop (Panda et al.
     * VLDB'09) — B86's depth-2 tree generalized: K levels, each level
@@ -188,8 +303,15 @@ object Round12Ops {
     var assigned = data.select(lit("r").as("node"),
       col("q"), col("dd"), col("y"))
     val levels = (1 to depth).map { lvl =>
+      // eager checkpoint of the ≤2^lvl-row argmin relation: every
+      // later level and the final union consume it MATERIALIZED, so
+      // the fact relation is aggregated exactly once per level (the
+      // PLANET schedule) instead of re-deriving each level's argmin
+      // per consumer (O(K²) passes — the codified iterative-lineage
+      // discipline applied at tree scale)
       val sel = argmin(curve(
         assigned.select(col("node"), featCol(lvl).as("v"), col("y"))))
+        .localCheckpoint(true)
       if (lvl < depth) {
         // INNER join: rows under a leaf (no threshold row) drop out
         assigned = assigned
@@ -258,9 +380,11 @@ object Round12Ops {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warehouse_ivm" -> warehouseIvm _,
+    "warehouse_ivm_join" -> warehouseIvmJoin _,
     "q_tree_depthk" -> qTreeDepthK _)
 
   val oracleSql: Map[String, String] = Map(
     "warehouse_ivm" -> warehouseIvmSql,
+    "warehouse_ivm_join" -> warehouseIvmJoinSql,
     "q_tree_depthk" -> qTreeDepthKSql)
 }

@@ -71,11 +71,6 @@ class PlanHygieneSpec extends SparkSuite {
     "q_tree_depth2" -> ("root-level impurity curve + argmin windows "
       + "over the per-threshold relation: |distinct values| rows; "
       + "the child-level windows partition by tree side"),
-    "q_tree_depthk" -> ("level-1 impurity curve + argmin windows: the "
-      + "root node path is a foldable literal, so Catalyst drops it "
-      + "from the partitionSpec — the window still orders only "
-      + "|distinct values| rows (the fact table collapses to value "
-      + "counts first); levels 2+ partition by the node path"),
     "q_roc_auc" -> ("cumulative TP/FP, lag, and trapezoid-sum windows "
       + "over the per-score relation: |distinct scores| rows (11 — "
       + "the same collapse-first discipline)"))
@@ -118,10 +113,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q_assoc_rules" -> ("crossJoin(broadcast(1-row basket-count "
       + "scalar)) for lift; the basket self-join itself is EQUI on "
       + "orderkey with the p<p guard as a residual conjunct"),
-    "q_tree_depthk" -> ("broadcast join of the level-1 argmin on the "
-      + "foldable root path: Catalyst folds the constant key away, "
-      + "leaving crossJoin(broadcast(1-row root-threshold)) — the B86 "
-      + "shape; levels 2+ keep their node-path equi keys"),
+    // q_tree_depthk's level-1 curve window and argmin join fold the
+    // constant root path (the B86 shapes), but each level's argmin is
+    // eagerly localCheckpointed, so the walk sees only LogicalRDD
+    // leaves — documented here rather than allowlisted (the
+    // stale-entry check would reject unused entries).
     "q_tree_depth2" -> ("crossJoin(broadcast(1-row root-threshold "
       + "argmin)) — the level-2 side assignment; never a driver "
       + "collect"),

@@ -88,6 +88,63 @@ class Round12Spec extends SparkSuite {
     }
   }
 
+  test("warehouse_ivm_join: planted closed form exercises nation move, delete-orphaned orders, and the ΔO⋈ΔC cross term") {
+    import spark.implicits._
+    def ords(rows: Seq[(Long, Long, String)], newSide: Boolean) =
+      rows.toDF("okey", "ck0", "p")
+        .select(col("okey"),
+          col("ck0").as(if (newSide) "ck2" else "ck"),
+          col("p").cast(dec12).as(if (newSide) "price2" else "price"))
+    def custs(rows: Seq[(Long, Long)], newSide: Boolean) =
+      rows.toDF("ck", "nk0")
+        .select(col("ck"), col("nk0").as(if (newSide) "nk2" else "nk"))
+
+    // OLD: customers 1(n10) 2(n20) 3(n30); orders o1→c1 100, o2→c2 50,
+    //      o3→c2 60, o4→c3 70
+    // NEW: c2 MOVES to n25 (no change to o3 — its contribution must
+    //      still move groups), c3 DELETED (o4 orphans out), c4(n40)
+    //      INSERTED; o2's price updates to 55, o5→c4 80 INSERTED (the
+    //      ΔO⋈ΔC cross term: new order × new customer)
+    val oOld = ords(Seq((1L, 1L, "100.00"), (2L, 2L, "50.00"),
+      (3L, 2L, "60.00"), (4L, 3L, "70.00")), newSide = false)
+    val oNew = ords(Seq((1L, 1L, "100.00"), (2L, 2L, "55.00"),
+      (3L, 2L, "60.00"), (4L, 3L, "70.00"), (5L, 4L, "80.00")),
+      newSide = true)
+    val cOld = custs(Seq((1L, 10L), (2L, 20L), (3L, 30L)), newSide = false)
+    val cNew = custs(Seq((1L, 10L), (2L, 25L), (4L, 40L)), newSide = true)
+
+    val got = Round12Ops.ivmJoinPipeline(oOld, oNew, cOld, cNew)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // hand-computed view over the NEW snapshots
+    assert(got == Map(10L -> (1L, 100.0), 25L -> (2L, 115.0),
+      40L -> (1L, 80.0)), s"got $got")
+    // n30 (the deleted customer's nation) is GONE, not zero
+    assert(!got.contains(30L))
+  }
+
+  test("warehouse_ivm_join on the corpus: derivations exercise every delta term; totals exact cents") {
+    val rows = Round12Ops.warehouseIvmJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val t = r.getDouble(2)
+      assert(math.rint(t * 100) / 100.0 == t, s"inexact total: $r")
+    }
+    // the corpus derivations plant real work for each term: a
+    // nation-moving customer with orders, and a deleted customer
+    // whose orders orphan out
+    val c = graft.Tables.customer(spark, sf)
+    val o = graft.Tables.orders(spark, sf)
+    val movers = c.filter(col("c_custkey") % 11 === 4
+        && col("c_custkey") % 13 =!= 6)
+      .join(o, col("c_custkey") === col("o_custkey")).count()
+    val deleted = c.filter(col("c_custkey") % 13 === 6)
+      .join(o, col("c_custkey") === col("o_custkey")).count()
+    assert(movers > 0, "no nation-moving customer with orders")
+    assert(deleted > 0, "no deleted customer with orders")
+  }
+
   test("q_tree_depthk: depth-3 trajectory equals a recursive reference trainer (identical rounding and tie-breaks)") {
     import spark.implicits._
     // planted so depth 3 exercises every path kind: a perfectly
