@@ -273,10 +273,21 @@ object Round12Ops {
     * tie-breaks). */
   private[graft] def treeDepthKPipeline(labeled: DataFrame,
       depth: Int): DataFrame = {
-    def featCol(lvl: Int): Column =
-      if (lvl % 2 == 1) col("q") else col("dd")
-    def featName(lvl: Int): String =
-      if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
+    val data = labeled.persist()
+    levelLoop(data.select(lit("r").as("node"),
+      col("q"), col("dd"), col("y")), depth)
+  }
+
+  private def featCol(lvl: Int): Column =
+    if (lvl % 2 == 1) col("q") else col("dd")
+  private def featName(lvl: Int): String =
+    if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
+
+  /** The PLANET level loop over an arbitrary starting (node, q, dd,
+    * y) assignment — shared by the single tree (one root path "r")
+    * and the forest (one root per tree, "t0r"…): ONE aggregation pass
+    * per level for every open node of every tree at once. */
+  private def levelLoop(assigned0: DataFrame, depth: Int): DataFrame = {
     // per-node impurity curve + per-node argmin — B86's shapes,
     // partitioned by the node path
     def curve(df: DataFrame): DataFrame = {
@@ -299,11 +310,9 @@ object Round12Ops {
       df.withColumn("rn", row_number().over(best))
         .filter(col("rn") === 1).drop("rn")
     }
-    val data = labeled.persist()
-    var assigned = data.select(lit("r").as("node"),
-      col("q"), col("dd"), col("y"))
+    var assigned = assigned0
     val levels = (1 to depth).map { lvl =>
-      // eager checkpoint of the ≤2^lvl-row argmin relation: every
+      // eager checkpoint of the per-node argmin relation: every
       // later level and the final union consume it MATERIALIZED, so
       // the fact relation is aggregated exactly once per level (the
       // PLANET schedule) instead of re-deriving each level's argmin
@@ -329,62 +338,142 @@ object Round12Ops {
     levels.reduce(_ unionByName _)
   }
 
-  /** Oracle: the identical level unroll as MATERIALIZED CTEs — hash
-    * equality pins the entire training trajectory (every level's
-    * per-node argmin), not just the final tree. */
-  val qTreeDepthKSql: String = {
+  /** The level-unroll CTE chain for a tree/forest oracle: `$pfx0` is
+    * the caller-supplied base assignment CTE name; produces per-level
+    * cv/cc/cg/sel (+ next assignment) CTEs and the final UNION of the
+    * sel relations. Hash equality pins the entire training trajectory
+    * (every level's per-node argmin), not just the final structure. */
+  private def treeLevelsSql(pfx: String, depth: Int,
+      selCols: String): (String, String) = {
     def feat(lvl: Int) = if (lvl % 2 == 1) "q" else "dd"
-    def featName(lvl: Int) =
-      if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
     val g = Round10bOps.giniSql
+    val lvls = (1 to depth).map { l =>
+      val assign =
+        if (l < depth)
+          s""",
+             |$pfx$l AS MATERIALIZED (
+             |  SELECT a.node || CASE WHEN a.${feat(l)} <= s.v
+             |    THEN 'L' ELSE 'R' END AS node, a.q, a.dd, a.y
+             |  FROM $pfx${l - 1} a JOIN ${pfx}sel$l s ON s.node = a.node)""".stripMargin
+        else ""
+      s"""${pfx}cv$l AS (
+         |  SELECT node, ${feat(l)} AS v, CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(count(*) AS BIGINT) AS t
+         |  FROM $pfx${l - 1} GROUP BY 1, 2),
+         |${pfx}cc$l AS (
+         |  SELECT node, v,
+         |    CAST(sum(p) OVER (PARTITION BY node ORDER BY v) AS BIGINT) AS pl,
+         |    CAST(sum(t) OVER (PARTITION BY node ORDER BY v) AS BIGINT) AS tl,
+         |    CAST(sum(p) OVER (PARTITION BY node) AS BIGINT) AS pp,
+         |    CAST(sum(t) OVER (PARTITION BY node) AS BIGINT) AS nn
+         |  FROM ${pfx}cv$l),
+         |${pfx}cg$l AS (
+         |  SELECT node, v, $g AS gini FROM ${pfx}cc$l WHERE tl < nn),
+         |${pfx}sel$l AS MATERIALIZED (
+         |  SELECT node, v, gini FROM (
+         |    SELECT node, v, gini, row_number() OVER (PARTITION BY node
+         |      ORDER BY gini, v) AS rn
+         |    FROM ${pfx}cg$l) WHERE rn = 1)""".stripMargin + assign
+    }
+    val out = (1 to depth).map { l =>
+      val fn = if (l % 2 == 1) "l_quantity" else "l_discount_cents"
+      s"""SELECT ${selCols.replace("{L}", l.toString).replace("{F}", fn)}
+         |FROM ${pfx}sel$l""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (lvls.mkString(",\n"), out)
+  }
+
+  val qTreeDepthKSql: String = {
     val base =
       """tk0 AS MATERIALIZED (
         |  SELECT 'r' AS node, CAST(l_quantity AS BIGINT) AS q,
         |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
         |  FROM lineitem)""".stripMargin
-    val lvls = (1 to treeDepth).map { l =>
-      val assign =
-        if (l < treeDepth)
-          s""",
-             |tk$l AS MATERIALIZED (
-             |  SELECT a.node || CASE WHEN a.${feat(l)} <= s.v
-             |    THEN 'L' ELSE 'R' END AS node, a.q, a.dd, a.y
-             |  FROM tk${l - 1} a JOIN sel$l s ON s.node = a.node)""".stripMargin
-        else ""
-      s"""cv$l AS (
-         |  SELECT node, ${feat(l)} AS v, CAST(sum(y) AS BIGINT) AS p,
-         |    CAST(count(*) AS BIGINT) AS t
-         |  FROM tk${l - 1} GROUP BY 1, 2),
-         |cc$l AS (
-         |  SELECT node, v,
-         |    CAST(sum(p) OVER (PARTITION BY node ORDER BY v) AS BIGINT) AS pl,
-         |    CAST(sum(t) OVER (PARTITION BY node ORDER BY v) AS BIGINT) AS tl,
-         |    CAST(sum(p) OVER (PARTITION BY node) AS BIGINT) AS pp,
-         |    CAST(sum(t) OVER (PARTITION BY node) AS BIGINT) AS nn
-         |  FROM cv$l),
-         |cg$l AS (SELECT node, v, $g AS gini FROM cc$l WHERE tl < nn),
-         |sel$l AS MATERIALIZED (
-         |  SELECT node, v, gini FROM (
-         |    SELECT node, v, gini, row_number() OVER (PARTITION BY node
-         |      ORDER BY gini, v) AS rn
-         |    FROM cg$l) WHERE rn = 1)""".stripMargin + assign
-    }
-    val out = (1 to treeDepth).map(l =>
-      s"""SELECT CAST($l AS BIGINT) AS level, node,
-         |  '${featName(l)}' AS feature, v AS threshold, gini
-         |FROM sel$l""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"WITH $base,\n${lvls.mkString(",\n")}\n$out"
+    val (lvls, out) = treeLevelsSql("tk", treeDepth,
+      "CAST({L} AS BIGINT) AS level, node,\n  '{F}' AS feature, "
+        + "v AS threshold, gini")
+    s"WITH $base,\n$lvls\n$out"
+  }
+
+  // ---------------------------------------------------------------- B90
+  /** Random forest via the MULTI-TREE PLANET loop (Breiman 2001 over
+    * Panda et al.'s schedule; round 12): 4 bagged CART trees of depth
+    * 2, trained TOGETHER — every tree's root paths enter the same
+    * level loop as distinct node prefixes ("t0r" … "t3r"), so one
+    * aggregation pass per LEVEL trains every open node of every tree
+    * at once: 2 passes for the whole ensemble where per-tree
+    * scheduling pays trees×levels. Bagging is deterministic hash
+    * subsampling (the C22 fold discipline): row (okey, line) joins
+    * tree t iff md5-h32("frst:t:okey:line") mod 4 ≠ 0 — 75% per tree,
+    * independent across trees, identical in both engines (no
+    * `rand()`, the J-family reproducibility rule).
+    *
+    * Scale: the union of bagged branches feeds ONE groupBy per level,
+    * so the ensemble shuffles |trees|·|open nodes|×|distinct values|
+    * rows — domain-bounded — regardless of corpus size; at 100 TB
+    * adding trees widens the group key, not the number of passes. */
+  def qForest(spark: SparkSession, sfDir: String): DataFrame =
+    forestPipeline(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).as("rid")),
+      forestTrees, forestDepth)
+
+  private[graft] val forestTrees = 4
+  private[graft] val forestDepth = 2
+
+  /** The ensemble loop over arbitrary (q, dd, y, rid) rows — the spec
+    * hook (`Round12Spec` pins each tree against the single-tree
+    * pipeline run on that tree's bag). */
+  private[graft] def forestPipeline(labeled: DataFrame, trees: Int,
+      depth: Int): DataFrame = {
+    val data = labeled.persist()
+    val assigned = (0 until trees).map { t =>
+      data.filter(
+          graft.functions.gf.h32(concat(lit(s"frst:$t:"), col("rid")))
+            % trees =!= 0)
+        .select(lit(s"t${t}r").as("node"), col("q"), col("dd"), col("y"))
+    }.reduce(_ unionByName _)
+    levelLoop(assigned, depth)
+      .select(substring(col("node"), 1, 2).as("tree"), col("level"),
+        col("node"), col("feature"), col("threshold"), col("gini"))
+  }
+
+  val qForestSql: String = {
+    val baggedRows = (0 until forestTrees).map { t =>
+      s"""SELECT 't$t' || 'r' AS node, q, dd, y FROM fraw
+         |WHERE ('0x' || substr(md5('frst:$t:' || rid), 1, 8))::BIGINT
+         |  % $forestTrees <> 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val base =
+      s"""fraw AS MATERIALIZED (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         |    CAST(l_orderkey AS VARCHAR) || ':' ||
+         |      CAST(l_linenumber AS VARCHAR) AS rid
+         |  FROM lineitem),
+         |fk0 AS MATERIALIZED (
+         |$baggedRows)""".stripMargin
+    val (lvls, out) = treeLevelsSql("fk", forestDepth,
+      "substr(node, 1, 2) AS tree, CAST({L} AS BIGINT) AS level, "
+        + "node,\n  '{F}' AS feature, v AS threshold, gini")
+    s"WITH $base,\n$lvls\n$out"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warehouse_ivm" -> warehouseIvm _,
     "warehouse_ivm_join" -> warehouseIvmJoin _,
-    "q_tree_depthk" -> qTreeDepthK _)
+    "q_tree_depthk" -> qTreeDepthK _,
+    "q_forest" -> qForest _)
 
   val oracleSql: Map[String, String] = Map(
     "warehouse_ivm" -> warehouseIvmSql,
     "warehouse_ivm_join" -> warehouseIvmJoinSql,
-    "q_tree_depthk" -> qTreeDepthKSql)
+    "q_tree_depthk" -> qTreeDepthKSql,
+    "q_forest" -> qForestSql)
 }

@@ -212,6 +212,43 @@ class Round12Spec extends SparkSuite {
     assert(lvl2nodes.subsetOf(Set("rL", "rR")))
   }
 
+  test("q_forest: each ensemble tree equals the single-tree pipeline on that tree's bag; bags differ; no rand()") {
+    import spark.implicits._
+    import graft.functions.gf
+    // planted rows with enough ids that the 75% bags differ per tree
+    val rows = (1L to 60L).map { i =>
+      (i % 14 + 1, (i * 3) % 40, (i % 3 min 1), s"o$i:1")
+    }.toDF("q", "dd", "y", "rid")
+
+    val forest = Round12Ops.forestPipeline(rows, 3, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getDouble(5)))
+
+    (0 until 3).foreach { t =>
+      val bag = rows.filter(
+        gf.h32(concat(lit(s"frst:$t:"), col("rid"))) % 3 =!= 0)
+      // the single-tree pipeline on the same bag must produce the
+      // ensemble's tree t rows (node prefix aside): per-tree
+      // correctness of the joint level loop
+      // solo nodes are r/rL/rR; the joint loop's are t0r/t0rL/…
+      val soloMapped = Round12Ops.treeDepthKPipeline(
+        bag.select(col("q"), col("dd"), col("y")), 2).collect()
+        .map(r => (r.getLong(0), s"t$t" + r.getString(1),
+          r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+      val joint = forest.filter(_._1 == s"t$t")
+        .map(f => (f._2, f._3, f._4, f._5, f._6)).toSet
+      assert(joint == soloMapped,
+        s"tree $t diverged:\n joint $joint\n solo $soloMapped")
+    }
+    // bagging actually varies across trees: not all roots identical
+    // would be a weak check if the data were too separable — instead
+    // assert the BAGS differ
+    val sizes = (0 until 3).map(t => rows.filter(
+      gf.h32(concat(lit(s"frst:$t:"), col("rid"))) % 3 =!= 0)
+      .agg(sum(expr("q * 1000 + dd"))).collect()(0).getLong(0))
+    assert(sizes.distinct.size > 1, s"all bags identical: $sizes")
+  }
+
   test("q_tree_depthk on the corpus: 4 levels, paths well-formed, root matches the depth-2 tree's root") {
     val got = Round12Ops.qTreeDepthK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
