@@ -55,6 +55,17 @@ object Round12Ops {
     * between queries; that derivation is outside the maintenance
     * path, which is `ivmMaintain` and never sees the NEW snapshot.) */
   def warehouseIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    val (old, neu) = ivmSnapshots(spark, sfDir)
+    ivmMaintain(ivmState(old), ivmDelta(old, neu))
+      .select(col("st").as("o_orderstatus"),
+        col("prio").as("o_orderpriority"), col("n_orders"),
+        col("total").cast("double").as("total_price"))
+  }
+
+  /** The deterministic OLD/NEW order snapshots (A28's derivation with
+    * the view's group columns; shared with the G23 streaming twin). */
+  private[graft] def ivmSnapshots(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, sfDir)
     def p(c: Column) = c.cast(dec12)
     val old = o.filter(col("o_orderkey") % 10 =!= 3)
@@ -67,26 +78,27 @@ object Round12Ops {
         when(col("o_orderkey") % 5 === 0,
           (p(col("o_totalprice")) + lit(1).cast(dec12)).cast(dec12))
           .otherwise(p(col("o_totalprice"))).as("price2"))
-    // the standing view state over the OLD snapshot (in production: a
-    // stored |groups|-row table; the maintenance path reads ONLY this
-    // and the delta)
-    val state = old.groupBy(col("st"), col("prio"))
+    (old, neu)
+  }
+
+  /** The standing view state over a snapshot (in production: a stored
+    * |groups|-row table; the maintenance path reads ONLY this and the
+    * delta). */
+  private[graft] def ivmState(old: DataFrame): DataFrame =
+    old.groupBy(col("st"), col("prio"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("price")).cast(dec38).as("total"))
-    // churn-sized CDC delta with both row images (A28's diff carrying
-    // the view's group columns)
-    val delta = old.join(neu, Seq("key"), "full_outer")
+
+  /** Churn-sized CDC delta with both row images (A28's diff carrying
+    * the view's group columns; `key` retained for batch slicing). */
+  private[graft] def ivmDelta(old: DataFrame, neu: DataFrame): DataFrame =
+    old.join(neu, Seq("key"), "full_outer")
       .filter(col("st").isNull || col("st2").isNull
         || col("price") =!= col("price2") || col("st") =!= col("st2")
         || col("prio") =!= col("prio2"))
-      .select(col("st").as("old_st"), col("prio").as("old_prio"),
+      .select(col("key"), col("st").as("old_st"), col("prio").as("old_prio"),
         col("price").as("old_price"), col("st2").as("new_st"),
         col("prio2").as("new_prio"), col("price2").as("new_price"))
-    ivmMaintain(state, delta)
-      .select(col("st").as("o_orderstatus"),
-        col("prio").as("o_orderpriority"), col("n_orders"),
-        col("total").cast("double").as("total_price"))
-  }
 
   /** The maintenance step — state(st, prio, n_orders, total) + delta
     * with old/new row images → new state, never touching the base

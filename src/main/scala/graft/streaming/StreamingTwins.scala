@@ -1168,7 +1168,70 @@ object StreamingTwins {
       |  CAST(min(tw) AS BIGINT) AS total_weight
       |FROM c GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- G23
+  /** Streaming incremental view maintenance — A33's maintenance step
+    * on the WRITE path (the G14 epoch-versioned-state pattern): the
+    * CDC delta feed arrives in 3 micro-batches (keys sliced mod 3,
+    * mtime-ordered, maxFilesPerTrigger=1) and each foreachBatch
+    * applies `Round12Ops.ivmMaintain(state_e, batch) → state_{e+1}`
+    * against parquet-swapped state seeded from the OLD snapshot's
+    * aggregate. Maintenance is a signed SUM over (group) — fully
+    * associative/commutative in the delta multiset — so the final
+    * state equals the batch recompute under ANY trigger slicing: the
+    * oracle IS A33's full-recompute SQL (the G12 segmentation-blind
+    * discipline), and hash equality proves per-batch maintenance ≡
+    * one-shot maintenance ≡ recompute. Decimals round-trip parquet
+    * exactly, so epoch swaps cannot drift a cent. */
+  def streamingIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Round12Ops
+    val (old, neu) = Round12Ops.ivmSnapshots(spark, sfDir)
+    val stageDir = ivmStaged.computeIfAbsent(sfDir, { _ =>
+      val dir = Files.createTempDirectory("graft_stream_ivm").toString
+      val delta = Round12Ops.ivmDelta(old, neu)
+      (0 to 2).foreach { b =>
+        delta.filter(pmod(col("key"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$dir/batch_$b")
+      }
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val d = new java.io.File(s"$dir/batch_$i")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      dir
+    })
+    val deltaSchema = Round12Ops.ivmDelta(old, neu).schema
+    val stateRoot = Files.createTempDirectory("graft_ivm_state").toString
+    // seed: the standing view state over the OLD snapshot
+    Round12Ops.ivmState(old).write.parquet(s"$stateRoot/state_0")
+    var epoch = 0 // foreachBatch runs serially on the driver
+    val src = spark.readStream.schema(deltaSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        Round12Ops.ivmMaintain(
+            sp.read.parquet(s"$stateRoot/state_$epoch"), batch)
+          .write.mode("overwrite").parquet(s"$stateRoot/state_${epoch + 1}")
+        epoch += 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$stateRoot/state_$epoch")
+      .select(col("st").as("o_orderstatus"),
+        col("prio").as("o_orderpriority"), col("n_orders"),
+        col("total").cast("double").as("total_price"))
+  }
+
+  private val ivmStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The oracle is A33's — the full recompute over the NEW snapshot:
+    * equality proves the micro-batched maintenance converges to the
+    * same table. */
+  val streamingIvmSql: String = graft.operators.Round12Ops.warehouseIvmSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_ivm" -> streamingIvm _,
     "streaming_weighted_quantiles" -> streamingWeightedQuantiles _,
     "streaming_qdigest" -> streamingQdigest _,
     "streaming_semi_join" -> streamingSemiJoin _,
@@ -1193,6 +1256,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_ivm" -> streamingIvmSql,
     "streaming_weighted_quantiles" -> streamingWeightedQuantilesSql,
     "streaming_qdigest" -> streamingQdigestSql,
     "streaming_semi_join" -> streamingSemiJoinSql,

@@ -142,4 +142,25 @@ class StreamingSpec extends SparkSuite {
     val expected = Tables.events(spark, sf).count()
     assert(n == expected, s"got $n, want $expected")
   }
+
+  test("streaming_ivm (G23): micro-batched maintenance equals the batch maintenance; every delta slice carries work") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rows(
+      graft.streaming.StreamingTwins.streamingIvm(spark, sf))
+    val batch = rows(graft.operators.Round12Ops.warehouseIvm(spark, sf))
+    assert(streamed == batch,
+      s"streamed state != batch maintenance:\n $streamed\n $batch")
+    // the mod-3 slicing genuinely splits the feed: each micro-batch
+    // applies a non-empty delta (otherwise the twin degenerates to
+    // one-shot maintenance and proves nothing about batching)
+    val (old, neu) = graft.operators.Round12Ops.ivmSnapshots(spark, sf)
+    val perSlice = graft.operators.Round12Ops.ivmDelta(old, neu)
+      .groupBy(pmod(col("key"), lit(3)).as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSlice.keySet == Set(0L, 1L, 2L) && perSlice.values.forall(_ > 0),
+      s"degenerate slicing: $perSlice")
+  }
 }
