@@ -477,13 +477,170 @@ object Round12Ops {
     s"WITH $base,\n$lvls\n$out"
   }
 
+  // ---------------------------------------------------------------- B91
+  /** Gradient-boosted stumps (Friedman 2001, squared loss, ν = 1) —
+    * the BOOSTING side of the tree family: 3 sequential depth-1
+    * regression stumps, each fit to the RESIDUALS of the model so
+    * far. Everything is exact integer arithmetic in ×10⁶ fixed
+    * point: labels y·10⁶, F₀ = truncated global mean, leaf values =
+    * truncated per-side residual means (Spark's `div` and DuckDB's
+    * `//` both truncate toward zero, so negative means agree), and
+    * per-row residual updates are integer subtractions — the oracle
+    * replays the exact trajectory. Split search minimizes
+    * SSE_L + SSE_R from exact per-value (Σr, Σr², n) relations
+    * (Σr² summed as DECIMAL(38,0) — r² ≤ 1.6·10¹³ per row never
+    * overflows a BIGINT but corpus sums would); SSE comparisons
+    * happen in DOUBLE from the exact integers, rounded to 6 dp —
+    * the B84/B86 shared discipline. Features alternate per round.
+    *
+    * Scale: each round is ONE map-side-combinable aggregation
+    * collapsing the fact relation to |distinct feature values| rows
+    * before any window (the collapse-first discipline), one 1-row
+    * argmin (eagerly checkpointed), and one broadcast residual
+    * projection — 3 linear passes total; the stump table is the
+    * model. Output carries each round's PRE-fit total SSE, so the
+    * result also exhibits boosting's defining invariant: training
+    * SSE non-increasing round over round (spec-pinned). */
+  def qGbtStumps(spark: SparkSession, sfDir: String): DataFrame =
+    gbtPipeline(
+      Tables.lineitem(spark, sfDir).select(
+        col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+        (col("l_returnflag") === "R").cast("long").as("y")),
+      gbtRounds)
+
+  private[graft] val gbtRounds = 3
+
+  /** The boosting loop over arbitrary (q, dd, y∈{0,1}) rows — the
+    * spec hook (`Round12Spec` pins the trajectory against a plain-
+    * Scala reference booster with identical truncation). */
+  private[graft] def gbtPipeline(labeled: DataFrame,
+      rounds: Int): DataFrame = {
+    val data = labeled.persist()
+    val f0 = data.agg((lit(1000000L) * sum(col("y"))).as("s"),
+        count(lit(1)).as("n"))
+      .select(expr("s div n").as("f0")).localCheckpoint(true)
+    var cur = data.crossJoin(broadcast(f0))
+      .select(col("q"), col("dd"),
+        (col("y") * 1000000L - col("f0")).as("r"))
+    val stumps = (1 to rounds).map { t =>
+      val feat = featCol(t)
+      val byV = cur.groupBy(feat.as("v"))
+        .agg(sum(col("r")).as("s"), count(lit(1)).as("n"),
+          sum((col("r") * col("r")).cast(DecimalType(38, 0))).as("s2"))
+      val cum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val d = (c: Column) => c.cast("double")
+      val curves = byV
+        .withColumn("sL", sum(col("s")).over(cum))
+        .withColumn("nL", sum(col("n")).over(cum))
+        .withColumn("s2L", sum(col("s2")).over(cum))
+        .withColumn("sT", sum(col("s")).over(all))
+        .withColumn("nT", sum(col("n")).over(all))
+        .withColumn("s2T", sum(col("s2")).over(all))
+        .filter(col("nL") < col("nT"))
+        .select(col("v"), col("sL"), col("nL"), col("sT"), col("nT"),
+          round((d(col("s2L")) - d(col("sL")) * d(col("sL")) / d(col("nL")))
+            + ((d(col("s2T")) - d(col("s2L")))
+               - d(col("sT") - col("sL")) * d(col("sT") - col("sL"))
+                 / d(col("nT") - col("nL"))), 6).as("split_sse"),
+          round(d(col("s2T")) - d(col("sT")) * d(col("sT")) / d(col("nT")),
+            6).as("total_sse"))
+      // 1-row argmin, eagerly materialized (the level-loop discipline)
+      val stump = curves
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("split_sse"), col("v"))))
+        .filter(col("rn") === 1)
+        .select(col("v").as("threshold"),
+          expr("sL div nL").as("leaf_left"),
+          expr("(sT - sL) div (nT - nL)").as("leaf_right"),
+          col("split_sse"), col("total_sse"))
+        .localCheckpoint(true)
+      cur = cur.crossJoin(broadcast(stump))
+        .select(col("q"), col("dd"),
+          (col("r") - when(feat <= col("threshold"), col("leaf_left"))
+            .otherwise(col("leaf_right"))).as("r"))
+      stump.select(lit(t.toLong).as("round"),
+        lit(featName(t)).as("feature"), col("threshold"),
+        col("total_sse"), col("split_sse"),
+        col("leaf_left"), col("leaf_right"))
+    }
+    stumps.reduce(_ unionByName _)
+  }
+
+  val qGbtStumpsSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val roundsSql = (1 to gbtRounds).map { t =>
+      s"""gv$t AS (
+         |  SELECT ${feat(t)} AS v, CAST(sum(r) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+         |  FROM gb${t - 1} GROUP BY 1),
+         |gc$t AS (
+         |  SELECT v,
+         |    CAST(sum(s) OVER (ORDER BY v) AS BIGINT) AS sL,
+         |    CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS nL,
+         |    CAST(sum(s2) OVER (ORDER BY v) AS DECIMAL(38,0)) AS s2L,
+         |    CAST(sum(s) OVER () AS BIGINT) AS sT,
+         |    CAST(sum(n) OVER () AS BIGINT) AS nT,
+         |    CAST(sum(s2) OVER () AS DECIMAL(38,0)) AS s2T
+         |  FROM gv$t),
+         |gg$t AS (
+         |  SELECT v, sL, nL, sT, nT,
+         |    round((CAST(s2L AS DOUBLE)
+         |        - CAST(sL AS DOUBLE) * CAST(sL AS DOUBLE)
+         |          / CAST(nL AS DOUBLE))
+         |      + ((CAST(s2T AS DOUBLE) - CAST(s2L AS DOUBLE))
+         |        - CAST(sT - sL AS DOUBLE) * CAST(sT - sL AS DOUBLE)
+         |          / CAST(nT - nL AS DOUBLE)), 6) AS split_sse,
+         |    round(CAST(s2T AS DOUBLE)
+         |      - CAST(sT AS DOUBLE) * CAST(sT AS DOUBLE)
+         |        / CAST(nT AS DOUBLE), 6) AS total_sse
+         |  FROM gc$t WHERE nL < nT),
+         |gs$t AS MATERIALIZED (
+         |  SELECT v AS threshold, sL // nL AS leaf_left,
+         |    (sT - sL) // (nT - nL) AS leaf_right, split_sse, total_sse
+         |  FROM (SELECT *, row_number() OVER (ORDER BY split_sse, v) AS rn
+         |        FROM gg$t) WHERE rn = 1),
+         |gb$t AS MATERIALIZED (
+         |  SELECT b.q, b.dd,
+         |    b.r - CASE WHEN b.${feat(t)} <= s.threshold
+         |      THEN s.leaf_left ELSE s.leaf_right END AS r
+         |  FROM gb${t - 1} b, gs$t s)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to gbtRounds).map { t =>
+      val fn = if (t % 2 == 1) "l_quantity" else "l_discount_cents"
+      s"""SELECT CAST($t AS BIGINT) AS round, '$fn' AS feature,
+         |  threshold, total_sse, split_sse,
+         |  CAST(leaf_left AS BIGINT) AS leaf_left,
+         |  CAST(leaf_right AS BIGINT) AS leaf_right
+         |FROM gs$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g0 AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |  FROM lineitem),
+       |gf0 AS MATERIALIZED (
+       |  SELECT (1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS f0
+       |  FROM g0),
+       |gb0 AS MATERIALIZED (
+       |  SELECT q, dd, y * 1000000 - f0 AS r FROM g0, gf0),
+       |$roundsSql
+       |$out""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gbt_stumps" -> qGbtStumps _,
     "warehouse_ivm" -> warehouseIvm _,
     "warehouse_ivm_join" -> warehouseIvmJoin _,
     "q_tree_depthk" -> qTreeDepthK _,
     "q_forest" -> qForest _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_gbt_stumps" -> qGbtStumpsSql,
     "warehouse_ivm" -> warehouseIvmSql,
     "warehouse_ivm_join" -> warehouseIvmJoinSql,
     "q_tree_depthk" -> qTreeDepthKSql,

@@ -249,6 +249,66 @@ class Round12Spec extends SparkSuite {
     assert(sizes.distinct.size > 1, s"all bags identical: $sizes")
   }
 
+  test("q_gbt_stumps: trajectory equals a plain-Scala reference booster with identical truncation; training SSE non-increasing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 5L, 0L), (2L, 8L, 0L), (3L, 12L, 1L), (4L, 15L, 1L),
+      (5L, 9L, 0L), (5L, 20L, 1L), (8L, 5L, 1L), (8L, 30L, 0L),
+      (9L, 5L, 1L), (9L, 30L, 0L), (10L, 5L, 0L), (10L, 30L, 1L))
+      .toDF("q", "dd", "y")
+
+    // reference: exact ×1e6 fixed-point boosting, truncating division
+    // (Java / truncates toward zero, matching Spark div / DuckDB //)
+    type R3 = (Long, Long, Long)
+    val data: Seq[R3] = rows.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val f0 = 1000000L * data.map(_._3).sum / data.size
+    var res: Seq[(R3, Long)] = data.map(d => d -> (d._3 * 1000000L - f0))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = (1 to 3).map { t =>
+      val feat: R3 => Long = if (t % 2 == 1) _._1 else _._2
+      val fname = if (t % 2 == 1) "l_quantity" else "l_discount_cents"
+      val byV = res.groupBy(p => feat(p._1)).toSeq.sortBy(_._1)
+        .map { case (v, g) =>
+          (v, g.map(_._2).sum, g.size.toLong,
+            g.map(p => BigInt(p._2) * p._2).sum) }
+      val (sT, nT, s2T) =
+        (byV.map(_._2).sum, byV.map(_._3).sum, byV.map(_._4).sum)
+      val totalSse = r6(s2T.toDouble - sT.toDouble * sT.toDouble / nT)
+      var (sL, nL, s2L) = (0L, 0L, BigInt(0))
+      val cands = byV.flatMap { case (v, s, n, s2) =>
+        sL += s; nL += n; s2L += s2
+        if (nL < nT) Some((v,
+          r6((s2L.toDouble - sL.toDouble * sL.toDouble / nL)
+            + ((s2T - s2L).toDouble
+               - (sT - sL).toDouble * (sT - sL).toDouble / (nT - nL)))))
+        else None
+      }
+      val (thr, sse) = cands.minBy { case (v, g) => (g, v) }
+      val below = res.filter(p => feat(p._1) <= thr)
+      val lL = below.map(_._2).sum / below.size
+      val above = res.filter(p => feat(p._1) > thr)
+      val lR = above.map(_._2).sum / above.size
+      res = res.map { case (d, r) =>
+        d -> (r - (if (feat(d) <= thr) lL else lR)) }
+      (t.toLong, fname, thr, totalSse, sse, lL, lR)
+    }
+
+    val got = Round12Ops.gbtPipeline(rows, 3).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == ref, s"trajectory diverged:\n got $got\n ref $ref")
+
+    // boosting's defining invariant on the corpus: total_sse (the
+    // PRE-fit residual SSE) non-increasing round over round
+    val corpus = Round12Ops.qGbtStumps(spark, sf).orderBy("round")
+      .collect().map(_.getDouble(3))
+    corpus.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-6, s"training SSE increased: $a -> $b")
+    }
+  }
+
   test("q_tree_depthk on the corpus: 4 levels, paths well-formed, root matches the depth-2 tree's root") {
     val got = Round12Ops.qTreeDepthK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
