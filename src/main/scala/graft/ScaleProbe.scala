@@ -472,6 +472,67 @@ object ScaleProbe {
             (col("l_returnflag") === lit("R")).cast("long").as("y")))
           .count()),
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B89 depth-4 tree: K aggregation passes (one per level, argmins
+      // checkpointed), every window over domain-bounded relations —
+      // cost should track K scans of the fact cache
+      ("tree_depthk",
+        (d: DataFrame) => time(operators.Round12Ops.treeDepthKPipeline(
+          d.select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+            (col("l_returnflag") === lit("R")).cast("long").as("y")),
+          operators.Round12Ops.treeDepth).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B90 forest: the 4-way bagged union feeds the SAME per-level
+      // agg — 2 passes over ~3N rows regardless of tree count
+      ("forest",
+        (d: DataFrame) => time(operators.Round12Ops.forestPipeline(
+          d.select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+            (col("l_returnflag") === lit("R")).cast("long").as("y"),
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string")).as("rid")),
+          operators.Round12Ops.forestTrees,
+          operators.Round12Ops.forestDepth).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B91 boosting: 3 rounds of collapse-first agg + broadcast
+      // residual projections — linear per round by construction
+      ("gbt_stumps",
+        (d: DataFrame) => time(operators.Round12Ops.gbtPipeline(
+          d.select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+            (col("l_returnflag") === lit("R")).cast("long").as("y")),
+          operators.Round12Ops.gbtRounds).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // A33 IVM: maintenance reads the |groups|-row state + the
+      // churn-sized delta; the full-outer delta derivation is the
+      // only corpus-scale stage and both its sides are key-pruned
+      // scans — cost should track the two snapshot scans
+      ("warehouse_ivm",
+        (d: DataFrame) => time({
+          import org.apache.spark.sql.types.DecimalType
+          val p = (c: org.apache.spark.sql.Column) =>
+            c.cast(DecimalType(12, 2))
+          val old = d.filter(col("o_orderkey") % 10 =!= 3)
+            .select(col("o_orderkey").as("key"),
+              col("o_orderstatus").as("st"),
+              col("o_orderpriority").as("prio"),
+              p(col("o_totalprice")).as("price"))
+          val neu = d.filter(col("o_orderkey") % 10 =!= 7)
+            .select(col("o_orderkey").as("key"),
+              col("o_orderstatus").as("st2"),
+              col("o_orderpriority").as("prio2"),
+              when(col("o_orderkey") % 5 === 0,
+                (p(col("o_totalprice")) + lit(1).cast(DecimalType(12, 2)))
+                  .cast(DecimalType(12, 2)))
+                .otherwise(p(col("o_totalprice"))).as("price2"))
+          operators.Round12Ops.ivmMaintain(
+            operators.Round12Ops.ivmState(old),
+            operators.Round12Ops.ivmDelta(old, neu)).count()
+        }),
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/orders.parquet"), n,
+          Seq("o_orderkey"), 10000000L),
+        spark.read.parquet(s"$sfDir/orders.parquet")),
       // D30 HITS: constant duplicate density keeps the containment
       // edge relation linear; 4 fixed rounds of edge⋈score joins on
       // the (tiny) graph — cost should track the LSH+containment

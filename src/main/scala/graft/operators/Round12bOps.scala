@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-12 closing surface (SURVEY.md §2 rows A35, B92): incremental
+  * maintenance of a NON-distributive aggregate view (count DISTINCT —
+  * the case A33's retract/assert arithmetic cannot express without
+  * auxiliary state), and exact fixed-point two-regressor OLS via
+  * shift-invariant Cramer normal equations.
+  *
+  * Scale discipline (100 TB): the distinct-IVM maintenance path reads
+  * ONLY the standing support-count state (|distinct (group, value)|
+  * rows — domain-bounded, never fact-sized) plus the churn-sized
+  * delta; the OLS fit is two map-side-combinable passes over the fact
+  * relation (means, then centered power sums) with a broadcast of the
+  * |groups|-row means in between — no window, no shuffle wider than
+  * |groups|.
+  */
+object Round12bOps {
+
+  // ---------------------------------------------------------------- A35
+  /** Incremental view maintenance of a count-DISTINCT view — the
+    * classic Gupta–Mumick duplicate-counting construction: COUNT
+    * (DISTINCT o_custkey) per order status is NOT self-maintainable
+    * from (group → distinct_count) state (deleting a customer's order
+    * cannot tell you whether it was their LAST order in the group),
+    * so the standing state is the SUPPORT relation (status, custkey)
+    * → contributing-row count. The delta retracts (−1) old row
+    * images and asserts (+1) new ones against that support; a support
+    * row reaching 0 vanishes, and the view is then a |support|-row
+    * re-aggregation: distinct customers = surviving support rows,
+    * order count = Σ support counts. Maintenance never touches the
+    * base table; the DuckDB oracle is the full recompute over the NEW
+    * snapshot, so hash equality PROVES maintenance ≡ recompute (the
+    * A33 pattern lifted to a non-distributive aggregate).
+    *
+    * Snapshots extend A33's deterministic derivation with a
+    * group-moving update: OLD drops keys ≡3 (mod 10); NEW drops keys
+    * ≡7 (mod 10) and rewrites the status of keys ≡0 (mod 11) to the
+    * synthetic group 'G' — so the delta exercises inserts, deletes,
+    * AND rows relocating between groups (the case where the support
+    * counts of TWO groups move in opposite directions).
+    *
+    * Scale: at 100 TB the support state is |distinct (status,
+    * custkey)| rows — bounded by the key domain, not the fact count —
+    * and this plan reads only it plus the churn. */
+  def warehouseIvmDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val (old, neu) = ivmdSnapshots(spark, sfDir)
+    ivmdView(ivmdMaintain(ivmdSupport(old), ivmdDelta(old, neu)))
+  }
+
+  /** The deterministic OLD/NEW snapshots carrying the view's group
+    * (status, with the ≡0 (mod 11) → 'G' move) and value (custkey)
+    * columns. */
+  private[graft] def ivmdSnapshots(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(spark, sfDir)
+    val old = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("st"),
+        col("o_custkey").as("cust"))
+    val neu = o.filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 11 === 0, lit("G"))
+          .otherwise(col("o_orderstatus")).as("st2"),
+        col("o_custkey").as("cust2"))
+    (old, neu)
+  }
+
+  /** The standing auxiliary state: support counts per (status,
+    * custkey) — in production a stored table maintained in place. */
+  private[graft] def ivmdSupport(old: DataFrame): DataFrame =
+    old.groupBy(col("st"), col("cust")).agg(count(lit(1)).as("cnt"))
+
+  /** Churn-sized CDC delta with both row images (price-free — only
+    * the view's columns matter; rows whose (status, custkey) pair is
+    * unchanged are not churn for THIS view). */
+  private[graft] def ivmdDelta(old: DataFrame, neu: DataFrame): DataFrame =
+    old.join(neu, Seq("key"), "full_outer")
+      .filter(col("st").isNull || col("st2").isNull
+        || col("st") =!= col("st2") || col("cust") =!= col("cust2"))
+      .select(col("st").as("old_st"), col("cust").as("old_cust"),
+        col("st2").as("new_st"), col("cust2").as("new_cust"))
+
+  /** The maintenance step: support + signed delta → new support.
+    * Output schema equals the input support schema, so batches chain
+    * (`Round12bSpec` applies two delta batches and pins each
+    * maintained state against a from-scratch recompute). */
+  private[graft] def ivmdMaintain(support: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val retract = delta.filter(col("old_st").isNotNull)
+      .select(col("old_st").as("st"), col("old_cust").as("cust"),
+        lit(-1L).as("dc"))
+    val assertNew = delta.filter(col("new_st").isNotNull)
+      .select(col("new_st").as("st"), col("new_cust").as("cust"),
+        lit(1L).as("dc"))
+    support.select(col("st"), col("cust"), col("cnt").as("dc"))
+      .unionByName(retract).unionByName(assertNew)
+      .groupBy(col("st"), col("cust"))
+      .agg(sum(col("dc")).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** The view off the support state: |support| input rows only. */
+  private[graft] def ivmdView(support: DataFrame): DataFrame =
+    support.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_distinct_cust"),
+        sum(col("cnt")).as("n_orders"))
+      .select(col("st").as("o_orderstatus"), col("n_distinct_cust"),
+        col("n_orders"))
+
+  val warehouseIvmDistinctSql: String =
+    """WITH neu AS (
+      |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'G'
+      |           ELSE o_orderstatus END AS st,
+      |    o_custkey AS cust
+      |  FROM orders WHERE o_orderkey % 10 <> 7)
+      |SELECT st AS o_orderstatus,
+      |  CAST(count(DISTINCT cust) AS BIGINT) AS n_distinct_cust,
+      |  CAST(count(*) AS BIGINT) AS n_orders
+      |FROM neu GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- B92
+  /** Two-regressor OLS per group in EXACT fixed-point arithmetic —
+    * l_extendedprice (cents) regressed on (l_quantity,
+    * l_discount·100) per return flag, solved by Cramer's rule on the
+    * centered normal equations. The centering uses TRUNCATED integer
+    * means, which is exact anyway: the matrix entries n·Σuv − Σu·Σv
+    * are algebraically invariant to ANY constant shift of the
+    * variables, so shifting by the truncated mean changes nothing but
+    * the magnitude of the intermediates (per-row centered products
+    * fit a BIGINT; the n·Σ products fit DECIMAL(38,0)/HUGEINT up to
+    * ~10⁹ rows per group — beyond that the same two-pass shape holds
+    * with a 10³ fixed point). Slopes and intercept are reported in
+    * ×10⁶ fixed point via truncating division (Spark `div` ≡ DuckDB
+    * `//`, both toward zero), so the oracle replays the identical
+    * integer trajectory — the B91 exactness discipline applied to a
+    * closed-form fit. Degenerate groups (singular normal matrix) drop
+    * out via the det ≠ 0 gate in both engines.
+    *
+    * Scale: pass 1 collapses the fact relation to |groups| mean rows
+    * (map-side combinable), which broadcast back for pass 2's
+    * centered power sums — again one map-side-combinable aggregation.
+    * Two linear scans, no window, no shuffle wider than |groups|;
+    * `Round12bSpec` pins exact recovery of a planted integer plane
+    * and agreement with a plain-Scala BigInt reference on noisy
+    * data. */
+  def qLinreg2(spark: SparkSession, sfDir: String): DataFrame =
+    linreg2Pipeline(Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc")))
+
+  /** The fit over arbitrary (flag, q, dd, pc) integer rows — the spec
+    * hook. */
+  private[graft] def linreg2Pipeline(pts: DataFrame): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val data = pts.persist()
+    // pass 1: truncated integer means per group (div truncates toward
+    // zero; operands are raw sums, sign-stable per column)
+    val means = data.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      expr("sum(q) div count(1)").as("mq"),
+      expr("sum(dd) div count(1)").as("md"),
+      expr("sum(pc) div count(1)").as("mp"))
+    // pass 2: exact centered power sums; per-row products fit BIGINT
+    // (|u| ≤ range(q), |w| ≤ range(pc)), sums widen to DECIMAL(38,0)
+    val sums = data.join(broadcast(means), "flag")
+      .select(col("flag"), col("n"), col("mq"), col("md"), col("mp"),
+        (col("q") - col("mq")).as("u"),
+        (col("dd") - col("md")).as("v"),
+        (col("pc") - col("mp")).as("w"))
+      .groupBy(col("flag"), col("n"), col("mq"), col("md"), col("mp"))
+      .agg(sum(col("u").cast(dec0)).as("su"),
+        sum(col("v").cast(dec0)).as("sv"),
+        sum(col("w").cast(dec0)).as("sw"),
+        sum((col("u") * col("u")).cast(dec0)).as("suu"),
+        sum((col("u") * col("v")).cast(dec0)).as("suv"),
+        sum((col("v") * col("v")).cast(dec0)).as("svv"),
+        sum((col("u") * col("w")).cast(dec0)).as("suw"),
+        sum((col("v") * col("w")).cast(dec0)).as("svw"))
+    // Cramer's rule on the shift-invariant entries; |groups| rows
+    sums
+      .withColumn("nd", col("n").cast(dec0))
+      .withColumn("a11", col("nd") * col("suu") - col("su") * col("su"))
+      .withColumn("a12", col("nd") * col("suv") - col("su") * col("sv"))
+      .withColumn("a22", col("nd") * col("svv") - col("sv") * col("sv"))
+      .withColumn("b1", col("nd") * col("suw") - col("su") * col("sw"))
+      .withColumn("b2", col("nd") * col("svw") - col("sv") * col("sw"))
+      .withColumn("det",
+        col("a11") * col("a22") - col("a12") * col("a12"))
+      .filter(col("det") =!= 0)
+      .withColumn("b1ppm",
+        expr("(b1 * a22 - b2 * a12) * 1000000 div det"))
+      .withColumn("b2ppm",
+        expr("(a11 * b2 - a12 * b1) * 1000000 div det"))
+      .select(col("flag").as("l_returnflag"), col("n"),
+        col("b1ppm").as("slope_qty_ppm"),
+        col("b2ppm").as("slope_disc_ppm"),
+        // intercept in original coordinates from the ALREADY-truncated
+        // slopes (one more truncating div — replayed identically by
+        // the oracle); decimal arithmetic so slope×Σ never wraps
+        (lit(1000000L) * col("mp")
+          + expr("""(1000000 * sw - b1ppm * su - b2ppm * sv)
+                    div CAST(n AS DECIMAL(38,0))""")
+          - col("b1ppm") * col("mq") - col("b2ppm") * col("md"))
+          .cast("long").as("intercept_ppm"))
+  }
+
+  val qLinreg2Sql: String =
+    """WITH pts AS MATERIALIZED (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(q) // count(*) AS mq, sum(dd) // count(*) AS md,
+      |    sum(pc) // count(*) AS mp
+      |  FROM pts GROUP BY flag),
+      |c AS (
+      |  SELECT flag, any_value(n) AS n,
+      |    any_value(mq) AS mq, any_value(md) AS md, any_value(mp) AS mp,
+      |    CAST(sum(q - mq) AS HUGEINT) AS su,
+      |    CAST(sum(dd - md) AS HUGEINT) AS sv,
+      |    CAST(sum(pc - mp) AS HUGEINT) AS sw,
+      |    CAST(sum((q - mq) * (q - mq)) AS HUGEINT) AS suu,
+      |    CAST(sum((q - mq) * (dd - md)) AS HUGEINT) AS suv,
+      |    CAST(sum((dd - md) * (dd - md)) AS HUGEINT) AS svv,
+      |    CAST(sum((q - mq) * (pc - mp)) AS HUGEINT) AS suw,
+      |    CAST(sum((dd - md) * (pc - mp)) AS HUGEINT) AS svw
+      |  FROM pts JOIN m USING (flag) GROUP BY flag),
+      |e AS (
+      |  SELECT flag, n, mq, md, mp, su, sv, sw,
+      |    n * suu - su * su AS a11, n * suv - su * sv AS a12,
+      |    n * svv - sv * sv AS a22,
+      |    n * suw - su * sw AS b1, n * svw - sv * sw AS b2
+      |  FROM c),
+      |s AS (
+      |  SELECT flag, n, mq, md, mp, su, sv, sw,
+      |    a11 * a22 - a12 * a12 AS det,
+      |    b1 * a22 - b2 * a12 AS num1, a11 * b2 - a12 * b1 AS num2
+      |  FROM e WHERE a11 * a22 - a12 * a12 <> 0),
+      |f AS (
+      |  SELECT flag, n, mq, md, mp, su, sv, sw,
+      |    (num1 * 1000000) // det AS b1ppm,
+      |    (num2 * 1000000) // det AS b2ppm
+      |  FROM s)
+      |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(b1ppm AS BIGINT) AS slope_qty_ppm,
+      |  CAST(b2ppm AS BIGINT) AS slope_disc_ppm,
+      |  CAST(1000000 * mp + (1000000 * sw - b1ppm * su - b2ppm * sv) // n
+      |    - b1ppm * mq - b2ppm * md AS BIGINT) AS intercept_ppm
+      |FROM f""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "warehouse_ivm_distinct" -> warehouseIvmDistinct _,
+    "q_linreg2" -> qLinreg2 _)
+
+  def oracleSql: Map[String, String] = Map(
+    "warehouse_ivm_distinct" -> warehouseIvmDistinctSql,
+    "q_linreg2" -> qLinreg2Sql)
+}
