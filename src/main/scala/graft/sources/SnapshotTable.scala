@@ -96,16 +96,21 @@ final class SnapshotTable(
   private def bucketed(df: DataFrame): DataFrame =
     df.withColumn("__b", pmod(hash(col(keyCol)), lit(buckets)))
 
-  /** Write `df` as commit `c`'s per-bucket dirs; returns the refs it
-    * produced (only non-empty buckets get a dir). */
-  private def writeData(df: DataFrame, c: Int): Map[Int, String] = {
-    val dir = s"$path/data/c$c"
+  /** Write `df`'s per-bucket dirs under `rel` (relative to the table
+    * root); returns the refs produced (only non-empty buckets get a
+    * dir). */
+  private def writeDataAt(df: DataFrame, rel: String): Map[Int, String] = {
+    val dir = s"$path/$rel"
     bucketed(df).write.partitionBy("__b").mode("errorifexists").parquet(dir)
     (0 until buckets).flatMap { b =>
-      val d = s"data/c$c/__b=$b"
+      val d = s"$rel/__b=$b"
       if (Files.exists(Paths.get(path, d))) Some(b -> d) else None
     }.toMap
   }
+
+  /** Write `df` as commit `c`'s per-bucket dirs. */
+  private def writeData(df: DataFrame, c: Int): Map[Int, String] =
+    writeDataAt(df, s"data/c$c")
 
   private def commitManifest(newRefs: Map[Int, String]): Unit = {
     val v = version + 1
@@ -152,8 +157,18 @@ final class SnapshotTable(
   def merge(updates: DataFrame): Unit = {
     val cur = refs
     require(cur.nonEmpty, s"snapshot table $path not created")
-    // touched buckets: metadata-sized (≤ `buckets` ints) off the
-    // update batch alone — the standing table is not scanned for this
+    val (touched, upserted) = upsertPlan(cur, updates)
+    val c = version + 1
+    val newRefs = writeData(upserted, c)
+    commitManifest(cur -- touched ++ newRefs)
+  }
+
+  /** The MERGE read plan against a given snapshot: the touched-bucket
+    * set (metadata-sized, ≤ `buckets` ints, derived from the update
+    * batch alone — the standing table is not scanned for it) and the
+    * upserted relation over ONLY the touched buckets' standing data. */
+  private def upsertPlan(cur: Map[Int, String],
+      updates: DataFrame): (Set[Int], DataFrame) = {
     val touched = bucketed(updates).select(col("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
     val standing = touched.toSeq.sorted.flatMap(cur.get) match {
@@ -167,9 +182,84 @@ final class SnapshotTable(
           s.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti"))
       case None => updates
     }
-    val c = version + 1
-    val newRefs = writeData(upserted, c)
-    commitManifest(cur -- touched ++ newRefs)
+    (touched, upserted)
+  }
+
+  /** Stage a MERGE without publishing it — the write-audit-publish
+    * (WAP) gate: the rewritten buckets land under `staged/` (outside
+    * `data/`, so invisible to readers AND to vacuum), the table's
+    * current snapshot is untouched, and the caller audits the
+    * would-be table via [[StagedMerge.read]] before deciding. PUBLISH
+    * atomically moves the staged dirs into the data area and commits
+    * a new manifest — but only if no other commit landed since the
+    * stage (first-committer-wins optimistic concurrency, the
+    * Iceberg/Delta commit-conflict rule); ABORT deletes exactly the
+    * staged dirs and nothing else. Either way the staged handle is
+    * single-use.
+    *
+    * At 100 TB this is how a pipeline runs data-quality checks on the
+    * full post-merge view without ever exposing a bad batch: the
+    * expensive bucket rewrite happens ONCE (at stage time), audit
+    * reads it in place, and publish is a metadata-only rename +
+    * manifest commit. */
+  def stageMerge(updates: DataFrame): StagedMerge = {
+    val cur = refs
+    require(cur.nonEmpty, s"snapshot table $path not created")
+    val base = version
+    val (touched, upserted) = upsertPlan(cur, updates)
+    val rel = s"staged/s${System.nanoTime()}"
+    val stagedRefs = writeDataAt(upserted, rel)
+    new StagedMerge(base, cur, touched, rel, stagedRefs)
+  }
+
+  /** A staged, unpublished MERGE — see [[stageMerge]]. */
+  final class StagedMerge private[SnapshotTable] (
+      baseVersion: Int,
+      baseRefs: Map[Int, String],
+      touched: Set[Int],
+      stagedRel: String,
+      stagedRefs: Map[Int, String]) {
+
+    private var consumed = false
+    private def requireLive(): Unit =
+      require(!consumed, "staged merge already published or aborted")
+
+    /** The would-be table (base snapshot with touched buckets served
+      * from the staged dirs) — the audit surface. */
+    def read(): DataFrame = {
+      requireLive()
+      readRefsDf(baseRefs -- touched ++ stagedRefs)
+    }
+
+    /** Atomically promote the staged write to the current snapshot.
+      * Fails (leaving the staged data intact for a re-stage decision)
+      * if any commit landed after the stage — the audited view would
+      * silently drop that commit's buckets otherwise. */
+    def publish(): Unit = {
+      requireLive()
+      require(version == baseVersion,
+        s"concurrent commit detected (staged at v$baseVersion, table " +
+          s"now v$version): abort and re-stage against the new snapshot")
+      val c = baseVersion + 1
+      val target = Paths.get(path, s"data/c$c")
+      require(!Files.exists(target), s"commit dir c$c already exists")
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(path, stagedRel), target,
+        StandardCopyOption.ATOMIC_MOVE)
+      val moved = stagedRefs.map { case (b, d) =>
+        b -> d.replaceFirst(java.util.regex.Pattern.quote(stagedRel),
+          s"data/c$c")
+      }
+      commitManifest(baseRefs -- touched ++ moved)
+      consumed = true
+    }
+
+    /** Discard the staged write: deletes exactly the staged dirs. */
+    def abort(): Unit = {
+      requireLive()
+      deleteRecursively(Paths.get(path, stagedRel))
+      consumed = true
+    }
   }
 
   /** Rewrite the live layout into one fresh commit — result-neutral

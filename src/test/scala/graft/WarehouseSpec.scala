@@ -284,6 +284,77 @@ class WarehouseSpec extends SparkSuite {
     } finally t.drop()
   }
 
+  test("snapshot table WAP (H21): staged merge invisible until publish; audit-fail abort leaves no trace; concurrent commit blocks publish") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_wap").toString
+    val t = new SnapshotTable(spark, s"$root/t", "id",
+      buckets = 4, keepSnapshots = 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("id", "name", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def stagedDirs(): Long = {
+      val p = java.nio.file.Paths.get(s"$root/t/staged")
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.list(p)
+        try s.count() finally s.close()
+      }
+    }
+
+    try {
+      val base = (1L to 40L).map(i => (i, s"n$i", i * 10L))
+      t.create(base.toDF("id", "name", "v"))
+      val v1Rows = rows(t.read())
+      val disk1 = t.dataDirsOnDisk
+
+      // STAGE: table, version, and the data area are all untouched
+      val s1 = t.stageMerge(
+        Seq((1L, "u1", 111L), (41L, "n41", 410L)).toDF("id", "name", "v"))
+      assert(t.version == 1, "staging must not commit")
+      assert(rows(t.read()) == v1Rows, "staging changed the table")
+      assert(t.dataDirsOnDisk == disk1, "staged write leaked into data/")
+      // AUDIT surface: the would-be table, served from staged dirs
+      val expect = base.filterNot(_._1 == 1L).toSet +
+        ((1L, "u1", 111L)) + ((41L, "n41", 410L))
+      assert(rows(s1.read()) == expect)
+
+      // PUBLISH: metadata-only promotion; time travel to the
+      // pre-publish snapshot intact; the handle is single-use
+      s1.publish()
+      assert(t.version == 2)
+      assert(rows(t.read()) == expect)
+      assert(rows(t.readAsOf(1)) == v1Rows)
+      assert(stagedDirs() == 0L, "published staged dir left behind")
+      intercept[IllegalArgumentException] { s1.publish() }
+
+      // AUDIT FAILS → ABORT: the bad batch never becomes visible and
+      // abort deletes exactly the staged dirs
+      val disk2 = t.dataDirsOnDisk
+      val s2 = t.stageMerge(Seq((2L, "bad", -5L)).toDF("id", "name", "v"))
+      assert(s2.read().filter($"v" < 0).count() == 1L,
+        "audit must see the bad row in the staged view")
+      s2.abort()
+      assert(rows(t.read()) == expect, "aborted stage mutated the table")
+      assert(t.dataDirsOnDisk == disk2)
+      assert(stagedDirs() == 0L, "abort left staged dirs behind")
+      intercept[IllegalArgumentException] { s2.read() }
+
+      // OPTIMISTIC CONCURRENCY: a commit lands between stage and
+      // publish → publish refuses (the audited view predates it);
+      // abort still cleans up
+      val s3 = t.stageMerge(Seq((3L, "u3", 333L)).toDF("id", "name", "v"))
+      t.merge(Seq((4L, "u4", 444L)).toDF("id", "name", "v"))
+      intercept[IllegalArgumentException] { s3.publish() }
+      s3.abort()
+      assert(rows(t.read()).contains((4L, "u4", 444L)),
+        "the concurrent commit must survive")
+      assert(!rows(t.read()).contains((3L, "u3", 333L)),
+        "the refused stage must not surface")
+    } finally t.drop()
+  }
+
   test("store root (H20): graft.store.root redirects shared-store builds; default root still serves after restore") {
     import graft.sources.StoreRoot
     val conf = java.nio.file.Files
