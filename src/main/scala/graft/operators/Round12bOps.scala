@@ -77,12 +77,13 @@ object Round12bOps {
 
   /** Churn-sized CDC delta with both row images (price-free — only
     * the view's columns matter; rows whose (status, custkey) pair is
-    * unchanged are not churn for THIS view). */
+    * unchanged are not churn for THIS view; `key` retained for batch
+    * slicing, the A33 convention the G24 streaming twin rides). */
   private[graft] def ivmdDelta(old: DataFrame, neu: DataFrame): DataFrame =
     old.join(neu, Seq("key"), "full_outer")
       .filter(col("st").isNull || col("st2").isNull
         || col("st") =!= col("st2") || col("cust") =!= col("cust2"))
-      .select(col("st").as("old_st"), col("cust").as("old_cust"),
+      .select(col("key"), col("st").as("old_st"), col("cust").as("old_cust"),
         col("st2").as("new_st"), col("cust2").as("new_cust"))
 
   /** The maintenance step: support + signed delta → new support.

@@ -1225,6 +1225,64 @@ object StreamingTwins {
   private val ivmStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // --------------------------------------------------------------- G24
+  /** Streaming maintenance of the count-DISTINCT view — A35's
+    * support-count construction on the WRITE path, the proof that the
+    * auxiliary-state trick survives micro-batching: the delta feed
+    * arrives in 3 key-sliced micro-batches and each foreachBatch
+    * applies `Round12bOps.ivmdMaintain(support_e, batch) →
+    * support_{e+1}` against epoch-versioned parquet, seeded from the
+    * OLD snapshot's support relation. The support update is a signed
+    * SUM per (group, value) and a retract can never outrun its
+    * matching seed/assert (each key's old AND new images travel in
+    * the SAME delta row, and every retracted row is counted by the
+    * seed), so dropping zero-count rows per epoch is sound (absent ≡
+    * 0) and the final support — hence the view — is slicing-invariant.
+    * Oracle = A35's full-recompute SQL: hash equality proves streamed
+    * ≡ one-shot ≡ recompute for a NON-distributive aggregate. */
+  def streamingIvmDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Round12bOps
+    val (old, neu) = Round12bOps.ivmdSnapshots(spark, sfDir)
+    val stageDir = ivmdStaged.computeIfAbsent(sfDir, { _ =>
+      val dir = Files.createTempDirectory("graft_stream_ivmd").toString
+      val delta = Round12bOps.ivmdDelta(old, neu)
+      (0 to 2).foreach { b =>
+        delta.filter(pmod(col("key"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$dir/batch_$b")
+      }
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val d = new java.io.File(s"$dir/batch_$i")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      dir
+    })
+    val deltaSchema = Round12bOps.ivmdDelta(old, neu).schema
+    val stateRoot = Files.createTempDirectory("graft_ivmd_state").toString
+    Round12bOps.ivmdSupport(old).write.parquet(s"$stateRoot/state_0")
+    var epoch = 0 // foreachBatch runs serially on the driver
+    val src = spark.readStream.schema(deltaSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        Round12bOps.ivmdMaintain(
+            sp.read.parquet(s"$stateRoot/state_$epoch"), batch)
+          .write.mode("overwrite").parquet(s"$stateRoot/state_${epoch + 1}")
+        epoch += 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Round12bOps.ivmdView(spark.read.parquet(s"$stateRoot/state_$epoch"))
+  }
+
+  private val ivmdStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The oracle is A35's — the full recompute over the NEW snapshot. */
+  val streamingIvmDistinctSql: String =
+    graft.operators.Round12bOps.warehouseIvmDistinctSql
+
   /** The oracle is A33's — the full recompute over the NEW snapshot:
     * equality proves the micro-batched maintenance converges to the
     * same table. */
@@ -1232,6 +1290,7 @@ object StreamingTwins {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_ivm" -> streamingIvm _,
+    "streaming_ivm_distinct" -> streamingIvmDistinct _,
     "streaming_weighted_quantiles" -> streamingWeightedQuantiles _,
     "streaming_qdigest" -> streamingQdigest _,
     "streaming_semi_join" -> streamingSemiJoin _,
@@ -1257,6 +1316,7 @@ object StreamingTwins {
 
   def oracleSql: Map[String, String] = Map(
     "streaming_ivm" -> streamingIvmSql,
+    "streaming_ivm_distinct" -> streamingIvmDistinctSql,
     "streaming_weighted_quantiles" -> streamingWeightedQuantilesSql,
     "streaming_qdigest" -> streamingQdigestSql,
     "streaming_semi_join" -> streamingSemiJoinSql,

@@ -163,4 +163,22 @@ class StreamingSpec extends SparkSuite {
     assert(perSlice.keySet == Set(0L, 1L, 2L) && perSlice.values.forall(_ > 0),
       s"degenerate slicing: $perSlice")
   }
+
+  test("streaming_ivm_distinct (G24): micro-batched support maintenance equals the one-shot maintenance; every delta slice carries work") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows(
+      graft.streaming.StreamingTwins.streamingIvmDistinct(spark, sf))
+    val batch = rows(
+      graft.operators.Round12bOps.warehouseIvmDistinct(spark, sf))
+    assert(streamed == batch,
+      s"streamed support != one-shot maintenance:\n $streamed\n $batch")
+    val (old, neu) = graft.operators.Round12bOps.ivmdSnapshots(spark, sf)
+    val perSlice = graft.operators.Round12bOps.ivmdDelta(old, neu)
+      .groupBy(pmod(col("key"), lit(3)).as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perSlice.keySet == Set(0L, 1L, 2L) && perSlice.values.forall(_ > 0),
+      s"degenerate slicing: $perSlice")
+  }
 }
