@@ -258,11 +258,98 @@ object Round12bOps {
       |    - b1ppm * mq - b2ppm * md AS BIGINT) AS intercept_ppm
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------- E27
+  /** Incremental kNN-graph maintenance — the IVM discipline applied
+    * to E19's graph index: a new vector batch (vec_id ≡4 mod 10, the
+    * deterministic split) is folded into the STANDING graph built
+    * over the rest of the corpus, and the result EQUALS the full
+    * rebuild — provable because top-k is monotone under union:
+    * top3(A ∪ B) = top3(top3(A) ∪ B), so the standing top-3 lists
+    * are a sufficient summary of every old-old candidate edge. The
+    * increment scores ONLY candidate pairs with a new endpoint
+    * (batch buckets ⋈ corpus buckets — O(batch·bucket), never the
+    * corpus self-join), re-ranks ONLY the srcs that gained a
+    * candidate, and passes every other standing row through
+    * untouched. The DuckDB oracle is E19's full-rebuild SQL over the
+    * whole corpus: hash equality proves incremental ≡ rebuild, the
+    * A33 pattern lifted to an index structure.
+    *
+    * Scale: at 100 TB the standing graph and the old corpus's bucket
+    * table are stored (the E11/E15 standing-index pattern; both are
+    * derived in-plan here because the bench stores nothing between
+    * queries — that derivation is exactly E19's build and is NOT the
+    * maintenance path). The maintenance path proper touches the
+    * batch's buckets, one batch×bucket join, and the affected srcs'
+    * ≤3-row standing lists. */
+  def knnGraphIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.gf
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val newPred = col("vec_id") % 10 === 4
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("sv")),
+        "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+        "dst")
+      .select(col("src"), col("dst"),
+        round(gf.cosine_sim(col("sv"), col("dv")), 6).as("sim"))
+
+    // the STANDING graph + bucket table over the old corpus (stored
+    // at scale; E19's exact build restricted to the old vectors)
+    val oldB = AnnOps.signBucketsQ(emb.filter(!newPred), "vec_id", 4, 8)
+      .persist()
+    val oldCand = oldB
+      .select(col("table_id"), col("bucket"), col("vec_id").as("src"))
+      .join(oldB.select(col("table_id"), col("bucket"),
+        col("vec_id").as("dst")), Seq("table_id", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val standing = score(oldCand)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+      .persist()
+
+    // the MAINTENANCE path: batch buckets ⋈ (standing ∪ batch)
+    // buckets → directed candidate edges with a new endpoint
+    val newB = AnnOps.signBucketsQ(emb.filter(newPred), "vec_id", 4, 8)
+      .persist()
+    val pairs = newB
+      .select(col("table_id"), col("bucket"), col("vec_id").as("n"))
+      .join(oldB.unionByName(newB).select(col("table_id"), col("bucket"),
+        col("vec_id").as("x")), Seq("table_id", "bucket"))
+      .filter(col("n") =!= col("x"))
+      .select(col("n"), col("x")).distinct()
+    // both orientations; (old → new) mirrored from the (new, old)
+    // pairs so src-old and src-new edge sets stay disjoint
+    val newEdges = score(
+      pairs.select(col("n").as("src"), col("x").as("dst"))
+        .unionByName(pairs.filter(col("x") % 10 =!= 4)
+          .select(col("x").as("src"), col("n").as("dst"))))
+      .persist()
+
+    val affected = newEdges.select(col("src")).distinct()
+    val untouched = standing.join(affected, Seq("src"), "left_anti")
+    val reranked = standing.join(affected, Seq("src"))
+      .select(col("src"), col("dst"), col("sim"))
+      .unionByName(newEdges)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+    untouched.unionByName(reranked)
+  }
+
+  /** The oracle is E19's — the full rebuild over the whole corpus. */
+  val knnGraphIncrementalSql: String = AnnOps.knnGraphSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warehouse_ivm_distinct" -> warehouseIvmDistinct _,
+    "knn_graph_incremental" -> knnGraphIncremental _,
     "q_linreg2" -> qLinreg2 _)
 
   def oracleSql: Map[String, String] = Map(
     "warehouse_ivm_distinct" -> warehouseIvmDistinctSql,
+    "knn_graph_incremental" -> knnGraphIncrementalSql,
     "q_linreg2" -> qLinreg2Sql)
 }

@@ -161,6 +161,28 @@ class Round12bSpec extends SparkSuite {
       "intercept must move by exactly -slope_qty x 1000")
   }
 
+  // ------------------------------------------------ knn_graph_incremental
+
+  test("knn_graph_incremental: folding the batch into the standing graph equals the full rebuild; the split is non-degenerate") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val incremental = rows(Round12bOps.knnGraphIncremental(spark, sf))
+    val rebuild = rows(graft.operators.AnnOps.knnGraph(spark, sf))
+    assert(incremental === rebuild,
+      "incremental maintenance diverged from the full rebuild")
+    // non-degeneracy: the batch exists, some standing rows survive
+    // untouched, and some new srcs entered the graph — otherwise the
+    // top-k-monotonicity claim goes unexercised
+    val srcs = incremental.map(_._1)
+    assert(srcs.exists(_ % 10 == 4), "no new-batch srcs in the graph")
+    assert(srcs.exists(_ % 10 != 4), "no standing srcs in the graph")
+    val affected = incremental.filter(t => t._3 % 10 == 4).map(_._1)
+    assert(affected.nonEmpty, "no src gained a new-batch neighbor")
+    assert((srcs -- affected).nonEmpty,
+      "every src was re-ranked; nothing passed through untouched")
+  }
+
   test("q_linreg2 on the corpus: every flag's fit equals the BigInt reference over the same integer rows") {
     val out = Round12bOps.qLinreg2(spark, sf).collect().map { r =>
       r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
