@@ -343,13 +343,177 @@ object Round12bOps {
   /** The oracle is E19's — the full rebuild over the whole corpus. */
   val knnGraphIncrementalSql: String = AnnOps.knnGraphSql
 
+  // ---------------------------------------------------------------- D33
+  /** Incremental connected-components maintenance over the near-dup
+    * graph — the dedup counterpart of E27, and the exact shape a
+    * production dedup service needs at 100 TB: a re-ingested batch
+    * (the corpus's planted copies, doc_id ≥ 100000 — a genuine
+    * re-ingest) folds into the STANDING cluster labels without
+    * re-clustering the corpus. The delta is the batch's LSH pairs
+    * (batch bands probe the full band table — O(batch·band), never
+    * the corpus band self-join); each delta endpoint CONTRACTS to its
+    * standing label (components are connectivity-exact summaries), a
+    * closure over that duplicate-sized contracted graph yields the
+    * merge map, and every standing label relabels through one
+    * broadcast join. Min-id labels compose: the merged component's
+    * label is the min over standing minima and new ids, i.e. the
+    * global component minimum — so the result EQUALS the full
+    * recompute, and the recursive-closure oracle over the whole
+    * corpus proves it (the A33/E27 maintenance ≡ recompute
+    * discipline, here for an ALGORITHMIC fixpoint rather than an
+    * algebraic aggregate).
+    *
+    * Scale: the standing labels and band table are stored (the D13
+    * `BandIndex` split; derived in-plan here because the bench stores
+    * nothing between queries). The maintenance path proper touches
+    * the batch's bands, one batch×band join, the duplicate-sized
+    * label relation, and a closure over the contracted graph — whose
+    * node count is bounded by the BATCH's neighborhood, not the
+    * corpus. */
+  def dedupCcIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val isNew = col("doc_id") >= DedupOps.ExactCopyOffset
+    // the STANDING labels over the old corpus (stored at scale)
+    val standing = ClusterOps.connectedComponents(
+        DedupOps.minhashPipeline(full.filter(!isNew), 0.5))
+      .select(col("doc_id").as("id"), col("cluster_id").as("lbl"))
+      .persist()
+
+    // the DELTA: batch bands probe the full band table; verify est
+    val sigs = DedupOps.minhashSigs(full)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = DedupOps.minhashBands(sigs)
+    val cand = bands.filter(col("doc_id") >= DedupOps.ExactCopyOffset)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("n"))
+      .join(bands.select(col("band_id"), col("band_key"),
+        col("doc_id").as("x")), Seq("band_id", "band_key"))
+      .filter(col("n") =!= col("x"))
+      .select(least(col("n"), col("x")).as("id1"),
+        greatest(col("n"), col("x")).as("id2")).distinct()
+    val delta = cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("est",
+        size(filter(zip_with(col("sig1"), col("sig2"),
+          (x, y) => x === y), b => b)) / lit(128.0))
+      .filter(col("est") >= 0.5)
+      .select(col("id1"), col("id2"))
+      .persist()
+
+    // contract endpoints to their standing labels; drop intra-
+    // component self-loops; close over the tiny contracted graph
+    val l1 = standing.select(col("id").as("id1"), col("lbl").as("l1"))
+    val l2 = standing.select(col("id").as("id2"), col("lbl").as("l2"))
+    val contracted = delta
+      .join(broadcast(l1), Seq("id1"), "left")
+      .join(broadcast(l2), Seq("id2"), "left")
+      .select(coalesce(col("l1"), col("id1")).as("a"),
+        coalesce(col("l2"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2")).distinct()
+    val remap = ClusterOps.connectedComponents(contracted)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("merged"))
+
+    // final labels: every standing or delta doc, rep composed with
+    // the merge map (untouched components fall through unchanged)
+    val deltaDocs = delta.select(col("id1").as("id"))
+      .unionByName(delta.select(col("id2").as("id"))).distinct()
+      .join(broadcast(standing), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("rep"))
+    standing.select(col("id"), col("lbl").as("rep"))
+      .unionByName(deltaDocs).distinct()
+      .join(broadcast(remap), Seq("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("merged"), col("rep")).as("cluster_id"))
+  }
+
+  /** The oracle: the recursive transitive closure's min-id labeling
+    * over the WHOLE corpus — D6/D25's `lab` relation verbatim. */
+  val dedupCcIncrementalSql: String =
+    s"""WITH RECURSIVE ${ClusterOps.componentsSqlCtes}
+       |SELECT doc_id, cluster_id FROM lab""".stripMargin
+
+  // ---------------------------------------------------------------- D34
+  /** Decremental connected-components maintenance — the DELETE side of
+    * D33, and the algorithmically harder one: inserts only MERGE
+    * components (labels compose, D33), but deletes can SPLIT them, and
+    * a split is not derivable from the labels alone — min-id labels
+    * carry no connectivity witness for the survivors. The classic
+    * answer (Gupta–Mumick's non-monotone-view confinement) is to
+    * re-derive exactly the AFFECTED part: components that lost a
+    * member re-cluster among their survivors; every other label falls
+    * through untouched. Confinement is sound because deleting nodes
+    * only REMOVES edges — no new inter-component edge can appear, so
+    * the recluster never needs to look outside the affected
+    * components, and survivor signatures are per-doc (corpus-
+    * independent), so the survivor-restricted LSH pipeline reproduces
+    * exactly the full graph's surviving edges. Survivors whose last
+    * edge died drop from the labeling (singletons are absent by
+    * definition), matching the recompute bit-for-bit.
+    *
+    * Delete set: doc_id ≡ 3 (mod 7) — hits originals and planted
+    * copies asymmetrically (the copy of X lands at X+100000 ≡ X+5),
+    * so components lose one side, both sides, or neither.
+    *
+    * Scale: the standing labels and the signature/band tables are
+    * stored (D13 split; derived in-plan because the bench stores
+    * nothing between queries). The maintenance path proper reads the
+    * label relation once to find affected components (at 100 TB a
+    * partition-pruned probe of the label store by the delete batch's
+    * keys), re-runs LSH over ONLY the affected components' survivors
+    * — bounded by the delete batch's component neighborhoods, never
+    * the corpus — and streams every untouched label through an
+    * anti-join against the tiny affected-label set. */
+  def dedupCcDecremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = DedupOps.corpus(Tables.documents(spark, sfDir))
+    val deleted = col("doc_id") % 7 === 3
+    // the STANDING labels over the pre-delete corpus (stored at scale)
+    val standing = ClusterOps.connectedComponents(
+        DedupOps.minhashPipeline(full, 0.5)).persist()
+    // components that lost a member — the only ones that can change
+    val affected = standing.filter(deleted)
+      .select(col("cluster_id")).distinct()
+    val untouched = standing
+      .join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    // survivors of affected components re-cluster among themselves
+    val survivors = standing.join(broadcast(affected), Seq("cluster_id"))
+      .filter(!deleted).select(col("doc_id"))
+    val relabeled = ClusterOps.connectedComponents(
+      DedupOps.minhashPipeline(
+        full.join(broadcast(survivors), Seq("doc_id")), 0.5))
+    untouched.unionByName(
+      relabeled.select(col("doc_id"), col("cluster_id")))
+  }
+
+  /** The oracle: the full re-clustering of the post-delete corpus —
+    * D6's closure with both pair endpoints restricted to survivors. */
+  val dedupCcDecrementalSql: String =
+    s"""WITH RECURSIVE ${DedupOps.minhashSqlCtes},
+       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5
+       |  AND id1 % 7 <> 3 AND id2 % 7 <> 3),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+       |SELECT doc_id, cluster_id FROM lab""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warehouse_ivm_distinct" -> warehouseIvmDistinct _,
     "knn_graph_incremental" -> knnGraphIncremental _,
+    "dedup_cc_incremental" -> dedupCcIncremental _,
+    "dedup_cc_decremental" -> dedupCcDecremental _,
     "q_linreg2" -> qLinreg2 _)
 
   def oracleSql: Map[String, String] = Map(
     "warehouse_ivm_distinct" -> warehouseIvmDistinctSql,
     "knn_graph_incremental" -> knnGraphIncrementalSql,
+    "dedup_cc_incremental" -> dedupCcIncrementalSql,
+    "dedup_cc_decremental" -> dedupCcDecrementalSql,
     "q_linreg2" -> qLinreg2Sql)
 }

@@ -183,6 +183,68 @@ class Round12bSpec extends SparkSuite {
       "every src was re-ranked; nothing passed through untouched")
   }
 
+  // ------------------------------------------------ dedup_cc_incremental
+
+  test("dedup_cc_incremental: folding the re-ingested batch into the standing labels equals the full re-clustering; the split is non-degenerate") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incremental = rows(Round12bOps.dedupCcIncremental(spark, sf))
+    val full = graft.operators.DedupOps.corpus(Tables.documents(spark, sf))
+    val rebuild = rows(graft.operators.ClusterOps.connectedComponents(
+        graft.operators.DedupOps.minhashPipeline(full, 0.5))
+      .select(col("doc_id"), col("cluster_id")))
+    assert(incremental === rebuild,
+      "incremental maintenance diverged from the full re-clustering")
+    // non-degeneracy: batch docs entered the labels, some component
+    // spans the batch and the standing corpus (a real merge), and some
+    // standing component has no batch member (a real fall-through) —
+    // otherwise the contraction + relabel logic goes unexercised
+    val off = graft.operators.DedupOps.ExactCopyOffset
+    val byCluster = incremental.groupBy(_._2)
+    assert(incremental.exists(_._1 >= off), "no batch docs in the labels")
+    assert(byCluster.exists { case (_, m) =>
+      m.exists(_._1 >= off) && m.exists(_._1 < off) },
+      "no component spans the batch and the standing corpus")
+    assert(byCluster.exists { case (_, m) => m.forall(_._1 < off) },
+      "every component gained a batch member; nothing fell through untouched")
+  }
+
+  // ------------------------------------------------ dedup_cc_decremental
+
+  test("dedup_cc_decremental: confining the recluster to affected components equals the post-delete re-clustering; deletes, fall-throughs, and attrition all occur") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val decremental = rows(Round12bOps.dedupCcDecremental(spark, sf))
+    val full = graft.operators.DedupOps.corpus(Tables.documents(spark, sf))
+    val standing = rows(graft.operators.ClusterOps.connectedComponents(
+        graft.operators.DedupOps.minhashPipeline(full, 0.5))
+      .select(col("doc_id"), col("cluster_id")))
+    val rebuild = rows(graft.operators.ClusterOps.connectedComponents(
+        graft.operators.DedupOps.minhashPipeline(
+          full.filter(col("doc_id") % 7 =!= 3), 0.5))
+      .select(col("doc_id"), col("cluster_id")))
+    assert(decremental === rebuild,
+      "confined maintenance diverged from the post-delete re-clustering")
+    // non-degeneracy: the delete batch hit standing components, some
+    // component fell through untouched, attrition dropped a surviving
+    // doc whose last edge died, and a touched component survived with
+    // members — otherwise the confinement logic goes unexercised
+    val affectedLbls = standing.filter(_._1 % 7 == 3).map(_._2)
+    assert(affectedLbls.nonEmpty, "no standing component lost a member")
+    val untouchedLbls = standing.map(_._2) -- affectedLbls
+    assert(untouchedLbls.nonEmpty, "every component lost a member")
+    assert(decremental.forall(_._1 % 7 != 3), "a deleted doc survived")
+    val survivorsGone = standing.collect {
+      case (d, l) if d % 7 != 3 && affectedLbls(l) &&
+        !decremental.exists(_._1 == d) => d
+    }
+    assert(survivorsGone.nonEmpty,
+      "no attrition: every affected-component survivor kept an edge")
+    assert(decremental.exists { case (d, _) =>
+      standing.exists(s => s._1 == d && affectedLbls(s._2)) },
+      "no touched component survived with members")
+  }
+
   test("q_linreg2 on the corpus: every flag's fit equals the BigInt reference over the same integer rows") {
     val out = Round12bOps.qLinreg2(spark, sf).collect().map { r =>
       r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
