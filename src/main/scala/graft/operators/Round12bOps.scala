@@ -113,6 +113,59 @@ object Round12bOps {
       .select(col("st").as("o_orderstatus"), col("n_distinct_cust"),
         col("n_orders"))
 
+  // ------------------------------------------------------- A35 × H19/H21
+  // The support-count state as a snapshot-isolated SnapshotTable with
+  // WAP-gated maintenance commits — the A33×H21 wiring (Round12Ops)
+  // lifted to the non-distributive view's auxiliary state. Key is the
+  // (status, custkey) support key; the audit is exact support-mass
+  // conservation (post Σcnt = pre + asserts − retracts).
+
+  import graft.sources.SnapshotTable
+
+  private[graft] def ivmdTable(spark: SparkSession,
+      dir: String): SnapshotTable =
+    new SnapshotTable(spark, dir, "k", buckets = 4, keepSnapshots = 4)
+
+  private[graft] def ivmdWithKey(support: DataFrame): DataFrame =
+    support.select(col("st"), col("cust"), col("cnt"),
+      concat_ws("|", col("st"), col("cust")).as("k"))
+
+  /** Stage one support-maintenance batch: only the batch's (group,
+    * value) support keys are read and rewritten; support rows reaching
+    * 0 become deletes. */
+  private[graft] def ivmdStage(tbl: SnapshotTable,
+      batch: DataFrame): SnapshotTable#StagedMerge = {
+    val keys = batch.filter(col("old_st").isNotNull)
+        .select(concat_ws("|", col("old_st"), col("old_cust")).as("k"))
+      .unionByName(batch.filter(col("new_st").isNotNull)
+        .select(concat_ws("|", col("new_st"), col("new_cust")).as("k")))
+      .distinct()
+    val touched = tbl.read().join(broadcast(keys), Seq("k"), "left_semi")
+      .select(col("st"), col("cust"), col("cnt"))
+    val upserts = ivmdWithKey(ivmdMaintain(touched, batch))
+    val deletes = keys.join(upserts.select(col("k")), Seq("k"), "left_anti")
+    tbl.stageMerge(upserts, Some(deletes))
+  }
+
+  /** WAP commit of one support batch — stage, audit exact support-mass
+    * conservation on the would-be table, publish or abort. */
+  private[graft] def ivmdSnapshotStep(tbl: SnapshotTable,
+      batch: DataFrame): Unit = {
+    val staged = ivmdStage(tbl, batch)
+    val pre = tbl.read()
+      .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+    val post = staged.read()
+      .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+    val asserts = batch.filter(col("new_st").isNotNull).count()
+    val retracts = batch.filter(col("old_st").isNotNull).count()
+    if (post != pre + asserts - retracts) {
+      staged.abort()
+      sys.error(s"ivm-distinct audit failed: expected " +
+        s"${pre + asserts - retracts} total support mass, staged table " +
+        s"has $post — batch rejected, current snapshot unchanged")
+    } else staged.publish()
+  }
+
   val warehouseIvmDistinctSql: String =
     """WITH neu AS (
       |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'G'

@@ -154,22 +154,38 @@ final class SnapshotTable(
     * rewritten; every other bucket's file is carried into the new
     * snapshot BY REFERENCE. O(touched buckets' data + batch), never
     * O(table). */
-  def merge(updates: DataFrame): Unit = {
+  def merge(updates: DataFrame): Unit = merge(updates, None)
+
+  /** MERGE with a delete set (the `WHEN MATCHED DELETE` arm): rows in
+    * `updates` upsert by key; keys in `deletes` (a one-column relation
+    * of `keyCol` values) are REMOVED from the table — the operation an
+    * IVM maintenance commit needs when a maintained group's count
+    * reaches 0. A key in both sets lands as the update. Still
+    * copy-on-write at bucket granularity: only buckets containing an
+    * update OR delete key rewrite; a bucket whose rows all vanish gets
+    * no data dir and drops out of the new manifest. */
+  def merge(updates: DataFrame, deletes: Option[DataFrame]): Unit = {
     val cur = refs
     require(cur.nonEmpty, s"snapshot table $path not created")
-    val (touched, upserted) = upsertPlan(cur, updates)
+    val (touched, upserted) = upsertPlan(cur, updates, deletes)
     val c = version + 1
     val newRefs = writeData(upserted, c)
     commitManifest(cur -- touched ++ newRefs)
   }
 
   /** The MERGE read plan against a given snapshot: the touched-bucket
-    * set (metadata-sized, ≤ `buckets` ints, derived from the update
-    * batch alone — the standing table is not scanned for it) and the
-    * upserted relation over ONLY the touched buckets' standing data. */
-  private def upsertPlan(cur: Map[Int, String],
-      updates: DataFrame): (Set[Int], DataFrame) = {
-    val touched = bucketed(updates).select(col("__b")).distinct()
+    * set (metadata-sized, ≤ `buckets` ints, derived from the update +
+    * delete batch alone — the standing table is not scanned for it)
+    * and the upserted relation over ONLY the touched buckets' standing
+    * data. */
+  private def upsertPlan(cur: Map[Int, String], updates: DataFrame,
+      deletes: Option[DataFrame]): (Set[Int], DataFrame) = {
+    val batchKeys = deletes match {
+      case Some(d) => updates.select(col(keyCol))
+        .unionByName(d.select(col(keyCol))).distinct()
+      case None => updates.select(col(keyCol))
+    }
+    val touched = bucketed(batchKeys).select(col("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
     val standing = touched.toSeq.sorted.flatMap(cur.get) match {
       case Nil => None
@@ -179,7 +195,8 @@ final class SnapshotTable(
     val upserted = standing match {
       case Some(s) =>
         updates.unionByName(
-          s.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti"))
+          s.join(batchKeys, Seq(keyCol), "left_anti")
+            .select(updates.columns.map(col): _*))
       case None => updates
     }
     (touched, upserted)
@@ -202,11 +219,18 @@ final class SnapshotTable(
     * expensive bucket rewrite happens ONCE (at stage time), audit
     * reads it in place, and publish is a metadata-only rename +
     * manifest commit. */
-  def stageMerge(updates: DataFrame): StagedMerge = {
+  def stageMerge(updates: DataFrame): StagedMerge = stageMerge(updates, None)
+
+  /** [[stageMerge]] with a delete set — see [[merge(updates,deletes)]]
+    * for the delete semantics. The WAP arm an IVM maintenance commit
+    * uses: stage the post-maintenance buckets, audit the would-be
+    * table, publish or abort. */
+  def stageMerge(updates: DataFrame,
+      deletes: Option[DataFrame]): StagedMerge = {
     val cur = refs
     require(cur.nonEmpty, s"snapshot table $path not created")
     val base = version
-    val (touched, upserted) = upsertPlan(cur, updates)
+    val (touched, upserted) = upsertPlan(cur, updates, deletes)
     val rel = s"staged/s${System.nanoTime()}"
     val stagedRefs = writeDataAt(upserted, rel)
     new StagedMerge(base, cur, touched, rel, stagedRefs)

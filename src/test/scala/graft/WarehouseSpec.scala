@@ -392,4 +392,115 @@ class WarehouseSpec extends SparkSuite {
     val sweep = graft.operators.Round10Ops.textBpeSweep(spark, sf)
     assert(sweep.count() == 3)
   }
+
+  test("IVM x snapshot table (H22): maintenance commits are WAP-gated — a mid-maintenance reader sees only the pre-batch epoch, emptied groups leave via the delete arm, epochs time-travel, and the conservation audit aborts a corrupt batch unpublished") {
+    import spark.implicits._
+    import graft.operators.Round12Ops
+    def snap(rows: Seq[(Long, String, String, String)],
+        renamed: Boolean): org.apache.spark.sql.DataFrame = {
+      val df = rows.toDF("key", "s", "p", "pr")
+        .select($"key", $"s", $"p", $"pr".cast("decimal(12,2)").as("price"))
+      if (renamed) df.select($"key", $"s".as("st2"), $"p".as("prio2"),
+        $"price".as("price2"))
+      else df.select($"key", $"s".as("st"), $"p".as("prio"), $"price")
+    }
+    // OLD: groups A|P (keys 1,2), B|Q (3,4), C|Q (6)
+    val old = snap(Seq((1L, "A", "P", "10.50"), (2L, "A", "P", "5.25"),
+      (3L, "B", "Q", "7.00"), (4L, "B", "Q", "1.00"),
+      (6L, "C", "Q", "3.00")), renamed = false)
+    // NEW: key1 price bump, keys 2+4 deleted, key3 moves B|Q → C|Q,
+    // key5 inserts into A|P — group B|Q EMPTIES (the delete arm)
+    val neu = snap(Seq((1L, "A", "P", "12.00"), (3L, "C", "Q", "7.00"),
+      (5L, "A", "P", "2.00"), (6L, "C", "Q", "3.00")), renamed = true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivm_wap").toString
+    val tbl = Round12Ops.ivmTable(spark, s"$root/t")
+    def viewRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("st", "prio", "n_orders", "total").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3).toPlainString)).toSet
+    try {
+      tbl.create(Round12Ops.ivmWithKey(Round12Ops.ivmState(old)))
+      val preRows = viewRows(tbl.read())
+      val batch = Round12Ops.ivmDelta(old, neu)
+
+      // 1. WAP isolation: a reader between stage and publish sees the
+      // pre-batch epoch only
+      val staged = Round12Ops.ivmStage(tbl, batch)
+      assert(viewRows(tbl.read()) == preRows,
+        "mid-maintenance reader saw staged state")
+      assert(tbl.version == 1)
+      staged.abort()
+
+      // 2. the published commit equals the full recompute over NEW —
+      // including group B|Q leaving the table via the delete arm
+      Round12Ops.ivmSnapshotStep(tbl, batch)
+      assert(tbl.version == 2)
+      val expect = viewRows(Round12Ops.ivmState(
+        neu.select($"key", $"st2".as("st"), $"prio2".as("prio"),
+          $"price2".as("price"))))
+      assert(viewRows(tbl.read()) == expect, "maintenance != recompute")
+      assert(!viewRows(tbl.read()).exists(r => r._1 == "B"),
+        "emptied group B|Q must leave the table")
+      // the pre-batch epoch stays time-travelable
+      assert(viewRows(tbl.readAsOf(1)) == preRows)
+
+      // 3. conservation-audit abort: retracting C|Q's only rows twice
+      // — the second application finds nothing to retract, so the
+      // staged table misses the expected count drop and must abort
+      // with the current snapshot unchanged
+      val neu2 = snap(Seq((1L, "A", "P", "12.00"),
+        (5L, "A", "P", "2.00")), renamed = true)
+      val delBatch = Round12Ops.ivmDelta(
+        neu.select($"key", $"st2".as("st"), $"prio2".as("prio"),
+          $"price2".as("price")), neu2)
+      Round12Ops.ivmSnapshotStep(tbl, delBatch) // first apply: fine
+      assert(tbl.version == 3)
+      val v3Rows = viewRows(tbl.read())
+      val err = intercept[RuntimeException] {
+        Round12Ops.ivmSnapshotStep(tbl, delBatch) // double apply
+      }
+      assert(err.getMessage.contains("audit failed"))
+      assert(tbl.version == 3, "aborted batch must not commit")
+      assert(viewRows(tbl.read()) == v3Rows,
+        "aborted batch must leave the table unchanged")
+    } finally tbl.drop()
+  }
+
+  test("IVM-distinct x snapshot table (H22): the support-state WAP step maintains the count-DISTINCT view exactly across chained commits") {
+    import spark.implicits._
+    import graft.operators.Round12bOps
+    def snap(rows: Seq[(Long, String, Long)],
+        renamed: Boolean): org.apache.spark.sql.DataFrame =
+      if (renamed) rows.toDF("key", "st2", "cust2")
+      else rows.toDF("key", "st", "cust")
+    // OLD: group A has custs {1,1,2}, group B {2}
+    val old = snap(Seq((1L, "A", 1L), (2L, "A", 1L), (3L, "A", 2L),
+      (4L, "B", 2L)), renamed = false)
+    // NEW: key2 moves to group B, key3 deleted (A loses cust 2's last
+    // copy), key5 inserts cust 3 into A
+    val neu = snap(Seq((1L, "A", 1L), (2L, "B", 1L), (4L, "B", 2L),
+      (5L, "A", 3L)), renamed = true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivmd_wap").toString
+    val tbl = Round12bOps.ivmdTable(spark, s"$root/t")
+    def view(df: org.apache.spark.sql.DataFrame) =
+      Round12bOps.ivmdView(df.select("st", "cust", "cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      tbl.create(Round12bOps.ivmdWithKey(Round12bOps.ivmdSupport(old)))
+      val pre = view(tbl.read())
+      assert(pre == Set(("A", 2L, 3L), ("B", 1L, 1L)))
+      val batch = Round12bOps.ivmdDelta(old, neu)
+      // mid-maintenance isolation for the support table too
+      val staged = Round12bOps.ivmdStage(tbl, batch)
+      assert(view(tbl.read()) == pre)
+      staged.abort()
+      Round12bOps.ivmdSnapshotStep(tbl, batch)
+      // NEW view: A has custs {1,3} over 2 orders; B has {1,2} over 2
+      assert(view(tbl.read()) == Set(("A", 2L, 2L), ("B", 2L, 2L)),
+        "support maintenance != recompute")
+      assert(view(tbl.readAsOf(1)) == pre)
+    } finally tbl.drop()
+  }
 }
