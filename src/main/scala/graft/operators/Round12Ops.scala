@@ -507,21 +507,32 @@ object Round12Ops {
   /** The ensemble loop over arbitrary (q, dd, y, rid) rows — the spec
     * hook (`Round12Spec` pins each tree against the single-tree
     * pipeline run on that tree's bag). */
-  private[graft] def forestPipeline(labeled: DataFrame, trees: Int,
-      depth: Int): DataFrame = {
-    val data = labeled.persist()
-    val assigned = (0 until trees).map { t =>
-      data.filter(
+  /** The deterministic per-tree bags (md5-h32 hash subsampling, 75%
+    * per tree) rooted at their node prefixes — shared by training and
+    * by B94's leaf-score derivation. */
+  private[operators] def forestBags(labeled: DataFrame,
+      trees: Int): DataFrame =
+    (0 until trees).map { t =>
+      labeled.filter(
           graft.functions.gf.h32(concat(lit(s"frst:$t:"), col("rid")))
             % trees =!= 0)
         .select(lit(s"t${t}r").as("node"), col("q"), col("dd"), col("y"))
     }.reduce(_ unionByName _)
+
+  private[graft] def forestPipeline(labeled: DataFrame, trees: Int,
+      depth: Int): DataFrame = {
+    val data = labeled.persist()
+    val assigned = forestBags(data, trees)
     levelLoop(assigned, depth)
       .select(substring(col("node"), 1, 2).as("tree"), col("level"),
         col("node"), col("feature"), col("threshold"), col("gini"))
   }
 
-  val qForestSql: String = {
+  /** The forest-training CTE chain (base + bagged assignment + level
+    * unroll ending in `fksel1`/`fksel2`), WITHOUT the final SELECT —
+    * shared by the B90 oracle and the B94 evaluation oracle (one
+    * definition of the trained model). */
+  private[operators] val forestCtes: String = {
     val baggedRows = (0 until forestTrees).map { t =>
       s"""SELECT 't$t' || 'r' AS node, q, dd, y FROM fraw
          |WHERE ('0x' || substr(md5('frst:$t:' || rid), 1, 8))::BIGINT
@@ -537,10 +548,15 @@ object Round12Ops {
          |  FROM lineitem),
          |fk0 AS MATERIALIZED (
          |$baggedRows)""".stripMargin
-    val (lvls, out) = treeLevelsSql("fk", forestDepth,
+    val (lvls, _) = treeLevelsSql("fk", forestDepth, "node")
+    s"$base,\n$lvls"
+  }
+
+  val qForestSql: String = {
+    val (_, out) = treeLevelsSql("fk", forestDepth,
       "substr(node, 1, 2) AS tree, CAST({L} AS BIGINT) AS level, "
         + "node,\n  '{F}' AS feature, v AS threshold, gini")
-    s"WITH $base,\n$lvls\n$out"
+    s"WITH $forestCtes\n$out"
   }
 
   // ---------------------------------------------------------------- B91
@@ -636,7 +652,11 @@ object Round12Ops {
     stumps.reduce(_ unionByName _)
   }
 
-  val qGbtStumpsSql: String = {
+  /** The boosting-trajectory CTE chain (g0/gf0/gb0 + per-round
+    * gv/gc/gg/gs/gb), WITHOUT the final SELECT — shared by the B91
+    * oracle and the B93 evaluation oracle (one definition of the
+    * trained model). */
+  private[operators] val gbtCtes: String = {
     def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
     val roundsSql = (1 to gbtRounds).map { t =>
       s"""gv$t AS (
@@ -676,15 +696,7 @@ object Round12Ops {
          |      THEN s.leaf_left ELSE s.leaf_right END AS r
          |  FROM gb${t - 1} b, gs$t s)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to gbtRounds).map { t =>
-      val fn = if (t % 2 == 1) "l_quantity" else "l_discount_cents"
-      s"""SELECT CAST($t AS BIGINT) AS round, '$fn' AS feature,
-         |  threshold, total_sse, split_sse,
-         |  CAST(leaf_left AS BIGINT) AS leaf_left,
-         |  CAST(leaf_right AS BIGINT) AS leaf_right
-         |FROM gs$t""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH g0 AS MATERIALIZED (
+    s"""g0 AS MATERIALIZED (
        |  SELECT CAST(l_quantity AS BIGINT) AS q,
        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
@@ -694,8 +706,19 @@ object Round12Ops {
        |  FROM g0),
        |gb0 AS MATERIALIZED (
        |  SELECT q, dd, y * 1000000 - f0 AS r FROM g0, gf0),
-       |$roundsSql
-       |$out""".stripMargin
+       |$roundsSql""".stripMargin
+  }
+
+  val qGbtStumpsSql: String = {
+    val out = (1 to gbtRounds).map { t =>
+      val fn = if (t % 2 == 1) "l_quantity" else "l_discount_cents"
+      s"""SELECT CAST($t AS BIGINT) AS round, '$fn' AS feature,
+         |  threshold, total_sse, split_sse,
+         |  CAST(leaf_left AS BIGINT) AS leaf_left,
+         |  CAST(leaf_right AS BIGINT) AS leaf_right
+         |FROM gs$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $gbtCtes\n$out"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

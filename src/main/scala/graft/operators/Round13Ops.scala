@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-13 surface (SURVEY.md §2 rows B93, B94): the EVALUATION leg
+  * of the tree-family story — round 12 trained models (B89/B90/B91)
+  * and B88 computes exact AUC from a score column, but nothing scored
+  * the trained models. These queries close train → score → evaluate:
+  * apply the trained model to every corpus row as a broadcast-join /
+  * broadcast-projection (the model is a handful of rows — it never
+  * shuffles), then feed the integer scores through B88's exact
+  * trapezoid ROC/AUC. Every score is exact ×10⁶ fixed point, so the
+  * DuckDB oracle — which re-derives the SAME model from the shared
+  * training CTEs and unrolls the SAME application arithmetic —
+  * hash-matches the full ROC table.
+  *
+  * Scale (100 TB): scoring is one linear pass with the model
+  * broadcast (GBT: a 1-row pivoted stump table; forest: ≤12
+  * threshold rows + ≤16 leaf-score rows); the ROC input collapses to
+  * |distinct scores| rows (≤8 for the 3-stump GBT, ≤~256 for the
+  * 4-tree forest) before any window — the B84/B88 collapse-first
+  * discipline, so the unpartitioned cumulative window orders a
+  * domain-bounded relation regardless of corpus size.
+  */
+object Round13Ops {
+
+  // ---------------------------------------------------------------- B93
+  /** Score the B91 gradient-boosted stumps over the full corpus and
+    * evaluate with B88's exact ROC/AUC — boosting's additive model
+    * applied per row: s = F₀ + Σ_t leaf_t(x), every term the exact
+    * ×10⁶ integer the training trajectory produced, so the oracle
+    * (which replays the identical trajectory from the shared gbtCtes)
+    * reproduces every score bit-for-bit. The 3-round model pivots to
+    * ONE broadcast row; scoring is a fused projection — no join, no
+    * shuffle. The ROC input has ≤8 distinct scores (2³ threshold
+    * outcomes), so the evaluation windows are constant-size. */
+  def qGbtEval(spark: SparkSession, sfDir: String): DataFrame =
+    gbtEvalPipeline(Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y")))
+
+  /** Train + score + evaluate over arbitrary (q, dd, y∈{0,1}) rows —
+    * the spec hook (`Round13Spec` pins AUC = 10⁶ on a separable
+    * plant and re-derives the corpus AUC from the emitted curve). */
+  private[graft] def gbtEvalPipeline(rows: DataFrame): DataFrame = {
+    val data = rows.persist()
+    // re-derive the trained model (in production: read the stored
+    // stump table); pivot the 3 stumps into one broadcastable row
+    val stumps = Round12Ops.gbtPipeline(data, Round12Ops.gbtRounds)
+    val pivotCols = (1 to Round12Ops.gbtRounds).flatMap { t =>
+      Seq(max(when(col("round") === t, col("threshold"))).as(s"thr$t"),
+        max(when(col("round") === t, col("leaf_left"))).as(s"ll$t"),
+        max(when(col("round") === t, col("leaf_right"))).as(s"lr$t"))
+    }
+    val model = stumps.agg(pivotCols.head, pivotCols.tail: _*)
+      .localCheckpoint(true)
+    val f0 = data.agg((lit(1000000L) * sum(col("y"))).as("s0"),
+        count(lit(1)).as("n0"))
+      .select(expr("s0 div n0").as("f0")).localCheckpoint(true)
+    // additive application — features alternate q/dd/q as in training
+    val scored = data.crossJoin(broadcast(model)).crossJoin(broadcast(f0))
+      .select((col("f0")
+        + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
+        + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
+        + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
+        .as("s"),
+        col("y"))
+    Round10bOps.rocAucPipeline(scored)
+  }
+
+  /** B88's exact-ROC SQL tail over a CTE named `scored(s, y)`. */
+  private def rocSqlOver(scoredCte: String): String =
+    s"""rcv AS (
+       |  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS tot
+       |  FROM $scoredCte GROUP BY 1),
+       |rcc AS (
+       |  SELECT s,
+       |    CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+       |    CAST(sum(tot - pos) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER () AS BIGINT) AS pp,
+       |    CAST(sum(tot - pos) OVER () AS BIGINT) AS nn
+       |  FROM rcv),
+       |rcl AS (
+       |  SELECT s, tp, fp, pp, nn,
+       |    coalesce(lag(tp, 1) OVER (ORDER BY s DESC), 0) AS tp0,
+       |    coalesce(lag(fp, 1) OVER (ORDER BY s DESC), 0) AS fp0
+       |  FROM rcc)
+       |SELECT s AS threshold, tp, fp,
+       |  tp * 1000000 // greatest(pp, 1) AS tpr_ppm,
+       |  fp * 1000000 // greatest(nn, 1) AS fpr_ppm,
+       |  CAST(sum((tp + tp0) * (fp - fp0)) OVER () AS BIGINT)
+       |    * 1000000 // greatest(2 * pp * nn, 1) AS auc_ppm
+       |FROM rcl""".stripMargin
+
+  val qGbtEvalSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |scored AS (
+       |  SELECT (SELECT f0 FROM gf0)
+       |$terms AS s, y
+       |  FROM g0),
+       |${rocSqlOver("scored")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B94
+  /** Score the B90 random forest over the full corpus and evaluate
+    * with B88's exact ROC/AUC — the bagged-ensemble application: every
+    * row routes through each tree's trained thresholds to its leaf
+    * STRING as a pure column expression (the ≤12-row model pivots to
+    * ONE broadcast row of per-tree thresholds; an unsplit node keeps
+    * its rows — the early-leaf case), each leaf's value is the exact
+    * ×10⁶ positive-rate of the TREE'S OWN BAG at that leaf
+    * (truncating div, Spark `div` ≡ DuckDB `//`), and the forest
+    * score is the truncated mean of the 4 per-tree leaf values. The
+    * oracle re-derives the same model from the shared forestCtes and
+    * unrolls the same routing CASEs, so every score — and the whole
+    * ROC table — hash-matches.
+    *
+    * Scale: scoring is ONE linear pass with zero corpus-scale
+    * exchange — the pivoted threshold row and the ≤ trees·2^depth
+    * leaf-score rows are all broadcast, per-tree leaves are computed
+    * columns, and the first shuffle anywhere is the ROC's
+    * map-side-combined collapse to |distinct scores| (domain-bounded)
+    * rows. (An explode-and-regroup formulation would shuffle the
+    * corpus by row id — and this table's natural (orderkey,
+    * linenumber) id isn't even unique — so the column formulation is
+    * both the faster and the only correct one.) */
+  def qForestEval(spark: SparkSession, sfDir: String): DataFrame =
+    forestEvalPipeline(spark, Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("rid")))
+
+  /** Train + score + evaluate over arbitrary (q, dd, y, rid) rows —
+    * the spec hook (`rid` feeds only the deterministic bagging hash;
+    * scoring never groups by it). */
+  private[graft] def forestEvalPipeline(spark: SparkSession,
+      rows: DataFrame): DataFrame = {
+    val trees = Round12Ops.forestTrees
+    val data = rows.persist()
+    // the trained model (in production: the stored split table)
+    val model = Round12Ops.forestPipeline(data,
+        trees, Round12Ops.forestDepth)
+      .select(col("level"), col("node"), col("threshold"))
+      .localCheckpoint(true)
+    // per-tree leaf scores from each tree's OWN bag routed through
+    // the trained thresholds (LEFT join: an unsplit node is a leaf)
+    val bagLeaves = routeForest(
+      Round12Ops.forestBags(data, trees), model)
+    val leafScores = bagLeaves.groupBy(col("node"))
+      .agg(expr("1000000 * sum(y) div count(1)").as("ls"))
+      .localCheckpoint(true)
+    // pivot the model into ONE broadcast row: per tree, the root
+    // threshold and both child thresholds (null = unsplit)
+    val pivotCols = (0 until trees).flatMap { t =>
+      Seq(
+        max(when(col("node") === s"t${t}r", col("threshold")))
+          .as(s"thr_$t"),
+        max(when(col("node") === s"t${t}rL", col("threshold")))
+          .as(s"thrL_$t"),
+        max(when(col("node") === s"t${t}rR", col("threshold")))
+          .as(s"thrR_$t"))
+    }
+    val pivot = model.agg(pivotCols.head, pivotCols.tail: _*)
+      .localCheckpoint(true)
+    // per-row leaf string per tree — a pure column expression, so
+    // scoring is one pass with everything broadcast
+    def leaf(t: Int) = {
+      def kid(side: String, thr: String) =
+        when(col(thr).isNull, lit(s"t${t}r$side"))
+          .otherwise(concat(lit(s"t${t}r$side"),
+            when(col("dd") <= col(thr), lit("L")).otherwise(lit("R"))))
+      when(col(s"thr_$t").isNull, lit(s"t${t}r"))
+        .otherwise(when(col("q") <= col(s"thr_$t"), kid("L", s"thrL_$t"))
+          .otherwise(kid("R", s"thrR_$t")))
+        .as(s"leaf_$t")
+    }
+    val withLeaves = data.crossJoin(broadcast(pivot))
+      .select(col("y") +: (0 until trees).map(leaf): _*)
+    // per-tree leaf-score lookups — 4 broadcast joins, still no shuffle
+    val joined = (0 until trees).foldLeft(withLeaves) { (df, t) =>
+      df.join(broadcast(leafScores
+          .select(col("node").as(s"leaf_$t"), col("ls").as(s"ls_$t"))),
+        Seq(s"leaf_$t"), "left")
+    }
+    val scored = joined.select(
+      expr((0 until trees).map(t => s"coalesce(ls_$t, 0)")
+        .mkString("(", " + ", s") div $trees")).as("s"),
+      col("y"))
+    Round10bOps.rocAucPipeline(scored)
+  }
+
+  /** Route (node, q, dd, y, …) rows through the trained per-level
+    * thresholds: level 1 splits on q, level 2 on dd (the training
+    * feature schedule); a node with no threshold row keeps its rows —
+    * the early-leaf case. */
+  private def routeForest(rows: DataFrame, model: DataFrame): DataFrame = {
+    val l1 = model.filter(col("level") === 1)
+      .select(col("node"), col("threshold").as("thr"))
+    val l2 = model.filter(col("level") === 2)
+      .select(col("node"), col("threshold").as("thr"))
+    rows.join(broadcast(l1), Seq("node"), "left")
+      .withColumn("node", when(col("thr").isNull, col("node"))
+        .otherwise(concat(col("node"),
+          when(col("q") <= col("thr"), lit("L")).otherwise(lit("R")))))
+      .drop("thr")
+      .join(broadcast(l2), Seq("node"), "left")
+      .withColumn("node", when(col("thr").isNull, col("node"))
+        .otherwise(concat(col("node"),
+          when(col("dd") <= col("thr"), lit("L")).otherwise(lit("R")))))
+      .drop("thr")
+  }
+
+  val qForestEvalSql: String = {
+    val trees = Round12Ops.forestTrees
+    val pivotCols = (0 until trees).flatMap { t =>
+      Seq(s"max(CASE WHEN node = 't${t}r' THEN v END) AS thr_$t",
+        s"max(CASE WHEN node = 't${t}rL' THEN v END) AS thrL_$t",
+        s"max(CASE WHEN node = 't${t}rR' THEN v END) AS thrR_$t")
+    }.mkString(",\n    ")
+    def leaf(t: Int) =
+      s"""CASE WHEN p.thr_$t IS NULL THEN 't${t}r'
+         |    WHEN e.q <= p.thr_$t THEN
+         |      CASE WHEN p.thrL_$t IS NULL THEN 't${t}rL'
+         |           WHEN e.dd <= p.thrL_$t THEN 't${t}rLL'
+         |           ELSE 't${t}rLR' END
+         |    ELSE
+         |      CASE WHEN p.thrR_$t IS NULL THEN 't${t}rR'
+         |           WHEN e.dd <= p.thrR_$t THEN 't${t}rRL'
+         |           ELSE 't${t}rRR' END END AS leaf_$t""".stripMargin
+    val leafJoins = (0 until trees)
+      .map(t => s"LEFT JOIN ls l$t ON l$t.node = e.leaf_$t")
+      .mkString("\n  ")
+    val scoreSum = (0 until trees)
+      .map(t => s"coalesce(l$t.ls, 0)").mkString(" + ")
+    s"""WITH ${Round12Ops.forestCtes},
+       |bg1 AS (
+       |  SELECT CASE WHEN s.v IS NULL THEN b.node
+       |    ELSE b.node || CASE WHEN b.q <= s.v THEN 'L' ELSE 'R' END
+       |    END AS node, b.dd, b.y
+       |  FROM fk0 b LEFT JOIN fksel1 s ON s.node = b.node),
+       |bg2 AS (
+       |  SELECT CASE WHEN s.v IS NULL THEN b.node
+       |    ELSE b.node || CASE WHEN b.dd <= s.v THEN 'L' ELSE 'R' END
+       |    END AS node, b.y
+       |  FROM bg1 b LEFT JOIN fksel2 s ON s.node = b.node),
+       |ls AS MATERIALIZED (
+       |  SELECT node, 1000000 * CAST(sum(y) AS BIGINT) // count(*) AS ls
+       |  FROM bg2 GROUP BY 1),
+       |pv AS MATERIALIZED (
+       |  SELECT $pivotCols
+       |  FROM (SELECT node, v FROM fksel1
+       |        UNION ALL SELECT node, v FROM fksel2)),
+       |ev AS (
+       |  SELECT e.y,
+       |${(0 until trees).map(leaf).mkString(",\n")}
+       |  FROM fraw e, pv p),
+       |scored AS MATERIALIZED (
+       |  SELECT CAST($scoreSum AS BIGINT) // $trees AS s, e.y
+       |  FROM ev e
+       |  $leafJoins),
+       |${rocSqlOver("scored")}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gbt_eval" -> qGbtEval _,
+    "q_forest_eval" -> qForestEval _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_gbt_eval" -> qGbtEvalSql,
+    "q_forest_eval" -> qForestEvalSql)
+}
