@@ -31,6 +31,35 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("bucketed CDC snapshots: the IVM delta derivation joins with zero exchange and matches the unbucketed delta") {
+    import graft.operators.Round12Ops
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_buckets")
+    val (old, neu) = Round12Ops.ivmSnapshots(spark, sf)
+    try {
+      val (bOld, bNeu) = Round12Ops.ivmBucketedSnapshots(
+        spark, old, neu, dir.toString, "spec")
+      val delta = Round12Ops.ivmDelta(bOld, bNeu)
+      delta.count() // materialize so AQE finalizes the plan
+      val plan = delta.queryExecution.executedPlan.toString
+      // co-partitioned bucketed scans: the corpus-scale full-outer
+      // join runs shuffle-free — the 100 TB shape for snapshot-derived
+      // CDC deltas (a fed delta skips even this)
+      assert(!plan.contains("Exchange"), plan)
+      // derivation parity: identical delta relation either way
+      val plain = Round12Ops.ivmDelta(old, neu)
+      assert(delta.count() == plain.count())
+      assert(delta.exceptAll(plain).isEmpty && plain.exceptAll(delta).isEmpty,
+        "bucketed delta diverged from the plain derivation")
+      // and the maintained view off the bucketed delta matches too
+      val m1 = Round12Ops.ivmMaintain(Round12Ops.ivmState(bOld), delta)
+      val m2 = Round12Ops.ivmMaintain(Round12Ops.ivmState(old), plain)
+      assert(m1.exceptAll(m2).isEmpty && m2.exceptAll(m1).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivm_old_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_ivm_new_spec")
+    }
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // the 100 TB fact-scan saver Catalyst provides FOR FREE when the
     // layout cooperates: facts directory-partitioned on the join key's
