@@ -677,10 +677,11 @@ object Round12Ops {
   }
 
   /** The boosting-trajectory CTE chain (g0/gf0/gb0 + per-round
-    * gv/gc/gg/gs/gb), WITHOUT the final SELECT — shared by the B91
-    * oracle and the B93 evaluation oracle (one definition of the
-    * trained model). */
-  private[operators] val gbtCtes: String = {
+    * gv/gc/gg/gs/gb) over an arbitrary `g0` body, WITHOUT the final
+    * SELECT — shared by the B91 oracle, the B93 evaluation oracle,
+    * and J18's holdout-trained model (one definition of the
+    * trajectory, parameterized by the training relation). */
+  private[operators] def gbtCtesFrom(g0Body: String): String = {
     def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
     val roundsSql = (1 to gbtRounds).map { t =>
       s"""gv$t AS (
@@ -721,10 +722,7 @@ object Round12Ops {
          |  FROM gb${t - 1} b, gs$t s)""".stripMargin
     }.mkString(",\n")
     s"""g0 AS MATERIALIZED (
-       |  SELECT CAST(l_quantity AS BIGINT) AS q,
-       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
-       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-       |  FROM lineitem),
+       |$g0Body),
        |gf0 AS MATERIALIZED (
        |  SELECT (1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS f0
        |  FROM g0),
@@ -732,6 +730,13 @@ object Round12Ops {
        |  SELECT q, dd, y * 1000000 - f0 AS r FROM g0, gf0),
        |$roundsSql""".stripMargin
   }
+
+  /** The full-corpus instantiation (B91/B93's training relation). */
+  private[operators] val gbtCtes: String = gbtCtesFrom(
+    """  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem""".stripMargin)
 
   val qGbtStumpsSql: String = {
     val out = (1 to gbtRounds).map { t =>

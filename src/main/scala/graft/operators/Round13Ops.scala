@@ -48,29 +48,37 @@ object Round13Ops {
     * plant and re-derives the corpus AUC from the emitted curve). */
   private[graft] def gbtEvalPipeline(rows: DataFrame): DataFrame = {
     val data = rows.persist()
-    // re-derive the trained model (in production: read the stored
-    // stump table); pivot the 3 stumps into one broadcastable row
-    val stumps = Round12Ops.gbtPipeline(data, Round12Ops.gbtRounds)
+    Round10bOps.rocAucPipeline(
+      gbtScore(data, gbtModelRow(data)).select(col("s"), col("y")))
+  }
+
+  /** The trained B91 model as ONE broadcastable row: F₀ plus each
+    * round's (threshold, leaf_left, leaf_right) — the deployable
+    * artifact every scorer (B93, B96, J18's holdout fit, G25's
+    * stream) broadcasts. Trains on exactly the rows given. */
+  private[graft] def gbtModelRow(trainRows: DataFrame): DataFrame = {
+    val stumps = Round12Ops.gbtPipeline(trainRows, Round12Ops.gbtRounds)
     val pivotCols = (1 to Round12Ops.gbtRounds).flatMap { t =>
       Seq(max(when(col("round") === t, col("threshold"))).as(s"thr$t"),
         max(when(col("round") === t, col("leaf_left"))).as(s"ll$t"),
         max(when(col("round") === t, col("leaf_right"))).as(s"lr$t"))
     }
-    val model = stumps.agg(pivotCols.head, pivotCols.tail: _*)
-      .localCheckpoint(true)
-    val f0 = data.agg((lit(1000000L) * sum(col("y"))).as("s0"),
+    val pivot = stumps.agg(pivotCols.head, pivotCols.tail: _*)
+    val f0 = trainRows.agg((lit(1000000L) * sum(col("y"))).as("s0"),
         count(lit(1)).as("n0"))
-      .select(expr("s0 div n0").as("f0")).localCheckpoint(true)
-    // additive application — features alternate q/dd/q as in training
-    val scored = data.crossJoin(broadcast(model)).crossJoin(broadcast(f0))
-      .select((col("f0")
+      .select(expr("s0 div n0").as("f0"))
+    pivot.crossJoin(f0).localCheckpoint(true)
+  }
+
+  /** Additive application of the broadcast model row — features
+    * alternate q/dd/q as in training; appends integer column `s`. */
+  private[graft] def gbtScore(rows: DataFrame, model: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(model))
+      .withColumn("s", col("f0")
         + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
         + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
         + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
-        .as("s"),
-        col("y"))
-    Round10bOps.rocAucPipeline(scored)
-  }
+      .drop(model.columns: _*)
 
   /** B88's exact-ROC SQL tail over a CTE named `scored(s, y)`. */
   private def rocSqlOver(scoredCte: String): String =
@@ -274,11 +282,232 @@ object Round13Ops {
        |${rocSqlOver("scored")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- B95
+  /** Exact precision-recall curve + Average Precision — the
+    * evaluation view ROC misrepresents under class imbalance (Davis &
+    * Goadrich 2006): per descending score threshold, precision =
+    * TP/(TP+FP) and recall = TP/P as exact ×10⁶ integer divisions,
+    * and AP is the step integral Σ (TP_i − TP_{i−1})·P_i — computed
+    * as integer products of the already-truncated precision, so the
+    * oracle replays the identical arithmetic. Score: l_discount cents
+    * predicting returnflag = 'R' (B88's scoring pair, so the two
+    * curves describe the same classifier). Collapse-first: the fact
+    * table reduces to |distinct scores| rows before any window. */
+  def qPrCurve(spark: SparkSession, sfDir: String): DataFrame =
+    prPipeline(Tables.lineitem(spark, sfDir).select(
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("s"),
+      (col("l_returnflag") === "R").cast("long").as("y")))
+
+  /** PR over arbitrary (s, y∈{0,1}) scored rows — the spec hook
+    * (`Round13Spec` plants a perfect ranker → AP = 10⁶ and pins the
+    * final point (recall 1, precision P/(P+N))). */
+  private[graft] def prPipeline(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ordered = Window.orderBy(col("s").desc)
+    scored.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("fp", sum(col("tot") - col("pos")).over(cum))
+      .withColumn("pp", sum(col("pos")).over(all))
+      .withColumn("prec_ppm",
+        expr("tp * 1000000 div greatest(tp + fp, 1)"))
+      .withColumn("tp0", coalesce(lag(col("tp"), 1).over(ordered), lit(0L)))
+      .withColumn("ap_num",
+        sum((col("tp") - col("tp0")) * col("prec_ppm")).over(all))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        col("prec_ppm"),
+        expr("tp * 1000000 div greatest(pp, 1)").as("recall_ppm"),
+        expr("ap_num div greatest(pp, 1)").as("ap_ppm"))
+  }
+
+  val qPrCurveSql: String =
+    """WITH prv AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS s,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(count(*) AS BIGINT) AS tot
+      |  FROM lineitem GROUP BY 1),
+      |prc AS (
+      |  SELECT s,
+      |    CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+      |    CAST(sum(tot - pos) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+      |    CAST(sum(pos) OVER () AS BIGINT) AS pp
+      |  FROM prv),
+      |prp AS (
+      |  SELECT s, tp, fp, pp,
+      |    tp * 1000000 // greatest(tp + fp, 1) AS prec_ppm,
+      |    coalesce(lag(tp, 1) OVER (ORDER BY s DESC), 0) AS tp0
+      |  FROM prc)
+      |SELECT s AS threshold, tp, fp, prec_ppm,
+      |  tp * 1000000 // greatest(pp, 1) AS recall_ppm,
+      |  CAST(sum((tp - tp0) * prec_ppm) OVER () AS BIGINT)
+      |    // greatest(pp, 1) AS ap_ppm
+      |FROM prp""".stripMargin
+
+  // ---------------------------------------------------------------- B96
+  /** Calibration (reliability) table for the trained B93 scorer — the
+    * third evaluation axis after ranking (ROC/PR): does the score
+    * MEAN what it says? The GBT score lives in label space (×10⁶ —
+    * F₀ plus residual-mean leaves), so per distinct score the table
+    * emits the prediction, the observed positive rate (exact ×10⁶
+    * div), the signed calibration gap, and the bin mass. The oracle
+    * re-derives the identical model and replays the grouping. */
+  def qCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+      .persist()
+    gbtScore(data, gbtModelRow(data))
+      .groupBy(col("s").as("score_ppm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .select(col("score_ppm"), col("n"),
+        expr("pos * 1000000 div n").as("observed_ppm"),
+        expr("score_ppm - pos * 1000000 div n").as("gap_ppm"))
+  }
+
+  val qCalibrationSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |scored AS (
+       |  SELECT (SELECT f0 FROM gf0)
+       |$terms AS s, y
+       |  FROM g0),
+       |cal AS (
+       |  SELECT s AS score_ppm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM scored GROUP BY 1)
+       |SELECT score_ppm, n,
+       |  pos * 1000000 // n AS observed_ppm,
+       |  score_ppm - pos * 1000000 // n AS gap_ppm
+       |FROM cal""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- J18
+  /** Holdout-split evaluation — the generalization measurement the
+    * training-corpus AUCs (B93/B94) cannot give: rows split 80/20 by
+    * a deterministic content hash (md5-h32("hold:" + rid) mod 5,
+    * fold 0 = test — the C22/B90 fold discipline, identical in both
+    * engines, and duplicate rows co-travel: a (orderkey, linenumber)
+    * collision lands in ONE side, never leaking train rows into
+    * test), the B91 model trains on the TRAIN split only, scores
+    * both splits, and the exact trapezoid AUC is computed PER SPLIT
+    * with split-partitioned windows — two rows out: train AUC, test
+    * AUC, and their class totals. The gap between them is the
+    * overfit measurement a training pipeline gates on.
+    *
+    * Scale: one linear split pass, the B91 training passes over 80%
+    * of the corpus, one broadcast-scoring pass, and windows over the
+    * |splits|×|distinct scores| collapsed relation. */
+  def sampleHoldoutEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.gf
+    val data = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("rid"))
+      .withColumn("split",
+        when(gf.h32(concat(lit("hold:"), col("rid"))) % 5 === 0,
+          lit("test")).otherwise(lit("train")))
+      .persist()
+    val model = gbtModelRow(
+      data.filter(col("split") === "train").select("q", "dd", "y"))
+    val scored = gbtScore(data, model).select("split", "s", "y")
+    val cum = Window.partitionBy(col("split")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("split")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ordered = Window.partitionBy(col("split")).orderBy(col("s").desc)
+    scored.groupBy(col("split"), col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("fp", sum(col("tot") - col("pos")).over(cum))
+      .withColumn("pp", sum(col("pos")).over(all))
+      .withColumn("nn", sum(col("tot") - col("pos")).over(all))
+      .withColumn("tp0", coalesce(lag(col("tp"), 1).over(ordered), lit(0L)))
+      .withColumn("fp0", coalesce(lag(col("fp"), 1).over(ordered), lit(0L)))
+      .withColumn("auc_num",
+        sum((col("tp") + col("tp0")) * (col("fp") - col("fp0"))).over(all))
+      .groupBy(col("split"))
+      .agg(max(col("pp")).as("pos"), max(col("nn")).as("neg"),
+        max(expr("auc_num * 1000000 div greatest(2 * pp * nn, 1)"))
+          .as("auc_ppm"))
+  }
+
+  val sampleHoldoutEvalSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    s"""WITH hraw AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN ('0x' || substr(md5('hold:'
+       |        || CAST(l_orderkey AS VARCHAR) || ':'
+       |        || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 5 = 0
+       |      THEN 'test' ELSE 'train' END AS split
+       |  FROM lineitem),
+       |${Round12Ops.gbtCtesFrom(
+           "  SELECT q, dd, y FROM hraw WHERE split = 'train'")},
+       |scored AS (
+       |  SELECT split, (SELECT f0 FROM gf0)
+       |$terms AS s, y
+       |  FROM hraw),
+       |hv AS (
+       |  SELECT split, s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS tot
+       |  FROM scored GROUP BY 1, 2),
+       |hc AS (
+       |  SELECT split, s,
+       |    CAST(sum(pos) OVER (PARTITION BY split ORDER BY s DESC)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY split ORDER BY s DESC)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER (PARTITION BY split) AS BIGINT) AS pp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY split) AS BIGINT) AS nn
+       |  FROM hv),
+       |hl AS (
+       |  SELECT split, tp, fp, pp, nn,
+       |    coalesce(lag(tp, 1) OVER (PARTITION BY split ORDER BY s DESC),
+       |      0) AS tp0,
+       |    coalesce(lag(fp, 1) OVER (PARTITION BY split ORDER BY s DESC),
+       |      0) AS fp0
+       |  FROM hc),
+       |ha AS (
+       |  SELECT split, pp, nn,
+       |    CAST(sum((tp + tp0) * (fp - fp0)) OVER (PARTITION BY split)
+       |      AS BIGINT) AS auc_num
+       |  FROM hl)
+       |SELECT split, max(pp) AS pos, max(nn) AS neg,
+       |  max(auc_num * 1000000 // greatest(2 * pp * nn, 1)) AS auc_ppm
+       |FROM ha GROUP BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gbt_eval" -> qGbtEval _,
-    "q_forest_eval" -> qForestEval _)
+    "q_forest_eval" -> qForestEval _,
+    "q_pr_curve" -> qPrCurve _,
+    "q_calibration" -> qCalibration _,
+    "sample_holdout_eval" -> sampleHoldoutEval _)
 
   val oracleSql: Map[String, String] = Map(
     "q_gbt_eval" -> qGbtEvalSql,
-    "q_forest_eval" -> qForestEvalSql)
+    "q_forest_eval" -> qForestEvalSql,
+    "q_pr_curve" -> qPrCurveSql,
+    "q_calibration" -> qCalibrationSql,
+    "sample_holdout_eval" -> sampleHoldoutEvalSql)
 }

@@ -1287,6 +1287,59 @@ object StreamingTwins {
   private val ivmdStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // --------------------------------------------------------------- G25
+  /** Streaming model scoring — the DEPLOYED side of the B93 story:
+    * the B91 model trains ONCE before the stream starts (the standing
+    * artifact a scoring service loads), and each micro-batch of
+    * arriving fact rows scores against the broadcast 1-row model via
+    * a stream-static equi-join — stateless, so the landed scores are
+    * slicing-invariant by construction. The post-stream evaluation
+    * over the accumulated sink equals the batch evaluation: the
+    * oracle IS B93's train+score+ROC SQL, so hash equality proves
+    * streamed scoring ≡ batch scoring end-to-end. */
+  def streamingModelScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Round10bOps, Round13Ops}
+    val data = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("key"),
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val stageDir = scoreStaged.computeIfAbsent(sfDir, { _ =>
+      val dir = Files.createTempDirectory("graft_stream_score").toString
+      (0 to 2).foreach { b =>
+        data.filter(pmod(col("key"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$dir/batch_$b")
+      }
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val d = new java.io.File(s"$dir/batch_$i")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      dir
+    })
+    // the standing model, trained before the stream starts
+    val model = Round13Ops.gbtModelRow(data.select("q", "dd", "y"))
+      .withColumn("one", lit(1))
+    val src = spark.readStream.schema(data.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
+    val scored = src.withColumn("one", lit(1))
+      .join(broadcast(model), "one")
+      .withColumn("s", col("f0")
+        + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
+        + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
+        + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
+      .select(col("s"), col("y"))
+    val landed = runToCompletion(scored, "append", "twin_model_score")
+    Round10bOps.rocAucPipeline(landed.select(col("s"), col("y")))
+  }
+
+  private val scoreStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The oracle is B93's — train + score + exact ROC in one batch. */
+  val streamingModelScoreSql: String =
+    graft.operators.Round13Ops.qGbtEvalSql
+
   /** The oracle is A35's — the full recompute over the NEW snapshot. */
   val streamingIvmDistinctSql: String =
     graft.operators.Round12bOps.warehouseIvmDistinctSql
@@ -1297,6 +1350,7 @@ object StreamingTwins {
   val streamingIvmSql: String = graft.operators.Round12Ops.warehouseIvmSql
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_model_score" -> streamingModelScore _,
     "streaming_ivm" -> streamingIvm _,
     "streaming_ivm_distinct" -> streamingIvmDistinct _,
     "streaming_weighted_quantiles" -> streamingWeightedQuantiles _,
@@ -1323,6 +1377,7 @@ object StreamingTwins {
     "streaming_hopping" -> streamingHopping _)
 
   def oracleSql: Map[String, String] = Map(
+    "streaming_model_score" -> streamingModelScoreSql,
     "streaming_ivm" -> streamingIvmSql,
     "streaming_ivm_distinct" -> streamingIvmDistinctSql,
     "streaming_weighted_quantiles" -> streamingWeightedQuantilesSql,

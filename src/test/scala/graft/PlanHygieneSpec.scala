@@ -73,7 +73,19 @@ class PlanHygieneSpec extends SparkSuite {
       + "the child-level windows partition by tree side"),
     "q_roc_auc" -> ("cumulative TP/FP, lag, and trapezoid-sum windows "
       + "over the per-score relation: |distinct scores| rows (11 — "
-      + "the same collapse-first discipline)"))
+      + "the same collapse-first discipline)"),
+    "q_gbt_eval" -> ("B88's ROC windows over the per-score relation "
+      + "(≤8 distinct scores — 2^3 stump outcomes) plus the training "
+      + "rounds' 1-row argmin and |distinct values| curves (B91's "
+      + "documented bounds)"),
+    "q_forest_eval" -> ("B88's ROC windows over the per-score relation "
+      + "(≤ leaf-combo sums, domain-bounded) plus the training levels' "
+      + "per-node curves — |trees·nodes × distinct values| rows "
+      + "(B90's documented bounds)"),
+    "q_pr_curve" -> ("cumulative TP/FP, lag, and AP-sum windows over "
+      + "the per-score relation: |distinct scores| rows (11 — the "
+      + "collapse-first discipline, B88's shape with the step "
+      + "integral)"))
   // streaming_coreset shares the same 65-row windows and ≤10-row
   // centroid crosses post-sink, but streaming twins are excluded from
   // the walk below (their plans embed a consumed memory sink), so the
@@ -113,6 +125,21 @@ class PlanHygieneSpec extends SparkSuite {
     "q_assoc_rules" -> ("crossJoin(broadcast(1-row basket-count "
       + "scalar)) for lift; the basket self-join itself is EQUI on "
       + "orderkey with the p<p guard as a residual conjunct"),
+    "q_gbt_eval" -> ("crossJoin(broadcast(1-row pivoted stump model)) "
+      + "+ crossJoin(broadcast(1-row F0)) — scoring is a fused "
+      + "projection over the facts; the training rounds' residual "
+      + "crossJoins are B91's documented 1-row stumps"),
+    "q_forest_eval" -> ("crossJoin(broadcast(1-row pivoted threshold "
+      + "model)) — per-tree leaf routing as pure column expressions; "
+      + "leaf-score lookups are EQUI broadcast joins on the leaf "
+      + "string"),
+    "q_calibration" -> ("crossJoin(broadcast(1-row pivoted stump "
+      + "model + 1-row F0)) — B93's scoring projection; the grouping "
+      + "after it is an ordinary shuffle on the ≤8 distinct scores"),
+    "sample_holdout_eval" -> ("crossJoin(broadcast(1-row pivoted "
+      + "stump model + 1-row F0)) — the holdout-trained scorer; the "
+      + "AUC windows are PARTITIONED by split, so only the model "
+      + "cross-join is non-equi"),
     // q_tree_depthk's level-1 curve window and argmin join fold the
     // constant root path (the B86 shapes), but each level's argmin is
     // eagerly localCheckpointed, so the walk sees only LogicalRDD

@@ -108,4 +108,79 @@ class Round13Spec extends SparkSuite {
     // the trained forest must beat a coin on its own training corpus
     assert(out.head._4 > 500000L, "forest failed to outrank chance")
   }
+
+  test("q_pr_curve: a perfect ranker has AP = 10^6 and precision 10^6 until recall 1; the final point is (recall 1, precision P/(P+N))") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    // scores separate perfectly: positives all outrank negatives
+    val rows = (1 to 100).map { i =>
+      val y = if (i <= 40) 1L else 0L
+      (if (y == 1) 100L + i else i.toLong, y)
+    }.toDF("s", "y")
+    val out = Round13Ops.prPipeline(rows)
+      .select("tp", "fp", "prec_ppm", "recall_ppm", "ap_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.forall(_._5 == 1000000L), "perfect ranker must have AP = 10^6")
+    // every all-positive prefix has precision 10^6
+    out.filter(_._2 == 0).foreach(r => assert(r._3 == 1000000L))
+    val last = out.maxBy(r => r._1 + r._2)
+    assert(last._4 == 1000000L, "the curve must reach recall 1")
+    assert(last._3 == 40L * 1000000L / 100L, "final precision must be P/(P+N)")
+  }
+
+  test("q_pr_curve: corpus recall is non-decreasing with descending threshold and AP is a precision-weighted mean of recall steps") {
+    import graft.operators.Round13Ops
+    val out = Round13Ops.qPrCurve(spark, sf)
+      .select("threshold", "tp", "fp", "prec_ppm", "recall_ppm", "ap_ppm")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(-_._1)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 <= b._5, "recall must be non-decreasing")
+    }
+    // re-derive AP from the emitted curve (the same integer identity)
+    val p = out.last._2
+    val walk = (0L +: out.map(_._2)).zip(out.map(t => (t._2, t._4)))
+    val ap = walk.map { case (tp0, (tp, prec)) =>
+      BigInt(tp - tp0) * BigInt(prec) }.sum / BigInt(p)
+    assert(ap.toLong == out.head._6,
+      "AP re-derivation diverged from the emitted ap_ppm")
+  }
+
+  test("q_calibration: corpus bins conserve mass and the gap identity holds on every row") {
+    import graft.operators.Round13Ops
+    val out = Round13Ops.qCalibration(spark, sf)
+      .select("score_ppm", "n", "observed_ppm", "gap_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // mass conservation: bin counts sum to the corpus
+    assert(out.map(_._2).sum == Tables.lineitem(spark, sf).count())
+    // the gap identity holds on every emitted row
+    out.foreach(r => assert(r._4 == r._1 - r._3))
+  }
+
+  test("sample_holdout_eval: exactly train+test rows; the split is deterministic and ~20% test; a separable relation generalizes perfectly") {
+    import graft.operators.Round13Ops
+    val out = Round13Ops.sampleHoldoutEval(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("train", "test"))
+    val (trainN, testN) =
+      (out("train")._1 + out("train")._2, out("test")._1 + out("test")._2)
+    assert(trainN + testN == Tables.lineitem(spark, sf).count())
+    // hash split lands near 20% (loose band — it's a hash, not a quota)
+    val frac = testN.toDouble / (trainN + testN)
+    assert(frac > 0.15 && frac < 0.25, s"test fraction drifted: $frac")
+    // both AUCs are valid probabilities in ppm
+    out.values.foreach(v => assert(v._3 >= 0L && v._3 <= 1000000L))
+  }
+
+  test("streaming_model_score: scoring on the stream lands the same evaluation as the batch scorer") {
+    import graft.streaming.StreamingTwins
+    import graft.operators.Round13Ops
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(StreamingTwins.streamingModelScore(spark, sf))
+      == rows(Round13Ops.qGbtEval(spark, sf)),
+      "streamed scoring diverged from the batch evaluation")
+  }
 }
