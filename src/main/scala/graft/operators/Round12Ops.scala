@@ -366,6 +366,8 @@ object Round12Ops {
         expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
         (col("l_returnflag") === "R").cast("long").as("y")),
       treeDepth)
+      .select(col("level"), col("node"), col("feature"),
+        col("threshold"), col("gini"))
 
   private[graft] val treeDepth = 4
 
@@ -404,7 +406,11 @@ object Round12Ops {
         .withColumn("pp", sum(col("p")).over(all))
         .withColumn("nn", sum(col("t")).over(all))
         .filter(col("tl") < col("nn"))
-        .select(col("node"), col("v"), Round10bOps.giniCol().as("gini"))
+        // pp/nn ride along (round 13): the node's class totals let
+        // B97 derive parent impurity and split gain without another
+        // fact pass; existing consumers project them away
+        .select(col("node"), col("v"), Round10bOps.giniCol().as("gini"),
+          col("pp"), col("nn"))
     }
     def argmin(df: DataFrame): DataFrame = {
       val best = Window.partitionBy(col("node"))
@@ -435,7 +441,7 @@ object Round12Ops {
       }
       sel.select(lit(lvl.toLong).as("level"), col("node"),
         lit(featName(lvl)).as("feature"), col("v").as("threshold"),
-        col("gini"))
+        col("gini"), col("pp"), col("nn"))
     }
     levels.reduce(_ unionByName _)
   }
@@ -470,10 +476,12 @@ object Round12Ops {
          |    CAST(sum(t) OVER (PARTITION BY node) AS BIGINT) AS nn
          |  FROM ${pfx}cv$l),
          |${pfx}cg$l AS (
-         |  SELECT node, v, $g AS gini FROM ${pfx}cc$l WHERE tl < nn),
+         |  SELECT node, v, $g AS gini, pp, nn
+         |  FROM ${pfx}cc$l WHERE tl < nn),
          |${pfx}sel$l AS MATERIALIZED (
-         |  SELECT node, v, gini FROM (
-         |    SELECT node, v, gini, row_number() OVER (PARTITION BY node
+         |  SELECT node, v, gini, pp, nn FROM (
+         |    SELECT node, v, gini, pp, nn,
+         |      row_number() OVER (PARTITION BY node
          |      ORDER BY gini, v) AS rn
          |    FROM ${pfx}cg$l) WHERE rn = 1)""".stripMargin + assign
     }
@@ -543,14 +551,20 @@ object Round12Ops {
         .select(lit(s"t${t}r").as("node"), col("q"), col("dd"), col("y"))
     }.reduce(_ unionByName _)
 
-  private[graft] def forestPipeline(labeled: DataFrame, trees: Int,
+  /** The forest's per-level argmin relation WITH the nodes' class
+    * totals (pp, nn) — B97's substrate (parent impurity and split
+    * gain derive from them with no extra fact pass). */
+  private[graft] def forestLevelsFull(labeled: DataFrame, trees: Int,
       depth: Int): DataFrame = {
     val data = labeled.persist()
-    val assigned = forestBags(data, trees)
-    levelLoop(assigned, depth)
+    levelLoop(forestBags(data, trees), depth)
+  }
+
+  private[graft] def forestPipeline(labeled: DataFrame, trees: Int,
+      depth: Int): DataFrame =
+    forestLevelsFull(labeled, trees, depth)
       .select(substring(col("node"), 1, 2).as("tree"), col("level"),
         col("node"), col("feature"), col("threshold"), col("gini"))
-  }
 
   /** The forest-training CTE chain (base + bagged assignment + level
     * unroll ending in `fksel1`/`fksel2`), WITHOUT the final SELECT —

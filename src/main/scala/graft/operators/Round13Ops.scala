@@ -157,7 +157,22 @@ object Round13Ops {
   private[graft] def forestEvalPipeline(spark: SparkSession,
       rows: DataFrame): DataFrame = {
     val trees = Round12Ops.forestTrees
-    val data = rows.persist()
+    val scored = forestRowScores(rows.persist()).select(
+      expr((0 until trees).map(t => s"ls_$t")
+        .mkString("(", " + ", s") div $trees")).as("s"),
+      col("y"))
+    Round10bOps.rocAucPipeline(scored)
+  }
+
+  /** The shared forest-scoring substrate (B94/B98): train the B90
+    * model on `data`'s bags, derive per-tree leaf scores from each
+    * tree's OWN bag, and append per-tree score columns `ls_0..ls_3`
+    * (0 when a leaf has no bag rows) to every input row — ONE linear
+    * pass, the model pivoted to one broadcast row, leaf routing as
+    * pure column expressions, leaf-score lookups as equi broadcast
+    * joins. */
+  private[graft] def forestRowScores(data: DataFrame): DataFrame = {
+    val trees = Round12Ops.forestTrees
     // the trained model (in production: the stored split table)
     val model = Round12Ops.forestPipeline(data,
         trees, Round12Ops.forestDepth)
@@ -196,18 +211,16 @@ object Round13Ops {
         .as(s"leaf_$t")
     }
     val withLeaves = data.crossJoin(broadcast(pivot))
-      .select(col("y") +: (0 until trees).map(leaf): _*)
+      .select(data.columns.map(col) ++ (0 until trees).map(leaf): _*)
     // per-tree leaf-score lookups — 4 broadcast joins, still no shuffle
     val joined = (0 until trees).foldLeft(withLeaves) { (df, t) =>
       df.join(broadcast(leafScores
           .select(col("node").as(s"leaf_$t"), col("ls").as(s"ls_$t"))),
         Seq(s"leaf_$t"), "left")
     }
-    val scored = joined.select(
-      expr((0 until trees).map(t => s"coalesce(ls_$t, 0)")
-        .mkString("(", " + ", s") div $trees")).as("s"),
-      col("y"))
-    Round10bOps.rocAucPipeline(scored)
+    joined.select(data.columns.map(col)
+      ++ (0 until trees).map(t =>
+        coalesce(col(s"ls_$t"), lit(0L)).as(s"ls_$t")): _*)
   }
 
   /** Route (node, q, dd, y, …) rows through the trained per-level
@@ -497,17 +510,186 @@ object Round13Ops {
        |FROM ha GROUP BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- B97
+  /** Forest feature importances — the model-interpretation view
+    * (Breiman 2001 §10): per (tree, feature), the impurity DECREASE
+    * its splits bought, node-weighted. The level loop's per-node
+    * argmin relation now carries the node's class totals (pp, nn), so
+    * parent impurity G(pp, nn) and split gain derive with NO extra
+    * fact pass; gains convert to exact ×10⁶ integers (round of a
+    * bit-identical double — the B84 discipline) and the node-weighted
+    * sum is integer arithmetic: importance = Σ nn·gain_ppm div
+    * n_tree. With depth 2 and alternating features, level-1 rows are
+    * l_quantity splits and level-2 rows l_discount_cents — so the
+    * table answers "which feature carried each tree". */
+  def qFeatureImportance(spark: SparkSession, sfDir: String): DataFrame =
+    featureImportancePipeline(Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("rid")))
+
+  /** Importances over arbitrary (q, dd, y, rid) rows — the spec hook
+    * (`Round13Spec` pins: a feature that fully determines the label
+    * takes ~all of its tree's importance; importances are
+    * non-negative). */
+  private[graft] def featureImportancePipeline(rows: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val sel = Round12Ops.forestLevelsFull(rows.persist(),
+      Round12Ops.forestTrees, Round12Ops.forestDepth)
+    val withGain = sel
+      .withColumn("tree", substring(col("node"), 1, 2))
+      .withColumn("parent_gini",
+        round((d(col("nn")) - (d(col("pp")) * d(col("pp"))
+          + d(col("nn") - col("pp")) * d(col("nn") - col("pp")))
+          / d(col("nn"))) / d(col("nn")), 6))
+      .withColumn("gain_ppm",
+        expr("CAST(round((parent_gini - gini) * 1000000) AS BIGINT)"))
+    val nTree = withGain.filter(col("level") === 1)
+      .select(col("tree"), col("nn").as("n_tree"))
+    withGain.groupBy(col("tree"), col("feature"))
+      .agg(sum(col("nn") * col("gain_ppm")).as("wsum"))
+      .join(broadcast(nTree), "tree")
+      .select(col("tree"), col("feature"),
+        expr("wsum div n_tree").as("importance_ppm"))
+  }
+
+  val qFeatureImportanceSql: String = {
+    val pg =
+      """round((CAST(nn AS DOUBLE)
+        |      - (CAST(pp AS DOUBLE) * CAST(pp AS DOUBLE)
+        |         + CAST(nn - pp AS DOUBLE) * CAST(nn - pp AS DOUBLE))
+        |        / CAST(nn AS DOUBLE)) / CAST(nn AS DOUBLE), 6)""".stripMargin
+    s"""WITH ${Round12Ops.forestCtes},
+       |imp0 AS (
+       |  SELECT substr(node, 1, 2) AS tree, 'l_quantity' AS feature,
+       |    pp, nn, gini
+       |  FROM fksel1
+       |  UNION ALL
+       |  SELECT substr(node, 1, 2), 'l_discount_cents', pp, nn, gini
+       |  FROM fksel2),
+       |impg AS (
+       |  SELECT tree, feature, nn,
+       |    CAST(round(($pg - gini) * 1000000) AS BIGINT) AS gain_ppm
+       |  FROM imp0),
+       |nt AS (SELECT substr(node, 1, 2) AS tree, nn AS n_tree FROM fksel1)
+       |SELECT tree, feature,
+       |  CAST(sum(nn * gain_ppm) AS BIGINT) // n_tree AS importance_ppm
+       |FROM impg JOIN nt USING (tree)
+       |GROUP BY tree, feature, n_tree""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- B98
+  /** Out-of-bag evaluation (Breiman 1996) — the validation estimate a
+    * bagged ensemble gives FOR FREE: each row is scored only by the
+    * trees whose bag it is NOT in (the same md5-h32 flags the bagging
+    * used, complemented), s = Σ oob leaf scores div |oob trees|, rows
+    * in every bag drop (no unbiased scorer exists for them —
+    * (3/4)⁴ ≈ 32% here), and the exact trapezoid ROC/AUC runs over
+    * the survivors. Unlike J18's holdout this consumes the WHOLE
+    * corpus for training and still yields an out-of-sample estimate.
+    * Same zero-corpus-shuffle scoring shape as B94. */
+  def qOobEval(spark: SparkSession, sfDir: String): DataFrame =
+    oobEvalPipeline(Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("rid")))
+
+  /** OOB evaluation over arbitrary (q, dd, y, rid) rows — the spec
+    * hook. */
+  private[graft] def oobEvalPipeline(rows: DataFrame): DataFrame = {
+    import graft.functions.gf
+    val trees = Round12Ops.forestTrees
+    val withOob = (0 until trees).foldLeft(forestRowScores(rows.persist())) {
+      (df, t) => df.withColumn(s"oob_$t",
+        (gf.h32(concat(lit(s"frst:$t:"), col("rid"))) % trees === 0)
+          .cast("long"))
+    }
+    val scored = withOob
+      .withColumn("oobsum", expr((0 until trees)
+        .map(t => s"ls_$t * oob_$t").mkString(" + ")))
+      .withColumn("oobcnt", expr((0 until trees)
+        .map(t => s"oob_$t").mkString(" + ")))
+      .filter(col("oobcnt") > 0)
+      .select(expr("oobsum div oobcnt").as("s"), col("y"))
+    Round10bOps.rocAucPipeline(scored)
+  }
+
+  val qOobEvalSql: String = {
+    val trees = Round12Ops.forestTrees
+    val pivotCols = (0 until trees).flatMap { t =>
+      Seq(s"max(CASE WHEN node = 't${t}r' THEN v END) AS thr_$t",
+        s"max(CASE WHEN node = 't${t}rL' THEN v END) AS thrL_$t",
+        s"max(CASE WHEN node = 't${t}rR' THEN v END) AS thrR_$t")
+    }.mkString(",\n    ")
+    def leaf(t: Int) =
+      s"""CASE WHEN p.thr_$t IS NULL THEN 't${t}r'
+         |    WHEN e.q <= p.thr_$t THEN
+         |      CASE WHEN p.thrL_$t IS NULL THEN 't${t}rL'
+         |           WHEN e.dd <= p.thrL_$t THEN 't${t}rLL'
+         |           ELSE 't${t}rLR' END
+         |    ELSE
+         |      CASE WHEN p.thrR_$t IS NULL THEN 't${t}rR'
+         |           WHEN e.dd <= p.thrR_$t THEN 't${t}rRL'
+         |           ELSE 't${t}rRR' END END AS leaf_$t""".stripMargin
+    def oob(t: Int) =
+      s"""CASE WHEN ('0x' || substr(md5('frst:$t:' || e.rid), 1, 8))::BIGINT
+         |  % $trees = 0 THEN 1 ELSE 0 END AS oob_$t""".stripMargin
+    val leafJoins = (0 until trees)
+      .map(t => s"LEFT JOIN ls l$t ON l$t.node = e.leaf_$t")
+      .mkString("\n  ")
+    val oobSum = (0 until trees)
+      .map(t => s"coalesce(l$t.ls, 0) * e.oob_$t").mkString(" + ")
+    val oobCnt = (0 until trees).map(t => s"e.oob_$t").mkString(" + ")
+    s"""WITH ${Round12Ops.forestCtes},
+       |bg1 AS (
+       |  SELECT CASE WHEN s.v IS NULL THEN b.node
+       |    ELSE b.node || CASE WHEN b.q <= s.v THEN 'L' ELSE 'R' END
+       |    END AS node, b.dd, b.y
+       |  FROM fk0 b LEFT JOIN fksel1 s ON s.node = b.node),
+       |bg2 AS (
+       |  SELECT CASE WHEN s.v IS NULL THEN b.node
+       |    ELSE b.node || CASE WHEN b.dd <= s.v THEN 'L' ELSE 'R' END
+       |    END AS node, b.y
+       |  FROM bg1 b LEFT JOIN fksel2 s ON s.node = b.node),
+       |ls AS MATERIALIZED (
+       |  SELECT node, 1000000 * CAST(sum(y) AS BIGINT) // count(*) AS ls
+       |  FROM bg2 GROUP BY 1),
+       |pv AS MATERIALIZED (
+       |  SELECT $pivotCols
+       |  FROM (SELECT node, v FROM fksel1
+       |        UNION ALL SELECT node, v FROM fksel2)),
+       |ev AS (
+       |  SELECT e.y, e.rid,
+       |${(0 until trees).map(leaf).mkString(",\n")},
+       |${(0 until trees).map(oob).mkString(",\n")}
+       |  FROM fraw e, pv p),
+       |scored AS MATERIALIZED (
+       |  SELECT CAST($oobSum AS BIGINT) // ($oobCnt) AS s, e.y
+       |  FROM ev e
+       |  $leafJoins
+       |  WHERE $oobCnt > 0),
+       |${rocSqlOver("scored")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gbt_eval" -> qGbtEval _,
     "q_forest_eval" -> qForestEval _,
     "q_pr_curve" -> qPrCurve _,
     "q_calibration" -> qCalibration _,
-    "sample_holdout_eval" -> sampleHoldoutEval _)
+    "sample_holdout_eval" -> sampleHoldoutEval _,
+    "q_feature_importance" -> qFeatureImportance _,
+    "q_oob_eval" -> qOobEval _)
 
   val oracleSql: Map[String, String] = Map(
     "q_gbt_eval" -> qGbtEvalSql,
     "q_forest_eval" -> qForestEvalSql,
     "q_pr_curve" -> qPrCurveSql,
     "q_calibration" -> qCalibrationSql,
-    "sample_holdout_eval" -> sampleHoldoutEvalSql)
+    "sample_holdout_eval" -> sampleHoldoutEvalSql,
+    "q_feature_importance" -> qFeatureImportanceSql,
+    "q_oob_eval" -> qOobEvalSql)
 }

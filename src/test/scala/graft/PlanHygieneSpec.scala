@@ -85,7 +85,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q_pr_curve" -> ("cumulative TP/FP, lag, and AP-sum windows over "
       + "the per-score relation: |distinct scores| rows (11 — the "
       + "collapse-first discipline, B88's shape with the step "
-      + "integral)"))
+      + "integral)"),
+    "q_oob_eval" -> ("B88's ROC windows over the per-score relation "
+      + "(≤ |oob leaf-combo ratios|, domain-bounded) plus B90's "
+      + "training-level windows — the B94 shape with per-row OOB "
+      + "denominators"))
   // streaming_coreset shares the same 65-row windows and ≤10-row
   // centroid crosses post-sink, but streaming twins are excluded from
   // the walk below (their plans embed a consumed memory sink), so the
@@ -140,6 +144,9 @@ class PlanHygieneSpec extends SparkSuite {
       + "stump model + 1-row F0)) — the holdout-trained scorer; the "
       + "AUC windows are PARTITIONED by split, so only the model "
       + "cross-join is non-equi"),
+    "q_oob_eval" -> ("crossJoin(broadcast(1-row pivoted threshold "
+      + "model)) — B94's routing shape; OOB flags are per-row hash "
+      + "columns and leaf-score lookups are EQUI broadcast joins"),
     // q_tree_depthk's level-1 curve window and argmin join fold the
     // constant root path (the B86 shapes), but each level's argmin is
     // eagerly localCheckpointed, so the walk sees only LogicalRDD

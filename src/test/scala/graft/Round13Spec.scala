@@ -175,6 +175,55 @@ class Round13Spec extends SparkSuite {
     out.values.foreach(v => assert(v._3 >= 0L && v._3 <= 1000000L))
   }
 
+  test("q_feature_importance: a label-determining feature takes its tree's whole importance; importances are non-negative; corpus rows cover every (tree, feature) that split") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    // y is a pure function of q; dd is noise — level-1 (q) splits buy
+    // all the impurity decrease, level-2 (dd) splits buy none beyond
+    // what pure nodes allow (gain 0 on pure children)
+    val rows = (1 to 200).map { i =>
+      val q = (i % 10 + 1).toLong
+      (q, (i % 7).toLong, if (q <= 5) 1L else 0L, s"r$i")
+    }.toDF("q", "dd", "y", "rid")
+    val out = Round13Ops.featureImportancePipeline(rows).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    out.values.foreach(v => assert(v >= 0L, "negative importance"))
+    (0 until 4).foreach { t =>
+      val qImp = out.getOrElse((s"t$t", "l_quantity"), 0L)
+      val dImp = out.getOrElse((s"t$t", "l_discount_cents"), 0L)
+      assert(qImp > 0L, s"tree $t: the label-determining feature got 0")
+      assert(dImp <= qImp / 100L,
+        s"tree $t: noise feature importance $dImp not dwarfed by $qImp")
+    }
+    // corpus: non-negative and present for whatever split
+    val corpus = Round13Ops.qFeatureImportance(spark, sf).collect()
+      .map(r => r.getLong(2))
+    assert(corpus.nonEmpty && corpus.forall(_ >= 0L))
+  }
+
+  test("q_oob_eval: separable plant scores OOB AUC = 10^6; only out-of-bag-somewhere rows are scored") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    import graft.functions.gf
+    val rows = (1 to 200).map { i =>
+      val q = (i % 16 + 1).toLong
+      (q, (i % 5).toLong, if (q <= 8) 1L else 0L, s"r$i")
+    }.toDF("q", "dd", "y", "rid")
+    val out = rocRows(Round13Ops.oobEvalPipeline(rows))
+    assert(out.forall(_._4 == 1000000L),
+      s"separable plant must give OOB AUC = 10^6, got ${out.map(_._4).head}")
+    // the curve endpoint counts exactly the rows that are OOB for at
+    // least one tree (independently recomputed)
+    val oobRows = rows.withColumn("oobcnt",
+      (0 until 4).map(t =>
+        (gf.h32(concat(lit(s"frst:$t:"), col("rid"))) % 4 === 0)
+          .cast("long")).reduce(_ + _))
+      .filter(col("oobcnt") > 0).count()
+    assert(out.last._2 + out.last._3 == oobRows,
+      "scored-row count must equal the OOB-somewhere count")
+    assert(oobRows < 200L, "some row should be in every bag (dropped)")
+  }
+
   test("streaming_model_score: scoring on the stream lands the same evaluation as the batch scorer") {
     import graft.streaming.StreamingTwins
     import graft.operators.Round13Ops
