@@ -177,14 +177,19 @@ object Round12Ops {
     * until publish. */
   private[graft] def ivmStage(tbl: SnapshotTable,
       batch: DataFrame): SnapshotTable#StagedMerge = {
+    // keys and the maintained relation are each consumed by several
+    // downstream jobs (touched semi join, delete anti-join, the
+    // touched-bucket plan, the staged write) — eager checkpoints so
+    // the maintenance computes ONCE per commit, not per consumer
     val keys = batch.filter(col("old_st").isNotNull)
         .select(concat_ws("|", col("old_st"), col("old_prio")).as("k"))
       .unionByName(batch.filter(col("new_st").isNotNull)
         .select(concat_ws("|", col("new_st"), col("new_prio")).as("k")))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val touched = tbl.read().join(broadcast(keys), Seq("k"), "left_semi")
       .select(col("st"), col("prio"), col("n_orders"), col("total"))
     val upserts = ivmWithKey(ivmMaintain(touched, batch))
+      .localCheckpoint(true)
     val deletes = keys.join(upserts.select(col("k")), Seq("k"), "left_anti")
     tbl.stageMerge(upserts, Some(deletes))
   }
@@ -194,22 +199,27 @@ object Round12Ops {
     * invariant a double-applied or dropped batch breaks; `ivmMaintain`
     * silently floors vanished groups, so only a whole-table audit can
     * see the violation), then publish. On audit failure the stage is
-    * aborted — the current snapshot never exposes the bad batch. */
+    * aborted — the current snapshot never exposes the bad batch.
+    * `knownPre` lets a chained caller (the G23 stream) carry the
+    * running total instead of re-reading the table per epoch; returns
+    * the audited post total for that chaining. */
   private[graft] def ivmSnapshotStep(tbl: SnapshotTable,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, knownPre: Option[Long] = None): Long = {
     val staged = ivmStage(tbl, batch)
-    val pre = tbl.read()
-      .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0)
+    val pre = knownPre.getOrElse(tbl.read()
+      .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0))
     val post = staged.read()
       .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0)
-    val asserts = batch.filter(col("new_st").isNotNull).count()
-    val retracts = batch.filter(col("old_st").isNotNull).count()
+    val cnts = batch.agg(
+      count(when(col("new_st").isNotNull, lit(1))),
+      count(when(col("old_st").isNotNull, lit(1)))).first()
+    val (asserts, retracts) = (cnts.getLong(0), cnts.getLong(1))
     if (post != pre + asserts - retracts) {
       staged.abort()
       sys.error(s"ivm audit failed: expected ${pre + asserts - retracts} " +
         s"rows in the maintained view, staged table has $post — batch " +
         "rejected, current snapshot unchanged")
-    } else staged.publish()
+    } else { staged.publish(); post }
   }
 
   val warehouseIvmSql: String =

@@ -135,35 +135,42 @@ object Round12bOps {
     * 0 become deletes. */
   private[graft] def ivmdStage(tbl: SnapshotTable,
       batch: DataFrame): SnapshotTable#StagedMerge = {
+    // eager checkpoints: the maintenance computes ONCE per commit
+    // (the A33 step's discipline — see Round12Ops.ivmStage)
     val keys = batch.filter(col("old_st").isNotNull)
         .select(concat_ws("|", col("old_st"), col("old_cust")).as("k"))
       .unionByName(batch.filter(col("new_st").isNotNull)
         .select(concat_ws("|", col("new_st"), col("new_cust")).as("k")))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val touched = tbl.read().join(broadcast(keys), Seq("k"), "left_semi")
       .select(col("st"), col("cust"), col("cnt"))
     val upserts = ivmdWithKey(ivmdMaintain(touched, batch))
+      .localCheckpoint(true)
     val deletes = keys.join(upserts.select(col("k")), Seq("k"), "left_anti")
     tbl.stageMerge(upserts, Some(deletes))
   }
 
   /** WAP commit of one support batch — stage, audit exact support-mass
-    * conservation on the would-be table, publish or abort. */
+    * conservation on the would-be table, publish or abort. `knownPre`
+    * lets the G24 stream carry the running total across epochs;
+    * returns the audited post total. */
   private[graft] def ivmdSnapshotStep(tbl: SnapshotTable,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, knownPre: Option[Long] = None): Long = {
     val staged = ivmdStage(tbl, batch)
-    val pre = tbl.read()
-      .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+    val pre = knownPre.getOrElse(tbl.read()
+      .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0))
     val post = staged.read()
       .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
-    val asserts = batch.filter(col("new_st").isNotNull).count()
-    val retracts = batch.filter(col("old_st").isNotNull).count()
+    val cnts = batch.agg(
+      count(when(col("new_st").isNotNull, lit(1))),
+      count(when(col("old_st").isNotNull, lit(1)))).first()
+    val (asserts, retracts) = (cnts.getLong(0), cnts.getLong(1))
     if (post != pre + asserts - retracts) {
       staged.abort()
       sys.error(s"ivm-distinct audit failed: expected " +
         s"${pre + asserts - retracts} total support mass, staged table " +
         s"has $post — batch rejected, current snapshot unchanged")
-    } else staged.publish()
+    } else { staged.publish(); post }
   }
 
   val warehouseIvmDistinctSql: String =

@@ -1212,13 +1212,18 @@ object StreamingTwins {
       .create(Round12Ops.ivmWithKey(Round12Ops.ivmState(old)))
     val src = spark.readStream.schema(deltaSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
+    // the audit's pre-commit total carries across epochs (seeded from
+    // the created table once) — foreachBatch runs serially
+    var runningTotal = Round12Ops.ivmTable(spark, tableDir).read()
+      .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0)
     val q = src.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // one WAP-gated maintenance commit per micro-batch; the table
         // handle is stateless (all state is manifest files), so each
         // batch binds it to its own micro-batch session
-        Round12Ops.ivmSnapshotStep(
-          Round12Ops.ivmTable(batch.sparkSession, tableDir), batch)
+        runningTotal = Round12Ops.ivmSnapshotStep(
+          Round12Ops.ivmTable(batch.sparkSession, tableDir), batch,
+          Some(runningTotal))
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -1273,10 +1278,13 @@ object StreamingTwins {
       .create(Round12bOps.ivmdWithKey(Round12bOps.ivmdSupport(old)))
     val src = spark.readStream.schema(deltaSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
+    var runningTotal = Round12bOps.ivmdTable(spark, tableDir).read()
+      .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
     val q = src.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Round12bOps.ivmdSnapshotStep(
-          Round12bOps.ivmdTable(batch.sparkSession, tableDir), batch)
+        runningTotal = Round12bOps.ivmdSnapshotStep(
+          Round12bOps.ivmdTable(batch.sparkSession, tableDir), batch,
+          Some(runningTotal))
       }
       .start()
     try q.processAllAvailable() finally q.stop()
