@@ -533,6 +533,29 @@ object ScaleProbe {
           spark.read.parquet(s"$sfDir/orders.parquet"), n,
           Seq("o_orderkey"), 10000000L),
         spark.read.parquet(s"$sfDir/orders.parquet")),
+      // B94 forest evaluation: training is the domain-bounded level
+      // loop; scoring is one linear pass with everything broadcast
+      // and the first shuffle is the |distinct scores| collapse —
+      // cost should track the two linear passes
+      ("forest_eval",
+        (d: DataFrame) => time(operators.Round13Ops.forestEvalPipeline(
+          spark,
+          d.select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+            (col("l_returnflag") === lit("R")).cast("long").as("y"),
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string")).as("rid"))).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B98 OOB evaluation: the B94 shape plus per-row hash flags —
+      // same expected scaling
+      ("oob_eval",
+        (d: DataFrame) => time(operators.Round13Ops.oobEvalPipeline(
+          d.select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+            (col("l_returnflag") === lit("R")).cast("long").as("y"),
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string")).as("rid"))).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       // A33 IVM over the A20b BUCKETED snapshot layout (round-12
       // judge item #5): the bucketed write is the standing storage —
       // paid at ingest, outside the timed region — and the delta's

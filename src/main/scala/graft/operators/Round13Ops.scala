@@ -675,7 +675,94 @@ object Round13Ops {
        |${rocSqlOver("scored")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- B99
+  /** Operating-point selection + confusion matrix — the DECISION step
+    * after the curves: pick the score threshold maximizing Youden's J
+    * (TPR − FPR, the distance above the chance diagonal) EXACTLY —
+    * J's sign-stable integer form tp·nn − fp·pp avoids any division —
+    * and emit the confusion matrix (TP/FP/FN/TN) plus
+    * precision/recall/F1 in exact ×10⁶ integers at that threshold.
+    * One row out: the deployable decision rule with its quality
+    * certificate. Scores are B93's GBT scores, so the whole
+    * train → score → choose-threshold → report chain is exact and the
+    * oracle replays it bit-for-bit. */
+  def qConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    confusionPipeline(Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y")))
+
+  /** Threshold choice + confusion over arbitrary (q, dd, y) rows —
+    * the spec hook (`Round13Spec` pins a separable plant: J = 10⁶,
+    * zero off-diagonal mass, F1 = 10⁶). */
+  private[graft] def confusionPipeline(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val data = rows.persist()
+    val scored = gbtScore(data, gbtModelRow(data)).select(col("s"), col("y"))
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val best = Window.orderBy(col("j_num").desc, col("s").desc)
+    scored.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("fp", sum(col("tot") - col("pos")).over(cum))
+      .withColumn("pp", sum(col("pos")).over(all))
+      .withColumn("nn", sum(col("tot") - col("pos")).over(all))
+      // J = TPR − FPR, exactly: (tp·nn − fp·pp) / (pp·nn) — the
+      // numerator alone ranks (the denominator is constant)
+      .withColumn("j_num", col("tp") * col("nn") - col("fp") * col("pp"))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        (col("pp") - col("tp")).as("fn"), (col("nn") - col("fp")).as("tn"),
+        expr("tp * 1000000 div greatest(tp + fp, 1)").as("precision_ppm"),
+        expr("tp * 1000000 div greatest(pp, 1)").as("recall_ppm"),
+        expr("2 * tp * 1000000 div greatest(2 * tp + fp + (pp - tp), 1)")
+          .as("f1_ppm"),
+        expr("j_num * 1000000 div greatest(pp * nn, 1)").as("youden_ppm"))
+  }
+
+  val qConfusionSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |scored AS (
+       |  SELECT (SELECT f0 FROM gf0)
+       |$terms AS s, y
+       |  FROM g0),
+       |cfv AS (
+       |  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS tot
+       |  FROM scored GROUP BY 1),
+       |cfc AS (
+       |  SELECT s,
+       |    CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+       |    CAST(sum(tot - pos) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER () AS BIGINT) AS pp,
+       |    CAST(sum(tot - pos) OVER () AS BIGINT) AS nn
+       |  FROM cfv),
+       |cfj AS (
+       |  SELECT s, tp, fp, pp, nn, tp * nn - fp * pp AS j_num,
+       |    row_number() OVER (ORDER BY tp * nn - fp * pp DESC, s DESC)
+       |      AS rn
+       |  FROM cfc)
+       |SELECT s AS threshold, tp, fp, pp - tp AS fn, nn - fp AS tn,
+       |  tp * 1000000 // greatest(tp + fp, 1) AS precision_ppm,
+       |  tp * 1000000 // greatest(pp, 1) AS recall_ppm,
+       |  2 * tp * 1000000 // greatest(2 * tp + fp + (pp - tp), 1)
+       |    AS f1_ppm,
+       |  j_num * 1000000 // greatest(pp * nn, 1) AS youden_ppm
+       |FROM cfj WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_confusion" -> qConfusion _,
     "q_gbt_eval" -> qGbtEval _,
     "q_forest_eval" -> qForestEval _,
     "q_pr_curve" -> qPrCurve _,
@@ -685,6 +772,7 @@ object Round13Ops {
     "q_oob_eval" -> qOobEval _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_confusion" -> qConfusionSql,
     "q_gbt_eval" -> qGbtEvalSql,
     "q_forest_eval" -> qForestEvalSql,
     "q_pr_curve" -> qPrCurveSql,

@@ -194,9 +194,14 @@ final class SnapshotTable(
     }
     val upserted = standing match {
       case Some(s) =>
+        // allowMissingColumns = schema evolution (H23): an update
+        // batch may carry NEW columns — carried standing rows null-
+        // fill them, and untouched buckets' files stay as-is (the
+        // merged-schema read reconciles, the A30 discipline applied
+        // to the table format)
         updates.unionByName(
-          s.join(batchKeys, Seq(keyCol), "left_anti")
-            .select(updates.columns.map(col): _*))
+          s.join(batchKeys, Seq(keyCol), "left_anti"),
+          allowMissingColumns = true)
       case None => updates
     }
     (touched, upserted)
@@ -292,8 +297,13 @@ final class SnapshotTable(
   def compact(): Unit = {
     val cur = refs
     require(cur.nonEmpty, s"snapshot table $path not created")
-    val all = spark.read.parquet(cur.values.toSeq.map(d => s"$path/$d"): _*)
-    commitManifest(writeData(all, version + 1))
+    // the merged-schema read (readRefsDf), NOT a plain parquet read:
+    // after a widening merge (H23) the live refs mix pre- and
+    // post-widening files, and a plain read would infer the narrow
+    // schema from an arbitrary footer and silently DROP the widened
+    // column's values in the rewrite (caught by WarehouseSpec's
+    // post-compaction pin)
+    commitManifest(writeData(readRefsDf(cur), version + 1))
   }
 
   /** The current table. */
@@ -306,7 +316,13 @@ final class SnapshotTable(
 
   private def readRefsDf(r: Map[Int, String]): DataFrame = {
     require(r.nonEmpty, s"snapshot table $path has no data")
-    spark.read.parquet(r.values.toSeq.map(d => s"$path/$d"): _*)
+    // mergeSchema: a snapshot may reference data dirs written before
+    // AND after a schema-widening merge (H23) — the read reconciles
+    // by name, null-filling the new columns for pre-widening files;
+    // a snapshot written entirely before the widening keeps its old
+    // schema (its refs never include widened files)
+    spark.read.option("mergeSchema", "true")
+      .parquet(r.values.toSeq.map(d => s"$path/$d"): _*)
   }
 
   /** Drop everything (test cleanup). */

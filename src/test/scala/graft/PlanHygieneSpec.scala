@@ -89,7 +89,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_oob_eval" -> ("B88's ROC windows over the per-score relation "
       + "(≤ |oob leaf-combo ratios|, domain-bounded) plus B90's "
       + "training-level windows — the B94 shape with per-row OOB "
-      + "denominators"))
+      + "denominators"),
+    "q_confusion" -> ("cumulative TP/FP + J-argmax windows over the "
+      + "per-score relation: |distinct scores| rows (≤8 — 2^3 stump "
+      + "outcomes, the collapse-first discipline)"))
   // streaming_coreset shares the same 65-row windows and ≤10-row
   // centroid crosses post-sink, but streaming twins are excluded from
   // the walk below (their plans embed a consumed memory sink), so the
@@ -147,6 +150,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q_oob_eval" -> ("crossJoin(broadcast(1-row pivoted threshold "
       + "model)) — B94's routing shape; OOB flags are per-row hash "
       + "columns and leaf-score lookups are EQUI broadcast joins"),
+    "q_confusion" -> ("crossJoin(broadcast(1-row pivoted stump model "
+      + "+ 1-row F0)) — B93's scoring projection feeding the "
+      + "operating-point argmax"),
     // q_tree_depthk's level-1 curve window and argmin join fold the
     // constant root path (the B86 shapes), but each level's argmin is
     // eagerly localCheckpointed, so the walk sees only LogicalRDD

@@ -224,6 +224,30 @@ class Round13Spec extends SparkSuite {
     assert(oobRows < 200L, "some row should be in every bag (dropped)")
   }
 
+  test("q_confusion: a separable plant yields J = 10^6, F1 = 10^6, and zero off-diagonal mass; the corpus matrix is internally consistent") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    val rows = (1 to 120).map { i =>
+      val q = (i % 20 + 1).toLong
+      (q, (i % 7).toLong, if (q <= 10) 1L else 0L)
+    }.toDF("q", "dd", "y")
+    val r = Round13Ops.confusionPipeline(rows).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (tp, fp, fn, tn) =
+      (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(fp == 0L && fn == 0L, s"off-diagonal mass on a separable plant: fp=$fp fn=$fn")
+    assert(row.getLong(7) == 1000000L, "F1 must be 10^6")
+    assert(row.getLong(8) == 1000000L, "Youden's J must be 10^6")
+    assert(tp + tn == 120L)
+    // corpus: the matrix adds up and the chosen point maximizes J
+    val c = Round13Ops.qConfusion(spark, sf).collect().head
+    val (ctp, cfp, cfn, ctn) =
+      (c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4))
+    assert(ctp + cfp + cfn + ctn == Tables.lineitem(spark, sf).count())
+    assert(c.getLong(8) >= 0L, "the best J is at least the chance point")
+  }
+
   test("streaming_model_score: scoring on the stream lands the same evaluation as the batch scorer") {
     import graft.streaming.StreamingTwins
     import graft.operators.Round13Ops

@@ -467,6 +467,52 @@ class WarehouseSpec extends SparkSuite {
     } finally tbl.drop()
   }
 
+  test("snapshot table schema evolution (H23): a widening merge null-fills carried rows; untouched buckets reconcile at read; pre-widening snapshots keep the old schema; compaction unifies") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_evo").toString
+    val t = new SnapshotTable(spark, s"$root/t", "id",
+      buckets = 4, keepSnapshots = 3)
+    try {
+      t.create((1L to 20L).map(i => (i, i * 10L)).toDF("id", "v"))
+      assert(t.read().columns.sorted.toSeq == Seq("id", "v"))
+      // widening merge: update key 1, insert 21, with a NEW column
+      t.merge(Seq((1L, 111L, "x1"), (21L, 210L, "x21"))
+        .toDF("id", "v", "extra"))
+      val cur = t.read()
+      assert(cur.columns.contains("extra"),
+        "widened column missing from the merged-schema read")
+      val byId = cur.select("id", "v", "extra").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))))
+        .toMap
+      assert(byId(1L) == ((111L, "x1")) && byId(21L) == ((210L, "x21")))
+      // carried rows in TOUCHED buckets were rewritten with nulls;
+      // rows in untouched buckets reconcile via the merged read —
+      // either way every pre-widening row reads (old v, null extra)
+      (2L to 20L).foreach(i => assert(byId(i) == ((i * 10L, null)),
+        s"row $i changed under the widening merge"))
+      assert(byId.size == 21)
+      // the pre-widening snapshot keeps its OLD schema
+      assert(!t.readAsOf(1).columns.contains("extra"),
+        "time travel must not see the widened schema")
+      // compaction rewrites the live layout under the widened schema —
+      // and must NOT drop the widened values (a plain parquet read in
+      // compact() inferred the narrow schema from an arbitrary footer
+      // and lost them; caught by this pin, fixed via the merged read)
+      t.compact()
+      val compacted = t.read()
+      assert(compacted.columns.contains("extra"))
+      assert(compacted.count() == 21)
+      val postById = compacted.select("id", "extra").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(postById(1L) == "x1" && postById(21L) == "x21",
+        "compaction dropped widened values")
+    } finally t.drop()
+  }
+
   test("IVM-distinct x snapshot table (H22): the support-state WAP step maintains the count-DISTINCT view exactly across chained commits") {
     import spark.implicits._
     import graft.operators.Round12bOps
