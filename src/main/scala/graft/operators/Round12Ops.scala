@@ -705,15 +705,16 @@ object Round12Ops {
     * SELECT — shared by the B91 oracle, the B93 evaluation oracle,
     * and J18's holdout-trained model (one definition of the
     * trajectory, parameterized by the training relation). */
-  private[operators] def gbtCtesFrom(g0Body: String): String = {
+  private[operators] def gbtCtesFrom(g0Body: String,
+      pfx: String = "g"): String = {
     def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
     val roundsSql = (1 to gbtRounds).map { t =>
-      s"""gv$t AS (
+      s"""${pfx}v$t AS (
          |  SELECT ${feat(t)} AS v, CAST(sum(r) AS BIGINT) AS s,
          |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(CAST(r * r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
-         |  FROM gb${t - 1} GROUP BY 1),
-         |gc$t AS (
+         |  FROM ${pfx}b${t - 1} GROUP BY 1),
+         |${pfx}c$t AS (
          |  SELECT v,
          |    CAST(sum(s) OVER (ORDER BY v) AS BIGINT) AS sL,
          |    CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS nL,
@@ -721,8 +722,8 @@ object Round12Ops {
          |    CAST(sum(s) OVER () AS BIGINT) AS sT,
          |    CAST(sum(n) OVER () AS BIGINT) AS nT,
          |    CAST(sum(s2) OVER () AS DECIMAL(38,0)) AS s2T
-         |  FROM gv$t),
-         |gg$t AS (
+         |  FROM ${pfx}v$t),
+         |${pfx}g$t AS (
          |  SELECT v, sL, nL, sT, nT,
          |    round((CAST(s2L AS DOUBLE)
          |        - CAST(sL AS DOUBLE) * CAST(sL AS DOUBLE)
@@ -733,30 +734,30 @@ object Round12Ops {
          |    round(CAST(s2T AS DOUBLE)
          |      - CAST(sT AS DOUBLE) * CAST(sT AS DOUBLE)
          |        / CAST(nT AS DOUBLE), 6) AS total_sse
-         |  FROM gc$t WHERE nL < nT),
-         |gs$t AS MATERIALIZED (
+         |  FROM ${pfx}c$t WHERE nL < nT),
+         |${pfx}s$t AS MATERIALIZED (
          |  SELECT v AS threshold, sL // nL AS leaf_left,
          |    (sT - sL) // (nT - nL) AS leaf_right, split_sse, total_sse
          |  FROM (SELECT *, row_number() OVER (ORDER BY split_sse, v) AS rn
-         |        FROM gg$t) WHERE rn = 1),
-         |gb$t AS MATERIALIZED (
+         |        FROM ${pfx}g$t) WHERE rn = 1),
+         |${pfx}b$t AS MATERIALIZED (
          |  SELECT b.q, b.dd,
          |    b.r - CASE WHEN b.${feat(t)} <= s.threshold
          |      THEN s.leaf_left ELSE s.leaf_right END AS r
-         |  FROM gb${t - 1} b, gs$t s)""".stripMargin
+         |  FROM ${pfx}b${t - 1} b, ${pfx}s$t s)""".stripMargin
     }.mkString(",\n")
-    s"""g0 AS MATERIALIZED (
+    s"""${pfx}0 AS MATERIALIZED (
        |$g0Body),
-       |gf0 AS MATERIALIZED (
+       |${pfx}f0 AS MATERIALIZED (
        |  SELECT (1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS f0
-       |  FROM g0),
-       |gb0 AS MATERIALIZED (
-       |  SELECT q, dd, y * 1000000 - f0 AS r FROM g0, gf0),
+       |  FROM ${pfx}0),
+       |${pfx}b0 AS MATERIALIZED (
+       |  SELECT q, dd, y * 1000000 - f0 AS r FROM ${pfx}0, ${pfx}f0),
        |$roundsSql""".stripMargin
   }
 
   /** The full-corpus instantiation (B91/B93's training relation). */
-  private[operators] val gbtCtes: String = gbtCtesFrom(
+  private[graft] val gbtCtes: String = gbtCtesFrom(
     """  SELECT CAST(l_quantity AS BIGINT) AS q,
       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y

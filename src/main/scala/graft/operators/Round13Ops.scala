@@ -436,13 +436,23 @@ object Round13Ops {
       .persist()
     val model = gbtModelRow(
       data.filter(col("split") === "train").select("q", "dd", "y"))
-    val scored = gbtScore(data, model).select("split", "s", "y")
-    val cum = Window.partitionBy(col("split")).orderBy(col("s").desc)
+    groupedAuc(gbtScore(data, model).select(col("split"), col("s"),
+      col("y")), "split")
+  }
+
+  /** Exact trapezoid AUC PER GROUP — `scored` carries (groupCol, s,
+    * y); every window partitions by the group, so the output is one
+    * (group, pos, neg, auc_ppm) row per group. Shared by J18's
+    * holdout and B100's cross-validation. */
+  private[graft] def groupedAuc(scored: DataFrame,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(col("split")).rowsBetween(
+    val all = Window.partitionBy(col(groupCol)).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val ordered = Window.partitionBy(col("split")).orderBy(col("s").desc)
-    scored.groupBy(col("split"), col("s"))
+    val ordered = Window.partitionBy(col(groupCol)).orderBy(col("s").desc)
+    scored.groupBy(col(groupCol), col("s"))
       .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
       .withColumn("tp", sum(col("pos")).over(cum))
       .withColumn("fp", sum(col("tot") - col("pos")).over(cum))
@@ -452,7 +462,7 @@ object Round13Ops {
       .withColumn("fp0", coalesce(lag(col("fp"), 1).over(ordered), lit(0L)))
       .withColumn("auc_num",
         sum((col("tp") + col("tp0")) * (col("fp") - col("fp0"))).over(all))
-      .groupBy(col("split"))
+      .groupBy(col(groupCol))
       .agg(max(col("pp")).as("pos"), max(col("nn")).as("neg"),
         max(expr("auc_num * 1000000 div greatest(2 * pp * nn, 1)"))
           .as("auc_ppm"))
@@ -761,7 +771,113 @@ object Round13Ops {
        |FROM cfj WHERE rn = 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- B100
+  /** k-fold cross-validation (k = 5) — the model-SELECTION protocol
+    * J18's single holdout cannot give: every row is scored exactly
+    * once, by the one model whose training fold excluded it, so the
+    * five out-of-fold AUCs measure variance across resamples, not just
+    * one split's luck. Folds are the SAME deterministic content hash
+    * J18 uses (md5-h32("hold:"+rid) mod 5 — fold 0 IS J18's test
+    * split, so the two protocols' numbers are directly comparable and
+    * duplicate rows co-travel), each fold's model is the full B91
+    * trajectory over the other four folds, and the per-fold exact
+    * trapezoid AUC runs over fold-partitioned windows. The oracle
+    * instantiates the shared training CTEs FIVE times (gbtCtesFrom
+    * with per-fold CTE prefixes) and replays the identical scoring,
+    * so all five rows hash-match.
+    *
+    * Scale: 5 models × 3 boosting rounds = 15 domain-bounded
+    * aggregation passes over 80% of the corpus each (at 100 TB the
+    * five trainings run as one shared scan per round with a fold
+    * grouping column if needed — here they pipeline), one scoring
+    * pass per fold with the model broadcast, and the AUC windows
+    * order |folds|×|distinct scores| collapsed rows. */
+  def qCvAuc(spark: SparkSession, sfDir: String): DataFrame =
+    cvAucPipeline(Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("rid")))
+
+  private[graft] val cvFolds = 5
+
+  /** CV over arbitrary (q, dd, y, rid) rows — the spec hook
+    * (`Round13Spec` pins: folds partition the corpus exactly; a
+    * separable relation gives AUC = 10⁶ on every fold; fold 0's AUC
+    * equals J18's test AUC). */
+  private[graft] def cvAucPipeline(rows: DataFrame): DataFrame = {
+    import graft.functions.gf
+    val data = rows.withColumn("fold",
+      gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds).persist()
+    val scored = (0 until cvFolds).map { f =>
+      val model = gbtModelRow(
+        data.filter(col("fold") =!= f).select("q", "dd", "y"))
+      gbtScore(data.filter(col("fold") === f), model)
+        .select(lit(f.toLong).as("fold"), col("s"), col("y"))
+    }.reduce(_ unionByName _)
+    groupedAuc(scored, "fold")
+  }
+
+  val qCvAucSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    def terms(p: String) = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM ${p}s$t)
+         |      THEN (SELECT leaf_left FROM ${p}s$t)
+         |      ELSE (SELECT leaf_right FROM ${p}s$t) END""".stripMargin
+    }.mkString("\n")
+    val foldCtes = (0 until cvFolds).map { f =>
+      Round12Ops.gbtCtesFrom(
+        s"  SELECT q, dd, y FROM cvraw WHERE fold <> $f", s"x$f")
+    }.mkString(",\n")
+    val scoredUnion = (0 until cvFolds).map { f =>
+      s"""SELECT CAST($f AS BIGINT) AS fold, (SELECT f0 FROM x${f}f0)
+         |${terms(s"x$f")} AS s, y
+         |FROM cvraw WHERE fold = $f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cvraw AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+       |    ('0x' || substr(md5('hold:' || CAST(l_orderkey AS VARCHAR)
+       |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+       |      % $cvFolds AS fold
+       |  FROM lineitem),
+       |$foldCtes,
+       |cvscored AS MATERIALIZED (
+       |$scoredUnion),
+       |cvv AS (
+       |  SELECT fold, s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS tot
+       |  FROM cvscored GROUP BY 1, 2),
+       |cvc AS (
+       |  SELECT fold, s,
+       |    CAST(sum(pos) OVER (PARTITION BY fold ORDER BY s DESC)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY fold ORDER BY s DESC)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER (PARTITION BY fold) AS BIGINT) AS pp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY fold) AS BIGINT) AS nn
+       |  FROM cvv),
+       |cvl AS (
+       |  SELECT fold, tp, fp, pp, nn,
+       |    coalesce(lag(tp, 1) OVER (PARTITION BY fold ORDER BY s DESC),
+       |      0) AS tp0,
+       |    coalesce(lag(fp, 1) OVER (PARTITION BY fold ORDER BY s DESC),
+       |      0) AS fp0
+       |  FROM cvc),
+       |cva AS (
+       |  SELECT fold, pp, nn,
+       |    CAST(sum((tp + tp0) * (fp - fp0)) OVER (PARTITION BY fold)
+       |      AS BIGINT) AS auc_num
+       |  FROM cvl)
+       |SELECT fold, max(pp) AS pos, max(nn) AS neg,
+       |  max(auc_num * 1000000 // greatest(2 * pp * nn, 1)) AS auc_ppm
+       |FROM cva GROUP BY fold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cv_auc" -> qCvAuc _,
     "q_confusion" -> qConfusion _,
     "q_gbt_eval" -> qGbtEval _,
     "q_forest_eval" -> qForestEval _,
@@ -772,6 +888,7 @@ object Round13Ops {
     "q_oob_eval" -> qOobEval _)
 
   val oracleSql: Map[String, String] = Map(
+    "q_cv_auc" -> qCvAucSql,
     "q_confusion" -> qConfusionSql,
     "q_gbt_eval" -> qGbtEvalSql,
     "q_forest_eval" -> qForestEvalSql,

@@ -1348,6 +1348,116 @@ object StreamingTwins {
   val streamingModelScoreSql: String =
     graft.operators.Round13Ops.qGbtEvalSql
 
+  // --------------------------------------------------------------- G26
+  /** Streaming score-drift monitor — the OBSERVABILITY leg of the
+    * deployed-model story (G25 scores the stream; this watches the
+    * scores): the reference distribution is the deploy-time slice
+    * (key ≡ 0 mod 3, captured BATCH-side, as a validation set would
+    * be), the LIVE distribution is maintained OVER the stream (the
+    * remaining slices) as a per-score running count — a streaming
+    * aggregation in complete mode whose state is ≤|distinct scores|
+    * rows (≤8), fixed no matter how long the stream runs — and the
+    * post-stream join emits B59's PSI per score bin (Laplace-(+1)
+    * smoothed shares, one float expression tree over exact integer
+    * counts — the portable-float discipline, so hashes match). The
+    * batch oracle recomputes both distributions from the same slices:
+    * hash equality proves the streamed counts ≡ batch counts, i.e.
+    * the monitor's state is slicing-invariant. */
+  def streamingDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Round13Ops
+    val data = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("key"),
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    // the standing model + the deploy-time reference distribution
+    val model = Round13Ops.gbtModelRow(data.select("q", "dd", "y"))
+      .withColumn("one", lit(1))
+    val refCounts = Round13Ops
+      .gbtScore(data.filter(pmod(col("key"), lit(3)) === 0), model.drop("one"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_ref"))
+      .localCheckpoint(true)
+    // live side: slices 1 and 2 arrive as micro-batches; the monitor
+    // maintains per-score counts as streaming state
+    val stageDir = driftStaged.computeIfAbsent(sfDir, { _ =>
+      val dir = Files.createTempDirectory("graft_stream_drift").toString
+      (1 to 2).foreach { b =>
+        data.filter(pmod(col("key"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$dir/batch_$b")
+      }
+      val t0 = System.currentTimeMillis()
+      (1 to 2).foreach { i =>
+        val d = new java.io.File(s"$dir/batch_$i")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      dir
+    })
+    val src = spark.readStream.schema(data.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
+    val liveCounts = src.withColumn("one", lit(1))
+      .join(broadcast(model), "one")
+      .withColumn("s", col("f0")
+        + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
+        + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
+        + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
+      .groupBy(col("s")).agg(count(lit(1)).as("n_live"))
+    val landed = runToCompletion(liveCounts, "complete", "twin_drift_psi")
+    // post-stream: PSI per score bin (B59's arithmetic)
+    val joined = refCounts.join(landed, Seq("s"), "full_outer")
+      .select(col("s"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"))
+    val tot = joined.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_live")).as("tl"), count(lit(1)).as("k"))
+    val sr = (col("n_ref") + lit(1.0)) / (col("tr") + col("k"))
+    val sl = (col("n_live") + lit(1.0)) / (col("tl") + col("k"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("s").as("score_ppm"), col("n_ref"), col("n_live"),
+        round(sr, 6).as("share_ref"), round(sl, 6).as("share_live"),
+        round((sr - sl) * log(sr / sl), 6).as("psi_term"))
+  }
+
+  private val driftStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Batch mirror: the same model trajectory, both slice
+    * distributions, B59's smoothed PSI expression tree. */
+  val streamingDriftPsiSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to graft.operators.Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${graft.operators.Round12Ops.gbtCtes},
+       |draw AS MATERIALIZED (
+       |  SELECT l_orderkey AS key, CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |  FROM lineitem),
+       |dscored AS MATERIALIZED (
+       |  SELECT key, (SELECT f0 FROM gf0)
+       |$terms AS s
+       |  FROM draw),
+       |dc AS (
+       |  SELECT s,
+       |    CAST(count(CASE WHEN key % 3 = 0 THEN 1 END) AS BIGINT)
+       |      AS n_ref,
+       |    CAST(count(CASE WHEN key % 3 <> 0 THEN 1 END) AS BIGINT)
+       |      AS n_live
+       |  FROM dscored GROUP BY 1),
+       |dt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+       |              CAST(sum(n_live) AS BIGINT) AS tl,
+       |              CAST(count(*) AS BIGINT) AS k FROM dc)
+       |SELECT s AS score_ppm, n_ref, n_live,
+       |  round((n_ref + 1.0) / (tr + k), 6) AS share_ref,
+       |  round((n_live + 1.0) / (tl + k), 6) AS share_live,
+       |  round(((n_ref + 1.0) / (tr + k) - (n_live + 1.0) / (tl + k))
+       |    * ln(((n_ref + 1.0) / (tr + k)) / ((n_live + 1.0) / (tl + k))),
+       |    6) AS psi_term
+       |FROM dc CROSS JOIN dt""".stripMargin
+  }
+
   /** The oracle is A35's — the full recompute over the NEW snapshot. */
   val streamingIvmDistinctSql: String =
     graft.operators.Round12bOps.warehouseIvmDistinctSql
@@ -1359,6 +1469,7 @@ object StreamingTwins {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_model_score" -> streamingModelScore _,
+    "streaming_drift_psi" -> streamingDriftPsi _,
     "streaming_ivm" -> streamingIvm _,
     "streaming_ivm_distinct" -> streamingIvmDistinct _,
     "streaming_weighted_quantiles" -> streamingWeightedQuantiles _,
@@ -1386,6 +1497,7 @@ object StreamingTwins {
 
   def oracleSql: Map[String, String] = Map(
     "streaming_model_score" -> streamingModelScoreSql,
+    "streaming_drift_psi" -> streamingDriftPsiSql,
     "streaming_ivm" -> streamingIvmSql,
     "streaming_ivm_distinct" -> streamingIvmDistinctSql,
     "streaming_weighted_quantiles" -> streamingWeightedQuantilesSql,

@@ -248,6 +248,46 @@ class Round13Spec extends SparkSuite {
     assert(c.getLong(8) >= 0L, "the best J is at least the chance point")
   }
 
+  test("q_cv_auc: folds partition the corpus exactly; a separable relation scores AUC = 10^6 on every fold; fold 0 equals the J18 test split") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    val rows = (1 to 250).map { i =>
+      val q = (i % 16 + 1).toLong
+      (q, (i % 5).toLong, if (q <= 8) 1L else 0L, s"r$i")
+    }.toDF("q", "dd", "y", "rid")
+    val out = Round13Ops.cvAucPipeline(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet == (0L until 5L).toSet,
+      "every fold must emit a row")
+    assert(out.map(r => r._2 + r._3).sum == 250L,
+      "folds must partition the corpus exactly")
+    out.foreach(r => assert(r._4 == 1000000L,
+      s"fold ${r._1} AUC ${r._4} != 10^6 on a separable relation"))
+    // protocol coherence on the corpus: fold 0 IS J18's test split
+    val cv0 = Round13Ops.qCvAuc(spark, sf).collect()
+      .find(_.getLong(0) == 0L).get
+    val hold = Round13Ops.sampleHoldoutEval(spark, sf).collect()
+      .find(_.getString(0) == "test").get
+    assert(cv0.getLong(1) == hold.getLong(1)
+      && cv0.getLong(2) == hold.getLong(2)
+      && cv0.getLong(3) == hold.getLong(3),
+      "CV fold 0 must equal the holdout test split's evaluation")
+  }
+
+  test("streaming_drift_psi: the streamed monitor equals the batch computation; identically-distributed slices give near-zero PSI") {
+    import graft.streaming.StreamingTwins
+    val out = StreamingTwins.streamingDriftPsi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // the slices are hash-thirds of one corpus — same distribution, so
+    // total PSI must sit far under the 0.1 "stable" line
+    val psi = out.map(_._4).sum
+    assert(math.abs(psi) < 0.1, s"PSI $psi on identically-distributed slices")
+    // counts conserve: ref + live = corpus
+    assert(out.map(r => r._2 + r._3).sum
+      == Tables.lineitem(spark, sf).count())
+  }
+
   test("streaming_model_score: scoring on the stream lands the same evaluation as the batch scorer") {
     import graft.streaming.StreamingTwins
     import graft.operators.Round13Ops
