@@ -805,17 +805,97 @@ object Round13Ops {
   /** CV over arbitrary (q, dd, y, rid) rows — the spec hook
     * (`Round13Spec` pins: folds partition the corpus exactly; a
     * separable relation gives AUC = 10⁶ on every fold; fold 0's AUC
-    * equals J18's test AUC). */
+    * equals J18's test AUC; and the JOINT training below equals five
+    * independent per-fold trainings bit-for-bit).
+    *
+    * The five models train TOGETHER (the B90 shared-level-loop
+    * discipline applied to CV): the training state carries a `tfold`
+    * column — each row replicated to the four folds whose training
+    * set contains it — so every boosting round is ONE aggregation
+    * pass for all five models (3 passes total where per-fold
+    * scheduling pays 15), windows partition by tfold, the per-fold
+    * argmins checkpoint as a 5-row relation, and scoring is one
+    * 5-row-broadcast equi join on the row's own fold. Identical
+    * arithmetic per fold, so the per-fold-trained oracle
+    * hash-matches. */
   private[graft] def cvAucPipeline(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     import graft.functions.gf
     val data = rows.withColumn("fold",
-      gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds).persist()
-    val scored = (0 until cvFolds).map { f =>
-      val model = gbtModelRow(
-        data.filter(col("fold") =!= f).select("q", "dd", "y"))
-      gbtScore(data.filter(col("fold") === f), model)
-        .select(lit(f.toLong).as("fold"), col("s"), col("y"))
+      gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds)
+      .select(col("fold"), col("q"), col("dd"), col("y")).persist()
+    val spark = rows.sparkSession
+    val train0 = data.crossJoin(broadcast(
+        spark.range(cvFolds).select(col("id").as("tfold"))))
+      .filter(col("tfold") =!= col("fold"))
+    val f0s = train0.groupBy(col("tfold"))
+      .agg((lit(1000000L) * sum(col("y"))).as("s0"), count(lit(1)).as("n0"))
+      .select(col("tfold"), expr("s0 div n0").as("f0"))
+      .localCheckpoint(true)
+    var cur = train0.join(broadcast(f0s), "tfold")
+      .select(col("tfold"), col("q"), col("dd"),
+        (col("y") * 1000000L - col("f0")).as("r"))
+    val dec0 = DecimalType(38, 0)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val stumps = (1 to Round12Ops.gbtRounds).map { t =>
+      val feat = if (t % 2 == 1) col("q") else col("dd")
+      val byV = cur.groupBy(col("tfold"), feat.as("v"))
+        .agg(sum(col("r")).as("s"), count(lit(1)).as("n"),
+          sum((col("r") * col("r")).cast(dec0)).as("s2"))
+      val cum = Window.partitionBy(col("tfold")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("tfold")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val curves = byV
+        .withColumn("sL", sum(col("s")).over(cum))
+        .withColumn("nL", sum(col("n")).over(cum))
+        .withColumn("s2L", sum(col("s2")).over(cum))
+        .withColumn("sT", sum(col("s")).over(all))
+        .withColumn("nT", sum(col("n")).over(all))
+        .withColumn("s2T", sum(col("s2")).over(all))
+        .filter(col("nL") < col("nT"))
+        .select(col("tfold"), col("v"), col("sL"), col("nL"), col("sT"),
+          col("nT"),
+          round((d(col("s2L")) - d(col("sL")) * d(col("sL")) / d(col("nL")))
+            + ((d(col("s2T")) - d(col("s2L")))
+               - d(col("sT") - col("sL")) * d(col("sT") - col("sL"))
+                 / d(col("nT") - col("nL"))), 6).as("split_sse"))
+      val stump = curves
+        .withColumn("rn", row_number().over(Window.partitionBy(col("tfold"))
+          .orderBy(col("split_sse"), col("v"))))
+        .filter(col("rn") === 1)
+        .select(col("tfold"), col("v").as("threshold"),
+          expr("sL div nL").as("leaf_left"),
+          expr("(sT - sL) div (nT - nL)").as("leaf_right"))
+        .localCheckpoint(true)
+      cur = cur.join(broadcast(stump), "tfold")
+        .select(col("tfold"), col("q"), col("dd"),
+          (col("r") - when(feat <= col("threshold"), col("leaf_left"))
+            .otherwise(col("leaf_right"))).as("r"))
+      stump.select(col("tfold"), lit(t).as("round"), col("threshold"),
+        col("leaf_left"), col("leaf_right"))
     }.reduce(_ unionByName _)
+    // per-fold wide model row + f0 → a 5-row broadcast scorer joined
+    // on the row's OWN fold (each row scored by the model that never
+    // saw it)
+    val pivotCols = (1 to Round12Ops.gbtRounds).flatMap { t =>
+      Seq(max(when(col("round") === t, col("threshold"))).as(s"thr$t"),
+        max(when(col("round") === t, col("leaf_left"))).as(s"ll$t"),
+        max(when(col("round") === t, col("leaf_right"))).as(s"lr$t"))
+    }
+    val wide = stumps.groupBy(col("tfold"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+      .join(f0s, "tfold")
+      .withColumnRenamed("tfold", "fold")
+    val scored = data.join(broadcast(wide), "fold")
+      .select(col("fold"),
+        (col("f0")
+          + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
+          + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
+          + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
+          .as("s"),
+        col("y"))
     groupedAuc(scored, "fold")
   }
 

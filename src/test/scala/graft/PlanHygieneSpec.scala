@@ -153,9 +153,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q_confusion" -> ("crossJoin(broadcast(1-row pivoted stump model "
       + "+ 1-row F0)) — B93's scoring projection feeding the "
       + "operating-point argmax"),
-    "q_cv_auc" -> ("five crossJoin(broadcast(1-row pivoted stump "
-      + "model + 1-row F0)) — one per fold's out-of-fold scorer; the "
-      + "AUC windows are PARTITIONED by fold"),
+    // q_cv_auc has NO allowlist entry: the joint five-model loop's
+    // fold replication optimizes to a plain join (the tfold =!= fold
+    // filter rides the 5-row broadcast), scoring is an EQUI broadcast
+    // join on the row's fold, and every window partitions by fold —
+    // the whole protocol is hygiene-clean without exceptions.
     // q_tree_depthk's level-1 curve window and argmin join fold the
     // constant root path (the B86 shapes), but each level's argmin is
     // eagerly localCheckpointed, so the walk sees only LogicalRDD

@@ -274,6 +274,40 @@ class Round13Spec extends SparkSuite {
       "CV fold 0 must equal the holdout test split's evaluation")
   }
 
+  test("q_cv_auc: the joint shared-pass training equals five independent per-fold trainings bit-for-bit on noisy data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.operators.Round13Ops
+    import graft.functions.gf
+    // noisy labels: y depends on q with deliberate exceptions, so the
+    // folds' models genuinely differ and AUC < 10^6
+    val rows = (1 to 300).map { i =>
+      val q = (i % 16 + 1).toLong
+      val y = if ((q <= 8) != (i % 11 == 0)) 1L else 0L
+      (q, (i % 6).toLong, y, s"r$i")
+    }.toDF("q", "dd", "y", "rid")
+    def rowSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val joint = rowSet(Round13Ops.cvAucPipeline(rows))
+    // independent reference: one model per fold, trained and scored
+    // separately (the naive 15-pass protocol)
+    val data = rows.withColumn("fold",
+      gf.h32(concat(lit("hold:"), col("rid"))) % Round13Ops.cvFolds)
+      .persist()
+    val ref = rowSet(Round13Ops.groupedAuc(
+      (0 until Round13Ops.cvFolds).map { f =>
+        val model = Round13Ops.gbtModelRow(
+          data.filter(col("fold") =!= f).select("q", "dd", "y"))
+        Round13Ops.gbtScore(data.filter(col("fold") === f), model)
+          .select(lit(f.toLong).as("fold"), col("s"), col("y"))
+      }.reduce(_ unionByName _), "fold"))
+    assert(joint == ref,
+      s"joint CV diverged from independent training:\n $joint\n $ref")
+    assert(joint.exists(_._4 < 1000000L),
+      "the plant was separable; the equality check proved nothing")
+  }
+
   test("streaming_drift_psi: the streamed monitor equals the batch computation; identically-distributed slices give near-zero PSI") {
     import graft.streaming.StreamingTwins
     val out = StreamingTwins.streamingDriftPsi(spark, sf).collect()
