@@ -819,33 +819,59 @@ object Round13Ops {
     * arithmetic per fold, so the per-fold-trained oracle
     * hash-matches. */
   private[graft] def cvAucPipeline(rows: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     import graft.functions.gf
     val data = rows.withColumn("fold",
       gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds)
       .select(col("fold"), col("q"), col("dd"), col("y")).persist()
     val spark = rows.sparkSession
     val train0 = data.crossJoin(broadcast(
-        spark.range(cvFolds).select(col("id").as("tfold"))))
-      .filter(col("tfold") =!= col("fold"))
-    val f0s = train0.groupBy(col("tfold"))
+        spark.range(cvFolds).select(col("id").as("g"))))
+      .filter(col("g") =!= col("fold"))
+      .select(col("g"), col("q"), col("dd"), col("y"))
+    val wide = jointGbtModels(train0).withColumnRenamed("g", "fold")
+    // each row scored by the one model whose training set excluded it
+    val scored = data.join(broadcast(wide), "fold")
+      .select(col("fold"), jointScoreCol.as("s"), col("y"))
+    groupedAuc(scored, "fold")
+  }
+
+  /** The additive-application expression over a joined wide model row
+    * (f0, thr/ll/lr x3 in scope). */
+  private def jointScoreCol: org.apache.spark.sql.Column =
+    col("f0") +
+      when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1")) +
+      when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2")) +
+      when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3"))
+
+  /** Train one B91 trajectory PER GROUP in shared passes: `train0`
+    * carries (g, q, dd, y) with each row replicated to every group
+    * whose training set contains it — ONE aggregation pass per
+    * boosting round trains every group's model at once (the B90
+    * shared-loop discipline), windows partition by g, and the result
+    * is one wide broadcastable model row per group (f0 + each
+    * round's threshold/leaves). Shared by B100's cross-validation
+    * and J19's learning curve; arithmetic per group is identical to
+    * a solo B91 run on that group's rows (spec-pinned). */
+  private[graft] def jointGbtModels(train0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val f0s = train0.groupBy(col("g"))
       .agg((lit(1000000L) * sum(col("y"))).as("s0"), count(lit(1)).as("n0"))
-      .select(col("tfold"), expr("s0 div n0").as("f0"))
+      .select(col("g"), expr("s0 div n0").as("f0"))
       .localCheckpoint(true)
-    var cur = train0.join(broadcast(f0s), "tfold")
-      .select(col("tfold"), col("q"), col("dd"),
+    var cur = train0.join(broadcast(f0s), "g")
+      .select(col("g"), col("q"), col("dd"),
         (col("y") * 1000000L - col("f0")).as("r"))
     val dec0 = DecimalType(38, 0)
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     val stumps = (1 to Round12Ops.gbtRounds).map { t =>
       val feat = if (t % 2 == 1) col("q") else col("dd")
-      val byV = cur.groupBy(col("tfold"), feat.as("v"))
+      val byV = cur.groupBy(col("g"), feat.as("v"))
         .agg(sum(col("r")).as("s"), count(lit(1)).as("n"),
           sum((col("r") * col("r")).cast(dec0)).as("s2"))
-      val cum = Window.partitionBy(col("tfold")).orderBy(col("v"))
+      val cum = Window.partitionBy(col("g")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy(col("tfold")).rowsBetween(
+      val all = Window.partitionBy(col("g")).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       val curves = byV
         .withColumn("sL", sum(col("s")).over(cum))
@@ -855,48 +881,35 @@ object Round13Ops {
         .withColumn("nT", sum(col("n")).over(all))
         .withColumn("s2T", sum(col("s2")).over(all))
         .filter(col("nL") < col("nT"))
-        .select(col("tfold"), col("v"), col("sL"), col("nL"), col("sT"),
+        .select(col("g"), col("v"), col("sL"), col("nL"), col("sT"),
           col("nT"),
           round((d(col("s2L")) - d(col("sL")) * d(col("sL")) / d(col("nL")))
             + ((d(col("s2T")) - d(col("s2L")))
                - d(col("sT") - col("sL")) * d(col("sT") - col("sL"))
                  / d(col("nT") - col("nL"))), 6).as("split_sse"))
       val stump = curves
-        .withColumn("rn", row_number().over(Window.partitionBy(col("tfold"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
           .orderBy(col("split_sse"), col("v"))))
         .filter(col("rn") === 1)
-        .select(col("tfold"), col("v").as("threshold"),
+        .select(col("g"), col("v").as("threshold"),
           expr("sL div nL").as("leaf_left"),
           expr("(sT - sL) div (nT - nL)").as("leaf_right"))
         .localCheckpoint(true)
-      cur = cur.join(broadcast(stump), "tfold")
-        .select(col("tfold"), col("q"), col("dd"),
+      cur = cur.join(broadcast(stump), "g")
+        .select(col("g"), col("q"), col("dd"),
           (col("r") - when(feat <= col("threshold"), col("leaf_left"))
             .otherwise(col("leaf_right"))).as("r"))
-      stump.select(col("tfold"), lit(t).as("round"), col("threshold"),
+      stump.select(col("g"), lit(t).as("round"), col("threshold"),
         col("leaf_left"), col("leaf_right"))
     }.reduce(_ unionByName _)
-    // per-fold wide model row + f0 → a 5-row broadcast scorer joined
-    // on the row's OWN fold (each row scored by the model that never
-    // saw it)
     val pivotCols = (1 to Round12Ops.gbtRounds).flatMap { t =>
       Seq(max(when(col("round") === t, col("threshold"))).as(s"thr$t"),
         max(when(col("round") === t, col("leaf_left"))).as(s"ll$t"),
         max(when(col("round") === t, col("leaf_right"))).as(s"lr$t"))
     }
-    val wide = stumps.groupBy(col("tfold"))
+    stumps.groupBy(col("g"))
       .agg(pivotCols.head, pivotCols.tail: _*)
-      .join(f0s, "tfold")
-      .withColumnRenamed("tfold", "fold")
-    val scored = data.join(broadcast(wide), "fold")
-      .select(col("fold"),
-        (col("f0")
-          + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
-          + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
-          + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
-          .as("s"),
-        col("y"))
-    groupedAuc(scored, "fold")
+      .join(f0s, "g")
   }
 
   val qCvAucSql: String = {
@@ -956,7 +969,113 @@ object Round13Ops {
        |FROM cva GROUP BY fold""".stripMargin
   }
 
+  // ---------------------------------------------------------------- J19
+  /** Learning curve — the data-efficiency measurement a curation
+    * pipeline gates scale-up spend on ("would more data help?"):
+    * NESTED training subsets of 25/50/75/100% of the train pool
+    * (folds 1..s of the J18/B100 content hash — nested so the curve
+    * isolates SIZE, not resampling), one B91 model per size, all four
+    * trained JOINTLY in shared passes (each row replicated to every
+    * size containing it — the B100 discipline), every model evaluated
+    * on the SAME fixed held-out split (fold 0), exact per-size
+    * trapezoid AUC. Four rows out: AUC as a function of training-set
+    * size, the curve whose slope says whether the next 10 TB is worth
+    * ingesting. */
+  def sampleLearningCurve(spark: SparkSession, sfDir: String): DataFrame =
+    learningCurvePipeline(Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("rid")))
+
+  /** The curve over arbitrary (q, dd, y, rid) rows — the spec hook
+    * (`Round13Spec` pins: the largest size's model IS the J18 train
+    * model, so its row equals the holdout-test evaluation; sizes
+    * nest; a separable relation scores 10⁶ at every size). */
+  private[graft] def learningCurvePipeline(rows: DataFrame): DataFrame = {
+    import graft.functions.gf
+    val data = rows.withColumn("fold",
+      gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds)
+      .select(col("fold"), col("q"), col("dd"), col("y")).persist()
+    val spark = rows.sparkSession
+    // nested subsets: size s trains on folds 1..s (fold 0 is held out)
+    val train0 = data.filter(col("fold") >= 1)
+      .crossJoin(broadcast(
+        spark.range(1, cvFolds.toLong).select(col("id").as("g"))))
+      .filter(col("fold") <= col("g"))
+      .select(col("g"), col("q"), col("dd"), col("y"))
+    val wide = jointGbtModels(train0)
+    val test = data.filter(col("fold") === 0)
+    // every size's model scores the SAME held-out rows: a 4-row
+    // broadcast fan-out of the 20% test split
+    val scored = test.crossJoin(broadcast(wide))
+      .select(col("g").as("train_folds"), jointScoreCol.as("s"), col("y"))
+    groupedAuc(scored, "train_folds")
+  }
+
+  val sampleLearningCurveSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    def terms(p: String) = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM ${p}s$t)
+         |      THEN (SELECT leaf_left FROM ${p}s$t)
+         |      ELSE (SELECT leaf_right FROM ${p}s$t) END""".stripMargin
+    }.mkString("\n")
+    val sizeCtes = (1 until cvFolds).map { g =>
+      Round12Ops.gbtCtesFrom(
+        s"  SELECT q, dd, y FROM lcraw WHERE fold >= 1 AND fold <= $g",
+        s"L$g")
+    }.mkString(",\n")
+    val scoredUnion = (1 until cvFolds).map { g =>
+      s"""SELECT CAST($g AS BIGINT) AS train_folds,
+         |  (SELECT f0 FROM L${g}f0)
+         |${terms(s"L$g")} AS s, y
+         |FROM lcraw WHERE fold = 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH lcraw AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+       |    ('0x' || substr(md5('hold:' || CAST(l_orderkey AS VARCHAR)
+       |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+       |      % $cvFolds AS fold
+       |  FROM lineitem),
+       |$sizeCtes,
+       |lcscored AS MATERIALIZED (
+       |$scoredUnion),
+       |lcv AS (
+       |  SELECT train_folds, s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS tot
+       |  FROM lcscored GROUP BY 1, 2),
+       |lcc AS (
+       |  SELECT train_folds, s,
+       |    CAST(sum(pos) OVER (PARTITION BY train_folds ORDER BY s DESC)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY train_folds
+       |      ORDER BY s DESC) AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER (PARTITION BY train_folds) AS BIGINT) AS pp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY train_folds) AS BIGINT)
+       |      AS nn
+       |  FROM lcv),
+       |lcl AS (
+       |  SELECT train_folds, tp, fp, pp, nn,
+       |    coalesce(lag(tp, 1) OVER (PARTITION BY train_folds
+       |      ORDER BY s DESC), 0) AS tp0,
+       |    coalesce(lag(fp, 1) OVER (PARTITION BY train_folds
+       |      ORDER BY s DESC), 0) AS fp0
+       |  FROM lcc),
+       |lca AS (
+       |  SELECT train_folds, pp, nn,
+       |    CAST(sum((tp + tp0) * (fp - fp0))
+       |      OVER (PARTITION BY train_folds) AS BIGINT) AS auc_num
+       |  FROM lcl)
+       |SELECT train_folds, max(pp) AS pos, max(nn) AS neg,
+       |  max(auc_num * 1000000 // greatest(2 * pp * nn, 1)) AS auc_ppm
+       |FROM lca GROUP BY train_folds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_learning_curve" -> sampleLearningCurve _,
     "q_cv_auc" -> qCvAuc _,
     "q_confusion" -> qConfusion _,
     "q_gbt_eval" -> qGbtEval _,
@@ -968,6 +1087,7 @@ object Round13Ops {
     "q_oob_eval" -> qOobEval _)
 
   val oracleSql: Map[String, String] = Map(
+    "sample_learning_curve" -> sampleLearningCurveSql,
     "q_cv_auc" -> qCvAucSql,
     "q_confusion" -> qConfusionSql,
     "q_gbt_eval" -> qGbtEvalSql,

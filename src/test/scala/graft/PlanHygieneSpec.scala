@@ -153,6 +153,10 @@ class PlanHygieneSpec extends SparkSuite {
     "q_confusion" -> ("crossJoin(broadcast(1-row pivoted stump model "
       + "+ 1-row F0)) — B93's scoring projection feeding the "
       + "operating-point argmax"),
+    "sample_learning_curve" -> ("crossJoin(broadcast(4-row wide model "
+      + "relation)) — every size's model scores the SAME held-out "
+      + "split, so the test rows fan out over the 4-row broadcast; "
+      + "training replication and all windows partition by size"),
     // q_cv_auc has NO allowlist entry: the joint five-model loop's
     // fold replication optimizes to a plain join (the tfold =!= fold
     // filter rides the 5-row broadcast), scoring is an EQUI broadcast

@@ -308,6 +308,33 @@ class Round13Spec extends SparkSuite {
       "the plant was separable; the equality check proved nothing")
   }
 
+  test("sample_learning_curve: every size evaluates the same held-out split; the full-pool size equals the holdout protocol; a separable relation scores 10^6 at every size") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    val rows = (1 to 300).map { i =>
+      val q = (i % 16 + 1).toLong
+      (q, (i % 5).toLong, if (q <= 8) 1L else 0L, s"r$i")
+    }.toDF("q", "dd", "y", "rid")
+    val out = Round13Ops.learningCurvePipeline(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet == (1L to 4L).toSet)
+    // same held-out rows under every size
+    assert(out.map(r => r._2 + r._3).distinct.length == 1,
+      "sizes must evaluate the identical held-out split")
+    out.foreach(r => assert(r._4 == 1000000L,
+      s"size ${r._1}: AUC ${r._4} != 10^6 on a separable relation"))
+    // corpus: the largest size trains on the full train pool — its
+    // model IS J18's, so the rows must agree exactly
+    val full = Round13Ops.sampleLearningCurve(spark, sf).collect()
+      .find(_.getLong(0) == 4L).get
+    val hold = Round13Ops.sampleHoldoutEval(spark, sf).collect()
+      .find(_.getString(0) == "test").get
+    assert(full.getLong(1) == hold.getLong(1)
+      && full.getLong(2) == hold.getLong(2)
+      && full.getLong(3) == hold.getLong(3),
+      "the full-pool size must reproduce the holdout evaluation")
+  }
+
   test("streaming_drift_psi: the streamed monitor equals the batch computation; identically-distributed slices give near-zero PSI") {
     import graft.streaming.StreamingTwins
     val out = StreamingTwins.streamingDriftPsi(spark, sf).collect()
