@@ -65,18 +65,38 @@ object Bench {
     // probe-only off these stores (the D13 build-once/probe-many
     // discipline), so BENCH_DETAIL carries the one-time build cost
     // under its own name and the query rows time what a warm index
-    // actually sustains. Each tuple is (row name, gating query, build).
-    val substrateBuilds: Seq[(String, String, () => Unit)] = Seq(
-      ("bm25_standing_build", "bm25_standing",
+    // actually sustains. Each tuple is (row name, the SET of selected
+    // queries that read the store — the build runs if ANY is selected,
+    // so a subset bench never folds a cold store build into its first
+    // probe row — and the build).
+    val substrateBuilds: Seq[(String, Set[String], () => Unit)] = Seq(
+      ("bm25_standing_build", Set("bm25_standing"),
         () => operators.RetrievalOps.bm25StandingBuild(spark, sfDir)),
-      ("phrase_standing_build", "phrase_standing",
+      ("phrase_standing_build", Set("phrase_standing"),
         () => operators.Round10bOps.phraseStandingBuild(spark, sfDir)),
-      ("dedup_index_build", "dedup_cc_incremental",
+      ("dedup_index_build", Set(
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_bbit_minhash",
+        "dedup_clusters", "dedup_canonical", "dedup_canonical_quality",
+        "dedup_cluster_profile", "dedup_lsh_calibration",
+        "dedup_edit_verify", "dedup_graph_degree", "dedup_containment",
+        "dedup_triangles", "dedup_pagerank", "dedup_kcore",
+        "dedup_cluster_stability", "dedup_cc_incremental",
+        "dedup_cc_decremental", "graph_hits"),
         () => operators.DedupOps.dedupIndexBuild(spark, sfDir)),
-      ("knn_graph_pre_build", "knn_graph_incremental",
-        () => operators.AnnOps.knnGraphPreBuild(spark, sfDir)))
-    val buildRuns = substrateBuilds.flatMap { case (name, gate, fn) =>
-      if (selected.contains(gate)) {
+      ("knn_graph_pre_build", Set("knn_graph_incremental"),
+        () => operators.AnnOps.knnGraphPreBuild(spark, sfDir)),
+      // round-14: the eval family's trained models are run-shared
+      // ModelStore artifacts — these rows carry the one-time trainings
+      ("gbt_model_build", Set(
+        "q_gbt_eval", "q_calibration", "q_confusion",
+        "sample_holdout_eval", "q_cv_auc", "sample_learning_curve",
+        "streaming_model_score", "streaming_drift_psi"),
+        () => operators.ModelStore.gbtModelBuild(spark, sfDir)),
+      ("forest_model_build", Set(
+        "q_forest_eval", "q_oob_eval", "q_feature_importance"),
+        () => operators.ModelStore.forestModelBuild(spark, sfDir)))
+    val buildRuns = substrateBuilds.flatMap { case (name, gates, fn) =>
+      if (gates.exists(selected.contains)) {
         // run 1: the real build, under the run's store root — this is
         // the store every probe query reads.
         CacheHygiene.release(spark, blocking = true)
@@ -111,6 +131,14 @@ object Bench {
               case Some(r) => spark.conf.set(key, r)
               case None => spark.conf.unset(key)
             }
+            // the A/B root exists only to force a cold rebuild — its
+            // artifacts are never read again; leaving them would leak
+            // a full store copy per build row per run
+            try {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(fresh).iterator().asScala.toSeq
+                .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+            } catch { case _: Throwable => () }
           }
         }
         Some((name, if (ok) Seq(t1) ++ t2.toSeq else Seq(-1.0)))

@@ -27,6 +27,47 @@ import graft.Tables
   */
 object Round13Ops {
 
+  /** The shared evaluation-corpus relation (q, dd, y) — every
+    * tree-family trainer and scorer reads exactly these columns, so
+    * one definition keeps the stored models (ModelStore) and the
+    * in-plan spec hooks bit-identical. */
+  private[graft] def evalRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+
+  /** evalRows + the deterministic row id the bagging/fold hashes key
+    * on ((orderkey, linenumber) — NOT unique in this corpus, which is
+    * fine for hashing: duplicate rows co-travel between folds). */
+  private[graft] def ridRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("rid"))
+
+  /** ridRows + J18's deterministic 80/20 split column (fold 0 of the
+    * shared content hash = test). */
+  private[graft] def holdoutRows(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.functions.gf
+    ridRows(spark, sfDir).withColumn("split",
+      when(gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds === 0,
+        lit("test")).otherwise(lit("train")))
+  }
+
+  /** ridRows collapsed to (fold, q, dd, y) under the shared J18/B100
+    * content-hash fold assignment. */
+  private[graft] def foldRows(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.functions.gf
+    ridRows(spark, sfDir).withColumn("fold",
+      gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds)
+      .select(col("fold"), col("q"), col("dd"), col("y"))
+  }
+
   // ---------------------------------------------------------------- B93
   /** Score the B91 gradient-boosted stumps over the full corpus and
     * evaluate with B88's exact ROC/AUC — boosting's additive model
@@ -38,10 +79,9 @@ object Round13Ops {
     * shuffle. The ROC input has ≤8 distinct scores (2³ threshold
     * outcomes), so the evaluation windows are constant-size. */
   def qGbtEval(spark: SparkSession, sfDir: String): DataFrame =
-    gbtEvalPipeline(Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y")))
+    Round10bOps.rocAucPipeline(
+      gbtScore(evalRows(spark, sfDir), ModelStore.gbtFull(spark, sfDir))
+        .select(col("s"), col("y")))
 
   /** Train + score + evaluate over arbitrary (q, dd, y∈{0,1}) rows —
     * the spec hook (`Round13Spec` pins AUC = 10⁶ on a separable
@@ -70,14 +110,25 @@ object Round13Ops {
     pivot.crossJoin(f0).localCheckpoint(true)
   }
 
+  /** The additive-application expression over a model row in scope
+    * (f0 plus thr$t/ll$t/lr$t per round) — built by folding over
+    * `Round12Ops.gbtRounds` with the training feature schedule (odd
+    * rounds split q, even rounds dd), so scoring can never desync
+    * from the trajectory length the trainers and SQL oracles
+    * generate. Shared by batch scoring, the joint CV/curve scorers,
+    * and the G25/G26 streaming scorers. */
+  private[graft] def gbtScoreColumn: org.apache.spark.sql.Column =
+    (1 to Round12Ops.gbtRounds).foldLeft(col("f0")) { (acc, t) =>
+      val feat = if (t % 2 == 1) col("q") else col("dd")
+      acc + when(feat <= col(s"thr$t"), col(s"ll$t"))
+        .otherwise(col(s"lr$t"))
+    }
+
   /** Additive application of the broadcast model row — features
     * alternate q/dd/q as in training; appends integer column `s`. */
   private[graft] def gbtScore(rows: DataFrame, model: DataFrame): DataFrame =
     rows.crossJoin(broadcast(model))
-      .withColumn("s", col("f0")
-        + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
-        + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
-        + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
+      .withColumn("s", gbtScoreColumn)
       .drop(model.columns: _*)
 
   /** B88's exact-ROC SQL tail over a CTE named `scored(s, y)`. */
@@ -143,13 +194,16 @@ object Round13Ops {
     * corpus by row id — and this table's natural (orderkey,
     * linenumber) id isn't even unique — so the column formulation is
     * both the faster and the only correct one.) */
-  def qForestEval(spark: SparkSession, sfDir: String): DataFrame =
-    forestEvalPipeline(spark, Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y"),
-      concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string")).as("rid")))
+  def qForestEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val trees = Round12Ops.forestTrees
+    val (model, leafScores) = ModelStore.forestModel(spark, sfDir)
+    val scored = forestScoreWith(ridRows(spark, sfDir), model, leafScores)
+      .select(
+        expr((0 until trees).map(t => s"ls_$t")
+          .mkString("(", " + ", s") div $trees")).as("s"),
+        col("y"))
+    Round10bOps.rocAucPipeline(scored)
+  }
 
   /** Train + score + evaluate over arbitrary (q, dd, y, rid) rows —
     * the spec hook (`rid` feeds only the deterministic bagging hash;
@@ -164,6 +218,27 @@ object Round13Ops {
     Round10bOps.rocAucPipeline(scored)
   }
 
+  /** The forest's scoring ARTIFACTS trained on `data` — the split
+    * table (level, node, threshold) and each tree's own-bag leaf
+    * scores (node, ls) — the two relations a production scorer loads
+    * (ModelStore persists exactly these). */
+  private[graft] def forestArtifactsOf(
+      data: DataFrame): (DataFrame, DataFrame) = {
+    val trees = Round12Ops.forestTrees
+    val model = Round12Ops.forestPipeline(data,
+        trees, Round12Ops.forestDepth)
+      .select(col("level"), col("node"), col("threshold"))
+      .localCheckpoint(true)
+    // per-tree leaf scores from each tree's OWN bag routed through
+    // the trained thresholds (LEFT join: an unsplit node is a leaf)
+    val leafScores = routeForest(
+        Round12Ops.forestBags(data, trees), model)
+      .groupBy(col("node"))
+      .agg(expr("1000000 * sum(y) div count(1)").as("ls"))
+      .localCheckpoint(true)
+    (model, leafScores)
+  }
+
   /** The shared forest-scoring substrate (B94/B98): train the B90
     * model on `data`'s bags, derive per-tree leaf scores from each
     * tree's OWN bag, and append per-tree score columns `ls_0..ls_3`
@@ -172,19 +247,17 @@ object Round13Ops {
     * pure column expressions, leaf-score lookups as equi broadcast
     * joins. */
   private[graft] def forestRowScores(data: DataFrame): DataFrame = {
+    val (model, leafScores) = forestArtifactsOf(data)
+    forestScoreWith(data, model, leafScores)
+  }
+
+  /** Scoring-only half of the substrate: route every `data` row
+    * through an ALREADY-TRAINED (level, node, threshold) split table
+    * and (node, ls) leaf-score relation — what the stored-model
+    * scorers (B94/B98 off ModelStore) time. */
+  private[graft] def forestScoreWith(data: DataFrame, model: DataFrame,
+      leafScores: DataFrame): DataFrame = {
     val trees = Round12Ops.forestTrees
-    // the trained model (in production: the stored split table)
-    val model = Round12Ops.forestPipeline(data,
-        trees, Round12Ops.forestDepth)
-      .select(col("level"), col("node"), col("threshold"))
-      .localCheckpoint(true)
-    // per-tree leaf scores from each tree's OWN bag routed through
-    // the trained thresholds (LEFT join: an unsplit node is a leaf)
-    val bagLeaves = routeForest(
-      Round12Ops.forestBags(data, trees), model)
-    val leafScores = bagLeaves.groupBy(col("node"))
-      .agg(expr("1000000 * sum(y) div count(1)").as("ls"))
-      .localCheckpoint(true)
     // pivot the model into ONE broadcast row: per tree, the root
     // threshold and both child thresholds (null = unsplit)
     val pivotCols = (0 until trees).flatMap { t =>
@@ -227,7 +300,8 @@ object Round13Ops {
     * thresholds: level 1 splits on q, level 2 on dd (the training
     * feature schedule); a node with no threshold row keeps its rows —
     * the early-leaf case. */
-  private def routeForest(rows: DataFrame, model: DataFrame): DataFrame = {
+  private[operators] def routeForest(rows: DataFrame,
+      model: DataFrame): DataFrame = {
     val l1 = model.filter(col("level") === 1)
       .select(col("node"), col("threshold").as("thr"))
     val l2 = model.filter(col("level") === 2)
@@ -369,19 +443,13 @@ object Round13Ops {
     * emits the prediction, the observed positive rate (exact ×10⁶
     * div), the signed calibration gap, and the bin mass. The oracle
     * re-derives the identical model and replays the grouping. */
-  def qCalibration(spark: SparkSession, sfDir: String): DataFrame = {
-    val data = Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y"))
-      .persist()
-    gbtScore(data, gbtModelRow(data))
+  def qCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    gbtScore(evalRows(spark, sfDir), ModelStore.gbtFull(spark, sfDir))
       .groupBy(col("s").as("score_ppm"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
       .select(col("score_ppm"), col("n"),
         expr("pos * 1000000 div n").as("observed_ppm"),
         expr("score_ppm - pos * 1000000 div n").as("gap_ppm"))
-  }
 
   val qCalibrationSql: String = {
     def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
@@ -421,24 +489,11 @@ object Round13Ops {
     * Scale: one linear split pass, the B91 training passes over 80%
     * of the corpus, one broadcast-scoring pass, and windows over the
     * |splits|×|distinct scores| collapsed relation. */
-  def sampleHoldoutEval(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.gf
-    val data = Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y"),
-      concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string")).as("rid"))
-      .withColumn("split",
-        when(gf.h32(concat(lit("hold:"), col("rid"))) % 5 === 0,
-          lit("test")).otherwise(lit("train")))
-      .persist()
-    val model = gbtModelRow(
-      data.filter(col("split") === "train").select("q", "dd", "y"))
-    groupedAuc(gbtScore(data, model).select(col("split"), col("s"),
-      col("y")), "split")
-  }
+  def sampleHoldoutEval(spark: SparkSession, sfDir: String): DataFrame =
+    groupedAuc(
+      gbtScore(holdoutRows(spark, sfDir),
+          ModelStore.gbtHoldout(spark, sfDir))
+        .select(col("split"), col("s"), col("y")), "split")
 
   /** Exact trapezoid AUC PER GROUP — `scored` carries (groupCol, s,
     * y); every window partitions by the group, so the output is one
@@ -533,21 +588,21 @@ object Round13Ops {
     * l_quantity splits and level-2 rows l_discount_cents — so the
     * table answers "which feature carried each tree". */
   def qFeatureImportance(spark: SparkSession, sfDir: String): DataFrame =
-    featureImportancePipeline(Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y"),
-      concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string")).as("rid")))
+    featureImportanceFrom(ModelStore.forestLevels(spark, sfDir))
 
   /** Importances over arbitrary (q, dd, y, rid) rows — the spec hook
     * (`Round13Spec` pins: a feature that fully determines the label
     * takes ~all of its tree's importance; importances are
     * non-negative). */
-  private[graft] def featureImportancePipeline(rows: DataFrame): DataFrame = {
+  private[graft] def featureImportancePipeline(rows: DataFrame): DataFrame =
+    featureImportanceFrom(Round12Ops.forestLevelsFull(rows.persist(),
+      Round12Ops.forestTrees, Round12Ops.forestDepth))
+
+  /** Importances from an already-trained per-level argmin relation
+    * (level, node, feature, threshold, gini, pp, nn) — the
+    * stored-model path (B97 off ModelStore's levels table). */
+  private[graft] def featureImportanceFrom(sel: DataFrame): DataFrame = {
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
-    val sel = Round12Ops.forestLevelsFull(rows.persist(),
-      Round12Ops.forestTrees, Round12Ops.forestDepth)
     val withGain = sel
       .withColumn("tree", substring(col("node"), 1, 2))
       .withColumn("parent_gini",
@@ -600,20 +655,24 @@ object Round13Ops {
     * the survivors. Unlike J18's holdout this consumes the WHOLE
     * corpus for training and still yields an out-of-sample estimate.
     * Same zero-corpus-shuffle scoring shape as B94. */
-  def qOobEval(spark: SparkSession, sfDir: String): DataFrame =
-    oobEvalPipeline(Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y"),
-      concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string")).as("rid")))
+  def qOobEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, leafScores) = ModelStore.forestModel(spark, sfDir)
+    oobEvalFrom(
+      forestScoreWith(ridRows(spark, sfDir), model, leafScores))
+  }
 
   /** OOB evaluation over arbitrary (q, dd, y, rid) rows — the spec
     * hook. */
-  private[graft] def oobEvalPipeline(rows: DataFrame): DataFrame = {
+  private[graft] def oobEvalPipeline(rows: DataFrame): DataFrame =
+    oobEvalFrom(forestRowScores(rows.persist()))
+
+  /** The OOB tail over already-appended per-tree row scores
+    * (ls_0..ls_3 + rid): complement the bagging hash, average only
+    * the out-of-bag trees, drop rows in every bag, exact ROC. */
+  private[graft] def oobEvalFrom(rowScores: DataFrame): DataFrame = {
     import graft.functions.gf
     val trees = Round12Ops.forestTrees
-    val withOob = (0 until trees).foldLeft(forestRowScores(rows.persist())) {
+    val withOob = (0 until trees).foldLeft(rowScores) {
       (df, t) => df.withColumn(s"oob_$t",
         (gf.h32(concat(lit(s"frst:$t:"), col("rid"))) % trees === 0)
           .cast("long"))
@@ -697,18 +756,22 @@ object Round13Ops {
     * train → score → choose-threshold → report chain is exact and the
     * oracle replays it bit-for-bit. */
   def qConfusion(spark: SparkSession, sfDir: String): DataFrame =
-    confusionPipeline(Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y")))
+    confusionFromScored(
+      gbtScore(evalRows(spark, sfDir), ModelStore.gbtFull(spark, sfDir))
+        .select(col("s"), col("y")))
 
   /** Threshold choice + confusion over arbitrary (q, dd, y) rows —
     * the spec hook (`Round13Spec` pins a separable plant: J = 10⁶,
     * zero off-diagonal mass, F1 = 10⁶). */
   private[graft] def confusionPipeline(rows: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val data = rows.persist()
-    val scored = gbtScore(data, gbtModelRow(data)).select(col("s"), col("y"))
+    confusionFromScored(
+      gbtScore(data, gbtModelRow(data)).select(col("s"), col("y")))
+  }
+
+  /** The decision tail over (s, y) scored rows. */
+  private[graft] def confusionFromScored(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.rowsBetween(
@@ -792,13 +855,40 @@ object Round13Ops {
     * grouping column if needed — here they pipeline), one scoring
     * pass per fold with the model broadcast, and the AUC windows
     * order |folds|×|distinct scores| collapsed rows. */
-  def qCvAuc(spark: SparkSession, sfDir: String): DataFrame =
-    cvAucPipeline(Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y"),
-      concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string")).as("rid")))
+  def qCvAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = ModelStore.gbtCvWide(spark, sfDir)
+      .withColumnRenamed("g", "fold")
+    val scored = foldRows(spark, sfDir).join(broadcast(wide), "fold")
+      .select(col("fold"), gbtScoreColumn.as("s"), col("y"))
+    groupedAuc(scored, "fold")
+  }
+
+  /** The five folds' joint wide-model training relation: each row
+    * replicated to the four models whose training set contains it
+    * (ModelStore's `gbtcv` build). */
+  private[operators] def cvWideModels(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val data = foldRows(spark, sfDir).persist()
+    val train0 = data.crossJoin(broadcast(
+        spark.range(cvFolds).select(col("id").as("g"))))
+      .filter(col("g") =!= col("fold"))
+      .select(col("g"), col("q"), col("dd"), col("y"))
+    jointGbtModels(train0)
+  }
+
+  /** The learning curve's joint wide-model training relation: nested
+    * subsets — size g trains on folds 1..g, fold 0 held out
+    * (ModelStore's `gbtlc` build). */
+  private[operators] def lcWideModels(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val data = foldRows(spark, sfDir).persist()
+    val train0 = data.filter(col("fold") >= 1)
+      .crossJoin(broadcast(
+        spark.range(1, cvFolds.toLong).select(col("id").as("g"))))
+      .filter(col("fold") <= col("g"))
+      .select(col("g"), col("q"), col("dd"), col("y"))
+    jointGbtModels(train0)
+  }
 
   private[graft] val cvFolds = 5
 
@@ -831,17 +921,9 @@ object Round13Ops {
     val wide = jointGbtModels(train0).withColumnRenamed("g", "fold")
     // each row scored by the one model whose training set excluded it
     val scored = data.join(broadcast(wide), "fold")
-      .select(col("fold"), jointScoreCol.as("s"), col("y"))
+      .select(col("fold"), gbtScoreColumn.as("s"), col("y"))
     groupedAuc(scored, "fold")
   }
-
-  /** The additive-application expression over a joined wide model row
-    * (f0, thr/ll/lr x3 in scope). */
-  private def jointScoreCol: org.apache.spark.sql.Column =
-    col("f0") +
-      when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1")) +
-      when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2")) +
-      when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3"))
 
   /** Train one B91 trajectory PER GROUP in shared passes: `train0`
     * carries (g, q, dd, y) with each row replicated to every group
@@ -981,13 +1063,13 @@ object Round13Ops {
     * trapezoid AUC. Four rows out: AUC as a function of training-set
     * size, the curve whose slope says whether the next 10 TB is worth
     * ingesting. */
-  def sampleLearningCurve(spark: SparkSession, sfDir: String): DataFrame =
-    learningCurvePipeline(Tables.lineitem(spark, sfDir).select(
-      col("l_quantity").cast("long").as("q"),
-      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
-      (col("l_returnflag") === "R").cast("long").as("y"),
-      concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string")).as("rid")))
+  def sampleLearningCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = ModelStore.gbtLcWide(spark, sfDir)
+    val scored = foldRows(spark, sfDir).filter(col("fold") === 0)
+      .crossJoin(broadcast(wide))
+      .select(col("g").as("train_folds"), gbtScoreColumn.as("s"), col("y"))
+    groupedAuc(scored, "train_folds")
+  }
 
   /** The curve over arbitrary (q, dd, y, rid) rows — the spec hook
     * (`Round13Spec` pins: the largest size's model IS the J18 train
@@ -1010,7 +1092,7 @@ object Round13Ops {
     // every size's model scores the SAME held-out rows: a 4-row
     // broadcast fan-out of the 20% test split
     val scored = test.crossJoin(broadcast(wide))
-      .select(col("g").as("train_folds"), jointScoreCol.as("s"), col("y"))
+      .select(col("g").as("train_folds"), gbtScoreColumn.as("s"), col("y"))
     groupedAuc(scored, "train_folds")
   }
 

@@ -1325,17 +1325,16 @@ object StreamingTwins {
       }
       dir
     })
-    // the standing model, trained before the stream starts
-    val model = Round13Ops.gbtModelRow(data.select("q", "dd", "y"))
+    // the standing model — the run-shared ModelStore artifact a
+    // scoring service loads at deploy time (determinism makes the
+    // stored row ≡ a fresh training on `data`, bit-for-bit)
+    val model = graft.operators.ModelStore.gbtFull(spark, sfDir)
       .withColumn("one", lit(1))
     val src = spark.readStream.schema(data.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
     val scored = src.withColumn("one", lit(1))
       .join(broadcast(model), "one")
-      .withColumn("s", col("f0")
-        + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
-        + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
-        + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
+      .withColumn("s", Round13Ops.gbtScoreColumn)
       .select(col("s"), col("y"))
     val landed = runToCompletion(scored, "append", "twin_model_score")
     Round10bOps.rocAucPipeline(landed.select(col("s"), col("y")))
@@ -1370,8 +1369,9 @@ object StreamingTwins {
       col("l_quantity").cast("long").as("q"),
       expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
       (col("l_returnflag") === "R").cast("long").as("y"))
-    // the standing model + the deploy-time reference distribution
-    val model = Round13Ops.gbtModelRow(data.select("q", "dd", "y"))
+    // the standing model (the run-shared ModelStore artifact) + the
+    // deploy-time reference distribution
+    val model = graft.operators.ModelStore.gbtFull(spark, sfDir)
       .withColumn("one", lit(1))
     val refCounts = Round13Ops
       .gbtScore(data.filter(pmod(col("key"), lit(3)) === 0), model.drop("one"))
@@ -1396,10 +1396,7 @@ object StreamingTwins {
       .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
     val liveCounts = src.withColumn("one", lit(1))
       .join(broadcast(model), "one")
-      .withColumn("s", col("f0")
-        + when(col("q") <= col("thr1"), col("ll1")).otherwise(col("lr1"))
-        + when(col("dd") <= col("thr2"), col("ll2")).otherwise(col("lr2"))
-        + when(col("q") <= col("thr3"), col("ll3")).otherwise(col("lr3")))
+      .withColumn("s", Round13Ops.gbtScoreColumn)
       .groupBy(col("s")).agg(count(lit(1)).as("n_live"))
     val landed = runToCompletion(liveCounts, "complete", "twin_drift_psi")
     // post-stream: PSI per score bin (B59's arithmetic)
