@@ -94,7 +94,11 @@ object Bench {
         () => operators.ModelStore.gbtModelBuild(spark, sfDir)),
       ("forest_model_build", Set(
         "q_forest_eval", "q_oob_eval", "q_feature_importance"),
-        () => operators.ModelStore.forestModelBuild(spark, sfDir)))
+        () => operators.ModelStore.forestModelBuild(spark, sfDir)),
+      // round-14: the batch IVM family's standing view-state tables
+      ("ivm_state_build", Set(
+        "warehouse_ivm", "warehouse_ivm_join", "warehouse_ivm_distinct"),
+        () => operators.Round12Ops.IvmStateStore.build(spark, sfDir)))
     val buildRuns = substrateBuilds.flatMap { case (name, gates, fn) =>
       if (gates.exists(selected.contains)) {
         // run 1: the real build, under the run's store root — this is

@@ -56,10 +56,72 @@ object Round12Ops {
     * path, which is `ivmMaintain` and never sees the NEW snapshot.) */
   def warehouseIvm(spark: SparkSession, sfDir: String): DataFrame = {
     val (old, neu) = ivmSnapshots(spark, sfDir)
-    ivmMaintain(ivmState(old), ivmDelta(old, neu))
+    val state = IvmStateStore.a33(spark, sfDir).read()
+      .select(col("st"), col("prio"), col("n_orders"), col("total"))
+    ivmMaintain(state, ivmDelta(old, neu))
       .select(col("st").as("o_orderstatus"),
         col("prio").as("o_orderpriority"), col("n_orders"),
         col("total").cast("double").as("total_price"))
+  }
+
+  /** Run-shared standing VIEW-STATE tables for the batch IVM family
+    * (round-14, completing the round-13 lifecycle discipline on the
+    * A-family): each maintained view's state lives in an H19
+    * `SnapshotTable` under the resolved store root, seeded ONCE per
+    * run from the OLD snapshot — the standing table a warehouse
+    * actually maintains — so the A33/A34/A35 bench rows time
+    * maintenance against STORED state (a bucketed table read), not
+    * the state's derivation. The G23/G24 streaming twins already
+    * commit through SnapshotTables on the write path (H22); this is
+    * the batch-side read path. Seeding is deterministic (exact
+    * DECIMAL sums / exact counts), and decimals/longs/strings
+    * round-trip parquet bit-exactly, so stored ≡ derived and every
+    * oracle hash is unchanged. A table found already-seeded under a
+    * shared root is reused as-is — the standing-table story. */
+  private[graft] object IvmStateStore {
+    import graft.sources.SnapshotTable
+    private val built =
+      scala.collection.concurrent.TrieMap.empty[String, SnapshotTable]
+    private def key(sfDir: String) = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    private def table(spark: SparkSession, name: String)
+        (seed: => DataFrame): SnapshotTable = {
+      val dir = graft.sources.StoreRoot
+        .resolve(spark, "graft-ivm-state").resolve(name).toString
+      built.getOrElseUpdate(dir, {
+        val tbl = new SnapshotTable(spark, dir, "k",
+          buckets = 4, keepSnapshots = 4)
+        if (tbl.version == 0) tbl.create(seed)
+        tbl
+      })
+    }
+
+    /** A33's (status, priority) aggregate state. */
+    def a33(spark: SparkSession, sfDir: String): SnapshotTable =
+      table(spark, "a33_" + key(sfDir)) {
+        ivmWithKey(ivmState(ivmSnapshots(spark, sfDir)._1))
+      }
+
+    /** A34's per-nation join-view state (key = nation). */
+    def a34(spark: SparkSession, sfDir: String): SnapshotTable =
+      table(spark, "a34_" + key(sfDir)) {
+        val (oOld, cOld) = ivmJoinOldSnapshots(spark, sfDir)
+        ivmJoinState(oOld, cOld)
+          .withColumn("k", col("nk").cast("string"))
+      }
+
+    /** A35's (status, custkey) support state. */
+    def a35(spark: SparkSession, sfDir: String): SnapshotTable =
+      table(spark, "a35_" + key(sfDir)) {
+        Round12bOps.ivmdWithKey(Round12bOps.ivmdSupport(
+          Round12bOps.ivmdSnapshots(spark, sfDir)._1))
+      }
+
+    /** Bench lifecycle hook: seed all three standing state tables in
+      * one timed pass. */
+    def build(spark: SparkSession, sfDir: String): Unit = {
+      a33(spark, sfDir); a34(spark, sfDir); a35(spark, sfDir)
+      ()
+    }
   }
 
   /** The deterministic OLD/NEW order snapshots (A28's derivation with
@@ -260,26 +322,48 @@ object Round12Ops {
     * key at 100 TB, that pass touches only matching buckets) — never
     * a recompute of the full join. */
   def warehouseIvmJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-    val c = Tables.customer(spark, sfDir)
+    val (oOld, cOld) = ivmJoinOldSnapshots(spark, sfDir)
+    val (oNew, cNew) = ivmJoinNewSnapshots(spark, sfDir)
+    val state = IvmStateStore.a34(spark, sfDir).read()
+      .select(col("nk"), col("dn"), col("dp"))
+    ivmJoinMaintain(state, oOld, oNew, cOld, cNew)
+  }
+
+  /** The deterministic OLD snapshots of both join inputs (orders as
+    * (okey, ck, price), customers as (ck, nk)) — shared by the
+    * standing-state seed and the delta terms. */
+  private[operators] def ivmJoinOldSnapshots(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     def p(col0: Column) = col0.cast(dec12)
-    val oOld = o.filter(col("o_orderkey") % 10 =!= 3)
+    val oOld = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 =!= 3)
       .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck"),
         p(col("o_totalprice")).as("price"))
-    val oNew = o.filter(col("o_orderkey") % 10 =!= 7)
+    val cOld = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 17 =!= 8)
+      .select(col("c_custkey").as("ck"),
+        col("c_nationkey").cast("long").as("nk"))
+    (oOld, cOld)
+  }
+
+  /** The deterministic NEW snapshots (renamed columns — the CDC diff
+    * convention). */
+  private[operators] def ivmJoinNewSnapshots(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    def p(col0: Column) = col0.cast(dec12)
+    val oNew = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 =!= 7)
       .select(col("o_orderkey").as("okey"), col("o_custkey").as("ck2"),
         when(col("o_orderkey") % 5 === 0,
           (p(col("o_totalprice")) + lit(1).cast(dec12)).cast(dec12))
           .otherwise(p(col("o_totalprice"))).as("price2"))
-    val cOld = c.filter(col("c_custkey") % 17 =!= 8)
-      .select(col("c_custkey").as("ck"),
-        col("c_nationkey").cast("long").as("nk"))
-    val cNew = c.filter(col("c_custkey") % 13 =!= 6)
+    val cNew = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 13 =!= 6)
       .select(col("c_custkey").as("ck"),
         when(col("c_custkey") % 11 === 4,
           (col("c_nationkey") + 7) % 25).otherwise(col("c_nationkey"))
           .cast("long").as("nk2"))
-    ivmJoinPipeline(oOld, oNew, cOld, cNew)
+    (oNew, cNew)
   }
 
   /** The join-view maintenance over arbitrary old/new snapshot pairs —
@@ -288,6 +372,23 @@ object Round12Ops {
     * hook (`Round12Spec` plants a closed-form scenario and pins every
     * delta term by hand). */
   private[graft] def ivmJoinPipeline(oOld: DataFrame, oNew: DataFrame,
+      cOld: DataFrame, cNew: DataFrame): DataFrame =
+    ivmJoinMaintain(ivmJoinState(oOld, cOld), oOld, oNew, cOld, cNew)
+
+  /** The standing join-view state over the OLD snapshots — in
+    * production a stored |nations|-row table (IvmStateStore.a34). */
+  private[operators] def ivmJoinState(oOld: DataFrame,
+      cOld: DataFrame): DataFrame =
+    oOld.join(cOld, "ck").groupBy(col("nk"))
+      .agg(count(lit(1)).as("dn"), sum(col("price")).cast(dec38).as("dp"))
+
+  /** The bilinear maintenance step over a GIVEN standing state: the
+    * three delta joins (ΔO⋈C, O⋈ΔC, ΔO⋈ΔC) folded into the state.
+    * The old snapshots still participate — they are the standing
+    * DIMENSION/FACT relations the delta terms join — but the state
+    * term itself is the stored table. */
+  private[operators] def ivmJoinMaintain(state: DataFrame,
+      oOld: DataFrame, oNew: DataFrame,
       cOld: DataFrame, cNew: DataFrame): DataFrame = {
     // churn-sized SIGNED deltas: retract the old image, assert the new
     val dO = oOld.join(oNew, oOld("okey") === oNew("okey"), "full_outer")
@@ -309,9 +410,6 @@ object Round12Ops {
       .unionByName(dC.filter(col("ckb").isNotNull)
         .select(col("ckb").as("ck"), col("nk2").as("nk"),
           lit(1L).as("csign")))
-    // the standing view state over the OLD snapshots
-    val state = oOld.join(cOld, "ck").groupBy(col("nk"))
-      .agg(count(lit(1)).as("dn"), sum(col("price")).cast(dec38).as("dp"))
     // the three delta joins; signs multiply on the cross term
     val t1 = broadcast(dOs).join(cOld, "ck")
       .select(col("nk"), col("sign").as("dn"),

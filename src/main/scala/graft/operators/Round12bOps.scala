@@ -50,7 +50,9 @@ object Round12bOps {
     * and this plan reads only it plus the churn. */
   def warehouseIvmDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val (old, neu) = ivmdSnapshots(spark, sfDir)
-    ivmdView(ivmdMaintain(ivmdSupport(old), ivmdDelta(old, neu)))
+    val support = Round12Ops.IvmStateStore.a35(spark, sfDir).read()
+      .select(col("st"), col("cust"), col("cnt"))
+    ivmdView(ivmdMaintain(support, ivmdDelta(old, neu)))
   }
 
   /** The deterministic OLD/NEW snapshots carrying the view's group
