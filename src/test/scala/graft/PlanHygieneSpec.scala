@@ -153,6 +153,9 @@ class PlanHygieneSpec extends SparkSuite {
     "q_confusion" -> ("crossJoin(broadcast(1-row pivoted stump model "
       + "+ 1-row F0)) — B93's scoring projection feeding the "
       + "operating-point argmax"),
+    "q_gbt_importance" -> ("crossJoin(broadcast(1-row round-1 SSE "
+      + "normalizer)) over the 3-row stored stump trajectory — the "
+      + "whole plan is model-sized, no fact table anywhere"),
     "sample_learning_curve" -> ("crossJoin(broadcast(4-row wide model "
       + "relation)) — every size's model scores the SAME held-out "
       + "split, so the test rows fan out over the 4-row broadcast; "

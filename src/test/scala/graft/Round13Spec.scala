@@ -201,6 +201,40 @@ class Round13Spec extends SparkSuite {
     assert(corpus.nonEmpty && corpus.forall(_ >= 0L))
   }
 
+  test("q_gbt_importance: shares non-negative and bounded by the initial loss; the label feature dominates on a separable plant; corpus table re-derives from the trajectory") {
+    import spark.implicits._
+    import graft.operators.{Round12Ops, Round13Ops}
+    // y determined by q (rounds 1/3 split q); dd is noise (round 2)
+    val rows = (1 to 120).map { i =>
+      val q = (i % 20 + 1).toLong
+      (q, (i % 7).toLong, if (q <= 10) 1L else 0L)
+    }.toDF("q", "dd", "y")
+    val imp = Round13Ops.gbtImportanceFrom(
+        Round12Ops.gbtPipeline(rows, Round12Ops.gbtRounds)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    imp.foreach { case (f, _, v) =>
+      assert(v >= 0L, s"negative importance for $f") }
+    // Σ shares ≤ the initial loss (+ ppm slack for the truncated-leaf
+    // residual update: post-round SSE can sit a hair above split_sse)
+    assert(imp.map(_._3).sum <= 1000000L + 10L,
+      s"shares sum past the initial loss: ${imp.map(_._3).sum}")
+    val qImp = imp.find(_._1 == "l_quantity").map(_._3).getOrElse(0L)
+    val dImp = imp.find(_._1 == "l_discount_cents").map(_._3).getOrElse(0L)
+    assert(qImp > 0L, "label-determining feature got zero importance")
+    assert(dImp <= qImp / 100L,
+      s"noise feature share $dImp not dwarfed by $qImp")
+    // the served table (stored trajectory) ≡ re-deriving from a fresh
+    // in-plan training on the same corpus — stored ≡ retrained
+    val served = Round13Ops.qGbtImportance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = Round13Ops.gbtImportanceFrom(
+        Round12Ops.gbtPipeline(Round13Ops.evalRows(spark, sf),
+          Round12Ops.gbtRounds)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == fresh,
+      s"stored-trajectory importances drifted from retrained: $served vs $fresh")
+  }
+
   test("q_oob_eval: separable plant scores OOB AUC = 10^6; only out-of-bag-somewhere rows are scored") {
     import spark.implicits._
     import graft.operators.Round13Ops
