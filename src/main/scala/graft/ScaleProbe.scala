@@ -584,17 +584,32 @@ object ScaleProbe {
           // standing layout build AND the standing |groups|-row view
           // state — both stored artifacts at scale, NOT timed (the
           // round-12 item-#1 accounting discipline: time the
-          // maintenance path, not its stored substrate)
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_ivm_bkt").toString
-          val (bOld, bNeu) = operators.Round12Ops.ivmBucketedSnapshots(
-            spark, old, neu, dir, "probe")
-          operators.Round12Ops.ivmState(bOld)
-            .write.mode("overwrite").parquet(s"$dir/state")
-          val state = spark.read.parquet(s"$dir/state")
-          // timed: the zero-Exchange delta derivation + maintenance
-          time(operators.Round12Ops.ivmMaintain(
-            state, operators.Round12Ops.ivmDelta(bOld, bNeu)).count())
+          // maintenance path, not its stored substrate). The table
+          // names carry a per-invocation nonce (a fixed name would
+          // collide under concurrent probes and leak catalog entries
+          // across runs) and both the tables and the temp dir are
+          // dropped after the timed section.
+          val dirP = java.nio.file.Files
+            .createTempDirectory("graft_ivm_bkt")
+          val tag = s"probe_${java.util.UUID.randomUUID.toString.take(8)}"
+          try {
+            val (bOld, bNeu) = operators.Round12Ops.ivmBucketedSnapshots(
+              spark, old, neu, dirP.toString, tag)
+            operators.Round12Ops.ivmState(bOld)
+              .write.mode("overwrite").parquet(s"$dirP/state")
+            val state = spark.read.parquet(s"$dirP/state")
+            // timed: the zero-Exchange delta derivation + maintenance
+            time(operators.Round12Ops.ivmMaintain(
+              state, operators.Round12Ops.ivmDelta(bOld, bNeu)).count())
+          } finally {
+            Seq(s"graft_ivm_old_$tag", s"graft_ivm_new_$tag")
+              .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+            try {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dirP).iterator().asScala.toSeq
+                .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+            } catch { case _: Throwable => () }
+          }
         },
         (n: Int) => replicate(
           spark.read.parquet(s"$sfDir/orders.parquet"), n,

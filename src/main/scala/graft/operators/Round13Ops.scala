@@ -505,7 +505,9 @@ object Round13Ops {
   /** Exact trapezoid AUC PER GROUP — `scored` carries (groupCol, s,
     * y); every window partitions by the group, so the output is one
     * (group, pos, neg, auc_ppm) row per group. Shared by J18's
-    * holdout and B100's cross-validation. */
+    * holdout and B100's cross-validation. (BIGINT headroom: exact up
+    * to ~3·10⁹ rows per class per group — the auc_num·10⁶ and
+    * 2·pp·nn products; beyond that, DECIMAL(38,0) the products.) */
   private[graft] def groupedAuc(scored: DataFrame,
       groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -811,7 +813,14 @@ object Round13Ops {
     * One row out: the deployable decision rule with its quality
     * certificate. Scores are B93's GBT scores, so the whole
     * train → score → choose-threshold → report chain is exact and the
-    * oracle replays it bit-for-bit. */
+    * oracle replays it bit-for-bit.
+    *
+    * Integer headroom: the products tp·nn, fp·pp (and the shared
+    * auc_num·10⁶ / (2·pp·nn) pattern) stay inside a signed 64-bit
+    * BIGINT while each class total is ≲ 3·10⁹ rows; past that (a full
+    * 100 TB corpus is ~6·10¹¹ lineitems) promote the products to
+    * DECIMAL(38,0) — the s2 sums in the trainers already do exactly
+    * that — at the cost of the oracle mirroring the cast. */
   def qConfusion(spark: SparkSession, sfDir: String): DataFrame =
     confusionFromScored(
       gbtScore(evalRows(spark, sfDir), ModelStore.gbtFull(spark, sfDir))

@@ -167,10 +167,29 @@ final class SnapshotTable(
   def merge(updates: DataFrame, deletes: Option[DataFrame]): Unit = {
     val cur = refs
     require(cur.nonEmpty, s"snapshot table $path not created")
+    requireWidening(cur, updates)
     val (touched, upserted) = upsertPlan(cur, updates, deletes)
     val c = version + 1
     val newRefs = writeData(upserted, c)
     commitManifest(cur -- touched ++ newRefs)
+  }
+
+  /** H23 is ONE-directional: a merge batch may WIDEN the schema (new
+    * columns null-fill carried rows) but must never narrow it — the
+    * `allowMissingColumns` union below would otherwise silently
+    * null-fill a LIVE column on every upserted key when a malformed
+    * caller ships a batch missing it, destroying data the caller
+    * never meant to touch. Fail fast instead (spec-pinned). Schema
+    * check only — reads one live footer, never data. */
+  private def requireWidening(cur: Map[Int, String],
+      updates: DataFrame): Unit = {
+    val live = readRefsDf(cur).columns.toSet
+    val missing = live -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"snapshot table $path: update batch is missing live column(s) " +
+        s"${missing.mkString(", ")} — merges are widening-only (H23); " +
+        "a narrower batch would null-fill those columns on every " +
+        "upserted key")
   }
 
   /** The MERGE read plan against a given snapshot: the touched-bucket
@@ -234,6 +253,7 @@ final class SnapshotTable(
       deletes: Option[DataFrame]): StagedMerge = {
     val cur = refs
     require(cur.nonEmpty, s"snapshot table $path not created")
+    requireWidening(cur, updates)
     val base = version
     val (touched, upserted) = upsertPlan(cur, updates, deletes)
     val rel = s"staged/s${System.nanoTime()}"

@@ -510,6 +510,20 @@ class WarehouseSpec extends SparkSuite {
           (if (r.isNullAt(1)) null else r.getString(1))).toMap
       assert(postById(1L) == "x1" && postById(21L) == "x21",
         "compaction dropped widened values")
+      // evolution is ONE-directional (round-14 advisor item): a batch
+      // NARROWER than the live schema must fail fast — accepted, it
+      // would silently null-fill the missing live column on every
+      // upserted key (data loss on a malformed caller)
+      val narrow = Seq((2L, "x2")).toDF("id", "extra")
+      val err = intercept[IllegalArgumentException] { t.merge(narrow) }
+      assert(err.getMessage.contains("widening-only"),
+        s"narrower merge rejected for the wrong reason: ${err.getMessage}")
+      val errStaged = intercept[IllegalArgumentException] {
+        t.stageMerge(narrow)
+      }
+      assert(errStaged.getMessage.contains("widening-only"))
+      assert(t.read().count() == 21,
+        "the rejected narrow batch must leave the table untouched")
     } finally t.drop()
   }
 
