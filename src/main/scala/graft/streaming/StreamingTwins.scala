@@ -78,7 +78,8 @@ object StreamingTwins {
     * timed runs, Verify + specs in one JVM) hold at most one result
     * set per twin in driver memory — consume the returned DataFrame
     * before invoking the same twin again. */
-  private def runToCompletion(df: DataFrame, mode: String, name: String): DataFrame = {
+  private[graft] def runToCompletion(df: DataFrame, mode: String,
+      name: String): DataFrame = {
     val spark = df.sparkSession
     spark.catalog.dropTempView(name) // idempotent; frees the prior run's rows
     // State-store instance count = shuffle partition count at the first
