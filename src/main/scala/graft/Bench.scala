@@ -90,10 +90,12 @@ object Bench {
       ("gbt_model_build", Set(
         "q_gbt_eval", "q_calibration", "q_confusion",
         "sample_holdout_eval", "q_cv_auc", "sample_learning_curve",
-        "streaming_model_score", "streaming_drift_psi"),
+        "streaming_model_score", "streaming_drift_psi",
+        "q_gbt_importance", "q_model_compare"),
         () => operators.ModelStore.gbtModelBuild(spark, sfDir)),
       ("forest_model_build", Set(
-        "q_forest_eval", "q_oob_eval", "q_feature_importance"),
+        "q_forest_eval", "q_oob_eval", "q_feature_importance",
+        "q_model_compare"),
         () => operators.ModelStore.forestModelBuild(spark, sfDir)),
       // round-14: the batch IVM family's standing view-state tables
       ("ivm_state_build", Set(

@@ -704,6 +704,164 @@ object Round13Ops {
        |FROM gimp, gt1 GROUP BY feature""".stripMargin
   }
 
+  // --------------------------------------------------------------- B102
+  /** Champion/challenger model comparison — the SELECTION-BETWEEN-
+    * FAMILIES step the per-model evaluations (B93 GBT, B94 forest)
+    * can't give alone: both stored models score every row in ONE
+    * linear pass (both are broadcast artifacts in label space ×10⁶,
+    * so the Bayes 0.5 cut is the same integer threshold 500000 for
+    * each), and one output row carries the prediction-agreement
+    * matrix, each model's exact accuracy, and McNemar's paired
+    * counts — b = rows only the GBT got right, c = rows only the
+    * forest got right — with the χ² statistic (b−c)²·10⁶/(b+c) as an
+    * exact integer division (McNemar 1947; the paired test is the
+    * correct one because both models scored the SAME rows —
+    * independent-sample accuracy comparison would waste the
+    * pairing). Disagreement rows are the only evidence that
+    * separates the models; everything else cancels.
+    *
+    * Scale: one scan, every model artifact broadcast, the first and
+    * only shuffle is the final 1-row aggregate (map-side combined).
+    * Integer headroom: counts ≤ corpus rows, (b−c)²·10⁶ needs
+    * |b−c| ≲ 3·10⁶ before DECIMAL(38,0) promotion — disagreement
+    * counts, not corpus counts, so the headroom note is per-DISAGREE
+    * mass. */
+  def qModelCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val trees = Round12Ops.forestTrees
+    val (fModel, fLeaves) = ModelStore.forestModel(spark, sfDir)
+    val gModel = ModelStore.gbtFull(spark, sfDir)
+    val withF = forestScoreWith(ridRows(spark, sfDir), fModel, fLeaves)
+      .withColumn("s_f", expr((0 until trees).map(t => s"ls_$t")
+        .mkString("(", " + ", s") div $trees")))
+    val both = gbtScore(withF, gModel).withColumnRenamed("s", "s_g")
+    modelCompareFrom(both.select(col("s_g"), col("s_f"), col("y")))
+  }
+
+  /** The comparison tail over (s_g, s_f, y) doubly-scored rows — the
+    * spec hook (`Round13Spec` pins: two perfect models agree
+    * everywhere with b = c = 0 and both accuracies 10⁶; a planted
+    * one-sided disagreement lands entirely in b). */
+  private[graft] def modelCompareFrom(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("p_g", (col("s_g") >= 500000L).cast("long"))
+      .withColumn("p_f", (col("s_f") >= 500000L).cast("long"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p_g") === 1 && col("p_f") === 1, 1L)
+          .otherwise(0L)).as("agree_pos"),
+        sum(when(col("p_g") === 0 && col("p_f") === 0, 1L)
+          .otherwise(0L)).as("agree_neg"),
+        sum(when(col("p_g") === 1 && col("p_f") === 0, 1L)
+          .otherwise(0L)).as("only_gbt_pos"),
+        sum(when(col("p_g") === 0 && col("p_f") === 1, 1L)
+          .otherwise(0L)).as("only_forest_pos"),
+        sum((col("p_g") === col("y")).cast("long")).as("gc"),
+        sum((col("p_f") === col("y")).cast("long")).as("fc"),
+        sum(when(col("p_g") === col("y") && col("p_f") =!= col("y"), 1L)
+          .otherwise(0L)).as("b_gbt_only_right"),
+        sum(when(col("p_f") === col("y") && col("p_g") =!= col("y"), 1L)
+          .otherwise(0L)).as("c_forest_only_right"))
+      .select(col("n"), col("agree_pos"), col("agree_neg"),
+        col("only_gbt_pos"), col("only_forest_pos"),
+        expr("gc * 1000000 div n").as("gbt_acc_ppm"),
+        expr("fc * 1000000 div n").as("forest_acc_ppm"),
+        col("b_gbt_only_right"), col("c_forest_only_right"),
+        expr("""(b_gbt_only_right - c_forest_only_right)
+          * (b_gbt_only_right - c_forest_only_right) * 1000000
+          div greatest(b_gbt_only_right + c_forest_only_right, 1)""")
+          .as("mcnemar_x2_ppm"))
+
+  val qModelCompareSql: String = {
+    val trees = Round12Ops.forestTrees
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val gTerms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN e.${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    val pivotCols = (0 until trees).flatMap { t =>
+      Seq(s"max(CASE WHEN node = 't${t}r' THEN v END) AS thr_$t",
+        s"max(CASE WHEN node = 't${t}rL' THEN v END) AS thrL_$t",
+        s"max(CASE WHEN node = 't${t}rR' THEN v END) AS thrR_$t")
+    }.mkString(",\n    ")
+    def leaf(t: Int) =
+      s"""CASE WHEN p.thr_$t IS NULL THEN 't${t}r'
+         |    WHEN e.q <= p.thr_$t THEN
+         |      CASE WHEN p.thrL_$t IS NULL THEN 't${t}rL'
+         |           WHEN e.dd <= p.thrL_$t THEN 't${t}rLL'
+         |           ELSE 't${t}rLR' END
+         |    ELSE
+         |      CASE WHEN p.thrR_$t IS NULL THEN 't${t}rR'
+         |           WHEN e.dd <= p.thrR_$t THEN 't${t}rRL'
+         |           ELSE 't${t}rRR' END END AS leaf_$t""".stripMargin
+    val leafJoins = (0 until trees)
+      .map(t => s"LEFT JOIN ls l$t ON l$t.node = e.leaf_$t")
+      .mkString("\n  ")
+    val scoreSum = (0 until trees)
+      .map(t => s"coalesce(l$t.ls, 0)").mkString(" + ")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |${Round12Ops.forestCtes},
+       |bg1 AS (
+       |  SELECT CASE WHEN s.v IS NULL THEN b.node
+       |    ELSE b.node || CASE WHEN b.q <= s.v THEN 'L' ELSE 'R' END
+       |    END AS node, b.dd, b.y
+       |  FROM fk0 b LEFT JOIN fksel1 s ON s.node = b.node),
+       |bg2 AS (
+       |  SELECT CASE WHEN s.v IS NULL THEN b.node
+       |    ELSE b.node || CASE WHEN b.dd <= s.v THEN 'L' ELSE 'R' END
+       |    END AS node, b.y
+       |  FROM bg1 b LEFT JOIN fksel2 s ON s.node = b.node),
+       |ls AS MATERIALIZED (
+       |  SELECT node, 1000000 * CAST(sum(y) AS BIGINT) // count(*) AS ls
+       |  FROM bg2 GROUP BY 1),
+       |pv AS MATERIALIZED (
+       |  SELECT $pivotCols
+       |  FROM (SELECT node, v FROM fksel1
+       |        UNION ALL SELECT node, v FROM fksel2)),
+       |ev AS (
+       |  SELECT e.y, e.q, e.dd,
+       |${(0 until trees).map(leaf).mkString(",\n")}
+       |  FROM fraw e, pv p),
+       |mscored AS MATERIALIZED (
+       |  SELECT e.y,
+       |    CAST($scoreSum AS BIGINT) // $trees AS s_f,
+       |    (SELECT f0 FROM gf0)
+       |$gTerms AS s_g
+       |  FROM ev e
+       |  $leafJoins),
+       |mpred AS (
+       |  SELECT y,
+       |    CASE WHEN s_g >= 500000 THEN 1 ELSE 0 END AS p_g,
+       |    CASE WHEN s_f >= 500000 THEN 1 ELSE 0 END AS p_f
+       |  FROM mscored),
+       |magg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN p_g = 1 AND p_f = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS agree_pos,
+       |    CAST(sum(CASE WHEN p_g = 0 AND p_f = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS agree_neg,
+       |    CAST(sum(CASE WHEN p_g = 1 AND p_f = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS only_gbt_pos,
+       |    CAST(sum(CASE WHEN p_g = 0 AND p_f = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS only_forest_pos,
+       |    CAST(sum(CASE WHEN p_g = y THEN 1 ELSE 0 END) AS BIGINT) AS gc,
+       |    CAST(sum(CASE WHEN p_f = y THEN 1 ELSE 0 END) AS BIGINT) AS fc,
+       |    CAST(sum(CASE WHEN p_g = y AND p_f <> y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b_gbt_only_right,
+       |    CAST(sum(CASE WHEN p_f = y AND p_g <> y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c_forest_only_right
+       |  FROM mpred)
+       |SELECT n, agree_pos, agree_neg, only_gbt_pos, only_forest_pos,
+       |  gc * 1000000 // n AS gbt_acc_ppm,
+       |  fc * 1000000 // n AS forest_acc_ppm,
+       |  b_gbt_only_right, c_forest_only_right,
+       |  (b_gbt_only_right - c_forest_only_right)
+       |    * (b_gbt_only_right - c_forest_only_right) * 1000000
+       |    // greatest(b_gbt_only_right + c_forest_only_right, 1)
+       |    AS mcnemar_x2_ppm
+       |FROM magg""".stripMargin
+  }
+
   // ---------------------------------------------------------------- B98
   /** Out-of-bag evaluation (Breiman 1996) — the validation estimate a
     * bagged ensemble gives FOR FREE: each row is scored only by the
@@ -1233,6 +1391,7 @@ object Round13Ops {
     "sample_holdout_eval" -> sampleHoldoutEval _,
     "q_feature_importance" -> qFeatureImportance _,
     "q_gbt_importance" -> qGbtImportance _,
+    "q_model_compare" -> qModelCompare _,
     "q_oob_eval" -> qOobEval _)
 
   val oracleSql: Map[String, String] = Map(
@@ -1246,5 +1405,6 @@ object Round13Ops {
     "sample_holdout_eval" -> sampleHoldoutEvalSql,
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_gbt_importance" -> qGbtImportanceSql,
+    "q_model_compare" -> qModelCompareSql,
     "q_oob_eval" -> qOobEvalSql)
 }

@@ -156,6 +156,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q_gbt_importance" -> ("crossJoin(broadcast(1-row round-1 SSE "
       + "normalizer)) over the 3-row stored stump trajectory — the "
       + "whole plan is model-sized, no fact table anywhere"),
+    "q_model_compare" -> ("crossJoin(broadcast(1-row pivoted forest "
+      + "thresholds)) + crossJoin(broadcast(1-row GBT model)) — both "
+      + "stored models score the same scan; leaf-score lookups are "
+      + "EQUI broadcast joins and the only shuffle is the final "
+      + "1-row aggregate"),
     "sample_learning_curve" -> ("crossJoin(broadcast(4-row wide model "
       + "relation)) — every size's model scores the SAME held-out "
       + "split, so the test rows fan out over the 4-row broadcast; "

@@ -235,6 +235,48 @@ class Round13Spec extends SparkSuite {
       s"stored-trajectory importances drifted from retrained: $served vs $fresh")
   }
 
+  test("q_model_compare: perfect agreement gives b=c=0 and both accuracies 10^6; a one-sided disagreement lands entirely in b; corpus cells are consistent") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    def row(df: org.apache.spark.sql.DataFrame) =
+      Round13Ops.modelCompareFrom(df).collect().head
+    val perfect = (1 to 100).map { i =>
+      val y = (i % 2).toLong
+      (y * 1000000L, y * 1000000L, y)
+    }.toDF("s_g", "s_f", "y")
+    val p = row(perfect)
+    assert(p.getAs[Long]("n") == 100L)
+    assert(p.getAs[Long]("agree_pos") == 50L
+      && p.getAs[Long]("agree_neg") == 50L)
+    assert(p.getAs[Long]("gbt_acc_ppm") == 1000000L
+      && p.getAs[Long]("forest_acc_ppm") == 1000000L)
+    assert(p.getAs[Long]("b_gbt_only_right") == 0L
+      && p.getAs[Long]("c_forest_only_right") == 0L
+      && p.getAs[Long]("mcnemar_x2_ppm") == 0L)
+    // forest flips every 8th row; GBT stays right — all disagreement
+    // mass must land in b, and χ² = (b-0)²·10⁶/b = b·10⁶
+    val oneSided = (1 to 80).map { i =>
+      val y = (i % 2).toLong
+      val sf = if (i % 8 == 0) (1L - y) * 1000000L else y * 1000000L
+      (y * 1000000L, sf, y)
+    }.toDF("s_g", "s_f", "y")
+    val o = row(oneSided)
+    assert(o.getAs[Long]("b_gbt_only_right") == 10L
+      && o.getAs[Long]("c_forest_only_right") == 0L)
+    assert(o.getAs[Long]("mcnemar_x2_ppm") == 10L * 1000000L)
+    assert(o.getAs[Long]("forest_acc_ppm") == 875000L)
+    // corpus: cells partition the corpus; accuracies in [0, 10⁶]
+    val c = Round13Ops.qModelCompare(spark, sf).collect().head
+    val n = c.getAs[Long]("n")
+    assert(n == Tables.lineitem(spark, sf).count())
+    assert(c.getAs[Long]("agree_pos") + c.getAs[Long]("agree_neg")
+      + c.getAs[Long]("only_gbt_pos") + c.getAs[Long]("only_forest_pos") == n)
+    Seq("gbt_acc_ppm", "forest_acc_ppm").foreach { k =>
+      val v = c.getAs[Long](k)
+      assert(v >= 0L && v <= 1000000L, s"$k out of range: $v")
+    }
+  }
+
   test("q_oob_eval: separable plant scores OOB AUC = 10^6; only out-of-bag-somewhere rows are scored") {
     import spark.implicits._
     import graft.operators.Round13Ops
