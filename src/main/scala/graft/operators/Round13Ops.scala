@@ -1058,6 +1058,170 @@ object Round13Ops {
        |FROM cfj WHERE rn = 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- B103
+  /** Cost-sensitive operating points — the deployment reality B99's
+    * Youden threshold idealizes away: false positives and false
+    * negatives rarely cost the same (a curation pipeline dropping a
+    * good document vs admitting a bad one), so for each (cost_fp,
+    * cost_fn) pair the best observed score cut minimizes the exact
+    * integer expected cost cfp·FP + cfn·FN. Three standard ratios
+    * (1:1, 1:5, 5:1) emit one deployable row each: threshold, the
+    * matrix at it, and the total cost — ties broken toward the
+    * HIGHER threshold (the conservative rule). Candidate thresholds
+    * are the observed score cuts (the ROC curve's operating points);
+    * the degenerate reject-all policy's cost is cfn·P, directly
+    * comparable against the emitted total_cost column. Everything
+    * exact integers over the ≤|distinct scores| collapsed relation,
+    * so the oracle replays bit-for-bit. */
+  def qCostCurve(spark: SparkSession, sfDir: String): DataFrame =
+    costCurveFrom(
+      gbtScore(evalRows(spark, sfDir), ModelStore.gbtFull(spark, sfDir))
+        .select(col("s"), col("y")))
+
+  private[graft] val costRatios = Seq((1L, 1L), (1L, 5L), (5L, 1L))
+
+  /** The cost-minimization tail over (s, y) scored rows — the spec
+    * hook (`Round13Spec` pins: a separable plant reaches cost 0 at
+    * every ratio; each emitted row satisfies the cost identity). */
+  private[graft] def costCurveFrom(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val cum = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val curve = scored.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("fp", sum(col("tot") - col("pos")).over(cum))
+      .withColumn("pp", sum(col("pos")).over(all))
+      .withColumn("nn", sum(col("tot") - col("pos")).over(all))
+    val ratios = costRatios.toDF("cost_fp", "cost_fn")
+    val best = Window.partitionBy(col("cost_fp"), col("cost_fn"))
+      .orderBy(col("total_cost"), col("s").desc)
+    curve.crossJoin(broadcast(ratios))
+      .withColumn("total_cost",
+        col("cost_fp") * col("fp") + col("cost_fn") * (col("pp") - col("tp")))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("cost_fp"), col("cost_fn"), col("s").as("threshold"),
+        col("tp"), col("fp"), (col("pp") - col("tp")).as("fn"),
+        (col("nn") - col("fp")).as("tn"), col("total_cost"))
+  }
+
+  val qCostCurveSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    val ratioRows = costRatios
+      .map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |scored AS (
+       |  SELECT (SELECT f0 FROM gf0)
+       |$terms AS s, y
+       |  FROM g0),
+       |ccv AS (
+       |  SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS tot
+       |  FROM scored GROUP BY 1),
+       |ccc AS (
+       |  SELECT s,
+       |    CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+       |    CAST(sum(tot - pos) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER () AS BIGINT) AS pp,
+       |    CAST(sum(tot - pos) OVER () AS BIGINT) AS nn
+       |  FROM ccv),
+       |ratios(cost_fp, cost_fn) AS (VALUES $ratioRows),
+       |costed AS (
+       |  SELECT CAST(r.cost_fp AS BIGINT) AS cost_fp,
+       |    CAST(r.cost_fn AS BIGINT) AS cost_fn, c.s, c.tp, c.fp,
+       |    c.pp, c.nn,
+       |    CAST(r.cost_fp * c.fp + r.cost_fn * (c.pp - c.tp) AS BIGINT)
+       |      AS total_cost,
+       |    row_number() OVER (PARTITION BY r.cost_fp, r.cost_fn
+       |      ORDER BY r.cost_fp * c.fp + r.cost_fn * (c.pp - c.tp),
+       |        c.s DESC) AS rn
+       |  FROM ccc c, ratios r)
+       |SELECT cost_fp, cost_fn, s AS threshold, tp, fp,
+       |  pp - tp AS fn, nn - fp AS tn, total_cost
+       |FROM costed WHERE rn = 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- J20
+  /** Slice-based (disaggregated) model evaluation — the model-QA view
+    * aggregate AUC hides: the deployed scorer's exact trapezoid AUC
+    * computed PER DATA SLICE (ship-date MONTH — a temporal axis the
+    * model never saw, so lagging months reveal where the model
+    * quietly underperforms, the pre-ship check for temporal drift),
+    * one row per slice with its class totals. Reuses the stored
+    * model and the groupedAuc discipline: all windows partition by
+    * slice, the fact table collapses to |slices|×|distinct scores|
+    * rows first. */
+  def sampleSliceEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      month(col("l_shipdate")).cast("long").as("ship_month"))
+    groupedAuc(
+      gbtScore(data, ModelStore.gbtFull(spark, sfDir))
+        .select(col("ship_month"), col("s"), col("y")), "ship_month")
+  }
+
+  val sampleSliceEvalSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |sraw AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+       |    CAST(month(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)
+       |      AS ship_month
+       |  FROM lineitem),
+       |sscored AS (
+       |  SELECT ship_month, (SELECT f0 FROM gf0)
+       |$terms AS s, y
+       |  FROM sraw),
+       |sv AS (
+       |  SELECT ship_month, s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS tot
+       |  FROM sscored GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT ship_month, s,
+       |    CAST(sum(pos) OVER (PARTITION BY ship_month ORDER BY s DESC)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY ship_month
+       |      ORDER BY s DESC) AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER (PARTITION BY ship_month) AS BIGINT) AS pp,
+       |    CAST(sum(tot - pos) OVER (PARTITION BY ship_month) AS BIGINT)
+       |      AS nn
+       |  FROM sv),
+       |sl AS (
+       |  SELECT ship_month, tp, fp, pp, nn,
+       |    coalesce(lag(tp, 1) OVER (PARTITION BY ship_month
+       |      ORDER BY s DESC), 0) AS tp0,
+       |    coalesce(lag(fp, 1) OVER (PARTITION BY ship_month
+       |      ORDER BY s DESC), 0) AS fp0
+       |  FROM sc),
+       |sa AS (
+       |  SELECT ship_month, pp, nn,
+       |    CAST(sum((tp + tp0) * (fp - fp0)) OVER (PARTITION BY ship_month)
+       |      AS BIGINT) AS auc_num
+       |  FROM sl)
+       |SELECT ship_month, max(pp) AS pos, max(nn) AS neg,
+       |  max(auc_num * 1000000 // greatest(2 * pp * nn, 1)) AS auc_ppm
+       |FROM sa GROUP BY ship_month""".stripMargin
+  }
+
   // --------------------------------------------------------------- B100
   /** k-fold cross-validation (k = 5) — the model-SELECTION protocol
     * J18's single holdout cannot give: every row is scored exactly
@@ -1392,6 +1556,8 @@ object Round13Ops {
     "q_feature_importance" -> qFeatureImportance _,
     "q_gbt_importance" -> qGbtImportance _,
     "q_model_compare" -> qModelCompare _,
+    "q_cost_curve" -> qCostCurve _,
+    "sample_slice_eval" -> sampleSliceEval _,
     "q_oob_eval" -> qOobEval _)
 
   val oracleSql: Map[String, String] = Map(
@@ -1406,5 +1572,7 @@ object Round13Ops {
     "q_feature_importance" -> qFeatureImportanceSql,
     "q_gbt_importance" -> qGbtImportanceSql,
     "q_model_compare" -> qModelCompareSql,
+    "q_cost_curve" -> qCostCurveSql,
+    "sample_slice_eval" -> sampleSliceEvalSql,
     "q_oob_eval" -> qOobEvalSql)
 }

@@ -1418,6 +1418,82 @@ object StreamingTwins {
   private val driftStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // --------------------------------------------------------------- G27
+  /** Streaming operating-point monitor — the DECISION leg of deploy
+    * observability (G25 scores the stream, G26 watches the score
+    * distribution; this watches the DECISIONS): the deployed rule is
+    * B99's batch-chosen Youden threshold (pinned at deploy time, a
+    * driver scalar off the ≤8-row collapsed batch evaluation — the
+    * number a service bakes into its config), every arriving row is
+    * scored by the standing ModelStore model and thresholded, and
+    * the monitor maintains the confusion counts OVER the stream as a
+    * (pred, y) streaming aggregation in complete mode — FOUR rows of
+    * state no matter how long the stream runs. The post-stream
+    * assembly re-emits B99's exact one-row certificate (matrix +
+    * precision/recall/F1/J in ×10⁶ integers) from the four landed
+    * counters, and the oracle IS B99's SQL — hash equality proves
+    * the streamed outcome counting ≡ the batch decision evaluation,
+    * i.e. the monitor's state is slicing-invariant and a drifting
+    * live matrix is evidence about the DATA, not the plumbing. */
+  def streamingConfusionMonitor(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.operators.{ModelStore, Round13Ops}
+    val data = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("key"),
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val model = ModelStore.gbtFull(spark, sfDir).withColumn("one", lit(1))
+    // the deploy-time decision rule: Youden-optimal threshold from
+    // the batch evaluation (a 1-row read of the collapsed relation)
+    val thr = Round13Ops.confusionFromScored(
+        Round13Ops.gbtScore(data.select("q", "dd", "y"),
+          model.drop("one")).select(col("s"), col("y")))
+      .select(col("threshold")).first().getLong(0)
+    val stageDir = confStaged.computeIfAbsent(sfDir, { _ =>
+      val dir = Files.createTempDirectory("graft_stream_conf").toString
+      (0 to 2).foreach { b =>
+        data.filter(pmod(col("key"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$dir/batch_$b")
+      }
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val d = new java.io.File(s"$dir/batch_$i")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      dir
+    })
+    val src = spark.readStream.schema(data.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
+    val counts = src.withColumn("one", lit(1))
+      .join(broadcast(model), "one")
+      .withColumn("s", Round13Ops.gbtScoreColumn)
+      .select((col("s") >= thr).cast("long").as("pred"), col("y"))
+      .groupBy(col("pred"), col("y")).agg(count(lit(1)).as("n"))
+    val landed = runToCompletion(counts, "complete", "twin_confusion")
+    // post-stream: B99's certificate from the four landed counters
+    def cell(p: Int, y: Int) = coalesce(sum(
+      when(col("pred") === p && col("y") === y, col("n"))), lit(0L))
+    landed.agg(cell(1, 1).as("tp"), cell(1, 0).as("fp"),
+        cell(0, 1).as("fn"), cell(0, 0).as("tn"))
+      .select(lit(thr).as("threshold"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        expr("tp * 1000000 div greatest(tp + fp, 1)").as("precision_ppm"),
+        expr("tp * 1000000 div greatest(tp + fn, 1)").as("recall_ppm"),
+        expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)")
+          .as("f1_ppm"),
+        expr("""(tp * (fp + tn) - fp * (tp + fn)) * 1000000
+          div greatest((tp + fn) * (fp + tn), 1)""").as("youden_ppm"))
+  }
+
+  private val confStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The oracle is B99's — the batch decision certificate; hash
+    * equality proves the streamed outcome counts reproduce it. */
+  val streamingConfusionMonitorSql: String =
+    graft.operators.Round13Ops.qConfusionSql
+
   /** Batch mirror: the same model trajectory, both slice
     * distributions, B59's smoothed PSI expression tree. */
   val streamingDriftPsiSql: String = {
@@ -1468,6 +1544,7 @@ object StreamingTwins {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_model_score" -> streamingModelScore _,
     "streaming_drift_psi" -> streamingDriftPsi _,
+    "streaming_confusion_monitor" -> streamingConfusionMonitor _,
     "streaming_ivm" -> streamingIvm _,
     "streaming_ivm_distinct" -> streamingIvmDistinct _,
     "streaming_weighted_quantiles" -> streamingWeightedQuantiles _,
@@ -1496,6 +1573,7 @@ object StreamingTwins {
   def oracleSql: Map[String, String] = Map(
     "streaming_model_score" -> streamingModelScoreSql,
     "streaming_drift_psi" -> streamingDriftPsiSql,
+    "streaming_confusion_monitor" -> streamingConfusionMonitorSql,
     "streaming_ivm" -> streamingIvmSql,
     "streaming_ivm_distinct" -> streamingIvmDistinctSql,
     "streaming_weighted_quantiles" -> streamingWeightedQuantilesSql,

@@ -92,7 +92,10 @@ class PlanHygieneSpec extends SparkSuite {
       + "denominators"),
     "q_confusion" -> ("cumulative TP/FP + J-argmax windows over the "
       + "per-score relation: |distinct scores| rows (≤8 — 2^3 stump "
-      + "outcomes, the collapse-first discipline)"))
+      + "outcomes, the collapse-first discipline)"),
+    "q_cost_curve" -> ("B99's cumulative TP/FP windows over the "
+      + "|distinct scores| collapsed relation (≤8 rows); the per-"
+      + "ratio cost argmins PARTITION by (cost_fp, cost_fn)"))
   // streaming_coreset shares the same 65-row windows and ≤10-row
   // centroid crosses post-sink, but streaming twins are excluded from
   // the walk below (their plans embed a consumed memory sink), so the
@@ -161,6 +164,12 @@ class PlanHygieneSpec extends SparkSuite {
       + "stored models score the same scan; leaf-score lookups are "
       + "EQUI broadcast joins and the only shuffle is the final "
       + "1-row aggregate"),
+    "q_cost_curve" -> ("crossJoin(broadcast(1-row stored GBT model)) "
+      + "for scoring + crossJoin(broadcast(3-row cost-ratio "
+      + "relation)) onto the ≤8-row collapsed curve"),
+    "sample_slice_eval" -> ("crossJoin(broadcast(1-row stored GBT "
+      + "model)) — the scoring projection; every AUC window "
+      + "PARTITIONS by the month slice"),
     "sample_learning_curve" -> ("crossJoin(broadcast(4-row wide model "
       + "relation)) — every size's model scores the SAME held-out "
       + "split, so the test rows fan out over the 4-row broadcast; "

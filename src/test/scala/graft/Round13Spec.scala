@@ -277,6 +277,63 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("q_cost_curve: a separable ranking reaches cost 0 at every ratio; corpus rows satisfy the cost identity and never beat the reject-all policy dishonestly") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    // perfectly ranked scores: some threshold separates classes, so
+    // the optimal cut has FP = FN = 0 → cost 0 at ANY ratio
+    val sep = (1 to 100).map { i =>
+      val y = (i % 2).toLong
+      (y * 1000000L, y)
+    }.toDF("s", "y")
+    val sepRows = Round13Ops.costCurveFrom(sep).collect()
+    assert(sepRows.length == Round13Ops.costRatios.size)
+    sepRows.foreach { r =>
+      assert(r.getAs[Long]("total_cost") == 0L,
+        s"separable ranking should cost 0, got $r")
+      assert(r.getAs[Long]("fp") == 0L && r.getAs[Long]("fn") == 0L)
+    }
+    // corpus: one row per ratio, the emitted cost equals the identity
+    // cfp·fp + cfn·fn, and the chosen cut is at least as cheap as
+    // predicting everything positive (the lowest observed cut)
+    val rows = Round13Ops.qCostCurve(spark, sf).collect()
+    assert(rows.length == Round13Ops.costRatios.size)
+    rows.foreach { r =>
+      val (cfp, cfn) = (r.getAs[Long]("cost_fp"), r.getAs[Long]("cost_fn"))
+      val cost = r.getAs[Long]("total_cost")
+      assert(cost == cfp * r.getAs[Long]("fp") + cfn * r.getAs[Long]("fn"),
+        s"cost identity violated on $r")
+      val allPos = cfp * (r.getAs[Long]("fp") + r.getAs[Long]("tn"))
+      assert(cost <= allPos,
+        s"chosen cut costlier than predict-all-positive: $r")
+    }
+  }
+
+  test("sample_slice_eval: slices partition the corpus; every per-slice AUC is a valid ppm; a separable relation scores 10^6 on every slice") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    val rows = Round13Ops.sampleSliceEval(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("pos") + r.getAs[Long]("neg")).sum
+    assert(total == Tables.lineitem(spark, sf).count(),
+      "slices must partition the corpus")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("auc_ppm")
+      assert(a >= 0L && a <= 1000000L, s"AUC out of range: $r")
+    }
+    // separable plant through the shared per-group machinery: scores
+    // already separate classes within EVERY slice (slice = i mod 3 is
+    // coprime with the label's i mod 2, so every slice sees both
+    // classes — an i mod 4 slice would be single-class and score 0)
+    val plant = (1 to 120).map { i =>
+      val y = (i % 2).toLong
+      ((i % 3).toLong, y * 1000000L, y)
+    }.toDF("slice", "s", "y")
+    Round13Ops.groupedAuc(plant, "slice").collect().foreach { r =>
+      assert(r.getAs[Long]("auc_ppm") == 1000000L,
+        s"separable slice below 10^6: $r")
+    }
+  }
+
   test("q_oob_eval: separable plant scores OOB AUC = 10^6; only out-of-bag-somewhere rows are scored") {
     import spark.implicits._
     import graft.operators.Round13Ops
@@ -432,5 +489,20 @@ class Round13Spec extends SparkSuite {
     assert(rows(StreamingTwins.streamingModelScore(spark, sf))
       == rows(Round13Ops.qGbtEval(spark, sf)),
       "streamed scoring diverged from the batch evaluation")
+  }
+
+  test("streaming_confusion_monitor: streamed outcome counts reproduce the batch decision certificate; monitor state is bounded at 4 rows") {
+    import graft.streaming.StreamingTwins
+    import graft.operators.Round13Ops
+    val monitor = StreamingTwins.streamingConfusionMonitor(spark, sf)
+      .collect().head.toSeq
+    val batch = Round13Ops.qConfusion(spark, sf).collect().head.toSeq
+    assert(monitor == batch,
+      s"streamed confusion diverged from the batch certificate: " +
+        s"$monitor vs $batch")
+    // the complete-mode state the monitor carries is the (pred, y)
+    // grid — ≤4 rows no matter how long the stream runs
+    assert(spark.table("twin_confusion").count() <= 4L,
+      "monitor state exceeded the 4-cell confusion grid")
   }
 }
