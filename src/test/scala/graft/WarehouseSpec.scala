@@ -393,6 +393,38 @@ class WarehouseSpec extends SparkSuite {
     assert(sweep.count() == 3)
   }
 
+  test("store root (H20, round 14): ModelStore and IvmStateStore key on the resolved root — a fresh root forces a genuine cold rebuild under it") {
+    import graft.sources.StoreRoot
+    val conf = java.nio.file.Files
+      .createTempDirectory("graft_conf_root_m").toString
+    val before = spark.conf.getOption(StoreRoot.confKey)
+    try {
+      spark.conf.set(StoreRoot.confKey, conf)
+      // the trained-model store: the B91 row must land (and serve)
+      // under the configured root — this is what makes the Bench
+      // gbt_model_build fresh-root A/B a genuine cold rebuild
+      val model = graft.operators.ModelStore.gbtFull(spark, sf)
+      assert(model.count() == 1)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(conf, "graft-models")),
+        s"ModelStore did not land under the configured root $conf")
+      // the standing IVM state tables: same discipline
+      val state = graft.operators.Round12Ops.IvmStateStore
+        .a33(spark, sf).read()
+      assert(state.count() > 0)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(conf, "graft-ivm-state")),
+        s"IvmStateStore did not land under the configured root $conf")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(StoreRoot.confKey, v)
+        case None => spark.conf.unset(StoreRoot.confKey)
+      }
+    }
+    // restored: the default-root artifacts still serve the queries
+    assert(graft.operators.Round13Ops.qGbtEval(spark, sf).count() > 0)
+  }
+
   test("IVM x snapshot table (H22): maintenance commits are WAP-gated — a mid-maintenance reader sees only the pre-batch epoch, emptied groups leave via the delete arm, epochs time-travel, and the conservation audit aborts a corrupt batch unpublished") {
     import spark.implicits._
     import graft.operators.Round12Ops
