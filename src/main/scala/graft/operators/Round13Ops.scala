@@ -1151,6 +1151,90 @@ object Round13Ops {
        |FROM costed WHERE rn = 1""".stripMargin
   }
 
+  // --------------------------------------------------------------- B104
+  /** Isotonic calibration (PAV — Ayer et al. 1955; Zadrozny & Elkan
+    * 2002) — B96's reliability table made MONOTONE: the raw per-score
+    * observed rates need not increase with the score (finite-sample
+    * noise), but a calibrated probability must, and the isotonic
+    * regression fit is computable in closed form by the max-min
+    * identity iso(i) = max_{j≤i} min_{k≥i} rate(j..k) — no
+    * sequential pooling loop, so it is EXPRESSIBLE as joins over the
+    * collapsed bin relation and replayable in SQL. Interval rates
+    * are exact integer divisions over cumulative (pos, tot) sums
+    * (×10⁶ FIRST, then min/max over integers — deterministic in both
+    * engines; the truncation point is part of the operator's
+    * definition), and the whole computation runs on |distinct
+    * scores| ≤ 8 bins: the interval relation is ≤36 rows and the
+    * (j,i,k) triple join ≤120 — model-sized, never corpus-sized. */
+  def qIsotonicCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    isotonicFrom(
+      gbtScore(evalRows(spark, sfDir), ModelStore.gbtFull(spark, sfDir))
+        .select(col("s"), col("y")))
+
+  /** The PAV tail over (s, y) scored rows — the spec hook
+    * (`Round13Spec` pins a hand-computed non-monotone plant pooling
+    * exactly as PAV does, and corpus monotonicity). */
+  private[graft] def isotonicFrom(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("s"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = scored.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .withColumn("i", row_number().over(ord))
+      .withColumn("cp", sum(col("pos")).over(cum))
+      .withColumn("ct", sum(col("n")).over(cum))
+      .localCheckpoint(true)
+    val lo = bins.select(col("i").as("j"),
+      (col("cp") - col("pos")).as("cpj0"), (col("ct") - col("n")).as("ctj0"))
+    val hi = bins.select(col("i").as("k"), col("cp").as("cpk"),
+      col("ct").as("ctk"))
+    val rates = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(cpk - cpj0) * 1000000 div (ctk - ctj0)").as("rate"))
+    val m = rates.join(bins.select(col("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("j"), col("i")).agg(min(col("rate")).as("mrate"))
+    val iso = m.groupBy(col("i")).agg(max(col("mrate")).as("iso_ppm"))
+    bins.join(iso, "i")
+      .select(col("s").as("score_ppm"), col("n"),
+        expr("pos * 1000000 div n").as("observed_ppm"), col("iso_ppm"))
+  }
+
+  val qIsotonicCalibrationSql: String = {
+    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
+    val terms = (1 to Round12Ops.gbtRounds).map { t =>
+      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
+         |      THEN (SELECT leaf_left FROM gs$t)
+         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${Round12Ops.gbtCtes},
+       |scored AS (
+       |  SELECT (SELECT f0 FROM gf0)
+       |$terms AS s, y
+       |  FROM g0),
+       |ibins AS MATERIALIZED (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS i,
+       |    CAST(sum(sum(y)) OVER (ORDER BY s) AS BIGINT) AS cp,
+       |    CAST(sum(count(*)) OVER (ORDER BY s) AS BIGINT) AS ct
+       |  FROM scored GROUP BY s),
+       |irates AS (
+       |  SELECT l.i AS j, h.i AS k,
+       |    (h.cp - (l.cp - l.pos)) * 1000000
+       |      // (h.ct - (l.ct - l.n)) AS rate
+       |  FROM ibins l JOIN ibins h ON l.i <= h.i),
+       |im AS (
+       |  SELECT r.j, b.i, min(r.rate) AS mrate
+       |  FROM irates r JOIN ibins b ON r.j <= b.i AND b.i <= r.k
+       |  GROUP BY r.j, b.i),
+       |iiso AS (
+       |  SELECT i, max(mrate) AS iso_ppm FROM im GROUP BY i)
+       |SELECT b.s AS score_ppm, b.n,
+       |  b.pos * 1000000 // b.n AS observed_ppm, o.iso_ppm
+       |FROM ibins b JOIN iiso o USING (i)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- J20
   /** Slice-based (disaggregated) model evaluation — the model-QA view
     * aggregate AUC hides: the deployed scorer's exact trapezoid AUC
@@ -1557,6 +1641,7 @@ object Round13Ops {
     "q_gbt_importance" -> qGbtImportance _,
     "q_model_compare" -> qModelCompare _,
     "q_cost_curve" -> qCostCurve _,
+    "q_isotonic_calibration" -> qIsotonicCalibration _,
     "sample_slice_eval" -> sampleSliceEval _,
     "q_oob_eval" -> qOobEval _)
 
@@ -1573,6 +1658,7 @@ object Round13Ops {
     "q_gbt_importance" -> qGbtImportanceSql,
     "q_model_compare" -> qModelCompareSql,
     "q_cost_curve" -> qCostCurveSql,
+    "q_isotonic_calibration" -> qIsotonicCalibrationSql,
     "sample_slice_eval" -> sampleSliceEvalSql,
     "q_oob_eval" -> qOobEvalSql)
 }

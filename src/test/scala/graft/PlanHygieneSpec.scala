@@ -96,6 +96,11 @@ class PlanHygieneSpec extends SparkSuite {
     "q_cost_curve" -> ("B99's cumulative TP/FP windows over the "
       + "|distinct scores| collapsed relation (≤8 rows); the per-"
       + "ratio cost argmins PARTITION by (cost_fp, cost_fn)"))
+  // q_isotonic_calibration's rank/cumulative windows run over the
+  // ≤8-bin relation, which is eagerly localCheckpointed before the
+  // PAV joins — the walk sees only a LogicalRDD leaf, so the shape
+  // is documented here rather than allowlisted (the stale-entry
+  // check would reject an unused entry; the q_tree_depthk pattern).
   // streaming_coreset shares the same 65-row windows and ≤10-row
   // centroid crosses post-sink, but streaming twins are excluded from
   // the walk below (their plans embed a consumed memory sink), so the
@@ -170,6 +175,10 @@ class PlanHygieneSpec extends SparkSuite {
     "sample_slice_eval" -> ("crossJoin(broadcast(1-row stored GBT "
       + "model)) — the scoring projection; every AUC window "
       + "PARTITIONS by the month slice"),
+    "q_isotonic_calibration" -> ("crossJoin(broadcast(1-row stored "
+      + "GBT model)) for scoring + the PAV interval/triple joins on "
+      + "rank ranges over the ≤8-bin relation (≤36 intervals, ≤120 "
+      + "triples — model-sized by construction)"),
     "sample_learning_curve" -> ("crossJoin(broadcast(4-row wide model "
       + "relation)) — every size's model scores the SAME held-out "
       + "split, so the test rows fan out over the 4-row broadcast; "

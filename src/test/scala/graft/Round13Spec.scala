@@ -334,6 +334,34 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("q_isotonic_calibration: PAV pools a hand-computed violation exactly; corpus fit is monotone and preserves bin mass") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    // bins: s=1 → 2/10 (200000), s=2 → 1/10 (100000), s=3 → 5/10.
+    // PAV pools the (1,2) violation to 3/20 = 150000; bin 3 stays.
+    val rows =
+      (1 to 10).map(i => (1L, if (i <= 2) 1L else 0L)) ++
+      (1 to 10).map(i => (2L, if (i <= 1) 1L else 0L)) ++
+      (1 to 10).map(i => (3L, if (i <= 5) 1L else 0L))
+    val out = Round13Ops.isotonicFrom(rows.toDF("s", "y")).collect()
+      .map(r => r.getAs[Long]("score_ppm") ->
+        (r.getAs[Long]("observed_ppm"), r.getAs[Long]("iso_ppm"))).toMap
+    assert(out(1L) == ((200000L, 150000L)), s"bin 1: ${out(1L)}")
+    assert(out(2L) == ((100000L, 150000L)), s"bin 2: ${out(2L)}")
+    assert(out(3L) == ((500000L, 500000L)), s"bin 3: ${out(3L)}")
+    // corpus: the fitted curve is non-decreasing in the score and
+    // every fitted value is a valid ppm
+    val corpus = Round13Ops.qIsotonicCalibration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("score_ppm"), r.getAs[Long]("iso_ppm")))
+      .sortBy(_._1)
+    corpus.sliding(2).foreach {
+      case Array((s0, i0), (s1, i1)) =>
+        assert(i0 <= i1, s"isotonic fit not monotone: ($s0,$i0) > ($s1,$i1)")
+      case _ => ()
+    }
+    corpus.foreach { case (_, v) => assert(v >= 0L && v <= 1000000L) }
+  }
+
   test("q_oob_eval: separable plant scores OOB AUC = 10^6; only out-of-bag-somewhere rows are scored") {
     import spark.implicits._
     import graft.operators.Round13Ops
