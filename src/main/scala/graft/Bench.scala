@@ -91,7 +91,9 @@ object Bench {
         "q_gbt_eval", "q_calibration", "q_confusion",
         "sample_holdout_eval", "q_cv_auc", "sample_learning_curve",
         "streaming_model_score", "streaming_drift_psi",
-        "q_gbt_importance", "q_model_compare"),
+        "q_gbt_importance", "q_model_compare", "q_cost_curve",
+        "q_isotonic_calibration", "sample_slice_eval",
+        "streaming_confusion_monitor"),
         () => operators.ModelStore.gbtModelBuild(spark, sfDir)),
       ("forest_model_build", Set(
         "q_forest_eval", "q_oob_eval", "q_feature_importance",
@@ -140,11 +142,7 @@ object Bench {
             // the A/B root exists only to force a cold rebuild — its
             // artifacts are never read again; leaving them would leak
             // a full store copy per build row per run
-            try {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(fresh).iterator().asScala.toSeq
-                .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-            } catch { case _: Throwable => () }
+            sources.StoreRoot.deleteRecursively(fresh)
           }
         }
         Some((name, if (ok) Seq(t1) ++ t2.toSeq else Seq(-1.0)))

@@ -629,13 +629,7 @@ object ScaleProbe {
               // arithmetic as rocAucPipeline's post-collapse stages)
               landed.count()
             }
-          } finally {
-            try {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(dirP).iterator().asScala.toSeq
-                .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-            } catch { case _: Throwable => () }
-          }
+          } finally sources.StoreRoot.deleteRecursively(dirP)
         },
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       // A33 IVM over the A20b BUCKETED snapshot layout (round-12
@@ -686,11 +680,7 @@ object ScaleProbe {
           } finally {
             Seq(s"graft_ivm_old_$tag", s"graft_ivm_new_$tag")
               .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-            try {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(dirP).iterator().asScala.toSeq
-                .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-            } catch { case _: Throwable => () }
+            sources.StoreRoot.deleteRecursively(dirP)
           }
         },
         (n: Int) => replicate(

@@ -50,8 +50,17 @@ object ModelStore {
       (build: => Seq[DataFrame]): Seq[DataFrame] = {
     val dir = root(spark).resolve(key)
     built.getOrElseUpdate(dir.toString, {
-      names.zip(build).foreach { case (n, df) =>
-        df.write.mode("overwrite").parquet(dir.resolve(n).toString)
+      // an artifact already persisted under a SHARED root (another
+      // JVM trained it — the H20 cluster story) is reused as-is, the
+      // IvmStateStore/SnapshotTable discipline: training is
+      // deterministic, so reuse ≡ retrain, and an overwrite-rewrite
+      // here would tear a concurrent reader's scan
+      val complete = names.forall(n => java.nio.file.Files
+        .exists(dir.resolve(n).resolve("_SUCCESS")))
+      if (!complete) {
+        names.zip(build).foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(dir.resolve(n).toString)
+        }
       }
     })
     names.map(n => spark.read.parquet(dir.resolve(n).toString))
@@ -68,7 +77,13 @@ object ModelStore {
       val rows = Round13Ops.evalRows(spark, sfDir).persist()
       val stumps = Round12Ops.gbtPipeline(rows, Round12Ops.gbtRounds)
         .localCheckpoint(true)
-      Seq(Round13Ops.gbtModelRowFrom(stumps, rows), stumps)
+      // both outputs are eagerly materialized (checkpointed) above,
+      // so the corpus cache can drop before the store write — a
+      // build must not leave a fact-table projection in the
+      // BlockManager for the rest of a long-lived JVM
+      val model = Round13Ops.gbtModelRowFrom(stumps, rows)
+      rows.unpersist()
+      Seq(model, stumps)
     }
 
   /** The standing full-corpus B91 model row (f0 + per-round
@@ -118,10 +133,14 @@ object ModelStore {
           Round12Ops.forestTrees, Round12Ops.forestDepth)
         .localCheckpoint(true)
       val model = levels.select(col("level"), col("node"), col("threshold"))
+      // eager: the leaf scores close over the persisted corpus, so
+      // materialize them BEFORE dropping the cache (see gbtAll)
       val leafScores = Round13Ops.routeForest(
           Round12Ops.forestBags(data, Round12Ops.forestTrees), model)
         .groupBy(col("node"))
         .agg(expr("1000000 * sum(y) div count(1)").as("ls"))
+        .localCheckpoint(true)
+      data.unpersist()
       Seq(levels, leafScores)
     }
 

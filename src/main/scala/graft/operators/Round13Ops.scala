@@ -138,6 +138,21 @@ object Round13Ops {
       .withColumn("s", gbtScoreColumn)
       .drop(model.columns: _*)
 
+  /** The oracle-side additive-application terms — the SQL twin of
+    * [[gbtScoreColumn]], generated from the SAME round count and
+    * feature schedule so no SQL copy can desync from the trajectory.
+    * `pfx` is the per-model CTE prefix ("g" for the full-corpus
+    * model, "x$f"/"L$g" for the joint CV/curve models); `qual`
+    * prefixes the feature columns (e.g. "e."). */
+  private[graft] def gbtTermsSql(pfx: String = "g",
+      qual: String = ""): String =
+    (1 to Round12Ops.gbtRounds).map { t =>
+      val f = if (t % 2 == 1) "q" else "dd"
+      s"""    + CASE WHEN $qual$f <= (SELECT threshold FROM ${pfx}s$t)
+         |      THEN (SELECT leaf_left FROM ${pfx}s$t)
+         |      ELSE (SELECT leaf_right FROM ${pfx}s$t) END""".stripMargin
+    }.mkString("\n")
+
   /** B88's exact-ROC SQL tail over a CTE named `scored(s, y)`. */
   private def rocSqlOver(scoredCte: String): String =
     s"""rcv AS (
@@ -164,12 +179,7 @@ object Round13Ops {
        |FROM rcl""".stripMargin
 
   val qGbtEvalSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = gbtTermsSql()
     s"""WITH ${Round12Ops.gbtCtes},
        |scored AS (
        |  SELECT (SELECT f0 FROM gf0)
@@ -459,12 +469,7 @@ object Round13Ops {
         expr("score_ppm - pos * 1000000 div n").as("gap_ppm"))
 
   val qCalibrationSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = gbtTermsSql()
     s"""WITH ${Round12Ops.gbtCtes},
        |scored AS (
        |  SELECT (SELECT f0 FROM gf0)
@@ -533,12 +538,7 @@ object Round13Ops {
   }
 
   val sampleHoldoutEvalSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = gbtTermsSql()
     s"""WITH hraw AS MATERIALIZED (
        |  SELECT CAST(l_quantity AS BIGINT) AS q,
        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
@@ -773,12 +773,7 @@ object Round13Ops {
 
   val qModelCompareSql: String = {
     val trees = Round12Ops.forestTrees
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val gTerms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN e.${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val gTerms = gbtTermsSql(qual = "e.")
     val pivotCols = (0 until trees).flatMap { t =>
       Seq(s"max(CASE WHEN node = 't${t}r' THEN v END) AS thr_$t",
         s"max(CASE WHEN node = 't${t}rL' THEN v END) AS thrL_$t",
@@ -1022,12 +1017,7 @@ object Round13Ops {
   }
 
   val qConfusionSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = gbtTermsSql()
     s"""WITH ${Round12Ops.gbtCtes},
        |scored AS (
        |  SELECT (SELECT f0 FROM gf0)
@@ -1111,12 +1101,7 @@ object Round13Ops {
   }
 
   val qCostCurveSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = gbtTermsSql()
     val ratioRows = costRatios
       .map { case (a, b) => s"($a, $b)" }.mkString(", ")
     s"""WITH ${Round12Ops.gbtCtes},
@@ -1201,12 +1186,7 @@ object Round13Ops {
   }
 
   val qIsotonicCalibrationSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = gbtTermsSql()
     s"""WITH ${Round12Ops.gbtCtes},
        |scored AS (
        |  SELECT (SELECT f0 FROM gf0)
@@ -1257,12 +1237,7 @@ object Round13Ops {
   }
 
   val sampleSliceEvalSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = gbtTermsSql()
     s"""WITH ${Round12Ops.gbtCtes},
        |sraw AS MATERIALIZED (
        |  SELECT CAST(l_quantity AS BIGINT) AS q,
@@ -1345,7 +1320,11 @@ object Round13Ops {
         spark.range(cvFolds).select(col("id").as("g"))))
       .filter(col("g") =!= col("fold"))
       .select(col("g"), col("q"), col("dd"), col("y"))
-    jointGbtModels(train0)
+    // jointGbtModels' output closes over checkpointed relations only
+    // (per-round stump argmins + f0s), so the corpus cache drops here
+    val wide = jointGbtModels(train0)
+    data.unpersist()
+    wide
   }
 
   /** The learning curve's joint wide-model training relation: nested
@@ -1359,7 +1338,9 @@ object Round13Ops {
         spark.range(1, cvFolds.toLong).select(col("id").as("g"))))
       .filter(col("fold") <= col("g"))
       .select(col("g"), col("q"), col("dd"), col("y"))
-    jointGbtModels(train0)
+    val wide = jointGbtModels(train0)
+    data.unpersist()
+    wide
   }
 
   private[graft] val cvFolds = 5
@@ -1467,12 +1448,7 @@ object Round13Ops {
   }
 
   val qCvAucSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    def terms(p: String) = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM ${p}s$t)
-         |      THEN (SELECT leaf_left FROM ${p}s$t)
-         |      ELSE (SELECT leaf_right FROM ${p}s$t) END""".stripMargin
-    }.mkString("\n")
+    def terms(p: String) = gbtTermsSql(pfx = p)
     val foldCtes = (0 until cvFolds).map { f =>
       Round12Ops.gbtCtesFrom(
         s"  SELECT q, dd, y FROM cvraw WHERE fold <> $f", s"x$f")
@@ -1569,12 +1545,7 @@ object Round13Ops {
   }
 
   val sampleLearningCurveSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    def terms(p: String) = (1 to Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM ${p}s$t)
-         |      THEN (SELECT leaf_left FROM ${p}s$t)
-         |      ELSE (SELECT leaf_right FROM ${p}s$t) END""".stripMargin
-    }.mkString("\n")
+    def terms(p: String) = gbtTermsSql(pfx = p)
     val sizeCtes = (1 until cvFolds).map { g =>
       Round12Ops.gbtCtesFrom(
         s"  SELECT q, dd, y FROM lcraw WHERE fold >= 1 AND fold <= $g",

@@ -183,7 +183,14 @@ final class SnapshotTable(
     * check only — reads one live footer, never data. */
   private def requireWidening(cur: Map[Int, String],
       updates: DataFrame): Unit = {
-    val live = readRefsDf(cur).columns.toSet
+    // the widening-only invariant this check enforces also makes the
+    // MOST RECENT commit's dir carry the widest live schema, so one
+    // dir's footer suffices — a merged-schema read over every ref
+    // would put an all-refs footer job on every commit's hot path
+    val cRe = "data/c(\\d+)/".r
+    val newest = cur.values.maxBy(d =>
+      cRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1))
+    val live = spark.read.parquet(s"$path/$newest").columns.toSet
     val missing = live -- updates.columns.toSet
     require(missing.isEmpty,
       s"snapshot table $path: update batch is missing live column(s) " +

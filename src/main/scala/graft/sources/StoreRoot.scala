@@ -35,4 +35,16 @@ object StoreRoot {
     Files.createDirectories(p)
     p
   }
+
+  /** Best-effort recursive delete for probe/bench scratch dirs (the
+    * A/B rebuild roots, nonce-named probe tables' storage) — shared
+    * so the harnesses don't each re-grow the walk-and-reverse idiom. */
+  def deleteRecursively(p: Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
+    } catch { case _: Throwable => () }
 }

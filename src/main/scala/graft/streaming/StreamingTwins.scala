@@ -78,7 +78,7 @@ object StreamingTwins {
     * timed runs, Verify + specs in one JVM) hold at most one result
     * set per twin in driver memory — consume the returned DataFrame
     * before invoking the same twin again. */
-  private[graft] def runToCompletion(df: DataFrame, mode: String,
+  private def runToCompletion(df: DataFrame, mode: String,
       name: String): DataFrame = {
     val spark = df.sparkSession
     spark.catalog.dropTempView(name) // idempotent; frees the prior run's rows
@@ -1313,19 +1313,7 @@ object StreamingTwins {
       col("l_quantity").cast("long").as("q"),
       expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
       (col("l_returnflag") === "R").cast("long").as("y"))
-    val stageDir = scoreStaged.computeIfAbsent(sfDir, { _ =>
-      val dir = Files.createTempDirectory("graft_stream_score").toString
-      (0 to 2).foreach { b =>
-        data.filter(pmod(col("key"), lit(3)) === b)
-          .coalesce(1).write.parquet(s"$dir/batch_$b")
-      }
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val d = new java.io.File(s"$dir/batch_$i")
-        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
-      }
-      dir
-    })
+    val stageDir = stagedModelBatches(sfDir, data)
     // the standing model — the run-shared ModelStore artifact a
     // scoring service loads at deploy time (determinism makes the
     // stored row ≡ a fresh training on `data`, bit-for-bit)
@@ -1343,6 +1331,26 @@ object StreamingTwins {
 
   private val scoreStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the scored corpus as three mod-3 arrival files with
+    * ordered mtimes, once per (sfDir, run) — G25's scorer and G27's
+    * decision monitor replay the IDENTICAL arrival sequence, so they
+    * share one staged copy instead of writing the corpus twice. */
+  private def stagedModelBatches(sfDir: String,
+      data: DataFrame): String =
+    scoreStaged.computeIfAbsent(sfDir, { _ =>
+      val dir = Files.createTempDirectory("graft_stream_score").toString
+      (0 to 2).foreach { b =>
+        data.filter(pmod(col("key"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$dir/batch_$b")
+      }
+      val t0 = System.currentTimeMillis()
+      (0 to 2).foreach { i =>
+        val d = new java.io.File(s"$dir/batch_$i")
+        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+      }
+      dir
+    })
 
   /** The oracle is B93's — train + score + exact ROC in one batch. */
   val streamingModelScoreSql: String =
@@ -1450,19 +1458,8 @@ object StreamingTwins {
         Round13Ops.gbtScore(data.select("q", "dd", "y"),
           model.drop("one")).select(col("s"), col("y")))
       .select(col("threshold")).first().getLong(0)
-    val stageDir = confStaged.computeIfAbsent(sfDir, { _ =>
-      val dir = Files.createTempDirectory("graft_stream_conf").toString
-      (0 to 2).foreach { b =>
-        data.filter(pmod(col("key"), lit(3)) === b)
-          .coalesce(1).write.parquet(s"$dir/batch_$b")
-      }
-      val t0 = System.currentTimeMillis()
-      (0 to 2).foreach { i =>
-        val d = new java.io.File(s"$dir/batch_$i")
-        (d +: d.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
-      }
-      dir
-    })
+    // the SAME staged arrival files G25 scores — one corpus copy
+    val stageDir = stagedModelBatches(sfDir, data)
     val src = spark.readStream.schema(data.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$stageDir/batch_*")
     val counts = src.withColumn("one", lit(1))
@@ -1486,9 +1483,6 @@ object StreamingTwins {
           div greatest((tp + fn) * (fp + tn), 1)""").as("youden_ppm"))
   }
 
-  private val confStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The oracle is B99's — the batch decision certificate; hash
     * equality proves the streamed outcome counts reproduce it. */
   val streamingConfusionMonitorSql: String =
@@ -1497,12 +1491,7 @@ object StreamingTwins {
   /** Batch mirror: the same model trajectory, both slice
     * distributions, B59's smoothed PSI expression tree. */
   val streamingDriftPsiSql: String = {
-    def feat(t: Int) = if (t % 2 == 1) "q" else "dd"
-    val terms = (1 to graft.operators.Round12Ops.gbtRounds).map { t =>
-      s"""    + CASE WHEN ${feat(t)} <= (SELECT threshold FROM gs$t)
-         |      THEN (SELECT leaf_left FROM gs$t)
-         |      ELSE (SELECT leaf_right FROM gs$t) END""".stripMargin
-    }.mkString("\n")
+    val terms = graft.operators.Round13Ops.gbtTermsSql()
     s"""WITH ${graft.operators.Round12Ops.gbtCtes},
        |draw AS MATERIALIZED (
        |  SELECT l_orderkey AS key, CAST(l_quantity AS BIGINT) AS q,
