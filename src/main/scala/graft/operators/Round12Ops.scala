@@ -222,10 +222,17 @@ object Round12Ops {
   import graft.sources.SnapshotTable
 
   /** The state table handle: synthetic key `k` = st|prio, 4 buckets,
-    * retention spanning a seed + 3 maintenance epochs. */
+    * retention spanning a seed + 3 maintenance epochs. Memoized per
+    * dir so every micro-batch commits through ONE instance and the
+    * widening guard's live-schema cache survives the whole run — a
+    * fresh handle per batch would re-seed the cache with a footer
+    * read per commit, exactly the r14 regression. */
+  private val ivmTables =
+    scala.collection.concurrent.TrieMap.empty[String, SnapshotTable]
   private[graft] def ivmTable(spark: SparkSession,
       dir: String): SnapshotTable =
-    new SnapshotTable(spark, dir, "k", buckets = 4, keepSnapshots = 4)
+    ivmTables.getOrElseUpdate(dir,
+      new SnapshotTable(spark, dir, "k", buckets = 4, keepSnapshots = 4))
 
   private[graft] def ivmWithKey(state: DataFrame): DataFrame =
     state.select(col("st"), col("prio"), col("n_orders"), col("total"),

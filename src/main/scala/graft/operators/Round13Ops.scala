@@ -680,9 +680,15 @@ object Round13Ops {
   private[graft] def gbtImportanceFrom(stumps: DataFrame): DataFrame = {
     val t1 = stumps.filter(col("round") === 1)
       .select(col("total_sse").as("t1"))
+    // t1 = 0 (constant labels: residuals all zero) would make every
+    // share 0/0 — Spark's round+CAST turns that NaN into NULL while
+    // DuckDB propagates it, so guard the denominator IDENTICALLY in
+    // both engines: a zero-loss trajectory has zero importance
     stumps.crossJoin(broadcast(t1))
       .withColumn("share_ppm",
-        expr("CAST(round((total_sse - split_sse) * 1000000 / t1) AS BIGINT)"))
+        expr("CASE WHEN t1 = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(round((total_sse - split_sse) * 1000000 / t1) AS BIGINT) " +
+          "END"))
       .groupBy(col("feature"))
       .agg(count(lit(1)).as("n_rounds"),
         sum(col("share_ppm")).as("importance_ppm"))
@@ -699,8 +705,9 @@ object Round13Ops {
        |$roundsUnion),
        |gt1 AS (SELECT total_sse AS t1 FROM gs1)
        |SELECT feature, CAST(count(*) AS BIGINT) AS n_rounds,
-       |  CAST(sum(CAST(round((total_sse - split_sse) * 1000000 / t1)
-       |    AS BIGINT)) AS BIGINT) AS importance_ppm
+       |  CAST(sum(CASE WHEN t1 = 0 THEN CAST(0 AS BIGINT) ELSE
+       |    CAST(round((total_sse - split_sse) * 1000000 / t1)
+       |    AS BIGINT) END) AS BIGINT) AS importance_ppm
        |FROM gimp, gt1 GROUP BY feature""".stripMargin
   }
 
@@ -1310,37 +1317,33 @@ object Round13Ops {
     groupedAuc(scored, "fold")
   }
 
-  /** The five folds' joint wide-model training relation: each row
-    * replicated to the four models whose training set contains it
-    * (ModelStore's `gbtcv` build). */
-  private[operators] def cvWideModels(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val data = foldRows(spark, sfDir).persist()
+  /** The five folds' joint wide models over an already-staged
+    * (fold, q, dd, y) base: each row replicated to the four models
+    * whose training set contains it (ModelStore's `gbtcv` build —
+    * the caller stages the base once for all four GBT artifacts).
+    * jointGbtModels' output closes over checkpointed relations only
+    * (per-round stump argmins + f0s), so the caller drops the base
+    * cache as soon as this returns. */
+  private[operators] def cvWideModelsFrom(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession
     val train0 = data.crossJoin(broadcast(
         spark.range(cvFolds).select(col("id").as("g"))))
       .filter(col("g") =!= col("fold"))
       .select(col("g"), col("q"), col("dd"), col("y"))
-    // jointGbtModels' output closes over checkpointed relations only
-    // (per-round stump argmins + f0s), so the corpus cache drops here
-    val wide = jointGbtModels(train0)
-    data.unpersist()
-    wide
+    jointGbtModels(train0)
   }
 
-  /** The learning curve's joint wide-model training relation: nested
-    * subsets — size g trains on folds 1..g, fold 0 held out
-    * (ModelStore's `gbtlc` build). */
-  private[operators] def lcWideModels(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val data = foldRows(spark, sfDir).persist()
+  /** The learning curve's joint wide models over an already-staged
+    * (fold, q, dd, y) base: nested subsets — size g trains on folds
+    * 1..g, fold 0 held out (ModelStore's `gbtlc` build). */
+  private[operators] def lcWideModelsFrom(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession
     val train0 = data.filter(col("fold") >= 1)
       .crossJoin(broadcast(
         spark.range(1, cvFolds.toLong).select(col("id").as("g"))))
       .filter(col("fold") <= col("g"))
       .select(col("g"), col("q"), col("dd"), col("y"))
-    val wide = jointGbtModels(train0)
-    data.unpersist()
-    wide
+    jointGbtModels(train0)
   }
 
   private[graft] val cvFolds = 5

@@ -47,6 +47,20 @@ final class SnapshotTable(
 
   require(keepSnapshots >= 1, "must retain at least the current snapshot")
 
+  /** Live column set, cached per instance: merges are widening-ONLY
+    * (H23), so the live set grows monotonically — seed it from
+    * `create`'s batch (or ONE footer read on the first guard of a
+    * pre-existing table) and union in each commit's batch columns.
+    * This keeps `requireWidening` off the per-commit hot path: the
+    * r14 guard priced a parquet-footer Spark job on EVERY
+    * merge/stagedMerge, which showed up as the streaming IVM twins'
+    * +20% (a WAP commit per micro-batch → a footer job per batch).
+    * Single-writer-per-instance assumption, same as the rest of the
+    * commit protocol: a widening committed through a DIFFERENT
+    * instance is picked up lazily (that writer's own guard uses its
+    * own cache; this instance re-seeds only if it never checked). */
+  @volatile private var liveColsCache: Option[Set[String]] = None
+
   private def manifest: Path = Paths.get(path, "MANIFEST")
 
   private def listNames(dir: Path): Seq[String] =
@@ -146,6 +160,7 @@ final class SnapshotTable(
     require(version == 0, s"snapshot table $path already exists")
     Files.createDirectories(Paths.get(path))
     commitManifest(writeData(df, 1))
+    liveColsCache = Some(df.columns.toSet)
   }
 
   /** MERGE (A20b upsert): rows in `updates` replace current rows with
@@ -172,6 +187,7 @@ final class SnapshotTable(
     val c = version + 1
     val newRefs = writeData(upserted, c)
     commitManifest(cur -- touched ++ newRefs)
+    noteCommitted(updates.columns)
   }
 
   /** H23 is ONE-directional: a merge batch may WIDEN the schema (new
@@ -180,23 +196,47 @@ final class SnapshotTable(
     * null-fill a LIVE column on every upserted key when a malformed
     * caller ships a batch missing it, destroying data the caller
     * never meant to touch. Fail fast instead (spec-pinned). Schema
-    * check only — reads one live footer, never data. */
+    * check only, served from the instance cache — at most ONE live
+    * footer read per instance lifetime (see [[liveColsCache]]). */
   private def requireWidening(cur: Map[Int, String],
       updates: DataFrame): Unit = {
-    // the widening-only invariant this check enforces also makes the
-    // MOST RECENT commit's dir carry the widest live schema, so one
-    // dir's footer suffices — a merged-schema read over every ref
-    // would put an all-refs footer job on every commit's hot path
-    val cRe = "data/c(\\d+)/".r
-    val newest = cur.values.maxBy(d =>
-      cRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1))
-    val live = spark.read.parquet(s"$path/$newest").columns.toSet
-    val missing = live -- updates.columns.toSet
+    val live = liveColsCache.getOrElse {
+      // first guard on a pre-existing table: the widening-only
+      // invariant makes the MOST RECENT commit's dir carry the widest
+      // live schema, so one dir's footer suffices to seed the cache
+      val cRe = "data/c(\\d+)/".r
+      val newest = cur.values.maxBy(d =>
+        cRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1))
+      val cols = spark.read.parquet(s"$path/$newest").columns.toSet
+      liveColsCache = Some(cols)
+      cols
+    }
+    // compare under Spark's resolution semantics (case-insensitive
+    // unless spark.sql.caseSensitive): a batch carrying `ID` against
+    // a live `id` resolves fine in the union, so the guard must not
+    // reject it as missing
+    val batch = updates.columns.map(norm).toSet
+    val missing = live.filterNot(c => batch.contains(norm(c)))
     require(missing.isEmpty,
       s"snapshot table $path: update batch is missing live column(s) " +
         s"${missing.mkString(", ")} — merges are widening-only (H23); " +
         "a narrower batch would null-fill those columns on every " +
         "upserted key")
+  }
+
+  private def norm(c: String): String =
+    if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) c
+    else c.toLowerCase(java.util.Locale.ROOT)
+
+  /** Fold a committed batch's columns into the live-set cache — the
+    * monotone update that keeps the cache exact without any footer
+    * read (a widening-checked batch's columns ⊇ the prior live set,
+    * so post-commit live = batch ∪ prior spellings). */
+  private def noteCommitted(batchCols: Seq[String]): Unit = {
+    val live = liveColsCache.getOrElse(Set.empty[String])
+    val have = live.map(norm)
+    liveColsCache =
+      Some(live ++ batchCols.filterNot(c => have.contains(norm(c))))
   }
 
   /** The MERGE read plan against a given snapshot: the touched-bucket
@@ -265,7 +305,7 @@ final class SnapshotTable(
     val (touched, upserted) = upsertPlan(cur, updates, deletes)
     val rel = s"staged/s${System.nanoTime()}"
     val stagedRefs = writeDataAt(upserted, rel)
-    new StagedMerge(base, cur, touched, rel, stagedRefs)
+    new StagedMerge(base, cur, touched, rel, stagedRefs, updates.columns)
   }
 
   /** A staged, unpublished MERGE — see [[stageMerge]]. */
@@ -274,7 +314,8 @@ final class SnapshotTable(
       baseRefs: Map[Int, String],
       touched: Set[Int],
       stagedRel: String,
-      stagedRefs: Map[Int, String]) {
+      stagedRefs: Map[Int, String],
+      batchCols: Seq[String]) {
 
     private var consumed = false
     private def requireLive(): Unit =
@@ -307,6 +348,7 @@ final class SnapshotTable(
           s"data/c$c")
       }
       commitManifest(baseRefs -- touched ++ moved)
+      noteCommitted(batchCols)
       consumed = true
     }
 

@@ -46,5 +46,11 @@ object StoreRoot {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.deleteIfExists(_))
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      // best-effort means IO failures are tolerated, NOT fatal VM
+      // errors or a thread interrupt — swallowing those would eat a
+      // bench harness's cancellation mid-cleanup
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 }

@@ -556,7 +556,70 @@ class WarehouseSpec extends SparkSuite {
       assert(errStaged.getMessage.contains("widening-only"))
       assert(t.read().count() == 21,
         "the rejected narrow batch must leave the table untouched")
+      // the guard compares under Spark's resolution semantics
+      // (round-14 advisor item): a batch spelling live columns in a
+      // different CASE is not "missing" them — here only `extra` is
+      // genuinely absent, so the error names exactly it
+      val mixedNarrow = Seq((3L, 30L)).toDF("ID", "V")
+      val errMixed = intercept[IllegalArgumentException] {
+        t.merge(mixedNarrow)
+      }
+      assert(errMixed.getMessage.contains("missing live column(s) extra —"),
+        s"case-varied spellings misreported: ${errMixed.getMessage}")
+      // a FRESH handle on the existing table seeds its live-schema
+      // cache from one footer read and enforces the same guard (the
+      // instance cache is an optimization, never a semantics change)
+      val t2 = new SnapshotTable(spark, s"$root/t", "id",
+        buckets = 4, keepSnapshots = 3)
+      val errFresh = intercept[IllegalArgumentException] { t2.merge(narrow) }
+      assert(errFresh.getMessage.contains("widening-only"))
     } finally t.drop()
+  }
+
+  test("ModelStore torn-state recovery (round 15): a writer crash between the gbt pair's publishes leaves a half-complete key — the next access rebuilds ONLY the missing artifact, keeps the published one untouched, and serves bit-identical content") {
+    import graft.sources.StoreRoot
+    import graft.operators.ModelStore
+    val conf = java.nio.file.Files
+      .createTempDirectory("graft_torn_root").toString
+    val before = spark.conf.getOption(StoreRoot.confKey)
+    try {
+      spark.conf.set(StoreRoot.confKey, conf)
+      val stumps0 = ModelStore.gbtStumps(spark, sf).collect()
+        .map(_.toSeq).toSet
+      val models = java.nio.file.Paths.get(conf, "graft-models")
+      val keyDir = {
+        val s = java.nio.file.Files.list(models)
+        try s.iterator().next() finally s.close()
+      }
+      assert(keyDir.getFileName.toString.startsWith("gbt_"))
+      // simulate the crash: model published, stumps never landed
+      StoreRoot.deleteRecursively(keyDir.resolve("stumps"))
+      // sentinel inside the surviving artifact (underscore-prefixed,
+      // so Spark readers ignore it): recovery must KEEP the dir
+      java.nio.file.Files.writeString(
+        keyDir.resolve("model").resolve("_sentinel"), "kept")
+      // simulate a process restart against the same shared root
+      ModelStore.forgetBuiltForTests()
+      val stumps1 = ModelStore.gbtStumps(spark, sf).collect()
+        .map(_.toSeq).toSet
+      assert(stumps1 == stumps0,
+        "recovered stumps differ from the originals — training is " +
+          "deterministic, so the rebuild must be bit-identical")
+      assert(java.nio.file.Files.exists(
+        keyDir.resolve("model").resolve("_sentinel")),
+        "the already-published artifact was rewritten — recovery must " +
+          "keep it (first-committer-wins)")
+      assert(java.nio.file.Files.exists(
+        keyDir.resolve("stumps").resolve("_SUCCESS")),
+        "the missing artifact did not land complete")
+      assert(ModelStore.gbtFull(spark, sf).count() == 1)
+    } finally {
+      ModelStore.forgetBuiltForTests()
+      before match {
+        case Some(v) => spark.conf.set(StoreRoot.confKey, v)
+        case None => spark.conf.unset(StoreRoot.confKey)
+      }
+    }
   }
 
   test("IVM-distinct x snapshot table (H22): the support-state WAP step maintains the count-DISTINCT view exactly across chained commits") {
