@@ -93,12 +93,16 @@ object Bench {
         "streaming_model_score", "streaming_drift_psi",
         "q_gbt_importance", "q_model_compare", "q_cost_curve",
         "q_isotonic_calibration", "sample_slice_eval",
-        "streaming_confusion_monitor"),
+        "streaming_confusion_monitor", "q_model_compare_cv"),
         () => operators.ModelStore.gbtModelBuild(spark, sfDir)),
       ("forest_model_build", Set(
         "q_forest_eval", "q_oob_eval", "q_feature_importance",
         "q_model_compare"),
         () => operators.ModelStore.forestModelBuild(spark, sfDir)),
+      // round-15: the forest protocol artifacts (CV + curve)
+      ("forest_cv_build", Set(
+        "q_forest_cv_auc", "sample_forest_curve", "q_model_compare_cv"),
+        () => operators.ModelStore.forestProtocolsBuild(spark, sfDir)),
       // round-14: the batch IVM family's standing view-state tables
       ("ivm_state_build", Set(
         "warehouse_ivm", "warehouse_ivm_join", "warehouse_ivm_distinct"),

@@ -111,6 +111,14 @@ object ScaleProbe {
     // warmup
     li.count(); docs.count(); ev.count()
 
+    // the shared (q, dd, y, rid) eval projection (the B93/B94 shape)
+    def liLabeled(d: DataFrame): DataFrame =
+      d.select(col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+        (col("l_returnflag") === lit("R")).cast("long").as("y"),
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).as("rid"))
+
     val probes: Seq[(String, DataFrame => Double, Int => DataFrame, DataFrame)] = Seq(
       ("q1_agg",
         (d: DataFrame) => time(d.groupBy("l_returnflag", "l_linestatus")
@@ -569,6 +577,69 @@ object ScaleProbe {
             (col("l_returnflag") === lit("R")).cast("long").as("y"),
             concat(col("l_orderkey").cast("string"), lit(":"),
               col("l_linenumber").cast("string")).as("rid"))).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B102-B104/J20 decision leg (round 15): the models are the
+      // standing store artifacts (untimed here — the `_build` rows
+      // price the trainings; the probes train on the FIXED 1× corpus
+      // outside the timed region), so each probe times exactly what
+      // the bench row times at scale: the corpus-sized scoring scan
+      // plus the model-sized decision tail (1-row McNemar / 3-row
+      // cost argmin / ≤8-bin PAV / per-slice AUC windows). Expected
+      // slope ≈ the single linear pass.
+      ("model_compare",
+        (d: DataFrame) => {
+          val base = liLabeled(li).persist()
+          val gModel = operators.Round13Ops.gbtModelRow(
+            base.select("q", "dd", "y"))
+          val (fModel, fLeaves) =
+            operators.Round13Ops.forestArtifactsOf(base)
+          base.unpersist()
+          val probe = liLabeled(d)
+          time {
+            val withF = operators.Round13Ops
+              .forestScoreWith(probe, fModel, fLeaves)
+              .withColumn("s_f",
+                expr("(ls_0 + ls_1 + ls_2 + ls_3) div 4"))
+            val both = operators.Round13Ops.gbtScore(withF, gModel)
+              .withColumnRenamed("s", "s_g")
+            operators.Round13Ops.modelCompareFrom(
+              both.select(col("s_g"), col("s_f"), col("y"))).count()
+          }
+        },
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      ("cost_curve",
+        (d: DataFrame) => {
+          val model = operators.Round13Ops.gbtModelRow(
+            liLabeled(li).select("q", "dd", "y"))
+          val probe = liLabeled(d)
+          time(operators.Round13Ops.costCurveFrom(
+            operators.Round13Ops.gbtScore(probe, model)
+              .select(col("s"), col("y"))).count())
+        },
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      ("isotonic_cal",
+        (d: DataFrame) => {
+          val model = operators.Round13Ops.gbtModelRow(
+            liLabeled(li).select("q", "dd", "y"))
+          val probe = liLabeled(d)
+          time(operators.Round13Ops.isotonicFrom(
+            operators.Round13Ops.gbtScore(probe, model)
+              .select(col("s"), col("y"))).count())
+        },
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      ("slice_eval",
+        (d: DataFrame) => {
+          val model = operators.Round13Ops.gbtModelRow(
+            liLabeled(li).select("q", "dd", "y"))
+          val probe = d.select(col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("dd"),
+            (col("l_returnflag") === lit("R")).cast("long").as("y"),
+            month(col("l_shipdate")).cast("long").as("ship_month"))
+          time(operators.Round13Ops.groupedAuc(
+            operators.Round13Ops.gbtScore(probe, model)
+              .select(col("ship_month"), col("s"), col("y")),
+            "ship_month").count())
+        },
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       // G25 deployed-model stream scoring: the standing model is the
       // untimed stored artifact; timed = the 3-micro-batch scoring

@@ -134,28 +134,35 @@ object ModelStore {
   private def ckey(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Run `f` over the shared staged GBT training base (fold, q, dd,
-    * y): the caller either passes an already-staged relation
-    * (`gbtModelBuild` stages ONE for all four artifacts) or this
-    * stages and drops its own — the standalone cold path a Verify
-    * query takes when it is the first store reader. */
-  private def withBase(spark: SparkSession, sfDir: String,
+  /** Run `f` over a freshly staged GBT training base (fold, q, dd,
+    * y), dropping the cache once `f`'s outputs are materialized —
+    * the standalone cold path a Verify query takes when it is the
+    * first store reader (the bench build row goes through
+    * [[gbtModelBuild]]'s all-artifacts-joint pass instead). */
+  private def withBase(spark: SparkSession, sfDir: String)
+      (f: DataFrame => Seq[DataFrame]): Seq[DataFrame] = {
+    val b = Round13Ops.foldRows(spark, sfDir).persist()
+    // every artifact f returns is eagerly checkpointed before it
+    // escapes (gbtModelRowFrom / jointGbtModels close over
+    // checkpointed relations only), so the base drops safely here
+    try f(b) finally { b.unpersist(); () }
+  }
+
+  /** [[withBase]] for the forest protocols, whose base keeps `rid`
+    * (bagging hashes it). */
+  private def withRidBase(spark: SparkSession, sfDir: String,
       shared: Option[DataFrame])(f: DataFrame => Seq[DataFrame])
       : Seq[DataFrame] =
     shared match {
       case Some(b) => f(b)
       case None =>
-        val b = Round13Ops.foldRows(spark, sfDir).persist()
-        // every artifact f returns is eagerly checkpointed before it
-        // escapes (gbtModelRowFrom / jointGbtModels close over
-        // checkpointed relations only), so the base drops safely here
+        val b = Round13Ops.foldRidRows(spark, sfDir).persist()
         try f(b) finally { b.unpersist(); () }
     }
 
-  private def gbtAll(spark: SparkSession, sfDir: String,
-      base: Option[DataFrame] = None): Seq[DataFrame] =
+  private def gbtAll(spark: SparkSession, sfDir: String): Seq[DataFrame] =
     get(spark, "gbt_" + ckey(sfDir), Seq("model", "stumps")) {
-      withBase(spark, sfDir, base) { b =>
+      withBase(spark, sfDir) { b =>
         // ONE training pass serves both artifacts: the full per-round
         // stump table (threshold/leaves + the SSE trajectory B101's
         // importances read) and the pivoted 1-row scoring model
@@ -178,10 +185,10 @@ object ModelStore {
   def gbtStumps(spark: SparkSession, sfDir: String): DataFrame =
     gbtAll(spark, sfDir)(1)
 
-  private def gbtHoldoutAll(spark: SparkSession, sfDir: String,
-      base: Option[DataFrame] = None): Seq[DataFrame] =
+  private def gbtHoldoutAll(spark: SparkSession,
+      sfDir: String): Seq[DataFrame] =
     get(spark, "gbtho_" + ckey(sfDir), Seq("model")) {
-      withBase(spark, sfDir, base) { b =>
+      withBase(spark, sfDir) { b =>
         // fold 0 of the shared content hash = test, so the 80% train
         // split is exactly fold ≠ 0 (holdoutRows' split column is the
         // same hash expression — identical relation by construction)
@@ -195,10 +202,9 @@ object ModelStore {
   def gbtHoldout(spark: SparkSession, sfDir: String): DataFrame =
     gbtHoldoutAll(spark, sfDir).head
 
-  private def gbtCvAll(spark: SparkSession, sfDir: String,
-      base: Option[DataFrame] = None): Seq[DataFrame] =
+  private def gbtCvAll(spark: SparkSession, sfDir: String): Seq[DataFrame] =
     get(spark, "gbtcv_" + ckey(sfDir), Seq("wide")) {
-      withBase(spark, sfDir, base)(b =>
+      withBase(spark, sfDir)(b =>
         Seq(Round13Ops.cvWideModelsFrom(b)))
     }
 
@@ -207,10 +213,9 @@ object ModelStore {
   def gbtCvWide(spark: SparkSession, sfDir: String): DataFrame =
     gbtCvAll(spark, sfDir).head
 
-  private def gbtLcAll(spark: SparkSession, sfDir: String,
-      base: Option[DataFrame] = None): Seq[DataFrame] =
+  private def gbtLcAll(spark: SparkSession, sfDir: String): Seq[DataFrame] =
     get(spark, "gbtlc_" + ckey(sfDir), Seq("wide")) {
-      withBase(spark, sfDir, base)(b =>
+      withBase(spark, sfDir)(b =>
         Seq(Round13Ops.lcWideModelsFrom(b)))
     }
 
@@ -256,27 +261,100 @@ object ModelStore {
   def forestLevels(spark: SparkSession, sfDir: String): DataFrame =
     forestAll(spark, sfDir).head
 
+  private def forestCvAll(spark: SparkSession, sfDir: String,
+      base: Option[DataFrame] = None): Seq[DataFrame] =
+    get(spark, "forestcv_" + ckey(sfDir), Seq("levels", "leaf_scores")) {
+      withRidBase(spark, sfDir, base)(Round15Ops.forestCvArtifacts)
+    }
+
+  /** B105's per-fold forests: the joint split table (nodes
+    * `c{g}t{t}r…`) and each tree's own-bag leaf scores. */
+  def forestCvModel(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val out = forestCvAll(spark, sfDir)
+    (out.head, out(1))
+  }
+
+  private def forestLcAll(spark: SparkSession, sfDir: String,
+      base: Option[DataFrame] = None): Seq[DataFrame] =
+    get(spark, "forestlc_" + ckey(sfDir), Seq("levels", "leaf_scores")) {
+      withRidBase(spark, sfDir, base)(Round15Ops.forestLcArtifacts)
+    }
+
+  /** J21's per-size forests (nodes `s{g}t{t}r…`) + leaf scores. */
+  def forestLcModel(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val out = forestLcAll(spark, sfDir)
+    (out.head, out(1))
+  }
+
   /** Bench lifecycle hook: train every standing GBT artifact in one
-    * timed pass (full + holdout + 5-fold joint + curve joint), so the
-    * eight GBT-reading eval rows time a warm store read. ONE staged
-    * training relation feeds all four artifacts — the facts are
-    * scanned and the fold hash computed once, not once per artifact
-    * (each derived relation is identical to the per-artifact
-    * derivation by construction, so every oracle hash is unchanged). */
+    * timed pass. ALL ELEVEN protocol groups (full + holdout + 5 CV
+    * folds + 4 curve sizes) train JOINTLY in one shared pass set —
+    * the jointGbtModels group key widened across artifacts, so each
+    * boosting round is ONE aggregation pass over the group-tagged
+    * union instead of four (12 passes → 3); the staged base is
+    * scanned and the fold hash computed once. Each group's slice is
+    * bit-identical to the per-artifact derivation (per-group
+    * arithmetic is fold-partitioned everywhere — the spec-pinned
+    * joint ≡ solo invariant), so every oracle hash is unchanged. */
   def gbtModelBuild(spark: SparkSession, sfDir: String): Unit = {
-    val base = Round13Ops.foldRows(spark, sfDir).persist()
+    val sk = ckey(sfDir)
+    var staged: Option[DataFrame] = None
+    // evaluated at most once, and only if some key is incomplete;
+    // outputs close over checkpointed per-round relations, so the
+    // staged base drops as soon as every slice is published
+    lazy val joint: (DataFrame, DataFrame) = {
+      val base = Round13Ops.foldRows(spark, sfDir).persist()
+      staged = Some(base)
+      val groups: Seq[(String, org.apache.spark.sql.Column)] =
+        Seq("full" -> lit(true), "ho" -> (col("fold") =!= 0)) ++
+          (0 until Round13Ops.cvFolds).map(f =>
+            s"cv$f" -> (col("fold") =!= f)) ++
+          (1 until Round13Ops.cvFolds).map(g =>
+            s"lc$g" -> (col("fold") >= 1 && col("fold") <= g))
+      val train0 = groups.map { case (g, pred) =>
+        base.filter(pred)
+          .select(lit(g).as("g"), col("q"), col("dd"), col("y"))
+      }.reduce(_ unionByName _)
+      Round13Ops.jointGbtWithTrajectory(train0)
+    }
+    // re-key a sliced wide relation from the string group tag back to
+    // the artifact's BIGINT protocol key (fold / train size)
+    def slice(pfx: String): DataFrame = {
+      val (wide, _) = joint
+      wide.filter(col("g").startsWith(pfx)).select(
+        expr(s"CAST(substring(g, ${pfx.length + 1}) AS BIGINT)").as("g") +:
+          wide.columns.filter(_ != "g").map(col): _*)
+    }
     try {
-      gbtAll(spark, sfDir, Some(base))
-      gbtHoldoutAll(spark, sfDir, Some(base))
-      gbtCvAll(spark, sfDir, Some(base))
-      gbtLcAll(spark, sfDir, Some(base))
+      get(spark, s"gbt_$sk", Seq("model", "stumps")) {
+        Seq(joint._1.filter(col("g") === "full").drop("g"),
+          joint._2.filter(col("g") === "full").drop("g"))
+      }
+      get(spark, s"gbtho_$sk", Seq("model")) {
+        Seq(joint._1.filter(col("g") === "ho").drop("g"))
+      }
+      get(spark, s"gbtcv_$sk", Seq("wide"))(Seq(slice("cv")))
+      get(spark, s"gbtlc_$sk", Seq("wide"))(Seq(slice("lc")))
       ()
-    } finally { base.unpersist(); () }
+    } finally { staged.foreach(_.unpersist()); () }
   }
 
   /** Bench lifecycle hook: the forest training pass. */
   def forestModelBuild(spark: SparkSession, sfDir: String): Unit = {
     forestAll(spark, sfDir)
     ()
+  }
+
+  /** Bench lifecycle hook: train BOTH forest protocol artifact pairs
+    * (CV + curve) off one staged (fold, q, dd, y, rid) base. */
+  def forestProtocolsBuild(spark: SparkSession, sfDir: String): Unit = {
+    val base = Round13Ops.foldRidRows(spark, sfDir).persist()
+    try {
+      forestCvAll(spark, sfDir, Some(base))
+      forestLcAll(spark, sfDir, Some(base))
+      ()
+    } finally { base.unpersist(); () }
   }
 }

@@ -499,14 +499,15 @@ object Round12Ops {
 
   private def featCol(lvl: Int): Column =
     if (lvl % 2 == 1) col("q") else col("dd")
-  private def featName(lvl: Int): String =
+  private[operators] def featName(lvl: Int): String =
     if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
 
   /** The PLANET level loop over an arbitrary starting (node, q, dd,
     * y) assignment — shared by the single tree (one root path "r")
     * and the forest (one root per tree, "t0r"…): ONE aggregation pass
     * per level for every open node of every tree at once. */
-  private def levelLoop(assigned0: DataFrame, depth: Int): DataFrame = {
+  private[operators] def levelLoop(assigned0: DataFrame,
+      depth: Int): DataFrame = {
     // per-node impurity curve + per-node argmin — B86's shapes,
     // partitioned by the node path
     def curve(df: DataFrame): DataFrame = {
@@ -702,6 +703,29 @@ object Round12Ops {
          |fk0 AS MATERIALIZED (
          |$baggedRows)""".stripMargin
     val (lvls, _) = treeLevelsSql("fk", forestDepth, "node")
+    s"$base,\n$lvls"
+  }
+
+  /** Parameterized forest-training CTE chain — [[forestCtes]] over an
+    * arbitrary training condition: bagged assignment `${pfx}0` drawn
+    * from `rawRel` rows (which must carry q, dd, y, rid) satisfying
+    * `cond`, plus the level unroll ending in `${pfx}sel1/2`. The
+    * B100/J19 per-fold oracle composition applied to the forest: the
+    * CV and learning-curve oracles instantiate this once per
+    * fold/size with disjoint prefixes (one definition of the trained
+    * per-group model, round 15). */
+  private[operators] def forestCtesOver(rawRel: String, cond: String,
+      pfx: String): String = {
+    val baggedRows = (0 until forestTrees).map { t =>
+      s"""SELECT 't$t' || 'r' AS node, q, dd, y FROM $rawRel
+         |WHERE ($cond)
+         |  AND ('0x' || substr(md5('frst:$t:' || rid), 1, 8))::BIGINT
+         |  % $forestTrees <> 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val base =
+      s"""${pfx}0 AS MATERIALIZED (
+         |$baggedRows)""".stripMargin
+    val (lvls, _) = treeLevelsSql(pfx, forestDepth, "node")
     s"$base,\n$lvls"
   }
 

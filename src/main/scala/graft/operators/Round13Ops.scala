@@ -61,11 +61,19 @@ object Round13Ops {
   /** ridRows collapsed to (fold, q, dd, y) under the shared J18/B100
     * content-hash fold assignment. */
   private[graft] def foldRows(spark: SparkSession,
+      sfDir: String): DataFrame =
+    foldRidRows(spark, sfDir)
+      .select(col("fold"), col("q"), col("dd"), col("y"))
+
+  /** ridRows + the shared fold column, KEEPING rid — the base the
+    * forest protocols need (bagging hashes rid; fold gates the
+    * training set). One staged copy serves both forest-CV and the
+    * forest curve (round 15). */
+  private[graft] def foldRidRows(spark: SparkSession,
       sfDir: String): DataFrame = {
     import graft.functions.gf
     ridRows(spark, sfDir).withColumn("fold",
       gf.h32(concat(lit("hold:"), col("rid"))) % cvFolds)
-      .select(col("fold"), col("q"), col("dd"), col("y"))
   }
 
   // ---------------------------------------------------------------- B93
@@ -749,9 +757,18 @@ object Round13Ops {
     * everywhere with b = c = 0 and both accuracies 10⁶; a planted
     * one-sided disagreement lands entirely in b). */
   private[graft] def modelCompareFrom(scored: DataFrame): DataFrame =
+    modelCompareGrouped(scored, Nil)
+
+  /** [[modelCompareFrom]] per group — `by` empty means one global row
+    * (B102); B106 passes Seq("fold") for the per-fold significance
+    * story the CV protocols enable (round 15). Identical arithmetic
+    * either way: groupBy() with no columns IS the global aggregate. */
+  private[graft] def modelCompareGrouped(scored: DataFrame,
+      by: Seq[String]): DataFrame =
     scored
       .withColumn("p_g", (col("s_g") >= 500000L).cast("long"))
       .withColumn("p_f", (col("s_f") >= 500000L).cast("long"))
+      .groupBy(by.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("p_g") === 1 && col("p_f") === 1, 1L)
@@ -768,7 +785,8 @@ object Round13Ops {
           .otherwise(0L)).as("b_gbt_only_right"),
         sum(when(col("p_f") === col("y") && col("p_g") =!= col("y"), 1L)
           .otherwise(0L)).as("c_forest_only_right"))
-      .select(col("n"), col("agree_pos"), col("agree_neg"),
+      .select(by.map(col) ++ Seq(col("n"), col("agree_pos"),
+        col("agree_neg"),
         col("only_gbt_pos"), col("only_forest_pos"),
         expr("gc * 1000000 div n").as("gbt_acc_ppm"),
         expr("fc * 1000000 div n").as("forest_acc_ppm"),
@@ -776,7 +794,7 @@ object Round13Ops {
         expr("""(b_gbt_only_right - c_forest_only_right)
           * (b_gbt_only_right - c_forest_only_right) * 1000000
           div greatest(b_gbt_only_right + c_forest_only_right, 1)""")
-          .as("mcnemar_x2_ppm"))
+          .as("mcnemar_x2_ppm")): _*)
 
   val qModelCompareSql: String = {
     val trees = Round12Ops.forestTrees
@@ -1324,7 +1342,7 @@ object Round13Ops {
     * jointGbtModels' output closes over checkpointed relations only
     * (per-round stump argmins + f0s), so the caller drops the base
     * cache as soon as this returns. */
-  private[operators] def cvWideModelsFrom(data: DataFrame): DataFrame = {
+  private[graft] def cvWideModelsFrom(data: DataFrame): DataFrame = {
     val spark = data.sparkSession
     val train0 = data.crossJoin(broadcast(
         spark.range(cvFolds).select(col("id").as("g"))))
@@ -1336,7 +1354,7 @@ object Round13Ops {
   /** The learning curve's joint wide models over an already-staged
     * (fold, q, dd, y) base: nested subsets — size g trains on folds
     * 1..g, fold 0 held out (ModelStore's `gbtlc` build). */
-  private[operators] def lcWideModelsFrom(data: DataFrame): DataFrame = {
+  private[graft] def lcWideModelsFrom(data: DataFrame): DataFrame = {
     val spark = data.sparkSession
     val train0 = data.filter(col("fold") >= 1)
       .crossJoin(broadcast(
@@ -1390,7 +1408,20 @@ object Round13Ops {
     * round's threshold/leaves). Shared by B100's cross-validation
     * and J19's learning curve; arithmetic per group is identical to
     * a solo B91 run on that group's rows (spec-pinned). */
-  private[graft] def jointGbtModels(train0: DataFrame): DataFrame = {
+  private[graft] def jointGbtModels(train0: DataFrame): DataFrame =
+    jointGbtWithTrajectory(train0)._1
+
+  /** [[jointGbtModels]] returning BOTH halves of the training output:
+    * the wide scoring rows AND the full per-group stump trajectory
+    * (g, round, feature, threshold, total_sse, split_sse, leaf_left,
+    * leaf_right) — column-for-column gbtPipeline's table per group,
+    * computed from the same exact per-group scalars (round-15's
+    * all-artifacts-joint `gbt_model_build` slices the `gbt` key's
+    * stumps artifact from it; the SSE doubles use gbtPipeline's
+    * identical 6dp-rounded expressions, so stored ≡ retrained still
+    * holds to the bit). */
+  private[graft] def jointGbtWithTrajectory(
+      train0: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val f0s = train0.groupBy(col("g"))
@@ -1424,20 +1455,25 @@ object Round13Ops {
           round((d(col("s2L")) - d(col("sL")) * d(col("sL")) / d(col("nL")))
             + ((d(col("s2T")) - d(col("s2L")))
                - d(col("sT") - col("sL")) * d(col("sT") - col("sL"))
-                 / d(col("nT") - col("nL"))), 6).as("split_sse"))
+                 / d(col("nT") - col("nL"))), 6).as("split_sse"),
+          round(d(col("s2T")) - d(col("sT")) * d(col("sT")) / d(col("nT")),
+            6).as("total_sse"))
       val stump = curves
         .withColumn("rn", row_number().over(Window.partitionBy(col("g"))
           .orderBy(col("split_sse"), col("v"))))
         .filter(col("rn") === 1)
         .select(col("g"), col("v").as("threshold"),
           expr("sL div nL").as("leaf_left"),
-          expr("(sT - sL) div (nT - nL)").as("leaf_right"))
+          expr("(sT - sL) div (nT - nL)").as("leaf_right"),
+          col("split_sse"), col("total_sse"))
         .localCheckpoint(true)
       cur = cur.join(broadcast(stump), "g")
         .select(col("g"), col("q"), col("dd"),
           (col("r") - when(feat <= col("threshold"), col("leaf_left"))
             .otherwise(col("leaf_right"))).as("r"))
-      stump.select(col("g"), lit(t).as("round"), col("threshold"),
+      stump.select(col("g"), lit(t.toLong).as("round"),
+        lit(Round12Ops.featName(t)).as("feature"), col("threshold"),
+        col("total_sse"), col("split_sse"),
         col("leaf_left"), col("leaf_right"))
     }.reduce(_ unionByName _)
     val pivotCols = (1 to Round12Ops.gbtRounds).flatMap { t =>
@@ -1445,9 +1481,10 @@ object Round13Ops {
         max(when(col("round") === t, col("leaf_left"))).as(s"ll$t"),
         max(when(col("round") === t, col("leaf_right"))).as(s"lr$t"))
     }
-    stumps.groupBy(col("g"))
+    val wide = stumps.groupBy(col("g"))
       .agg(pivotCols.head, pivotCols.tail: _*)
       .join(f0s, "g")
+    (wide, stumps)
   }
 
   val qCvAucSql: String = {

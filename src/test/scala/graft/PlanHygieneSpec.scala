@@ -183,6 +183,10 @@ class PlanHygieneSpec extends SparkSuite {
       + "relation)) — every size's model scores the SAME held-out "
       + "split, so the test rows fan out over the 4-row broadcast; "
       + "training replication and all windows partition by size"),
+    "sample_forest_curve" -> ("crossJoin(broadcast(4-row forest "
+      + "threshold pivot)) — J19's fan-out shape on the forest "
+      + "family; leaf-score lookups are EQUI broadcast joins and all "
+      + "AUC windows partition by size"),
     // q_cv_auc has NO allowlist entry: the joint five-model loop's
     // fold replication optimizes to a plain join (the tfold =!= fold
     // filter rides the 5-row broadcast), scoring is an EQUI broadcast
