@@ -101,7 +101,8 @@ object Bench {
         () => operators.ModelStore.forestModelBuild(spark, sfDir)),
       // round-15: the forest protocol artifacts (CV + curve)
       ("forest_cv_build", Set(
-        "q_forest_cv_auc", "sample_forest_curve", "q_model_compare_cv"),
+        "q_forest_cv_auc", "sample_forest_curve", "q_model_compare_cv",
+        "q_forest_importance_cv"),
         () => operators.ModelStore.forestProtocolsBuild(spark, sfDir)),
       // round-14: the batch IVM family's standing view-state tables
       ("ivm_state_build", Set(

@@ -617,8 +617,12 @@ object Round13Ops {
 
   /** Importances from an already-trained per-level argmin relation
     * (level, node, feature, threshold, gini, pp, nn) — the
-    * stored-model path (B97 off ModelStore's levels table). */
-  private[graft] def featureImportanceFrom(sel: DataFrame): DataFrame = {
+    * stored-model path (B97 off ModelStore's levels table). `by`
+    * adds outer grouping columns already present on `sel` (B107
+    * passes Seq("fold") over the prefix-stripped CV levels); empty =
+    * the B97 single-forest view, identical arithmetic either way. */
+  private[graft] def featureImportanceFrom(sel: DataFrame,
+      by: Seq[String] = Nil): DataFrame = {
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     val withGain = sel
       .withColumn("tree", substring(col("node"), 1, 2))
@@ -628,13 +632,14 @@ object Round13Ops {
           / d(col("nn"))) / d(col("nn")), 6))
       .withColumn("gain_ppm",
         expr("CAST(round((parent_gini - gini) * 1000000) AS BIGINT)"))
+    val keyCols = by :+ "tree"
     val nTree = withGain.filter(col("level") === 1)
-      .select(col("tree"), col("nn").as("n_tree"))
-    withGain.groupBy(col("tree"), col("feature"))
+      .select(keyCols.map(col) :+ col("nn").as("n_tree"): _*)
+    withGain.groupBy((keyCols :+ "feature").map(col): _*)
       .agg(sum(col("nn") * col("gain_ppm")).as("wsum"))
-      .join(broadcast(nTree), "tree")
-      .select(col("tree"), col("feature"),
-        expr("wsum div n_tree").as("importance_ppm"))
+      .join(broadcast(nTree), keyCols)
+      .select(keyCols.map(col) ++ Seq(col("feature"),
+        expr("wsum div n_tree").as("importance_ppm")): _*)
   }
 
   val qFeatureImportanceSql: String = {

@@ -84,13 +84,13 @@ object Round15Ops {
   }
 
   /** CV groups g ∈ 0..4 train on fold ≠ g (the B100 protocol). */
-  private[operators] def forestCvArtifacts(data: DataFrame): Seq[DataFrame] =
+  private[graft] def forestCvArtifacts(data: DataFrame): Seq[DataFrame] =
     jointForestArtifacts(data, "c", 0 until folds,
       g => col("fold") =!= g)
 
   /** Curve sizes g ∈ 1..4 train on folds 1..g — nested subsets, fold
     * 0 held out (the J19 protocol). */
-  private[operators] def forestLcArtifacts(data: DataFrame): Seq[DataFrame] =
+  private[graft] def forestLcArtifacts(data: DataFrame): Seq[DataFrame] =
     jointForestArtifacts(data, "s", 1 until folds,
       g => col("fold") >= 1 && col("fold") <= g)
 
@@ -250,6 +250,27 @@ object Round15Ops {
       .withColumn("s_g", Round13Ops.gbtScoreColumn)
     Round13Ops.modelCompareGrouped(
       scored.select(col("fold"), col("s_g"), col("s_f"), col("y")),
+      Seq("fold"))
+  }
+
+  // ----------------------------------------------------------- B107
+  /** Per-fold forest feature importances — importance STABILITY
+    * across resamples (Breiman 2001 §10 read over Stone-1974 folds):
+    * B97's node-weighted impurity-decrease arithmetic applied to
+    * each CV fold's forest, one row per (fold, tree, feature). A
+    * feature whose importance swings across folds is fit to the
+    * resample, not the signal — the interpretation-QA view a single
+    * forest's importance table cannot give. ZERO extra training or
+    * fact passes: the stored `forestcv` levels relation already
+    * carries every node's (gini, pp, nn); the whole plan is
+    * model-sized (≤ folds·trees·levels rows). */
+  def qForestImportanceCv(spark: SparkSession, sfDir: String): DataFrame = {
+    val levels = ModelStore.forestCvModel(spark, sfDir)._1
+    Round13Ops.featureImportanceFrom(
+      levels.select(
+        expr("CAST(substring(node, 2, 1) AS BIGINT)").as("fold"),
+        expr("substring(node, 3)").as("node"),
+        col("level"), col("feature"), col("gini"), col("pp"), col("nn")),
       Seq("fold"))
   }
 
@@ -444,13 +465,54 @@ object Round15Ops {
        |FROM magg""".stripMargin
   }
 
+  val qForestImportanceCvSql: String = {
+    val pg =
+      """round((CAST(nn AS DOUBLE)
+        |      - (CAST(pp AS DOUBLE) * CAST(pp AS DOUBLE)
+        |         + CAST(nn - pp AS DOUBLE) * CAST(nn - pp AS DOUBLE))
+        |        / CAST(nn AS DOUBLE)) / CAST(nn AS DOUBLE), 6)""".stripMargin
+    val chains = (0 until folds).map { f =>
+      Round12Ops.forestCtesOver("craw", s"fold <> $f", s"c${f}k")
+    }.mkString(",\n")
+    val imp0 = (0 until folds).flatMap { f =>
+      Seq(s"""SELECT CAST($f AS BIGINT) AS fold,
+             |    substr(node, 1, 2) AS tree, 'l_quantity' AS feature,
+             |    pp, nn, gini
+             |  FROM c${f}ksel1""".stripMargin,
+        s"""SELECT CAST($f AS BIGINT), substr(node, 1, 2),
+           |    'l_discount_cents', pp, nn, gini
+           |  FROM c${f}ksel2""".stripMargin)
+    }.mkString("\n  UNION ALL\n  ")
+    val nt = (0 until folds).map { f =>
+      s"""SELECT CAST($f AS BIGINT) AS fold,
+         |    substr(node, 1, 2) AS tree, nn AS n_tree
+         |  FROM c${f}ksel1""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $crawCte,
+       |$chains,
+       |fimp0 AS (
+       |  $imp0),
+       |fimpg AS (
+       |  SELECT fold, tree, feature, nn,
+       |    CAST(round(($pg - gini) * 1000000) AS BIGINT) AS gain_ppm
+       |  FROM fimp0),
+       |fnt AS (
+       |  $nt)
+       |SELECT fold, tree, feature,
+       |  CAST(sum(nn * gain_ppm) AS BIGINT) // n_tree AS importance_ppm
+       |FROM fimpg JOIN fnt USING (fold, tree)
+       |GROUP BY fold, tree, feature, n_tree""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_forest_cv_auc" -> (qForestCvAuc _),
     "sample_forest_curve" -> (sampleForestCurve _),
-    "q_model_compare_cv" -> (qModelCompareCv _))
+    "q_model_compare_cv" -> (qModelCompareCv _),
+    "q_forest_importance_cv" -> (qForestImportanceCv _))
 
   val oracleSql: Map[String, String] = Map(
     "q_forest_cv_auc" -> qForestCvAucSql,
     "sample_forest_curve" -> sampleForestCurveSql,
-    "q_model_compare_cv" -> qModelCompareCvSql)
+    "q_model_compare_cv" -> qModelCompareCvSql,
+    "q_forest_importance_cv" -> qForestImportanceCvSql)
 }

@@ -115,6 +115,37 @@ class Round15Spec extends SparkSuite {
     assert(grouped.map(_.getLong(9)).sum == global.getLong(8), "c")
   }
 
+  test("q_forest_importance_cv: each fold's importances equal the solo " +
+      "forest's B97 table on that fold's training set; all non-negative") {
+    val rows = noisyRows
+    val data = rows.withColumn("fold",
+      gf.h32(concat(lit("hold:"), col("rid"))) % Round13Ops.cvFolds)
+      .persist()
+    val Seq(levels, _) = graft.operators.Round15Ops
+      .forestCvArtifacts(data)
+    val joint = Round13Ops.featureImportanceFrom(
+      levels.select(
+        expr("CAST(substring(node, 2, 1) AS BIGINT)").as("fold"),
+        expr("substring(node, 3)").as("node"),
+        col("level"), col("feature"), col("gini"), col("pp"), col("nn")),
+      Seq("fold")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val solo = (0 until Round13Ops.cvFolds).flatMap { f =>
+      Round13Ops.featureImportanceFrom(
+        Round12Ops.forestLevelsFull(
+          data.filter(col("fold") =!= f)
+            .select(col("q"), col("dd"), col("y"), col("rid")),
+          Round12Ops.forestTrees, Round12Ops.forestDepth))
+        .collect()
+        .map(r => (f.toLong, r.getString(0), r.getString(1), r.getLong(2)))
+    }.toSet
+    data.unpersist()
+    assert(joint == solo,
+      s"per-fold importances diverged from solo B97:\n $joint\n $solo")
+    assert(joint.forall(_._4 >= 0L), "importances must be non-negative")
+  }
+
   test("gbt_model_build: the eleven-group joint pass publishes " +
       "artifacts bit-identical to the per-artifact solo builds") {
     import graft.sources.StoreRoot
