@@ -148,15 +148,18 @@ object ModelStore {
     try f(b) finally { b.unpersist(); () }
   }
 
-  /** [[withBase]] for the forest protocols, whose base keeps `rid`
-    * (bagging hashes it). */
-  private def withRidBase(spark: SparkSession, sfDir: String,
+  /** [[withBase]] for the forest protocols: the staged relation is
+    * the CELLS sufficient-statistic collapse (fold, bag flags, q,
+    * dd, y, w) — one corpus pass, after which every level/leaf pass
+    * of every protocol group is cells-sized. */
+  private def withForestCells(spark: SparkSession, sfDir: String,
       shared: Option[DataFrame])(f: DataFrame => Seq[DataFrame])
       : Seq[DataFrame] =
     shared match {
       case Some(b) => f(b)
       case None =>
-        val b = Round13Ops.foldRidRows(spark, sfDir).persist()
+        val b = Round15Ops.forestCells(
+          Round13Ops.foldRidRows(spark, sfDir)).persist()
         try f(b) finally { b.unpersist(); () }
     }
 
@@ -242,7 +245,7 @@ object ModelStore {
       val leafScores = Round13Ops.routeForest(
           Round12Ops.forestBags(data, Round12Ops.forestTrees), model)
         .groupBy(col("node"))
-        .agg(expr("1000000 * sum(y) div count(1)").as("ls"))
+        .agg(expr("1000000 * sum(w * y) div sum(w)").as("ls"))
         .localCheckpoint(true)
       data.unpersist()
       Seq(levels, leafScores)
@@ -264,7 +267,7 @@ object ModelStore {
   private def forestCvAll(spark: SparkSession, sfDir: String,
       base: Option[DataFrame] = None): Seq[DataFrame] =
     get(spark, "forestcv_" + ckey(sfDir), Seq("levels", "leaf_scores")) {
-      withRidBase(spark, sfDir, base)(Round15Ops.forestCvArtifacts)
+      withForestCells(spark, sfDir, base)(Round15Ops.forestCvArtifacts)
     }
 
   /** B105's per-fold forests: the joint split table (nodes
@@ -278,7 +281,7 @@ object ModelStore {
   private def forestLcAll(spark: SparkSession, sfDir: String,
       base: Option[DataFrame] = None): Seq[DataFrame] =
     get(spark, "forestlc_" + ckey(sfDir), Seq("levels", "leaf_scores")) {
-      withRidBase(spark, sfDir, base)(Round15Ops.forestLcArtifacts)
+      withForestCells(spark, sfDir, base)(Round15Ops.forestLcArtifacts)
     }
 
   /** J21's per-size forests (nodes `s{g}t{t}r…`) + leaf scores. */
@@ -291,22 +294,31 @@ object ModelStore {
   /** Bench lifecycle hook: train every standing GBT artifact in one
     * timed pass. ALL ELEVEN protocol groups (full + holdout + 5 CV
     * folds + 4 curve sizes) train JOINTLY in one shared pass set —
-    * the jointGbtModels group key widened across artifacts, so each
-    * boosting round is ONE aggregation pass over the group-tagged
-    * union instead of four (12 passes → 3); the staged base is
-    * scanned and the fold hash computed once. Each group's slice is
-    * bit-identical to the per-artifact derivation (per-group
-    * arithmetic is fold-partitioned everywhere — the spec-pinned
-    * joint ≡ solo invariant), so every oracle hash is unchanged. */
+    * the jointGbtModels group key widened across artifacts — and the
+    * facts collapse FIRST to the (fold, q, dd, y) sufficient-
+    * statistic contingency relation (|folds|·|q|·|dd|·2 cells), so
+    * the corpus is scanned exactly ONCE and every boosting round of
+    * every group runs over the weighted cells (the per-round
+    * collapse hoisted above the whole protocol family; 12 corpus
+    * passes in r14 → 1). Each group's slice is bit-identical to the
+    * per-artifact derivation (integer/decimal sums over duplicates ≡
+    * weighted sums — the spec-pinned joint ≡ solo invariant), so
+    * every oracle hash is unchanged. */
   def gbtModelBuild(spark: SparkSession, sfDir: String): Unit = {
     val sk = ckey(sfDir)
     var staged: Option[DataFrame] = None
     // evaluated at most once, and only if some key is incomplete;
     // outputs close over checkpointed per-round relations, so the
-    // staged base drops as soon as every slice is published
+    // staged cells drop as soon as every slice is published
     lazy val joint: (DataFrame, DataFrame) = {
-      val base = Round13Ops.foldRows(spark, sfDir).persist()
-      staged = Some(base)
+      // coalesce(1): |folds|·|q|·|dd|·2 cells — the 11-branch group
+      // union over 32-partition cells would schedule ~350 near-empty
+      // tasks per boosting pass otherwise (the Round15Ops.forestCells
+      // lesson)
+      val cells = Round13Ops.foldRows(spark, sfDir)
+        .groupBy(col("fold"), col("q"), col("dd"), col("y"))
+        .agg(count(lit(1)).as("w")).coalesce(1).persist()
+      staged = Some(cells)
       val groups: Seq[(String, org.apache.spark.sql.Column)] =
         Seq("full" -> lit(true), "ho" -> (col("fold") =!= 0)) ++
           (0 until Round13Ops.cvFolds).map(f =>
@@ -314,8 +326,9 @@ object ModelStore {
           (1 until Round13Ops.cvFolds).map(g =>
             s"lc$g" -> (col("fold") >= 1 && col("fold") <= g))
       val train0 = groups.map { case (g, pred) =>
-        base.filter(pred)
-          .select(lit(g).as("g"), col("q"), col("dd"), col("y"))
+        cells.filter(pred)
+          .select(lit(g).as("g"), col("q"), col("dd"), col("y"),
+            col("w"))
       }.reduce(_ unionByName _)
       Round13Ops.jointGbtWithTrajectory(train0)
     }
@@ -348,13 +361,30 @@ object ModelStore {
   }
 
   /** Bench lifecycle hook: train BOTH forest protocol artifact pairs
-    * (CV + curve) off one staged (fold, q, dd, y, rid) base. */
+    * (CV + curve) off ONE staged sufficient-statistic cells relation
+    * (fold, bag flags, q, dd, y, w) — a single corpus pass. */
   def forestProtocolsBuild(spark: SparkSession, sfDir: String): Unit = {
-    val base = Round13Ops.foldRidRows(spark, sfDir).persist()
+    val sk = ckey(sfDir)
+    var staged: Option[DataFrame] = None
+    // all 36 protocol trees in ONE level loop + ONE routing pass;
+    // each store key slices its letter's nodes (bit-identical to the
+    // per-protocol builds the solo cold paths use — spec-pinned)
+    lazy val joint: Seq[DataFrame] = {
+      val cells = Round15Ops.forestCells(
+        Round13Ops.foldRidRows(spark, sfDir)).persist()
+      staged = Some(cells)
+      Round15Ops.forestProtocolsJoint(cells)
+    }
+    def slice(letter: String): Seq[DataFrame] =
+      joint.map(_.filter(col("node").startsWith(letter)))
     try {
-      forestCvAll(spark, sfDir, Some(base))
-      forestLcAll(spark, sfDir, Some(base))
+      get(spark, s"forestcv_$sk", Seq("levels", "leaf_scores")) {
+        slice("c")
+      }
+      get(spark, s"forestlc_$sk", Seq("levels", "leaf_scores")) {
+        slice("s")
+      }
       ()
-    } finally { base.unpersist(); () }
+    } finally { staged.foreach(_.unpersist()); () }
   }
 }

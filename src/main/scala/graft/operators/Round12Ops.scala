@@ -494,7 +494,7 @@ object Round12Ops {
       depth: Int): DataFrame = {
     val data = labeled.persist()
     levelLoop(data.select(lit("r").as("node"),
-      col("q"), col("dd"), col("y")), depth)
+      col("q"), col("dd"), col("y"), lit(1L).as("w")), depth)
   }
 
   private def featCol(lvl: Int): Column =
@@ -503,9 +503,16 @@ object Round12Ops {
     if (lvl % 2 == 1) "l_quantity" else "l_discount_cents"
 
   /** The PLANET level loop over an arbitrary starting (node, q, dd,
-    * y) assignment — shared by the single tree (one root path "r")
-    * and the forest (one root per tree, "t0r"…): ONE aggregation pass
-    * per level for every open node of every tree at once. */
+    * y, w) assignment — shared by the single tree (one root path
+    * "r") and the forest (one root per tree, "t0r"…): ONE
+    * aggregation pass per level for every open node of every tree at
+    * once. `w` is the row's multiplicity: per-row callers pass 1
+    * (sum(w) ≡ count, bit-identical), the protocol builds pass the
+    * (fold, bags, q, dd, y) contingency counts so training reads the
+    * facts ONCE and every pass after is sufficient-statistic-sized —
+    * the PLANET histogram hoisted above the whole level/group loop
+    * (exact: class totals are integer sums, order- and
+    * weighting-free). */
   private[operators] def levelLoop(assigned0: DataFrame,
       depth: Int): DataFrame = {
     // per-node impurity curve + per-node argmin — B86's shapes,
@@ -516,7 +523,7 @@ object Round12Ops {
       val all = Window.partitionBy(col("node")).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       df.groupBy(col("node"), col("v"))
-        .agg(sum(col("y")).as("p"), count(lit(1)).as("t"))
+        .agg(sum(col("y") * col("w")).as("p"), sum(col("w")).as("t"))
         .withColumn("pl", sum(col("p")).over(cum))
         .withColumn("tl", sum(col("t")).over(cum))
         .withColumn("pp", sum(col("p")).over(all))
@@ -543,7 +550,8 @@ object Round12Ops {
       // per consumer (O(K²) passes — the codified iterative-lineage
       // discipline applied at tree scale)
       val sel = argmin(curve(
-        assigned.select(col("node"), featCol(lvl).as("v"), col("y"))))
+        assigned.select(col("node"), featCol(lvl).as("v"), col("y"),
+          col("w"))))
         .localCheckpoint(true)
       if (lvl < depth) {
         // INNER join: rows under a leaf (no threshold row) drop out
@@ -553,7 +561,7 @@ object Round12Ops {
           .select(
             concat(col("node"), when(featCol(lvl) <= col("thr"),
               lit("L")).otherwise(lit("R"))).as("node"),
-            col("q"), col("dd"), col("y"))
+            col("q"), col("dd"), col("y"), col("w"))
       }
       sel.select(lit(lvl.toLong).as("level"), col("node"),
         lit(featName(lvl)).as("feature"), col("v").as("threshold"),
@@ -664,7 +672,8 @@ object Round12Ops {
       labeled.filter(
           graft.functions.gf.h32(concat(lit(s"frst:$t:"), col("rid")))
             % trees =!= 0)
-        .select(lit(s"t${t}r").as("node"), col("q"), col("dd"), col("y"))
+        .select(lit(s"t${t}r").as("node"), col("q"), col("dd"), col("y"),
+          lit(1L).as("w"))
     }.reduce(_ unionByName _)
 
   /** The forest's per-level argmin relation WITH the nodes' class

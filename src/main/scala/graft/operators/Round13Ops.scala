@@ -259,7 +259,7 @@ object Round13Ops {
     val leafScores = routeForest(
         Round12Ops.forestBags(data, trees), model)
       .groupBy(col("node"))
-      .agg(expr("1000000 * sum(y) div count(1)").as("ls"))
+      .agg(expr("1000000 * sum(w * y) div sum(w)").as("ls"))
       .localCheckpoint(true)
     (model, leafScores)
   }
@@ -1414,7 +1414,7 @@ object Round13Ops {
     * and J19's learning curve; arithmetic per group is identical to
     * a solo B91 run on that group's rows (spec-pinned). */
   private[graft] def jointGbtModels(train0: DataFrame): DataFrame =
-    jointGbtWithTrajectory(train0)._1
+    jointGbtWithTrajectory(train0.withColumn("w", lit(1L)))._1
 
   /** [[jointGbtModels]] returning BOTH halves of the training output:
     * the wide scoring rows AND the full per-group stump trajectory
@@ -1424,25 +1424,34 @@ object Round13Ops {
     * all-artifacts-joint `gbt_model_build` slices the `gbt` key's
     * stumps artifact from it; the SSE doubles use gbtPipeline's
     * identical 6dp-rounded expressions, so stored ≡ retrained still
-    * holds to the bit). */
+    * holds to the bit).
+    *
+    * `train0` carries (g, q, dd, y, w): w is the row's multiplicity —
+    * 1 for per-row callers (Σw ≡ count, bit-identical), the
+    * (fold, q, dd, y) contingency counts for the build path, which
+    * collapses the facts to sufficient statistics in ONE corpus pass
+    * and runs every boosting round over the |cells|×|groups| relation
+    * (exact: Σ over duplicate rows ≡ weighted Σ — s, n are BIGINT
+    * sums, s² a DECIMAL(38,0) sum, all order- and grouping-free). */
   private[graft] def jointGbtWithTrajectory(
       train0: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val f0s = train0.groupBy(col("g"))
-      .agg((lit(1000000L) * sum(col("y"))).as("s0"), count(lit(1)).as("n0"))
+      .agg((lit(1000000L) * sum(col("y") * col("w"))).as("s0"),
+        sum(col("w")).as("n0"))
       .select(col("g"), expr("s0 div n0").as("f0"))
       .localCheckpoint(true)
     var cur = train0.join(broadcast(f0s), "g")
-      .select(col("g"), col("q"), col("dd"),
+      .select(col("g"), col("q"), col("dd"), col("w"),
         (col("y") * 1000000L - col("f0")).as("r"))
     val dec0 = DecimalType(38, 0)
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     val stumps = (1 to Round12Ops.gbtRounds).map { t =>
       val feat = if (t % 2 == 1) col("q") else col("dd")
       val byV = cur.groupBy(col("g"), feat.as("v"))
-        .agg(sum(col("r")).as("s"), count(lit(1)).as("n"),
-          sum((col("r") * col("r")).cast(dec0)).as("s2"))
+        .agg(sum(col("r") * col("w")).as("s"), sum(col("w")).as("n"),
+          sum((col("r") * col("r")).cast(dec0) * col("w")).as("s2"))
       val cum = Window.partitionBy(col("g")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.partitionBy(col("g")).rowsBetween(
@@ -1473,7 +1482,7 @@ object Round13Ops {
           col("split_sse"), col("total_sse"))
         .localCheckpoint(true)
       cur = cur.join(broadcast(stump), "g")
-        .select(col("g"), col("q"), col("dd"),
+        .select(col("g"), col("q"), col("dd"), col("w"),
           (col("r") - when(feat <= col("threshold"), col("leaf_left"))
             .otherwise(col("leaf_right"))).as("r"))
       stump.select(col("g"), lit(t.toLong).as("round"),

@@ -46,53 +46,88 @@ object Round15Ops {
 
   // ------------------------------------------------------- training
 
-  /** The joint assignment: every (group, tree) root as node
-    * `$letter${g}t${t}r`, over `data` rows (fold, q, dd, y, rid)
-    * satisfying that group's training predicate, bag-subsampled by
-    * the SAME md5-h32 hash B90 uses (so a group's tree-t bag is
-    * exactly the solo forest's tree-t bag restricted to the group's
-    * training rows — deterministic, engine-identical). */
-  private def jointAssign(data: DataFrame, letter: String,
-      groups: Seq[Int], trains: Int => Column): DataFrame = {
+  /** Collapse (fold, q, dd, y, rid) rows to the forest training
+    * SUFFICIENT STATISTICS in one corpus pass: per-tree bag-
+    * membership flags (the SAME md5-h32 hash B90 uses, so a group's
+    * tree-t bag is exactly the solo forest's tree-t bag restricted
+    * to the group's training rows) plus the multiplicity w. ≤
+    * |folds|·2^trees·|q|·|dd|·2 cells regardless of corpus size —
+    * every protocol group's training then runs over the weighted
+    * cells (exact: class totals are integer sums, so Σ over
+    * duplicate rows ≡ weighted Σ). */
+  private[graft] def forestCells(data: DataFrame): DataFrame = {
     import graft.functions.gf
+    val flags = (0 until trees).map(t =>
+      (gf.h32(concat(lit(s"frst:$t:"), col("rid"))) % trees =!= 0)
+        .as(s"m$t"))
+    data.select(Seq(col("fold"), col("q"), col("dd"), col("y"))
+        ++ flags: _*)
+      .groupBy((Seq("fold", "q", "dd", "y")
+        ++ (0 until trees).map(t => s"m$t")).map(col): _*)
+      .agg(count(lit(1)).as("w"))
+      // domain-bounded → ONE partition: the 36-branch protocol union
+      // over 32-partition cells would otherwise schedule ~1000
+      // near-empty tasks per level pass (measured: that overhead,
+      // not data, dominated the build)
+      .coalesce(1)
+  }
+
+  /** The joint assignment over the cells: every (group, tree) root as
+    * node `$letter${g}t${t}r`, cells filtered by the group's training
+    * predicate and the tree's bag flag. */
+  private def jointAssign(cells: DataFrame, letter: String,
+      groups: Seq[Int], trains: Int => Column): DataFrame =
     groups.flatMap { g =>
       (0 until trees).map { t =>
-        data.filter(trains(g))
-          .filter(gf.h32(concat(lit(s"frst:$t:"), col("rid")))
-            % trees =!= 0)
+        cells.filter(trains(g) && col(s"m$t"))
           .select(lit(s"$letter${g}t${t}r").as("node"),
-            col("q"), col("dd"), col("y"))
+            col("q"), col("dd"), col("y"), col("w"))
       }
     }.reduce(_ unionByName _)
-  }
 
   /** Train every group's forest in ONE shared level loop and derive
     * every tree's own-bag leaf scores in ONE routing pass — returns
     * (levels, leaf_scores), the ModelStore artifact pair (both
-    * eagerly checkpointed, so the caller can drop the base cache). */
-  private def jointForestArtifacts(data: DataFrame, letter: String,
-      groups: Seq[Int], trains: Int => Column): Seq[DataFrame] = {
-    def assign = jointAssign(data, letter, groups, trains)
+    * eagerly checkpointed, so the caller can drop the cells cache).
+    * The assignment is materialized once: the level loop and the
+    * leaf routing each make multiple passes over it, and the cells
+    * behind it are domain-bounded. */
+  private def artifactsOf(assign0: DataFrame): Seq[DataFrame] = {
+    val assign = assign0.localCheckpoint(true)
     val levels = Round12Ops.levelLoop(assign, Round12Ops.forestDepth)
       .localCheckpoint(true)
     val model = levels.select(col("level"), col("node"), col("threshold"))
     val leafScores = Round13Ops.routeForest(assign, model)
       .groupBy(col("node"))
-      .agg(expr("1000000 * sum(y) div count(1)").as("ls"))
+      .agg(expr("1000000 * sum(w * y) div sum(w)").as("ls"))
       .localCheckpoint(true)
     Seq(levels, leafScores)
   }
 
-  /** CV groups g ∈ 0..4 train on fold ≠ g (the B100 protocol). */
-  private[graft] def forestCvArtifacts(data: DataFrame): Seq[DataFrame] =
-    jointForestArtifacts(data, "c", 0 until folds,
-      g => col("fold") =!= g)
+  private def cvAssign(cells: DataFrame): DataFrame =
+    jointAssign(cells, "c", 0 until folds, g => col("fold") =!= g)
+  private def lcAssign(cells: DataFrame): DataFrame =
+    jointAssign(cells, "s", 1 until folds,
+      g => col("fold") >= 1 && col("fold") <= g)
+
+  /** CV groups g ∈ 0..4 train on fold ≠ g (the B100 protocol), over
+    * an already-collapsed [[forestCells]] relation. */
+  private[graft] def forestCvArtifacts(cells: DataFrame): Seq[DataFrame] =
+    artifactsOf(cvAssign(cells))
 
   /** Curve sizes g ∈ 1..4 train on folds 1..g — nested subsets, fold
-    * 0 held out (the J19 protocol). */
-  private[graft] def forestLcArtifacts(data: DataFrame): Seq[DataFrame] =
-    jointForestArtifacts(data, "s", 1 until folds,
-      g => col("fold") >= 1 && col("fold") <= g)
+    * 0 held out (the J19 protocol) — over [[forestCells]]. */
+  private[graft] def forestLcArtifacts(cells: DataFrame): Seq[DataFrame] =
+    artifactsOf(lcAssign(cells))
+
+  /** BOTH protocol families in ONE level loop — all 36 roots (20 CV
+    * + 16 curve trees, letter-disjoint node prefixes) train together
+    * and route together; `forest_cv_build` slices the two store keys
+    * from the result by prefix. Per-group arithmetic is node-path-
+    * partitioned, so each slice is bit-identical to the per-protocol
+    * build (which the solo cold paths still use). */
+  private[graft] def forestProtocolsJoint(cells: DataFrame): Seq[DataFrame] =
+    artifactsOf(cvAssign(cells) unionByName lcAssign(cells))
 
   // -------------------------------------------------------- scoring
 
@@ -177,7 +212,7 @@ object Round15Ops {
     import graft.functions.gf
     val data = rows.withColumn("fold",
       gf.h32(concat(lit("hold:"), col("rid"))) % folds).persist()
-    val Seq(levels, ls) = forestCvArtifacts(data)
+    val Seq(levels, ls) = forestCvArtifacts(forestCells(data))
     val pivot = groupPivot(levels).withColumnRenamed("g", "fold")
     val scored = forestGroupedScore(
       data.select(col("fold"), col("q"), col("dd"), col("y"))
@@ -214,7 +249,7 @@ object Round15Ops {
     import graft.functions.gf
     val data = rows.withColumn("fold",
       gf.h32(concat(lit("hold:"), col("rid"))) % folds).persist()
-    val Seq(levels, ls) = forestLcArtifacts(data)
+    val Seq(levels, ls) = forestLcArtifacts(forestCells(data))
     val pivot = groupPivot(levels)
     val scored = forestGroupedScore(
       data.filter(col("fold") === 0)

@@ -122,7 +122,7 @@ class Round15Spec extends SparkSuite {
       gf.h32(concat(lit("hold:"), col("rid"))) % Round13Ops.cvFolds)
       .persist()
     val Seq(levels, _) = graft.operators.Round15Ops
-      .forestCvArtifacts(data)
+      .forestCvArtifacts(graft.operators.Round15Ops.forestCells(data))
     val joint = Round13Ops.featureImportanceFrom(
       levels.select(
         expr("CAST(substring(node, 2, 1) AS BIGINT)").as("fold"),
@@ -144,6 +144,41 @@ class Round15Spec extends SparkSuite {
     assert(joint == solo,
       s"per-fold importances diverged from solo B97:\n $joint\n $solo")
     assert(joint.forall(_._4 >= 0L), "importances must be non-negative")
+  }
+
+  test("forest_cv_build: the 36-root joint pass publishes both store " +
+      "keys bit-identical to the per-protocol builds") {
+    import graft.operators.Round15Ops
+    import graft.sources.StoreRoot
+    val conf = java.nio.file.Files
+      .createTempDirectory("graft_forest_joint").toString
+    val before = spark.conf.getOption(StoreRoot.confKey)
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    try {
+      spark.conf.set(StoreRoot.confKey, conf)
+      ModelStore.forgetBuiltForTests()
+      ModelStore.forestProtocolsBuild(spark, sf)
+      val (cvL, cvS) = ModelStore.forestCvModel(spark, sf)
+      val (lcL, lcS) = ModelStore.forestLcModel(spark, sf)
+      val cells = Round15Ops.forestCells(
+        Round13Ops.foldRidRows(spark, sf)).persist()
+      val Seq(cvL2, cvS2) = Round15Ops.forestCvArtifacts(cells)
+      val Seq(lcL2, lcS2) = Round15Ops.forestLcArtifacts(cells)
+      cells.unpersist()
+      Seq((cvL, cvL2, "cv levels"), (cvS, cvS2, "cv leaf scores"),
+        (lcL, lcL2, "lc levels"), (lcS, lcS2, "lc leaf scores"))
+        .foreach { case (s, r, what) =>
+          assert(rows(s) == rows(r), s"$what diverged (joint vs solo)")
+        }
+    } finally {
+      StoreRoot.deleteRecursively(java.nio.file.Paths.get(conf))
+      ModelStore.forgetBuiltForTests()
+      before match {
+        case Some(v) => spark.conf.set(StoreRoot.confKey, v)
+        case None => spark.conf.unset(StoreRoot.confKey)
+      }
+    }
   }
 
   test("gbt_model_build: the eleven-group joint pass publishes " +
