@@ -641,6 +641,15 @@ object ScaleProbe {
             "ship_month").count())
         },
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B105 forest cross-validation (round 15): training collapses
+      // to the (fold, bags, q, dd, y) sufficient-statistic cells —
+      // whose COUNT is domain-bounded, hence replica-independent —
+      // so the expected curve is one linear pass (cells build) + one
+      // linear pass (scoring), with the 36-root level loop flat
+      ("forest_cv",
+        (d: DataFrame) => time(
+          operators.Round15Ops.forestCvPipeline(liLabeled(d)).count()),
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       // G25 deployed-model stream scoring: the standing model is the
       // untimed stored artifact; timed = the 3-micro-batch scoring
       // run (stream-static broadcast join, stateless) + the
