@@ -596,10 +596,12 @@ object ScaleProbe {
           base.unpersist()
           val probe = liLabeled(d)
           time {
+            val nTrees = operators.Round12Ops.forestTrees
             val withF = operators.Round13Ops
               .forestScoreWith(probe, fModel, fLeaves)
-              .withColumn("s_f",
-                expr("(ls_0 + ls_1 + ls_2 + ls_3) div 4"))
+              .withColumn("s_f", expr((0 until nTrees)
+                .map(t => s"ls_$t")
+                .mkString("(", " + ", s") div $nTrees")))
             val both = operators.Round13Ops.gbtScore(withF, gModel)
               .withColumnRenamed("s", "s_g")
             operators.Round13Ops.modelCompareFrom(

@@ -104,6 +104,13 @@ object ModelStore {
     * harmless. */
   private def publish(df: DataFrame, target: Path): Unit = {
     if (Files.exists(target.resolve("_SUCCESS"))) return // already won
+    // a target that exists WITHOUT the marker is torn garbage (a
+    // crashed non-atomic writer — e.g. a pre-atomic-protocol build):
+    // under this protocol a published dir appears atomically with
+    // _SUCCESS already inside, so deleting is safe and required —
+    // the rename below would otherwise fail forever (r15 review)
+    if (Files.exists(target))
+      graft.sources.StoreRoot.deleteRecursively(target)
     val tmp = target.resolveSibling(
       target.getFileName.toString + s".tmp${System.nanoTime()}")
     df.write.mode("errorifexists").parquet(tmp.toString)
@@ -151,17 +158,15 @@ object ModelStore {
   /** [[withBase]] for the forest protocols: the staged relation is
     * the CELLS sufficient-statistic collapse (fold, bag flags, q,
     * dd, y, w) — one corpus pass, after which every level/leaf pass
-    * of every protocol group is cells-sized. */
-  private def withForestCells(spark: SparkSession, sfDir: String,
-      shared: Option[DataFrame])(f: DataFrame => Seq[DataFrame])
-      : Seq[DataFrame] =
-    shared match {
-      case Some(b) => f(b)
-      case None =>
-        val b = Round15Ops.forestCells(
-          Round13Ops.foldRidRows(spark, sfDir)).persist()
-        try f(b) finally { b.unpersist(); () }
-    }
+    * of every protocol group is cells-sized. Solo cold paths only;
+    * the bench build row ([[forestProtocolsBuild]]) stages its own
+    * cells for BOTH keys' joint pass. */
+  private def withForestCells(spark: SparkSession, sfDir: String)
+      (f: DataFrame => Seq[DataFrame]): Seq[DataFrame] = {
+    val b = Round15Ops.forestCells(
+      Round13Ops.foldRidRows(spark, sfDir)).persist()
+    try f(b) finally { b.unpersist(); () }
+  }
 
   private def gbtAll(spark: SparkSession, sfDir: String): Seq[DataFrame] =
     get(spark, "gbt_" + ckey(sfDir), Seq("model", "stumps")) {
@@ -173,6 +178,10 @@ object ModelStore {
         val stumps = Round12Ops.gbtPipeline(rows, Round12Ops.gbtRounds)
           .localCheckpoint(true)
         val model = Round13Ops.gbtModelRowFrom(stumps, rows)
+        // gbtPipeline persisted `rows` internally; both artifacts are
+        // checkpointed above, so release it — a build must not leave
+        // a fact-table projection in the BlockManager (r15 review)
+        rows.unpersist()
         Seq(model, stumps)
       }
     }
@@ -195,8 +204,10 @@ object ModelStore {
         // fold 0 of the shared content hash = test, so the 80% train
         // split is exactly fold ≠ 0 (holdoutRows' split column is the
         // same hash expression — identical relation by construction)
-        Seq(Round13Ops.gbtModelRow(
-          b.filter(col("fold") =!= 0).select("q", "dd", "y")))
+        val rows = b.filter(col("fold") =!= 0).select("q", "dd", "y")
+        val model = Round13Ops.gbtModelRow(rows)
+        rows.unpersist() // see gbtAll: release gbtPipeline's persist
+        Seq(model)
       }
     }
 
@@ -264,10 +275,10 @@ object ModelStore {
   def forestLevels(spark: SparkSession, sfDir: String): DataFrame =
     forestAll(spark, sfDir).head
 
-  private def forestCvAll(spark: SparkSession, sfDir: String,
-      base: Option[DataFrame] = None): Seq[DataFrame] =
+  private def forestCvAll(spark: SparkSession,
+      sfDir: String): Seq[DataFrame] =
     get(spark, "forestcv_" + ckey(sfDir), Seq("levels", "leaf_scores")) {
-      withForestCells(spark, sfDir, base)(Round15Ops.forestCvArtifacts)
+      withForestCells(spark, sfDir)(Round15Ops.forestCvArtifacts)
     }
 
   /** B105's per-fold forests: the joint split table (nodes
@@ -278,10 +289,10 @@ object ModelStore {
     (out.head, out(1))
   }
 
-  private def forestLcAll(spark: SparkSession, sfDir: String,
-      base: Option[DataFrame] = None): Seq[DataFrame] =
+  private def forestLcAll(spark: SparkSession,
+      sfDir: String): Seq[DataFrame] =
     get(spark, "forestlc_" + ckey(sfDir), Seq("levels", "leaf_scores")) {
-      withForestCells(spark, sfDir, base)(Round15Ops.forestLcArtifacts)
+      withForestCells(spark, sfDir)(Round15Ops.forestLcArtifacts)
     }
 
   /** J21's per-size forests (nodes `s{g}t{t}r…`) + leaf scores. */

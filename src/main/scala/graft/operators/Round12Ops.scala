@@ -230,9 +230,16 @@ object Round12Ops {
   private val ivmTables =
     scala.collection.concurrent.TrieMap.empty[String, SnapshotTable]
   private[graft] def ivmTable(spark: SparkSession,
-      dir: String): SnapshotTable =
+      dir: String): SnapshotTable = {
+    // memoized per dir so the live-schema cache survives across the
+    // streaming twin's micro-batches; bounded — bench reps mint a
+    // fresh temp dir per run, and unbounded entries would pin dead
+    // handles for the JVM's life (eviction only costs a footer
+    // re-seed on the next guard)
+    if (ivmTables.size > 64) ivmTables.clear()
     ivmTables.getOrElseUpdate(dir,
       new SnapshotTable(spark, dir, "k", buckets = 4, keepSnapshots = 4))
+  }
 
   private[graft] def ivmWithKey(state: DataFrame): DataFrame =
     state.select(col("st"), col("prio"), col("n_orders"), col("total"),
@@ -696,23 +703,18 @@ object Round12Ops {
     * shared by the B90 oracle and the B94 evaluation oracle (one
     * definition of the trained model). */
   private[operators] val forestCtes: String = {
-    val baggedRows = (0 until forestTrees).map { t =>
-      s"""SELECT 't$t' || 'r' AS node, q, dd, y FROM fraw
-         |WHERE ('0x' || substr(md5('frst:$t:' || rid), 1, 8))::BIGINT
-         |  % $forestTrees <> 0""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    // the B90/B94/B97/B102 chain IS the parameterized form over the
+    // full corpus (one definition of the bagging + level unroll —
+    // the round-15 per-fold oracles reuse it with fold conditions)
     val base =
-      s"""fraw AS MATERIALIZED (
-         |  SELECT CAST(l_quantity AS BIGINT) AS q,
-         |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
-         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
-         |    CAST(l_orderkey AS VARCHAR) || ':' ||
-         |      CAST(l_linenumber AS VARCHAR) AS rid
-         |  FROM lineitem),
-         |fk0 AS MATERIALIZED (
-         |$baggedRows)""".stripMargin
-    val (lvls, _) = treeLevelsSql("fk", forestDepth, "node")
-    s"$base,\n$lvls"
+      """fraw AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) AS rid
+        |  FROM lineitem)""".stripMargin
+    s"$base,\n${forestCtesOver("fraw", "TRUE", "fk")}"
   }
 
   /** Parameterized forest-training CTE chain — [[forestCtes]] over an

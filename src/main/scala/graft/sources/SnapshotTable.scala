@@ -47,19 +47,24 @@ final class SnapshotTable(
 
   require(keepSnapshots >= 1, "must retain at least the current snapshot")
 
-  /** Live column set, cached per instance: merges are widening-ONLY
-    * (H23), so the live set grows monotonically — seed it from
-    * `create`'s batch (or ONE footer read on the first guard of a
-    * pre-existing table) and union in each commit's batch columns.
-    * This keeps `requireWidening` off the per-commit hot path: the
-    * r14 guard priced a parquet-footer Spark job on EVERY
-    * merge/stagedMerge, which showed up as the streaming IVM twins'
-    * +20% (a WAP commit per micro-batch → a footer job per batch).
-    * Single-writer-per-instance assumption, same as the rest of the
-    * commit protocol: a widening committed through a DIFFERENT
-    * instance is picked up lazily (that writer's own guard uses its
-    * own cache; this instance re-seeds only if it never checked). */
-  @volatile private var liveColsCache: Option[Set[String]] = None
+  /** Live column set, cached per instance and VALIDATED against the
+    * snapshot version it was computed at: merges are widening-ONLY
+    * (H23), so within one writer the set grows monotonically — seed
+    * it from `create`'s batch (or ONE footer read) and union in each
+    * commit's batch columns. This keeps `requireWidening` off the
+    * per-commit hot path: the r14 guard priced a parquet-footer
+    * Spark job on EVERY merge/stagedMerge, which showed up as the
+    * streaming IVM twins' +20% (a WAP commit per micro-batch → a
+    * footer job per batch). The version tag closes the
+    * MULTI-INSTANCE hole a bare cache would open (r15 review): a
+    * widening committed through a DIFFERENT handle bumps the table
+    * version, so this handle's next guard sees the mismatch and
+    * re-seeds from the newest footer instead of serving a stale
+    * (narrower) live set — which would have let a malformed batch
+    * slip past the H23 guard and null-fill the other writer's
+    * column. The version check is a driver-side directory listing
+    * (no Spark job), so the single-writer fast path stays free. */
+  @volatile private var liveColsCache: Option[(Int, Set[String])] = None
 
   private def manifest: Path = Paths.get(path, "MANIFEST")
 
@@ -160,7 +165,7 @@ final class SnapshotTable(
     require(version == 0, s"snapshot table $path already exists")
     Files.createDirectories(Paths.get(path))
     commitManifest(writeData(df, 1))
-    liveColsCache = Some(df.columns.toSet)
+    liveColsCache = Some((version, df.columns.toSet))
   }
 
   /** MERGE (A20b upsert): rows in `updates` replace current rows with
@@ -200,16 +205,21 @@ final class SnapshotTable(
     * footer read per instance lifetime (see [[liveColsCache]]). */
   private def requireWidening(cur: Map[Int, String],
       updates: DataFrame): Unit = {
-    val live = liveColsCache.getOrElse {
-      // first guard on a pre-existing table: the widening-only
-      // invariant makes the MOST RECENT commit's dir carry the widest
-      // live schema, so one dir's footer suffices to seed the cache
-      val cRe = "data/c(\\d+)/".r
-      val newest = cur.values.maxBy(d =>
-        cRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1))
-      val cols = spark.read.parquet(s"$path/$newest").columns.toSet
-      liveColsCache = Some(cols)
-      cols
+    val v = version
+    val live = liveColsCache match {
+      case Some((cv, cols)) if cv == v => cols
+      case _ =>
+        // first guard on a pre-existing table, or the table version
+        // moved under us (a commit through another handle): the
+        // widening-only invariant makes the MOST RECENT commit's dir
+        // carry the widest live schema, so one dir's footer suffices
+        // to (re-)seed the cache
+        val cRe = "data/c(\\d+)/".r
+        val newest = cur.values.maxBy(d =>
+          cRe.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(-1))
+        val cols = spark.read.parquet(s"$path/$newest").columns.toSet
+        liveColsCache = Some((v, cols))
+        cols
     }
     // compare under Spark's resolution semantics (case-insensitive
     // unless spark.sql.caseSensitive): a batch carrying `ID` against
@@ -231,12 +241,14 @@ final class SnapshotTable(
   /** Fold a committed batch's columns into the live-set cache — the
     * monotone update that keeps the cache exact without any footer
     * read (a widening-checked batch's columns ⊇ the prior live set,
-    * so post-commit live = batch ∪ prior spellings). */
+    * so post-commit live = batch ∪ prior spellings), tagged with the
+    * version OUR commit just produced so the next guard's version
+    * check passes on the single-writer fast path. */
   private def noteCommitted(batchCols: Seq[String]): Unit = {
-    val live = liveColsCache.getOrElse(Set.empty[String])
+    val live = liveColsCache.map(_._2).getOrElse(Set.empty[String])
     val have = live.map(norm)
-    liveColsCache =
-      Some(live ++ batchCols.filterNot(c => have.contains(norm(c))))
+    liveColsCache = Some((version,
+      live ++ batchCols.filterNot(c => have.contains(norm(c)))))
   }
 
   /** The MERGE read plan against a given snapshot: the touched-bucket

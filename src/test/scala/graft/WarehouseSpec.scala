@@ -573,6 +573,18 @@ class WarehouseSpec extends SparkSuite {
         buckets = 4, keepSnapshots = 3)
       val errFresh = intercept[IllegalArgumentException] { t2.merge(narrow) }
       assert(errFresh.getMessage.contains("widening-only"))
+      // a STALE handle must not serve its cache across ANOTHER
+      // handle's widening (r15 review): t2's cache is warm from the
+      // guard above; widen through t, then a t2 batch missing the
+      // new column must still be rejected — the cache is tagged with
+      // the snapshot version, so the moved table forces a re-seed
+      t.merge(Seq((4L, 40L, "x4", "w4"))
+        .toDF("id", "v", "extra", "extra2"))
+      val errStale = intercept[IllegalArgumentException] {
+        t2.merge(Seq((5L, 50L, "x5")).toDF("id", "v", "extra"))
+      }
+      assert(errStale.getMessage.contains("extra2"),
+        s"stale handle served a pre-widening cache: ${errStale.getMessage}")
     } finally t.drop()
   }
 
@@ -613,6 +625,19 @@ class WarehouseSpec extends SparkSuite {
         keyDir.resolve("stumps").resolve("_SUCCESS")),
         "the missing artifact did not land complete")
       assert(ModelStore.gbtFull(spark, sf).count() == 1)
+      // torn DIR (r15 review): an artifact dir that exists WITHOUT
+      // its _SUCCESS (a crashed non-atomic writer, e.g. a pre-atomic
+      // build) must be healed — deleted and republished — not brick
+      // the key with a rename-onto-nonempty failure forever
+      java.nio.file.Files.delete(
+        keyDir.resolve("stumps").resolve("_SUCCESS"))
+      ModelStore.forgetBuiltForTests()
+      val stumps2 = ModelStore.gbtStumps(spark, sf).collect()
+        .map(_.toSeq).toSet
+      assert(stumps2 == stumps0, "torn-dir recovery diverged")
+      assert(java.nio.file.Files.exists(
+        keyDir.resolve("stumps").resolve("_SUCCESS")),
+        "the healed artifact did not land complete")
     } finally {
       ModelStore.forgetBuiltForTests()
       before match {
