@@ -178,10 +178,6 @@ object ModelStore {
         val stumps = Round12Ops.gbtPipeline(rows, Round12Ops.gbtRounds)
           .localCheckpoint(true)
         val model = Round13Ops.gbtModelRowFrom(stumps, rows)
-        // gbtPipeline persisted `rows` internally; both artifacts are
-        // checkpointed above, so release it — a build must not leave
-        // a fact-table projection in the BlockManager (r15 review)
-        rows.unpersist()
         Seq(model, stumps)
       }
     }
@@ -204,10 +200,8 @@ object ModelStore {
         // fold 0 of the shared content hash = test, so the 80% train
         // split is exactly fold ≠ 0 (holdoutRows' split column is the
         // same hash expression — identical relation by construction)
-        val rows = b.filter(col("fold") =!= 0).select("q", "dd", "y")
-        val model = Round13Ops.gbtModelRow(rows)
-        rows.unpersist() // see gbtAll: release gbtPipeline's persist
-        Seq(model)
+        Seq(Round13Ops.gbtModelRow(
+          b.filter(col("fold") =!= 0).select("q", "dd", "y")))
       }
     }
 
@@ -242,23 +236,25 @@ object ModelStore {
       sfDir: String): Seq[DataFrame] =
     get(spark, "forest_" + ckey(sfDir),
         Seq("levels", "leaf_scores")) {
-      // ONE training pass serves all three forest readers: the full
-      // per-level argmin relation (B97's importances), the split
-      // table projected from it, and the own-bag leaf scores routed
-      // through it (B94/B98's scorers)
-      val data = Round13Ops.ridRows(spark, sfDir).persist()
-      val levels = Round12Ops.forestLevelsFull(data,
-          Round12Ops.forestTrees, Round12Ops.forestDepth)
+      // ONE corpus pass serves all three forest readers: the facts
+      // collapse to the bag-flagged sufficient-statistic cells, then
+      // the level loop (B97's full argmin relation, B90's split
+      // table) AND the own-bag leaf-score routing (B94/B98's
+      // scorers) both run cells-sized off the same checkpoint — no
+      // corpus persist anywhere on the build
+      val trees = Round12Ops.forestTrees
+      val cells = Round12Ops.bagCells(
+          Round13Ops.ridRows(spark, sfDir), trees)
+        .localCheckpoint(true)
+      val levels = Round12Ops.levelLoop(
+          Round12Ops.bagAssign(cells, trees), Round12Ops.forestDepth)
         .localCheckpoint(true)
       val model = levels.select(col("level"), col("node"), col("threshold"))
-      // eager: the leaf scores close over the persisted corpus, so
-      // materialize them BEFORE dropping the cache (see withBase)
       val leafScores = Round13Ops.routeForest(
-          Round12Ops.forestBags(data, Round12Ops.forestTrees), model)
+          Round12Ops.bagAssign(cells, trees), model)
         .groupBy(col("node"))
         .agg(expr("1000000 * sum(w * y) div sum(w)").as("ls"))
         .localCheckpoint(true)
-      data.unpersist()
       Seq(levels, leafScores)
     }
 

@@ -499,9 +499,12 @@ object Round12Ops {
     * tie-breaks). */
   private[graft] def treeDepthKPipeline(labeled: DataFrame,
       depth: Int): DataFrame = {
-    val data = labeled.persist()
-    levelLoop(data.select(lit("r").as("node"),
-      col("q"), col("dd"), col("y"), lit(1L).as("w")), depth)
+    // the gbtPipeline cells discipline (round 15): one corpus pass to
+    // the (q, dd, y) contingency, every level pass cells-sized
+    val cells = labeled.groupBy(col("q"), col("dd"), col("y"))
+      .agg(count(lit(1)).as("w")).coalesce(1).localCheckpoint(true)
+    levelLoop(cells.select(lit("r").as("node"),
+      col("q"), col("dd"), col("y"), col("w")), depth)
   }
 
   private def featCol(lvl: Int): Column =
@@ -683,14 +686,40 @@ object Round12Ops {
           lit(1L).as("w"))
     }.reduce(_ unionByName _)
 
+  /** The forest's sufficient statistics (round 15): (q, dd, y) cells
+    * with per-tree bag-membership flags (the SAME md5-h32 hash the
+    * per-row bagging uses) and multiplicity w — ONE corpus pass;
+    * training and leaf-score routing then run cells-sized. ≤
+    * 2^trees·|q|·|dd|·2 rows regardless of corpus size, hence the
+    * coalesce(1) (the task-overhead lesson). */
+  private[operators] def bagCells(labeled: DataFrame,
+      trees: Int): DataFrame = {
+    val flags = (0 until trees).map(t =>
+      (graft.functions.gf.h32(concat(lit(s"frst:$t:"), col("rid")))
+        % trees =!= 0).as(s"m$t"))
+    labeled.select(Seq(col("q"), col("dd"), col("y")) ++ flags: _*)
+      .groupBy((Seq("q", "dd", "y")
+        ++ (0 until trees).map(t => s"m$t")).map(col): _*)
+      .agg(count(lit(1)).as("w")).coalesce(1)
+  }
+
+  /** [[forestBags]] over the cells: tree t's bag = the cells whose
+    * m$t flag is set, carrying w. */
+  private[operators] def bagAssign(cells: DataFrame,
+      trees: Int): DataFrame =
+    (0 until trees).map { t =>
+      cells.filter(col(s"m$t"))
+        .select(lit(s"t${t}r").as("node"), col("q"), col("dd"),
+          col("y"), col("w"))
+    }.reduce(_ unionByName _)
+
   /** The forest's per-level argmin relation WITH the nodes' class
     * totals (pp, nn) — B97's substrate (parent impurity and split
     * gain derive from them with no extra fact pass). */
   private[graft] def forestLevelsFull(labeled: DataFrame, trees: Int,
-      depth: Int): DataFrame = {
-    val data = labeled.persist()
-    levelLoop(forestBags(data, trees), depth)
-  }
+      depth: Int): DataFrame =
+    levelLoop(bagAssign(bagCells(labeled, trees).localCheckpoint(true),
+      trees), depth)
 
   private[graft] def forestPipeline(labeled: DataFrame, trees: Int,
       depth: Int): DataFrame =
@@ -786,18 +815,29 @@ object Round12Ops {
     * Scala reference booster with identical truncation). */
   private[graft] def gbtPipeline(labeled: DataFrame,
       rounds: Int): DataFrame = {
-    val data = labeled.persist()
-    val f0 = data.agg((lit(1000000L) * sum(col("y"))).as("s"),
-        count(lit(1)).as("n"))
+    // sufficient statistics FIRST (round 15): every per-row quantity
+    // the trajectory needs — residuals, their squares, leaf means —
+    // is a function of (q, dd, y), so the facts collapse to the
+    // domain-bounded contingency cells in ONE corpus pass and all
+    // `rounds` boosting passes run over the weighted cells (exact:
+    // integer/DECIMAL sums over duplicate rows ≡ weighted sums).
+    // coalesce(1): the cells are model-sized; a 32-partition relation
+    // would schedule near-empty tasks per pass. No corpus persist —
+    // the cells checkpoint IS the staged training state.
+    val data = labeled.groupBy(col("q"), col("dd"), col("y"))
+      .agg(count(lit(1)).as("w")).coalesce(1).localCheckpoint(true)
+    val f0 = data.agg((lit(1000000L) * sum(col("y") * col("w"))).as("s"),
+        sum(col("w")).as("n"))
       .select(expr("s div n").as("f0")).localCheckpoint(true)
     var cur = data.crossJoin(broadcast(f0))
-      .select(col("q"), col("dd"),
+      .select(col("q"), col("dd"), col("w"),
         (col("y") * 1000000L - col("f0")).as("r"))
     val stumps = (1 to rounds).map { t =>
       val feat = featCol(t)
       val byV = cur.groupBy(feat.as("v"))
-        .agg(sum(col("r")).as("s"), count(lit(1)).as("n"),
-          sum((col("r") * col("r")).cast(DecimalType(38, 0))).as("s2"))
+        .agg(sum(col("r") * col("w")).as("s"), sum(col("w")).as("n"),
+          sum((col("r") * col("r")).cast(DecimalType(38, 0)) * col("w"))
+            .as("s2"))
       val cum = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.rowsBetween(
@@ -829,7 +869,7 @@ object Round12Ops {
           col("split_sse"), col("total_sse"))
         .localCheckpoint(true)
       cur = cur.crossJoin(broadcast(stump))
-        .select(col("q"), col("dd"),
+        .select(col("q"), col("dd"), col("w"),
           (col("r") - when(feat <= col("threshold"), col("leaf_left"))
             .otherwise(col("leaf_right"))).as("r"))
       stump.select(lit(t.toLong).as("round"),

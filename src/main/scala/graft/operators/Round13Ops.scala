@@ -250,14 +250,16 @@ object Round13Ops {
   private[graft] def forestArtifactsOf(
       data: DataFrame): (DataFrame, DataFrame) = {
     val trees = Round12Ops.forestTrees
-    val model = Round12Ops.forestPipeline(data,
-        trees, Round12Ops.forestDepth)
+    // ONE corpus pass to the bag-flagged sufficient-statistic cells;
+    // training and the own-bag leaf-score routing (LEFT join: an
+    // unsplit node is a leaf) both run cells-sized off it (round 15)
+    val cells = Round12Ops.bagCells(data, trees).localCheckpoint(true)
+    val model = Round12Ops.levelLoop(
+        Round12Ops.bagAssign(cells, trees), Round12Ops.forestDepth)
       .select(col("level"), col("node"), col("threshold"))
       .localCheckpoint(true)
-    // per-tree leaf scores from each tree's OWN bag routed through
-    // the trained thresholds (LEFT join: an unsplit node is a leaf)
     val leafScores = routeForest(
-        Round12Ops.forestBags(data, trees), model)
+        Round12Ops.bagAssign(cells, trees), model)
       .groupBy(col("node"))
       .agg(expr("1000000 * sum(w * y) div sum(w)").as("ls"))
       .localCheckpoint(true)
