@@ -309,6 +309,53 @@ object Round15Ops {
       Seq("fold"))
   }
 
+  // ----------------------------------------------------------- B108
+  /** Out-of-sample calibration — B96's reliability table computed on
+    * HELD-OUT scores: every row is scored by the one CV model whose
+    * training folds excluded it, so each bin's observed rate is an
+    * honest estimate of the deployed probability (the in-sample
+    * table B96 bins training scores, which overstates fit — the
+    * difference between these two tables IS the calibration
+    * overfit, read side by side). Same columns as B96 so the
+    * comparison is direct; bins are |folds|×|distinct scores| ≤ 40 —
+    * still model-sized. One scan, the 5-row wide model broadcast,
+    * the only shuffle the map-side-combined bin collapse. */
+  def qCalibrationCv(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = ModelStore.gbtCvWide(spark, sfDir)
+      .withColumnRenamed("g", "fold")
+    Round13Ops.foldRows(spark, sfDir).join(broadcast(wide), "fold")
+      .select(Round13Ops.gbtScoreColumn.as("s"), col("y"))
+      .groupBy(col("s").as("score_ppm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .select(col("score_ppm"), col("n"),
+        expr("pos * 1000000 div n").as("observed_ppm"),
+        expr("score_ppm - pos * 1000000 div n").as("gap_ppm"))
+  }
+
+  /** The table over arbitrary (q, dd, y, rid) rows — the spec hook
+    * (`Round15Spec` pins out-of-fold mass conservation, the per-bin
+    * gap identity, and zero gaps on a separable plant). */
+  private[graft] def calibrationCvPipeline(rows: DataFrame): DataFrame = {
+    import graft.functions.gf
+    val data = rows.withColumn("fold",
+      gf.h32(concat(lit("hold:"), col("rid"))) % folds)
+      .select(col("fold"), col("q"), col("dd"), col("y")).persist()
+    val spark = rows.sparkSession
+    val train0 = data.crossJoin(broadcast(
+        spark.range(folds).select(col("id").as("g"))))
+      .filter(col("g") =!= col("fold"))
+      .select(col("g"), col("q"), col("dd"), col("y"))
+    val wide = Round13Ops.jointGbtModels(train0)
+      .withColumnRenamed("g", "fold")
+    data.join(broadcast(wide), "fold")
+      .select(Round13Ops.gbtScoreColumn.as("s"), col("y"))
+      .groupBy(col("s").as("score_ppm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .select(col("score_ppm"), col("n"),
+        expr("pos * 1000000 div n").as("observed_ppm"),
+        expr("score_ppm - pos * 1000000 div n").as("gap_ppm"))
+  }
+
   // ---------------------------------------------------------- oracle
 
   private val crawCte: String =
@@ -539,15 +586,41 @@ object Round15Ops {
        |GROUP BY fold, tree, feature, n_tree""".stripMargin
   }
 
+  val qCalibrationCvSql: String = {
+    val gbtChains = (0 until folds).map { f =>
+      Round12Ops.gbtCtesFrom(
+        s"  SELECT q, dd, y FROM craw WHERE fold <> $f", s"x$f")
+    }.mkString(",\n")
+    val scoredUnion = (0 until folds).map { f =>
+      s"""SELECT (SELECT f0 FROM x${f}f0)
+         |${Round13Ops.gbtTermsSql(s"x$f")} AS s, y
+         |FROM craw WHERE fold = $f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $crawCte,
+       |$gbtChains,
+       |ccv AS MATERIALIZED (
+       |$scoredUnion),
+       |ccal AS (
+       |  SELECT s AS score_ppm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM ccv GROUP BY 1)
+       |SELECT score_ppm, n,
+       |  pos * 1000000 // n AS observed_ppm,
+       |  score_ppm - pos * 1000000 // n AS gap_ppm
+       |FROM ccal""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_forest_cv_auc" -> (qForestCvAuc _),
     "sample_forest_curve" -> (sampleForestCurve _),
     "q_model_compare_cv" -> (qModelCompareCv _),
-    "q_forest_importance_cv" -> (qForestImportanceCv _))
+    "q_forest_importance_cv" -> (qForestImportanceCv _),
+    "q_calibration_cv" -> (qCalibrationCv _))
 
   val oracleSql: Map[String, String] = Map(
     "q_forest_cv_auc" -> qForestCvAucSql,
     "sample_forest_curve" -> sampleForestCurveSql,
     "q_model_compare_cv" -> qModelCompareCvSql,
-    "q_forest_importance_cv" -> qForestImportanceCvSql)
+    "q_forest_importance_cv" -> qForestImportanceCvSql,
+    "q_calibration_cv" -> qCalibrationCvSql)
 }

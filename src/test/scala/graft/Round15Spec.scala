@@ -146,6 +146,28 @@ class Round15Spec extends SparkSuite {
     assert(joint.forall(_._4 >= 0L), "importances must be non-negative")
   }
 
+  test("q_calibration_cv: out-of-fold bins conserve mass, every gap " +
+      "satisfies its identity, and a separable plant calibrates " +
+      "perfectly out of sample") {
+    import graft.operators.Round15Ops
+    val noisy = Round15Ops.calibrationCvPipeline(noisyRows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(noisy.map(_._2).sum == 400,
+      "every row must be scored exactly once (by its own fold's model)")
+    noisy.foreach { case (s, _, obs, gap) =>
+      assert(gap == s - obs, s"gap identity broken at bin $s")
+    }
+    import spark.implicits._
+    val sep = (1 to 600).map { i =>
+      val q = (i % 20 + 1).toLong
+      (q, (i % 7).toLong, if (q <= 10) 1L else 0L, s"c$i")
+    }.toDF("q", "dd", "y", "rid")
+    val bins = Round15Ops.calibrationCvPipeline(sep).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(bins.forall(_._2 == 0L),
+      s"separable plant must have zero out-of-sample gaps: ${bins.toSeq}")
+  }
+
   test("forest_cv_build: the 36-root joint pass publishes both store " +
       "keys bit-identical to the per-protocol builds") {
     import graft.operators.Round15Ops
