@@ -52,14 +52,26 @@ object Bench {
     // BlockManager across the suite and taxing later queries'
     // memory (round-6's committed q4 read 10.4 s vs 0.87 s
     // isolated). Drop those too, blocking, before every run.
+    def timedOnce(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      CacheHygiene.release(spark, blocking = true)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Sub-3 s rows get a THIRD rep (round-15 judge item #2): that
+    // class is where a single JIT/GC tail on one of two draws has
+    // repeatedly manufactured false bench watches — §5's VarianceProbe
+    // case studies all found a stable floor under an unstable min-of-2.
+    // The extra rep costs < 3 s by construction; ≥3 s rows keep
+    // min-of-2 (their relative spread has never tripped a false
+    // watch, and a third multi-second rep across ~300 rows would add
+    // minutes to every bench run for no ledger value).
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-              reps: Int): Seq[Double] =
-      (1 to reps).map { _ =>
-        CacheHygiene.release(spark, blocking = true)
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+              reps: Int): Seq[Double] = {
+      val base = (1 to reps).map(_ => timedOnce(fn))
+      if (base.min < 3.0) base :+ timedOnce(fn) else base
+    }
     // Standing-index substrate builds, timed separately (round-11
     // lifecycle split): the standing retrieval/maintenance queries are
     // probe-only off these stores (the D13 build-once/probe-many
@@ -212,8 +224,17 @@ object Bench {
     def jsonMap(m: Seq[(String, Double)], fmt: Double => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // `floor` is the watch-gating estimate (round-15 judge item #2):
+    // the min across ALL reps of the row — ≥3 reps for sub-3 s rows,
+    // plus any flagged-rerun reps — with `spread` (max − min) and
+    // `reps` recording how trustworthy that floor draw is. §5's watch
+    // rule gates on floor, not on any single min-of-2 draw. (`min` is
+    // kept as an alias: the drift check above and older tooling read
+    // it.)
     val detailQ = runs.map { case (n, ts) =>
-      "\"" + n + "\":{\"min\":" + ts.min + ",\"mean\":" + (ts.sum / ts.size) + "}"
+      "\"" + n + "\":{\"min\":" + ts.min + ",\"mean\":" + (ts.sum / ts.size) +
+        ",\"floor\":" + ts.min + ",\"spread\":" + (ts.max - ts.min) +
+        ",\"reps\":" + ts.size + "}"
     }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_runs","queries":$detailQ,"sf":"$sfDir"}"""
     // arg-filtered runs must not clobber the full-surface snapshot

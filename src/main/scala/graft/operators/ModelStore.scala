@@ -107,10 +107,40 @@ object ModelStore {
     // a target that exists WITHOUT the marker is torn garbage (a
     // crashed non-atomic writer — e.g. a pre-atomic-protocol build):
     // under this protocol a published dir appears atomically with
-    // _SUCCESS already inside, so deleting is safe and required —
-    // the rename below would otherwise fail forever (r15 review)
-    if (Files.exists(target))
-      graft.sources.StoreRoot.deleteRecursively(target)
+    // _SUCCESS already inside, so healing is safe and required — the
+    // rename below would otherwise fail forever (r15 review). The
+    // heal MOVES the dir aside atomically instead of deleting in
+    // place (r15 advisor): a concurrent JVM's publish may land a
+    // COMPLETE artifact between the marker check above and this
+    // branch, and a recursive delete would destroy it under a reader
+    // that already passed awaitComplete. After the move-aside the
+    // marker is re-checked on the moved dir — if it turns out
+    // complete (we lost exactly that race) it is moved straight
+    // back and this writer's copy is discarded. Residual multi-JVM
+    // window: a reader mid-scan during the aside-and-back flicker
+    // can see a transiently missing file (bounded by two renames);
+    // a crash between the two renames leaves the complete artifact
+    // under the .trash name and the next access rebuilds — nothing
+    // is recursively deleted that could have been complete.
+    if (Files.exists(target)) {
+      val trash = target.resolveSibling(
+        target.getFileName.toString + s".trash${System.nanoTime()}")
+      try Files.move(target, trash, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException => () }
+      if (Files.exists(trash.resolve("_SUCCESS"))) {
+        try {
+          Files.move(trash, target, StandardCopyOption.ATOMIC_MOVE)
+          return // the concurrent publish was complete — reinstalled
+        } catch {
+          case _: java.nio.file.FileSystemException =>
+            // yet another writer renamed in meanwhile; copies are
+            // bit-identical, ours goes
+            graft.sources.StoreRoot.deleteRecursively(trash)
+            if (Files.exists(target.resolve("_SUCCESS"))) return
+        }
+      } else if (Files.exists(trash))
+        graft.sources.StoreRoot.deleteRecursively(trash)
+    }
     val tmp = target.resolveSibling(
       target.getFileName.toString + s".tmp${System.nanoTime()}")
     df.write.mode("errorifexists").parquet(tmp.toString)

@@ -228,17 +228,33 @@ object Round12Ops {
     * fresh handle per batch would re-seed the cache with a footer
     * read per commit, exactly the r14 regression. */
   private val ivmTables =
-    scala.collection.concurrent.TrieMap.empty[String, SnapshotTable]
+    new java.util.LinkedHashMap[(String, String), SnapshotTable](
+        16, 0.75f, /* accessOrder = */ true) {
+      // LRU, oldest-evicted-first (r15 advisor — the previous
+      // size-trip clear() dropped EVERY memoized handle, including
+      // one actively committing a streaming run; eviction only costs
+      // that handle a footer re-seed on its next widening guard, but
+      // there is no reason to pay it on the hot entry)
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), SnapshotTable]): Boolean =
+        size() > 64
+    }
   private[graft] def ivmTable(spark: SparkSession,
-      dir: String): SnapshotTable = {
-    // memoized per dir so the live-schema cache survives across the
-    // streaming twin's micro-batches; bounded — bench reps mint a
-    // fresh temp dir per run, and unbounded entries would pin dead
-    // handles for the JVM's life (eviction only costs a footer
-    // re-seed on the next guard)
-    if (ivmTables.size > 64) ivmTables.clear()
-    ivmTables.getOrElseUpdate(dir,
-      new SnapshotTable(spark, dir, "k", buckets = 4, keepSnapshots = 4))
+      dir: String): SnapshotTable = ivmTables.synchronized {
+    // memoized per (session, dir) so the live-schema cache survives
+    // across the streaming twin's micro-batches WITHOUT serving a
+    // handle pinned to a later-stopped SparkSession to callers under
+    // a new session (r15 advisor — the dir alone used to key the
+    // memo, capturing whichever session arrived first)
+    val key = (Integer.toHexString(System.identityHashCode(spark)), dir)
+    val hit = ivmTables.get(key)
+    if (hit != null) hit
+    else {
+      val t = new SnapshotTable(spark, dir, "k", buckets = 4,
+        keepSnapshots = 4)
+      ivmTables.put(key, t)
+      t
+    }
   }
 
   private[graft] def ivmWithKey(state: DataFrame): DataFrame =

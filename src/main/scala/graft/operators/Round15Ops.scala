@@ -212,14 +212,21 @@ object Round15Ops {
     import graft.functions.gf
     val data = rows.withColumn("fold",
       gf.h32(concat(lit("hold:"), col("rid"))) % folds).persist()
-    val Seq(levels, ls) = forestCvArtifacts(forestCells(data))
-    val pivot = groupPivot(levels).withColumnRenamed("g", "fold")
-    val scored = forestGroupedScore(
-      data.select(col("fold"), col("q"), col("dd"), col("y"))
-        .join(broadcast(pivot), "fold"),
-      ls, "c", "fold")
-    Round13Ops.groupedAuc(
-      scored.select(col("fold"), col("s"), col("y")), "fold")
+    // eagerly checkpoint the (5-row) result so the corpus cache can
+    // drop before returning — ScaleProbe calls this on corpora
+    // replicated up to ×100, and a leaked corpus-sized cache per
+    // scale point would distort the probe via spill (r15 advisor)
+    try {
+      val Seq(levels, ls) = forestCvArtifacts(forestCells(data))
+      val pivot = groupPivot(levels).withColumnRenamed("g", "fold")
+      val scored = forestGroupedScore(
+        data.select(col("fold"), col("q"), col("dd"), col("y"))
+          .join(broadcast(pivot), "fold"),
+        ls, "c", "fold")
+      Round13Ops.groupedAuc(
+        scored.select(col("fold"), col("s"), col("y")), "fold")
+        .localCheckpoint(true)
+    } finally { data.unpersist(); () }
   }
 
   // ------------------------------------------------------------ J21
@@ -249,16 +256,20 @@ object Round15Ops {
     import graft.functions.gf
     val data = rows.withColumn("fold",
       gf.h32(concat(lit("hold:"), col("rid"))) % folds).persist()
-    val Seq(levels, ls) = forestLcArtifacts(forestCells(data))
-    val pivot = groupPivot(levels)
-    val scored = forestGroupedScore(
-      data.filter(col("fold") === 0)
-        .select(col("fold"), col("q"), col("dd"), col("y"))
-        .crossJoin(broadcast(pivot)),
-      ls, "s", "g")
-    Round13Ops.groupedAuc(
-      scored.select(col("g").as("train_folds"), col("s"), col("y")),
-      "train_folds")
+    // checkpoint-then-unpersist: see forestCvPipeline (r15 advisor)
+    try {
+      val Seq(levels, ls) = forestLcArtifacts(forestCells(data))
+      val pivot = groupPivot(levels)
+      val scored = forestGroupedScore(
+        data.filter(col("fold") === 0)
+          .select(col("fold"), col("q"), col("dd"), col("y"))
+          .crossJoin(broadcast(pivot)),
+        ls, "s", "g")
+      Round13Ops.groupedAuc(
+        scored.select(col("g").as("train_folds"), col("s"), col("y")),
+        "train_folds")
+        .localCheckpoint(true)
+    } finally { data.unpersist(); () }
   }
 
   // ----------------------------------------------------------- B106
@@ -340,20 +351,24 @@ object Round15Ops {
     val data = rows.withColumn("fold",
       gf.h32(concat(lit("hold:"), col("rid"))) % folds)
       .select(col("fold"), col("q"), col("dd"), col("y")).persist()
-    val spark = rows.sparkSession
-    val train0 = data.crossJoin(broadcast(
-        spark.range(folds).select(col("id").as("g"))))
-      .filter(col("g") =!= col("fold"))
-      .select(col("g"), col("q"), col("dd"), col("y"))
-    val wide = Round13Ops.jointGbtModels(train0)
-      .withColumnRenamed("g", "fold")
-    data.join(broadcast(wide), "fold")
-      .select(Round13Ops.gbtScoreColumn.as("s"), col("y"))
-      .groupBy(col("s").as("score_ppm"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      .select(col("score_ppm"), col("n"),
-        expr("pos * 1000000 div n").as("observed_ppm"),
-        expr("score_ppm - pos * 1000000 div n").as("gap_ppm"))
+    // checkpoint-then-unpersist: see forestCvPipeline (r15 advisor)
+    try {
+      val spark = rows.sparkSession
+      val train0 = data.crossJoin(broadcast(
+          spark.range(folds).select(col("id").as("g"))))
+        .filter(col("g") =!= col("fold"))
+        .select(col("g"), col("q"), col("dd"), col("y"))
+      val wide = Round13Ops.jointGbtModels(train0)
+        .withColumnRenamed("g", "fold")
+      data.join(broadcast(wide), "fold")
+        .select(Round13Ops.gbtScoreColumn.as("s"), col("y"))
+        .groupBy(col("s").as("score_ppm"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .select(col("score_ppm"), col("n"),
+          expr("pos * 1000000 div n").as("observed_ppm"),
+          expr("score_ppm - pos * 1000000 div n").as("gap_ppm"))
+        .localCheckpoint(true)
+    } finally { data.unpersist(); () }
   }
 
   // ---------------------------------------------------------- oracle

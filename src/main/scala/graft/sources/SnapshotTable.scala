@@ -131,7 +131,18 @@ final class SnapshotTable(
   private def writeData(df: DataFrame, c: Int): Map[Int, String] =
     writeDataAt(df, s"data/c$c")
 
-  private def commitManifest(newRefs: Map[Int, String]): Unit = {
+  /** Returns the version number this commit produced — callers that
+    * tag caches with the commit's version MUST use the returned value
+    * rather than re-reading [[version]] after the fact: another
+    * handle's commit can land in between, and tagging a narrower
+    * column set with the NEWER version would let the next widening
+    * guard serve it without re-seeding (r15 advisor). Residual (also
+    * flagged, not closed here): a table dropped and recreated at the
+    * same path restarts version numbering, so a live handle from the
+    * old incarnation whose cached version collides with the new
+    * table's current version would serve the old live set — dropping
+    * a table out from under live handles is outside the protocol. */
+  private def commitManifest(newRefs: Map[Int, String]): Int = {
     val v = version + 1
     val body = newRefs.toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b $d" }.mkString("", "\n", "\n")
@@ -158,14 +169,15 @@ final class SnapshotTable(
       if (listNames(parent).forall(n => !n.startsWith("__b=")))
         deleteRecursively(parent)
     }
+    v
   }
 
   /** Create the table (errors if it exists). */
   def create(df: DataFrame): Unit = {
     require(version == 0, s"snapshot table $path already exists")
     Files.createDirectories(Paths.get(path))
-    commitManifest(writeData(df, 1))
-    liveColsCache = Some((version, df.columns.toSet))
+    val committed = commitManifest(writeData(df, 1))
+    liveColsCache = Some((committed, df.columns.toSet))
   }
 
   /** MERGE (A20b upsert): rows in `updates` replace current rows with
@@ -191,8 +203,8 @@ final class SnapshotTable(
     val (touched, upserted) = upsertPlan(cur, updates, deletes)
     val c = version + 1
     val newRefs = writeData(upserted, c)
-    commitManifest(cur -- touched ++ newRefs)
-    noteCommitted(updates.columns)
+    val committed = commitManifest(cur -- touched ++ newRefs)
+    noteCommitted(committed, updates.columns)
   }
 
   /** H23 is ONE-directional: a merge batch may WIDEN the schema (new
@@ -243,11 +255,15 @@ final class SnapshotTable(
     * read (a widening-checked batch's columns ⊇ the prior live set,
     * so post-commit live = batch ∪ prior spellings), tagged with the
     * version OUR commit just produced so the next guard's version
-    * check passes on the single-writer fast path. */
-  private def noteCommitted(batchCols: Seq[String]): Unit = {
+    * check passes on the single-writer fast path. `committedV` is the
+    * version [[commitManifest]] RETURNED for this handle's own commit
+    * — never a re-read of [[version]], which another handle's
+    * interleaved widening commit could have bumped past ours, mis-
+    * tagging this (narrower) column set as current (r15 advisor). */
+  private def noteCommitted(committedV: Int, batchCols: Seq[String]): Unit = {
     val live = liveColsCache.map(_._2).getOrElse(Set.empty[String])
     val have = live.map(norm)
-    liveColsCache = Some((version,
+    liveColsCache = Some((committedV,
       live ++ batchCols.filterNot(c => have.contains(norm(c)))))
   }
 
@@ -359,8 +375,8 @@ final class SnapshotTable(
         b -> d.replaceFirst(java.util.regex.Pattern.quote(stagedRel),
           s"data/c$c")
       }
-      commitManifest(baseRefs -- touched ++ moved)
-      noteCommitted(batchCols)
+      val committed = commitManifest(baseRefs -- touched ++ moved)
+      noteCommitted(committed, batchCols)
       consumed = true
     }
 
