@@ -302,6 +302,29 @@ object ScaleProbe {
           spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
           Seq("vec_id"), 10000000L),
         spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      // E28 layered graph search: fixed query set (vec_id < 10 lives
+      // in replica 0 only); the SEARCH is timed over an untimed
+      // fresh-built substrate (the D13 build-once/probe-many split —
+      // standing-index builds carry their own cost rows). Expected:
+      // the coarse layer grows as √N (2·⌈√N⌉ exemplars × 10 queries),
+      // the fine beam is round/beam-bounded — sub-linear overall.
+      // Replicated ids land in fresh hash clusters, so duplicate-
+      // vector pairs inside a grown cluster stay rare (not salted:
+      // the search never compares replicas pairwise — only the
+      // substrate build would, and it is untimed here).
+      ("graph_layered",
+        (d: DataFrame) => {
+          val (cemb, edges) = operators.Round16Ops.layeredSubstrate(
+            d.select(col("vec_id"), col("embedding")))
+          val t = time(
+            operators.Round16Ops.layeredSearchOver(cemb, edges).count())
+          edges.unpersist()
+          t
+        },
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
       // C20 segment dedup: the segment relation grows linearly; the
       // (source, segment) count agg is the one shuffle — cost should
       // track the explode+agg (salted replicas keep per-source

@@ -2058,6 +2058,27 @@ object AnnOps {
       Seq(knnGraph(spark, sfDir))
     }.head
 
+  /** E19's build + store lifecycle over an ARBITRARY (vec_id,
+    * embedding) relation under its own store key — the E28 layered
+    * index builds its graph over the derived planted-cluster corpus
+    * (Round16Ops), not over raw `embeddings`, and must not collide
+    * with the raw corpus's standing graph. Same sharded sign-LSH
+    * plan, same top-3 rounded-cosine ranking, built once per (key,
+    * corpus) per run. */
+  private[operators] def knnGraphSharedOver(spark: SparkSession,
+      sfDir: String, key: String, emb: => DataFrame): DataFrame =
+    AnnIndexStore.get(spark, key + "_" + indexKey(sfDir), Seq("knng")) {
+      Seq(knnGraphBuildOver(emb))
+    }.head
+
+  /** The bare E19 build over an arbitrary (vec_id, embedding)
+    * relation — no store (the ScaleProbe's fresh-build path). */
+  private[operators] def knnGraphBuildOver(emb: DataFrame): DataFrame = {
+    val b = signBucketsQ(emb, "vec_id", numTables = 4, bitsPerTable = 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    knnGraphOver(emb, b)
+  }
+
   /** Mirror of the portable 8-bit sign-LSH (32 planes, table = p//8,
     * bit = p%8) + rounded-cosine rank, as a reusable CTE chain ending
     * in `knng(src, rank, dst, sim)` — shared by the E19 oracle and the

@@ -373,7 +373,7 @@ object Round15Ops {
 
   // ---------------------------------------------------------- oracle
 
-  private val crawCte: String =
+  private[operators] val crawCte: String =
     s"""craw AS MATERIALIZED (
        |  SELECT CAST(l_quantity AS BIGINT) AS q,
        |    CAST(round(l_discount * 100) AS BIGINT) AS dd,

@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+import graft.operators.Round16Ops
+
+/** Round 16 — the layered (2-level) graph-ANN index over the
+  * planted-cluster corpus (E28/E29). */
+class Round16Spec extends SparkSuite {
+
+  /** Deterministic synthetic raw embeddings (320 vectors × 64 dims,
+    * components ±0.125 off the md5 grid — the real corpus's component
+    * scale, so the derivation's anchor-to-residual ratio matches
+    * production) — the derivation then plants the clusters; every pin
+    * below controls the whole corpus. */
+  private def synthEmb: DataFrame =
+    spark.range(320).select(col("id").as("vec_id"),
+      array((0 until 64).map { j =>
+        ((gf.h32(concat(lit("e:"), col("id").cast("string"),
+          lit(s":$j"))) % 2001 - 1000).cast("double") / 8000.0)
+          .cast("float")
+      }: _*).as("embedding"))
+
+  private def clusterOf(c: String) =
+    gf.h32(concat(lit("clu:"), col(c).cast("string"))) % 16
+
+  test("E28 substrate: the planted clusters are real — every kNN " +
+      "edge of the derived corpus stays inside its cluster") {
+    val (cemb, edges) = Round16Ops.layeredSubstrate(synthEmb)
+    val tagged = edges
+      .withColumn("cs", clusterOf("src"))
+      .withColumn("cd", clusterOf("dst"))
+    val total = tagged.count()
+    val cross = tagged.filter(col("cs") =!= col("cd")).count()
+    edges.unpersist()
+    assert(total > 0, "substrate built no edges")
+    // anchors at 2× the residual-grid scale dominate the cosine, so
+    // a node's top-3 neighbors are own-cluster members — this is the
+    // property that makes entry-point coverage the whole game (a
+    // beam cannot cross clusters the edges never leave)
+    assert(cross == 0, s"$cross of $total edges cross clusters")
+    assert(cemb.count() == 320)
+  }
+
+  test("E28 coarse layer: 2·⌈√N⌉ hash-sampled exemplars cover every " +
+      "query's cluster on the derived corpus") {
+    val (cemb, edges) = Round16Ops.layeredSubstrate(synthEmb)
+    edges.unpersist()
+    // independent re-derivation of the exemplar rule (the operator's
+    // is private — the spec pins the CONTRACT, not the code path)
+    val nEx = 2 * math.ceil(math.sqrt(320.0)).toLong
+    val exClusters = cemb
+      .select(col("vec_id").as("nid"),
+        gf.h32(concat(lit("lseed:"), col("vec_id").cast("string")))
+          .as("h"))
+      .orderBy(col("h"), col("nid")).limit(nEx.toInt)
+      .select(clusterOf("nid").as("c")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val qClusters = cemb.filter(col("vec_id") < 10)
+      .select(clusterOf("vec_id").as("c")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(qClusters.nonEmpty)
+    assert(qClusters.subsetOf(exClusters),
+      s"query clusters ${qClusters -- exClusters} have no exemplar — " +
+        "the coarse layer cannot route into them")
+  }
+
+  test("E28 search: the layered traversal lands every query in its " +
+      "own cluster and recovers the exact top-5") {
+    val (cemb, edges) = Round16Ops.layeredSubstrate(synthEmb)
+    val got = Round16Ops.layeredSearchOver(cemb, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    edges.unpersist()
+    // top-1 of every query is an own-cluster member: the coarse
+    // layer routed correctly and the fine beam navigated
+    val qc = cemb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), clusterOf("vec_id").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nc = cemb.select(col("vec_id"), clusterOf("vec_id").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = got.filter(_._2 == 1L)
+    assert(top1.length == qc.size)
+    top1.foreach { case (q, _, n) =>
+      assert(nc(n) == qc(q),
+        s"query $q's top-1 ($n) is in cluster ${nc(n)}, not ${qc(q)}")
+    }
+    // full recall vs the in-engine exact top-5 (the derived corpus
+    // is exemplar-covered — see the coverage pin — so the layered
+    // search has no structural excuse to miss)
+    val queries = cemb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = queries
+      .crossJoin(cemb.select(col("vec_id").as("nid"), col("v")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(gf.cosine_sim(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= 5).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(t => (t._1, t._3)).toSet
+    val matched = (gotPairs & exact).size
+    assert(exact.size == 5 * qc.size)
+    assert(matched == exact.size,
+      s"layered recall ${matched}/${exact.size} on the covered corpus")
+  }
+
+  test("E29 sweep (sf0.01): at matched visited budget the layer buys " +
+      "the recall a single layer structurally cannot reach") {
+    val sfBig = "/root/testdata/sf0.01"
+    val rows = Round16Ops.annLayeredSweep(spark, sfBig).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length ==
+      Round16Ops.layeredBeams.size + Round16Ops.singleBeams.size)
+    val lay12 = rows.find(r => r._1 == "layered" && r._2 == 12L).get
+    val sin16 = rows.find(r => r._1 == "single" && r._2 == 16L).get
+    info(s"layered@12: visited=${lay12._3} recall_ppm=${lay12._5} | " +
+      s"single@16: visited=${sin16._3} recall_ppm=${sin16._5}")
+    // matched budget: the layered search's widest row costs within
+    // ~2% of the single layer's widest (772 vs 768 measured) …
+    assert(math.abs(lay12._3 - sin16._3) <= sin16._3 / 20,
+      s"budgets diverged: ${lay12._3} vs ${sin16._3}")
+    // … and buys ≥2× the recall (measured 1.00 vs 0.30: the 8 fixed
+    // seeds cover 3 of the 8 query clusters, intra-cluster edges
+    // strand the rest — the layer is the fix, not a wider beam
+    // (single@16 ≈ single@8: widening saturates inside the covered
+    // clusters)
+    assert(lay12._5 >= 2 * sin16._5,
+      s"no layer win: layered ${lay12._5} vs single ${sin16._5} ppm")
+    assert(lay12._5 == 1000000L,
+      s"layered full recall expected on this corpus, got ${lay12._5}")
+    val sin8 = rows.find(r => r._1 == "single" && r._2 == 8L).get
+    assert(sin16._5 == sin8._5,
+      "single-layer recall should saturate with beam width once the " +
+        "covered clusters are exhausted — the miss is structural")
+  }
+
+  // ------------------------------------------------------ B109 pins
+
+  private def calRows(rows: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("fold", "s", "y")
+  }
+
+  test("q_calibration_fix: PAV pools a planted non-monotone pair of " +
+      "bins exactly as the hand computation says") {
+    // fold 0: score 200000 carries two positives (observed 10⁶),
+    // score 800000 two negatives (observed 0) — maximally
+    // anti-monotone, PAV pools everything to rate 500000
+    val out = Round16Ops.calibrationFixFrom(calRows(Seq(
+      (0L, 200000L, 1L), (0L, 200000L, 1L),
+      (0L, 800000L, 0L), (0L, 800000L, 0L)))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 4L)
+    // pre by hand: Σ = 2·(10⁶−2·10⁵)² + 2·(8·10⁵)² = 2.56·10¹²;
+    // brier_pre = Σ/(4·10⁶) = 640000. cal_pre: both bins read their
+    // own observed rate exactly → (s−o)² = (8·10⁵)² each →
+    // cal_pre = 4·6.4·10¹¹/(4·10⁶) = 640000, refinement 0 (pure
+    // miscalibration, zero class mixing per raw bin)
+    assert(r.getLong(2) == 640000L, s"brier_pre ${r.getLong(2)}")
+    assert(r.getLong(3) == 640000L, s"cal_pre ${r.getLong(3)}")
+    assert(r.getLong(4) == 0L, s"ref_pre ${r.getLong(4)}")
+    // post: iso = 500000 on every row → brier_post = (5·10⁵)²·4 /
+    // (4·10⁶) = 250000, all of it refinement (the pooled bin mixes
+    // classes 2:2 and sits exactly on its observed rate)
+    assert(r.getLong(5) == 250000L, s"brier_post ${r.getLong(5)}")
+    assert(r.getLong(6) == 0L, s"cal_post ${r.getLong(6)}")
+    assert(r.getLong(7) == 250000L, s"ref_post ${r.getLong(7)}")
+    assert(r.getLong(8) == 390000L, s"improvement ${r.getLong(8)}")
+  }
+
+  test("q_calibration_fix: on a planted-overfit corpus the correction " +
+      "helps every fold, and the corrected table is perfectly " +
+      "calibrated against its own pooled bins") {
+    // overconfident scorer, two folds: score 900000 where the true
+    // rate is ~0.6, score 100000 where it is ~0.4 — monotone (no
+    // pooling) but badly calibrated, the B108 deployment picture
+    val rows = (0 until 2).flatMap { f =>
+      (0 until 10).map(i =>
+        (f.toLong, 900000L, if (i < 6) 1L else 0L)) ++
+        (0 until 10).map(i =>
+          (f.toLong, 100000L, if (i < 4) 1L else 0L))
+    }
+    val out = Round16Ops.calibrationFixFrom(calRows(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5),
+        r.getLong(6), r.getLong(8)))
+    assert(out.length == 2)
+    out.foreach { case (f, pre, post, calPost, imp) =>
+      assert(imp > 0L, s"fold $f: no improvement ($pre -> $post)")
+      assert(imp == pre - post)
+      // the PAV value of a pooled block IS that block's observed
+      // rate, so the corrected reliability term vanishes (up to the
+      // fixed ×10⁶ truncation — exact here)
+      assert(calPost == 0L, s"fold $f: cal_post $calPost")
+    }
+  }
+
+  // ------------------------------------------------------ B110 pins
+
+  test("q_threshold_transfer: regret is structurally non-negative and " +
+      "a separable plant transfers its threshold with zero regret") {
+    import spark.implicits._
+    // separable: s ≥ 500000 ⇔ y = 1, identically in every fold —
+    // the other-folds optimum is exactly this fold's optimum
+    val sep = (0L until 5L).flatMap { f =>
+      (0 until 20).map(i =>
+        (f, if (i < 8) 700000L else 300000L, if (i < 8) 1L else 0L))
+    }.toDF("fold", "s", "y")
+    val out = Round16Ops.thresholdTransferFrom(sep).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.length == 5)
+    out.foreach { case (f, thrL, jL, thrT, jT, regret) =>
+      assert(thrL == 700000L && thrT == 700000L,
+        s"fold $f chose $thrL/$thrT")
+      assert(jL == 1000000L && jT == 1000000L, s"fold $f J $jL/$jT")
+      assert(regret == 0L, s"fold $f regret $regret")
+    }
+    // noisy: per-fold optima differ, so transfer pays — but never
+    // gains (the local argmax space contains every transferred rule,
+    // reject-all sentinel included)
+    val noisy = (0L until 5L).flatMap { f =>
+      (1 to 60).map { i =>
+        val s = (i % 10 + 1) * 100000L
+        val y = if ((s >= 500000L) != (i % (3 + f.toInt) == 0)) 1L else 0L
+        (f, s, y)
+      }
+    }.toDF("fold", "s", "y")
+    val nout = Round16Ops.thresholdTransferFrom(noisy).collect()
+      .map(r => (r.getLong(0), r.getLong(7)))
+    assert(nout.length == 5)
+    nout.foreach { case (f, regret) =>
+      assert(regret >= 0L, s"fold $f regret $regret < 0")
+    }
+  }
+
+  test("q_threshold_transfer: a transferred threshold absent from the " +
+      "eval fold snaps UP to the next own cut, and an untransferable " +
+      "one lands on the reject-all sentinel") {
+    import spark.implicits._
+    // fold 0 (eval): cuts at 400000/600000 only; folds 1-4 put their
+    // optimum at 500000 — the rule s ≥ 500000 on fold 0 is exactly
+    // the cut at 600000 (snap up)
+    val rows = (
+      Seq((0L, 600000L, 1L), (0L, 600000L, 1L), (0L, 400000L, 0L),
+        (0L, 400000L, 0L)) ++
+      (1L until 5L).flatMap(f => Seq(
+        (f, 500000L, 1L), (f, 500000L, 1L), (f, 300000L, 0L),
+        (f, 300000L, 0L)))
+    ).toDF("fold", "s", "y")
+    val out = Round16Ops.thresholdTransferFrom(rows).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    // fold 0: transfer picks 500000 (the others' optimum), snapped
+    // evaluation = the 600000 cut = fold 0's own optimum → regret 0
+    assert(out(0L)._2 == 500000L, s"transfer thr ${out(0L)._2}")
+    assert(out(0L)._3 == 1000000L && out(0L)._4 == 0L,
+      s"snap-up failed: ${out(0L)}")
+    // folds 1-4: the others' pool includes fold 0's higher cuts but
+    // the argmax stays at 500000 (separable either way) → regret 0
+    (1L until 5L).foreach(f => assert(out(f)._4 == 0L, s"fold $f"))
+  }
+}
