@@ -692,6 +692,129 @@ object Round16Ops {
        |FROM summ, slots""".stripMargin
   }
 
+  // ---------------------------------------------------------------- D35
+  /** Paragraph-granularity segment dedup — ExactSubstr (Lee et al.
+    * 2022) read out at the unit a production pipeline actually
+    * removes (RefinedWeb/Dolma drop duplicated PARAGRAPHS): a
+    * paragraph is a duplicate when its ENTIRE token range is
+    * verbatim-contained in another document, certified by D27's
+    * maximal shared-span islands (a paragraph of ≥ 8 tokens lies in
+    * a peer iff one island covers all of it — the 8-gram width is
+    * the certificate's floor, the paper's min-match length scaled to
+    * this corpus). One row per duplicated paragraph with its
+    * smallest containing peer.
+    *
+    * The corpus has no newlines, so paragraph boundaries are DERIVED
+    * deterministically in both engines (the C21 discipline, judge-
+    * directed at paragraph granularity): token lengths cycle 9/14/11
+    * (34-token cycle) with the cycle ROTATED by doc_id mod 3 — so a
+    * doc and its planted copy (id + 10⁵ ≡ +1 mod 3) segment at
+    * DIFFERENT boundaries, the unaligned shape a real paragraph
+    * segmentation produces; when a corpus with native newlines
+    * lands, only this projection changes.
+    *
+    * Scale: paragraphs are a linear projection of the corpus;
+    * islands are candidate-pair-bounded (the run-shared LSH store —
+    * never all-pairs); the containment join is an equi-join on
+    * doc_id with a range post-filter over a pair's few islands. */
+  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame =
+    paragraphDupPipeline(
+      DedupOps.corpus(Tables.documents(spark, sfDir)),
+      DedupOps.dedupMinhashLsh(spark, sfDir).select("id1", "id2"))
+
+  /** The paragraph-dup pipeline over arbitrary (doc_id, text) docs
+    * and (id1, id2) candidate pairs — the spec hook (`Round16Spec`
+    * pins planted embedded paragraphs found at PARAGRAPH granularity
+    * against a brute-force contains() check). */
+  private[graft] def paragraphDupPipeline(docs: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val isl = Round10Ops.substrSpansPipeline(docs, cand)
+      .select(col("doc_id"), col("peer"), col("span_start").as("t0"),
+        (col("span_start") + col("span_len") - 1).as("t1"))
+    val paras = docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), expr("n_tok div 9 + 1"))).as("k"))
+      .withColumn("para_start", expr(
+        "34 * (k div 3) + CASE CAST(doc_id % 3 AS INT)" +
+          " WHEN 0 THEN CASE CAST(k % 3 AS INT)" +
+          " WHEN 0 THEN 0 WHEN 1 THEN 9 ELSE 23 END" +
+          " WHEN 1 THEN CASE CAST(k % 3 AS INT)" +
+          " WHEN 0 THEN 0 WHEN 1 THEN 14 ELSE 25 END" +
+          " ELSE CASE CAST(k % 3 AS INT)" +
+          " WHEN 0 THEN 0 WHEN 1 THEN 11 ELSE 20 END END"))
+      .withColumn("cyc_len", expr(
+        "CASE CAST((k + doc_id % 3) % 3 AS INT)" +
+          " WHEN 0 THEN 9 WHEN 1 THEN 14 ELSE 11 END"))
+      .filter(col("para_start") < col("n_tok"))
+      .select(col("doc_id"), col("k").as("para_idx"),
+        col("para_start").cast("long").as("para_start"),
+        least(col("cyc_len").cast("long"),
+          col("n_tok") - col("para_start")).as("para_ntok"))
+    paras.filter(col("para_ntok") >= 8)
+      .join(isl, Seq("doc_id"))
+      .filter(col("t0") <= col("para_start") &&
+        col("para_start") + col("para_ntok") - 1 <= col("t1"))
+      .groupBy(col("doc_id"), col("para_idx"), col("para_start"),
+        col("para_ntok"))
+      .agg(min(col("peer")).as("peer"))
+  }
+
+  val dedupParagraphSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |ppairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |psym AS (
+       |  SELECT id1 AS doc_id, id2 AS peer FROM ppairs
+       |  UNION ALL
+       |  SELECT id2 AS doc_id, id1 AS peer FROM ppairs),
+       |ptokp AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |  FROM corpus),
+       |pg8p AS MATERIALIZED (
+       |  SELECT doc_id, g - 1 AS p,
+       |    CASE WHEN len(l) < 8 THEN array_to_string(l, ' ')
+       |         ELSE array_to_string(l[g:g+7], ' ') END AS s
+       |  FROM ptokp, unnest(range(1, greatest(len(l) - 7, 1) + 1)) AS u(g)),
+       |pshsp AS (
+       |  SELECT m.doc_id, m.peer, m.p
+       |  FROM (SELECT psym.doc_id, psym.peer, g.p, g.s
+       |        FROM psym JOIN pg8p g ON g.doc_id = psym.doc_id) m
+       |  WHERE EXISTS (SELECT 1 FROM pg8p o
+       |                WHERE o.doc_id = m.peer AND o.s = m.s)),
+       |pisl AS MATERIALIZED (
+       |  SELECT doc_id, peer, min(p) AS t0, max(p) + 7 AS t1
+       |  FROM (SELECT doc_id, peer, p,
+       |          p - row_number() OVER (PARTITION BY doc_id, peer
+       |            ORDER BY p) AS i
+       |        FROM pshsp)
+       |  GROUP BY doc_id, peer, i),
+       |pparas AS (
+       |  SELECT doc_id, k,
+       |    34 * (k // 3) + CASE (doc_id % 3)
+       |      WHEN 0 THEN CASE (k % 3) WHEN 0 THEN 0 WHEN 1 THEN 9
+       |        ELSE 23 END
+       |      WHEN 1 THEN CASE (k % 3) WHEN 0 THEN 0 WHEN 1 THEN 14
+       |        ELSE 25 END
+       |      ELSE CASE (k % 3) WHEN 0 THEN 0 WHEN 1 THEN 11
+       |        ELSE 20 END END AS para_start,
+       |    CASE ((k + doc_id % 3) % 3) WHEN 0 THEN 9 WHEN 1 THEN 14
+       |      ELSE 11 END AS cyc_len,
+       |    CAST(len(l) AS BIGINT) AS n_tok
+       |  FROM ptokp, unnest(range(0, len(l) // 9 + 2)) AS u(k)),
+       |ppb AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS para_idx,
+       |    CAST(para_start AS BIGINT) AS para_start,
+       |    CAST(least(cyc_len, n_tok - para_start) AS BIGINT) AS para_ntok
+       |  FROM pparas WHERE para_start < n_tok)
+       |SELECT p.doc_id, p.para_idx, p.para_start, p.para_ntok,
+       |  CAST(min(i.peer) AS BIGINT) AS peer
+       |FROM ppb p JOIN pisl i ON i.doc_id = p.doc_id
+       |  AND i.t0 <= p.para_start
+       |  AND p.para_start + p.para_ntok - 1 <= i.t1
+       |WHERE p.para_ntok >= 8
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Shared B109/B110 front end: the per-fold GBT chains + the
     * out-of-fold scored view `oof(fold, s, y)` (B108's view with the
     * fold kept). */
@@ -837,11 +960,13 @@ object Round16Ops {
     "ann_graph_layered" -> (annGraphLayered _),
     "ann_layered_sweep" -> (annLayeredSweep _),
     "q_calibration_fix" -> (qCalibrationFix _),
-    "q_threshold_transfer" -> (qThresholdTransfer _))
+    "q_threshold_transfer" -> (qThresholdTransfer _),
+    "dedup_paragraph" -> (dedupParagraph _))
 
   val oracleSql: Map[String, String] = Map(
     "ann_graph_layered" -> annGraphLayeredSql,
     "ann_layered_sweep" -> annLayeredSweepSql,
     "q_calibration_fix" -> qCalibrationFixSql,
-    "q_threshold_transfer" -> qThresholdTransferSql)
+    "q_threshold_transfer" -> qThresholdTransferSql,
+    "dedup_paragraph" -> dedupParagraphSql)
 }

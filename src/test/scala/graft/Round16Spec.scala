@@ -139,6 +139,182 @@ class Round16Spec extends SparkSuite {
         "covered clusters are exhausted — the miss is structural")
   }
 
+  // -------------------------------------- drift→retrain→swap rehearsal
+
+  test("drift-triggered retrain rehearsal: the PSI flag fires on a " +
+      "shifted batch (not on a clean one), the retrain stages into " +
+      "the model registry, the H21 audit gates the swap, publish is " +
+      "atomic and the old model stays time-travelable; a candidate " +
+      "failing the audit aborts with the deployed model untouched") {
+    import spark.implicits._
+    import graft.operators.Round13Ops
+    import graft.sources.SnapshotTable
+
+    def rows(n: Int, qOf: Int => Long, yOf: Long => Long): DataFrame =
+      (0 until n).map { i =>
+        val q = qOf(i); (q, (i % 5).toLong, yOf(q))
+      }.toDF("q", "dd", "y")
+
+    // deployed world: y follows q ≤ 3
+    val base = rows(600, i => (i % 10 + 1).toLong, q => if (q <= 3) 1L else 0L)
+    val m0 = Round13Ops.gbtModelRow(base).localCheckpoint(true)
+
+    // the model REGISTRY is an H19 SnapshotTable (one row per deployed
+    // model, keyed by name) so the swap inherits H21's whole commit
+    // story: staged invisibility, audited publish, abort, time travel
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_model_registry").toString
+    val registry = new SnapshotTable(spark, dir, "k",
+      buckets = 2, keepSnapshots = 4)
+    registry.create(m0.withColumn("k", lit("gbt")))
+    val v0 = registry.version
+    def deployed(): DataFrame =
+      registry.read().filter(col("k") === "gbt").drop("k")
+
+    // G26's smoothed PSI between the deploy-time reference score
+    // distribution and a batch's, as one scalar (B59 arithmetic)
+    def counts(batch: DataFrame): Map[Long, Long] =
+      Round13Ops.gbtScore(batch, deployed())
+        .groupBy(col("s")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = counts(base)
+    def psi(live: Map[Long, Long]): Double = {
+      val bins = (ref.keySet ++ live.keySet).toSeq
+      val (tr, tl, k) = (ref.values.sum, live.values.sum, bins.size)
+      bins.map { b =>
+        val sr = (ref.getOrElse(b, 0L) + 1.0) / (tr + k)
+        val sl = (live.getOrElse(b, 0L) + 1.0) / (tl + k)
+        (sr - sl) * math.log(sr / sl)
+      }.sum
+    }
+
+    // negative control: a clean batch stays under the 0.2 industry
+    // breakpoint — no retrain is triggered
+    val clean = rows(300, i => (i % 10 + 1).toLong,
+      q => if (q <= 3) 1L else 0L)
+    assert(psi(counts(clean)) < 0.2,
+      s"clean batch tripped the flag: ${psi(counts(clean))}")
+
+    // the drifted batch: covariate AND concept shift (q mass moves
+    // to 6..10 — both classes present — and y flips to q ≥ 8); the
+    // flag fires
+    val shifted = rows(300, i => (i % 5 + 6).toLong,
+      q => if (q >= 8) 1L else 0L)
+    val flag = psi(counts(shifted))
+    assert(flag > 0.2, s"shifted batch did not trip the flag: $flag")
+
+    def acc(model: DataFrame, batch: DataFrame): Double = {
+      val c = Round13Ops.gbtScore(batch, model)
+        .select(((col("s") >= 500000L).cast("long") === col("y"))
+          .cast("long").as("ok"))
+        .agg(sum(col("ok")), count(lit(1))).first()
+      c.getLong(0).toDouble / c.getLong(1)
+    }
+    val accM0 = acc(deployed(), shifted)
+
+    // audit-FAIL arm first: a garbage candidate (labels flipped)
+    // stages, fails the would-be-accuracy gate, aborts — on-disk
+    // state and the deployed model are untouched
+    val bad = Round13Ops.gbtModelRow(
+      shifted.withColumn("y", lit(1L) - col("y")))
+    val badStage = registry.stageMerge(bad.withColumn("k", lit("gbt")))
+    val badWouldBe = badStage.read().filter(col("k") === "gbt").drop("k")
+    val accBad = acc(badWouldBe, shifted)
+    assert(accBad < accM0,
+      s"the garbage candidate audited better ($accBad vs $accM0)?")
+    badStage.abort()
+    assert(registry.version == v0, "abort moved the table version")
+    assert(acc(deployed(), shifted) == accM0, "abort touched the model")
+
+    // the real retrain on the drift window: stages, audits BETTER on
+    // the shifted batch, publishes atomically
+    val m1 = Round13Ops.gbtModelRow(shifted).localCheckpoint(true)
+    val stage = registry.stageMerge(m1.withColumn("k", lit("gbt")))
+    val wouldBe = stage.read().filter(col("k") === "gbt").drop("k")
+    val accM1 = acc(wouldBe, shifted)
+    assert(accM1 > accM0, s"retrain did not help: $accM1 vs $accM0")
+    // staged ≠ published: the deployed model is STILL m0 here
+    assert(acc(deployed(), shifted) == accM0)
+    stage.publish()
+    assert(registry.version == v0 + 1)
+    assert(acc(deployed(), shifted) == accM1, "swap did not land")
+    // rollback story: the pre-swap snapshot still serves m0
+    val rolledBack = registry.readAsOf(v0)
+      .filter(col("k") === "gbt").drop("k")
+    assert(acc(rolledBack, shifted) == accM0,
+      "the old model is not time-travelable")
+  }
+
+  // ------------------------------------------------------- D35 pins
+
+  test("dedup_paragraph: a planted embedded run is found at PARAGRAPH " +
+      "granularity — exactly the fully-contained paragraphs, no doc-" +
+      "level or gram-level leakage, against brute force") {
+    import spark.implicits._
+    // doc 1: 60 unique tokens; doc 2 embeds doc 1's tokens 17..40
+    // verbatim between its own prefix/suffix
+    val a = (0 until 60).map(i => s"a$i")
+    val b = (0 until 20).map(i => s"b$i")
+    val docA = a.mkString(" ")
+    val docB = (b.take(10) ++ a.slice(17, 41) ++ b.drop(10)).mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = Round16Ops.paragraphDupPipeline(docs, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // brute force: re-derive the SAME boundaries, flag a paragraph
+    // iff its token string occurs contiguously in the peer (unique
+    // tokens make the space-joined contains() check exact)
+    def parasOf(id: Long, toks: Seq[String]) = {
+      val cyc = Seq(9, 14, 11); val r = (id % 3).toInt
+      Iterator.from(0).map { k =>
+        val start = 34 * (k / 3) + (0 until k % 3)
+          .map(j => cyc((j + r) % 3)).sum
+        (k.toLong, start.toLong, cyc((k % 3 + r) % 3).toLong)
+      }.takeWhile(_._2 < toks.length)
+        .map { case (k, s, l) =>
+          (k, s, math.min(l, toks.length - s)) }.toSeq
+    }
+    val aToks = docA.split(" ").toSeq; val bToks = docB.split(" ").toSeq
+    val want = (for {
+      (id, toks, peerId, peerText) <-
+        Seq((1L, aToks, 2L, docB), (2L, bToks, 1L, docA))
+      (k, s, l) <- parasOf(id, toks) if l >= 8
+      para = toks.slice(s.toInt, (s + l).toInt).mkString(" ")
+      if s" $peerText ".contains(s" $para ")
+    } yield (id, k, s, l, peerId)).toSet
+    assert(got == want,
+      s"extra ${got -- want}, missing ${want -- got}")
+    // the headline reading: doc 2's paragraphs 1 and 2 (the two that
+    // sit wholly inside the embedded run) and doc 1's paragraph 2 —
+    // NOT doc 2's prefix/suffix paragraphs, NOT whole docs
+    assert(got.map(t => (t._1, t._2)) ==
+      Set((2L, 1L), (2L, 2L), (1L, 2L)))
+    // boundaries are unaligned across the pair (residues differ), so
+    // the granularity claim is non-trivial
+    assert(1L % 3 != 2L % 3)
+  }
+
+  test("dedup_paragraph: a paragraph straddling the embedded run's " +
+      "edge is not flagged — removal stays paragraph-granular") {
+    import spark.implicits._
+    // doc 4 (residue 1: lens 14/11/9) embeds doc 3's tokens 0..12
+    // (13 tokens) at its positions 14..26: doc 4's paragraph 1
+    // ([14,25)) sits wholly inside the run → flagged; paragraph 2
+    // ([25,34)) straddles the run's end at 26 → NOT flagged even
+    // though 2 of its tokens are shared. On doc 3's side only
+    // paragraph 0 ([0,9) ⊆ the run) is flagged.
+    val c = (0 until 40).map(i => s"c$i")
+    val d = (0 until 30).map(i => s"d$i")
+    val doc3 = c.mkString(" ")
+    val doc4 = (d.take(14) ++ c.take(13) ++ d.drop(14)).mkString(" ")
+    val docs = Seq((3L, doc3), (4L, doc4)).toDF("doc_id", "text")
+    val cand = Seq((3L, 4L)).toDF("id1", "id2")
+    val got = Round16Ops.paragraphDupPipeline(docs, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((4L, 1L), (3L, 0L)), s"got $got")
+  }
+
   // ------------------------------------------------------ B109 pins
 
   private def calRows(rows: Seq[(Long, Long, Long)]): DataFrame = {
