@@ -325,6 +325,37 @@ object ScaleProbe {
           spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
           Seq("vec_id"), 10000000L),
         spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      // E28 BUILD-side A/B: the uncapped E19 build over the clustered
+      // corpus pays ~N²/K candidates (anchor-dominated buckets are
+      // cluster-sized); the per-bucket candidate cap (16 hash-sampled
+      // reps per bucket) bounds candidates by N·tables·cap — the two
+      // rows measure the quadratic-vs-linear divergence directly
+      ("layered_raw_build",
+        (d: DataFrame) => {
+          val t = time {
+            val (_, edges) = operators.Round16Ops.layeredSubstrate(
+              d.select(col("vec_id"), col("embedding")))
+            val c = edges.count(); edges.unpersist(); c
+          }
+          t
+        },
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      ("layered_cap_build",
+        (d: DataFrame) => {
+          val t = time {
+            val (_, edges) = operators.Round16Ops.layeredSubstrateCapped(
+              d.select(col("vec_id"), col("embedding")), 16)
+            val c = edges.count(); edges.unpersist(); c
+          }
+          t
+        },
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
       // C20 segment dedup: the segment relation grows linearly; the
       // (source, segment) count agg is the one shuffle — cost should
       // track the explode+agg (salted replicas keep per-source

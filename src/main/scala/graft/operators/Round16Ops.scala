@@ -169,6 +169,67 @@ object Round16Ops {
     (cemb, edges)
   }
 
+  /** The BUILD-side scale mitigation E28's row documents, made real:
+    * E19's build with a PER-BUCKET CANDIDATE CAP. On the clustered
+    * corpus the anchor-dominated sign-LSH buckets are cluster-sized,
+    * so the uncapped candidate self-join is ~N²/K — quadratic in the
+    * cluster population. The capped build pairs each bucket member
+    * only with the bucket's ≤`cap` hash-sampled REPRESENTATIVES (the
+    * members minimizing md5-h32("cap:"+id) — a deterministic sample,
+    * no data-dependent state), bounding candidates by N·tables·cap —
+    * LINEAR in N at fixed cap. The graph differs from the exact
+    * top-3 kNN (neighbors come from the sampled candidates), but the
+    * LAYERED SEARCH is robust to that: what navigation needs is
+    * intra-cluster connectivity, which any same-cluster sample
+    * provides — `Round16Spec` measures full layered recall on the
+    * capped substrate, and the ScaleProbe's `layered_cap_build` row
+    * measures the build cost flattening. This is the knob a 100 TB
+    * deployment turns; the default (uncapped) build stays the exact
+    * E19 substrate every oracle replays. */
+  private[graft] def knnGraphBuildCapped(emb0: DataFrame,
+      cap: Int): DataFrame = {
+    import graft.functions.gf
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val b = AnnOps.signBucketsQ(emb, "vec_id",
+        numTables = 4, bitsPerTable = 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wb = Window.partitionBy(col("table_id"), col("bucket"))
+      .orderBy(col("h"), col("vec_id"))
+    val reps = b
+      .withColumn("h",
+        gf.h32(concat(lit("cap:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .select(col("table_id"), col("bucket"), col("vec_id").as("dst"))
+    val cand = b.select(col("table_id"), col("bucket"),
+        col("vec_id").as("src"))
+      .join(reps, Seq("table_id", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("sv")),
+        "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+        "dst")
+      .select(col("src"), col("dst"),
+        round(gf.cosine_sim(col("sv"), col("dv")), 6).as("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+  }
+
+  /** [[layeredSubstrate]] on the capped build (spec/probe hook). */
+  private[graft] def layeredSubstrateCapped(emb: DataFrame,
+      cap: Int): (DataFrame, DataFrame) = {
+    val cemb = clusteredEmbOver(emb).localCheckpoint(true)
+    val edges = symEdges(
+      knnGraphBuildCapped(
+        cemb.select(col("vec_id"), col("v").as("embedding")), cap)
+        .localCheckpoint(true))
+    (cemb, edges)
+  }
+
   private[graft] def layeredSearchOver(cemb: DataFrame,
       edges: DataFrame): DataFrame = {
     val (queries, coarse) = coarseParts(cemb)

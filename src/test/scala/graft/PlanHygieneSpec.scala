@@ -136,6 +136,15 @@ class PlanHygieneSpec extends SparkSuite {
       + "rows + crossJoin(broadcast(5-row τ relation + 1-row corpus "
       + "count))"),
     "etl_profile" -> "profile assembly: joins of 1-row per-column aggregates",
+    "ann_layered_sweep" -> ("crossJoin(broadcast(1-row exact-top5 "
+      + "slot count)) onto the 6-row variant summary — every "
+      + "traversal relation behind it (coarse scan, beam rounds, "
+      + "exact reference) is eagerly localCheckpointed, so the walk "
+      + "sees LogicalRDD leaves (the q_tree_depthk pattern)"),
+    "q_threshold_transfer" -> ("crossJoin(broadcast(5-row fold "
+      + "list)) over the ≤40-row collapsed (fold, score) bin "
+      + "relation — the other-folds aggregation that derives each "
+      + "fold's transferred threshold; bin-sized by construction"),
     "event_cooccurrence" -> "crossJoin(broadcast(1-row user count))",
     "q_assoc_rules" -> ("crossJoin(broadcast(1-row basket-count "
       + "scalar)) for lift; the basket self-join itself is EQUI on "

@@ -139,6 +139,52 @@ class Round16Spec extends SparkSuite {
         "covered clusters are exhausted — the miss is structural")
   }
 
+  test("E28 capped build: the degree-capped substrate (the 100 TB " +
+      "build knob) changes the graph but not the layered search's " +
+      "recall — navigation needs intra-cluster connectivity, not " +
+      "exact kNN edges") {
+    val (cembU, edgesU) = Round16Ops.layeredSubstrate(synthEmb)
+    val uncapped = edgesU.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    edgesU.unpersist()
+    val (cemb, edges) = Round16Ops.layeredSubstrateCapped(synthEmb, 6)
+    val capped = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cap was ACTIVE: with 6 reps over ~20-member buckets the
+    // candidate pool is a strict sample, so the top-3 graph differs
+    assert(capped != uncapped, "cap 6 left the graph identical — inert")
+    // still OVERWHELMINGLY intra-cluster: sampling the candidate
+    // pool lets the rare bucket-collision neighbor into a top-3 list
+    // (6 of ~950 edges here), but navigation only needs the bulk
+    val tagged = edges
+      .withColumn("cs", clusterOf("src"))
+      .withColumn("cd", clusterOf("dst"))
+    val total = tagged.count()
+    val cross = tagged.filter(col("cs") =!= col("cd")).count()
+    assert(cross * 50 <= total,
+      s"$cross of $total capped edges cross clusters (> 2%)")
+    // layered search over the capped substrate keeps FULL recall vs
+    // the exact top-5 (computed over the same derived corpus)
+    val got = Round16Ops.layeredSearchOver(cemb, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    edges.unpersist()
+    val queries = cemb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = queries
+      .crossJoin(cemb.select(col("vec_id").as("nid"), col("v")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(gf.cosine_sim(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= 5).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matched = (got & exact).size
+    assert(matched == exact.size,
+      s"capped-substrate recall $matched/${exact.size}")
+  }
+
   // -------------------------------------- drift→retrain→swap rehearsal
 
   test("drift-triggered retrain rehearsal: the PSI flag fires on a " +
