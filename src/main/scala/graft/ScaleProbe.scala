@@ -697,6 +697,56 @@ object ScaleProbe {
             "ship_month").count())
         },
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      // B109/B110 (round 16): the per-fold CV models are trained ONCE
+      // on the FIXED 1× corpus (untimed — gbt_model_build prices the
+      // training at bench time), so each probe times exactly what the
+      // bench row times at scale: the corpus-sized out-of-fold scoring
+      // scan (5-row wide model broadcast-joined on the row's fold) +
+      // the ≤40-bin PAV/Brier or threshold-transfer tail. Expected
+      // slope ≈ one linear pass; everything after the (fold, s) bin
+      // collapse is bin-sized regardless of corpus.
+      ("cal_fix",
+        (d: DataFrame) => {
+          import graft.functions.gf
+          val foldOf = gf.h32(concat(lit("hold:"), col("rid"))) %
+            operators.Round13Ops.cvFolds
+          val data = liLabeled(li).withColumn("fold", foldOf)
+          val train0 = data.crossJoin(broadcast(spark
+              .range(operators.Round13Ops.cvFolds)
+              .select(col("id").as("g"))))
+            .filter(col("g") =!= col("fold"))
+            .select(col("g"), col("q"), col("dd"), col("y"))
+          val wide = operators.Round13Ops.jointGbtModels(train0)
+            .withColumnRenamed("g", "fold").localCheckpoint(true)
+          val probe = liLabeled(d).withColumn("fold", foldOf)
+          time(operators.Round16Ops.calibrationFixFrom(
+            probe.join(broadcast(wide), "fold")
+              .select(col("fold"),
+                operators.Round13Ops.gbtScoreColumn.as("s"),
+                col("y"))).count())
+        },
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
+      ("thr_transfer",
+        (d: DataFrame) => {
+          import graft.functions.gf
+          val foldOf = gf.h32(concat(lit("hold:"), col("rid"))) %
+            operators.Round13Ops.cvFolds
+          val data = liLabeled(li).withColumn("fold", foldOf)
+          val train0 = data.crossJoin(broadcast(spark
+              .range(operators.Round13Ops.cvFolds)
+              .select(col("id").as("g"))))
+            .filter(col("g") =!= col("fold"))
+            .select(col("g"), col("q"), col("dd"), col("y"))
+          val wide = operators.Round13Ops.jointGbtModels(train0)
+            .withColumnRenamed("g", "fold").localCheckpoint(true)
+          val probe = liLabeled(d).withColumn("fold", foldOf)
+          time(operators.Round16Ops.thresholdTransferFrom(
+            probe.join(broadcast(wide), "fold")
+              .select(col("fold"),
+                operators.Round13Ops.gbtScoreColumn.as("s"),
+                col("y"))).count())
+        },
+        (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       // B105 forest cross-validation (round 15): training collapses
       // to the (fold, bags, q, dd, y) sufficient-statistic cells —
       // whose COUNT is domain-bounded, hence replica-independent —

@@ -7,10 +7,16 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
-/** Round 16 — the LAYERED graph-ANN index (E28/E29): HNSW's
-  * multi-level story (Malkov & Yashunin 2016) reduced to its
-  * deterministic 2-layer core, measured over a PLANTED-CLUSTER
-  * corpus derived from `embeddings` in one projection. E25's
+/** Round 16 — the LAYERED graph-ANN index (E28 `ann_graph_layered`,
+  * E29 `ann_layered_sweep`, plus the degree-capped build knob), the
+  * out-of-sample calibration FIX (B109 `q_calibration_fix`), the
+  * operating-point TRANSFER measurement (B110 `q_threshold_transfer`),
+  * and paragraph-granularity ExactSubstr (D35 `dedup_paragraph`).
+  *
+  * The ANN headline: HNSW's multi-level story (Malkov & Yashunin
+  * 2016) reduced to its deterministic 2-layer core, measured over a
+  * PLANTED-CLUSTER corpus derived from `embeddings` in one
+  * projection. E25's
   * single-layer beam search navigates near-edges from FIXED global
   * entry points — on a corpus with real cluster structure the kNN
   * edges stay inside clusters (measured 100% intra-cluster here), so
