@@ -97,6 +97,9 @@ object Bench {
         () => operators.DedupOps.dedupIndexBuild(spark, sfDir)),
       ("knn_graph_pre_build", Set("knn_graph_incremental"),
         () => operators.AnnOps.knnGraphPreBuild(spark, sfDir)),
+      // round-16: the layered index's standing pre-batch state
+      ("cknn_graph_pre_build", Set("ann_layered_incremental"),
+        () => operators.Round16Ops.cknnGraphPreBuild(spark, sfDir)),
       // round-14: the eval family's trained models are run-shared
       // ModelStore artifacts — these rows carry the one-time trainings
       ("gbt_model_build", Set(

@@ -2079,6 +2079,24 @@ object AnnOps {
     knnGraphOver(emb, b)
   }
 
+  /** E27's standing PRE-batch state (graph + bucket table) over an
+    * ARBITRARY already-filtered standing corpus, under its own store
+    * key — the layered index's incremental-maintenance leg stores
+    * its state over the DERIVED clustered corpus (Round16Ops) and
+    * must not collide with the raw corpus's `knngpre` entry. */
+  private[operators] def knnGraphPreSharedOver(spark: SparkSession,
+      sfDir: String, key: String,
+      emb: => DataFrame): (DataFrame, DataFrame) = {
+    val out = AnnIndexStore.get(spark, key + "_" + indexKey(sfDir),
+      Seq("knng", "buckets")) {
+      val e = emb
+      val b = signBucketsQ(e, "vec_id", numTables = 4, bitsPerTable = 8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      Seq(knnGraphOver(e, b), b)
+    }
+    (out(0), out(1))
+  }
+
   /** Mirror of the portable 8-bit sign-LSH (32 planes, table = p//8,
     * bit = p%8) + rounded-cosine rank, as a reusable CTE chain ending
     * in `knng(src, rank, dst, sim)` — shared by the E19 oracle and the

@@ -759,6 +759,105 @@ object Round16Ops {
        |FROM summ, slots""".stripMargin
   }
 
+  // ---------------------------------------------------------------- E30
+  /** Incremental maintenance of the LAYERED index — the E27/A33
+    * refresh ≡ rebuild discipline completing E28's lifecycle: a new
+    * vector batch (vec_id ≡ 4 mod 10, the deterministic split) folds
+    * into the STANDING clustered graph (built over the rest of the
+    * corpus, stored run-shared under `cknngpre`), and the LAYERED
+    * SEARCH over the refreshed index equals the search over a full
+    * rebuild — the oracle IS E28's SQL, so hash equality proves the
+    * whole composite (graph fold-in + exemplar re-derivation +
+    * coarse scan + fine beam) maintenance-equals-rebuild.
+    *
+    * Why each layer folds in exactly: the graph by E27's argument —
+    * top-3 is monotone under union, so standing lists summarize
+    * every old-old candidate edge and the increment scores only
+    * pairs with a new endpoint (batch buckets ⋈ corpus buckets);
+    * the COARSE layer by construction — exemplars are the top-2√N′
+    * by a pure hash of vec_id, a metadata-sized scan over the union
+    * with no data-dependent state to maintain (the derivation IS the
+    * refresh). Maintenance touches two store reads, the batch's
+    * buckets, one batch×bucket join, and the affected srcs' ≤3-row
+    * standing lists — never a graph rebuild. */
+  def annLayeredIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cemb = clusteredEmb(spark, sfDir)
+    val merged = layeredIncrementalGraph(spark, sfDir)
+      .localCheckpoint(true)
+    val edges = symEdges(merged)
+    val (queries, coarse) = coarseParts(cemb)
+    val out = layeredSearchFrom(cemb, edges, queries, coarse)
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  /** The standing pre-batch clustered state (graph + buckets) —
+    * run-shared, the E11/E15 split. */
+  private def clusteredPre(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) =
+    AnnOps.knnGraphPreSharedOver(spark, sfDir, "cknngpre",
+      clusteredEmb(spark, sfDir).filter(col("vec_id") % 10 =!= 4)
+        .select(col("vec_id"), col("v").as("embedding")))
+
+  /** Bench lifecycle hook: materialize the standing clustered
+    * pre-batch state so the maintenance row times a warm store
+    * read. */
+  def cknnGraphPreBuild(spark: SparkSession, sfDir: String): Unit = {
+    clusteredPre(spark, sfDir)
+    ()
+  }
+
+  /** Spec hook: the fresh full-corpus clustered graph (no store). */
+  private[graft] def clusteredFreshGraph(spark: SparkSession,
+      sfDir: String): DataFrame =
+    AnnOps.knnGraphBuildOver(clusteredEmb(spark, sfDir)
+      .select(col("vec_id"), col("v").as("embedding")))
+
+  /** Spec hook: the standing pre-batch graph (store read). */
+  private[graft] def clusteredStandingGraph(spark: SparkSession,
+      sfDir: String): DataFrame = clusteredPre(spark, sfDir)._1
+
+  /** Spec hook: the merged (refreshed) graph alone. */
+  private[graft] def layeredIncrementalGraph(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.functions.gf
+    val cemb = clusteredEmb(spark, sfDir)
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
+    val newPred = col("vec_id") % 10 === 4
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("sv")),
+        "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+        "dst")
+      .select(col("src"), col("dst"),
+        round(gf.cosine_sim(col("sv"), col("dv")), 6).as("sim"))
+    val (standing, oldB) = clusteredPre(spark, sfDir)
+    val newB = AnnOps.signBucketsQ(emb.filter(newPred), "vec_id", 4, 8)
+    val pairs = newB
+      .select(col("table_id"), col("bucket"), col("vec_id").as("n"))
+      .join(oldB.unionByName(newB).select(col("table_id"), col("bucket"),
+        col("vec_id").as("x")), Seq("table_id", "bucket"))
+      .filter(col("n") =!= col("x"))
+      .select(col("n"), col("x")).distinct()
+    val newEdges = score(
+      pairs.select(col("n").as("src"), col("x").as("dst"))
+        .unionByName(pairs.filter(col("x") % 10 =!= 4)
+          .select(col("x").as("src"), col("n").as("dst"))))
+      .localCheckpoint(true)
+    val affected = newEdges.select(col("src")).distinct()
+    val untouched = standing.join(affected, Seq("src"), "left_anti")
+    val reranked = standing.join(affected, Seq("src"))
+      .select(col("src"), col("dst"), col("sim"))
+      .unionByName(newEdges)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+    untouched.unionByName(reranked)
+  }
+
   // ---------------------------------------------------------------- D35
   /** Paragraph-granularity segment dedup — ExactSubstr (Lee et al.
     * 2022) read out at the unit a production pipeline actually
@@ -1028,12 +1127,16 @@ object Round16Ops {
     "ann_layered_sweep" -> (annLayeredSweep _),
     "q_calibration_fix" -> (qCalibrationFix _),
     "q_threshold_transfer" -> (qThresholdTransfer _),
-    "dedup_paragraph" -> (dedupParagraph _))
+    "dedup_paragraph" -> (dedupParagraph _),
+    "ann_layered_incremental" -> (annLayeredIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "ann_graph_layered" -> annGraphLayeredSql,
     "ann_layered_sweep" -> annLayeredSweepSql,
     "q_calibration_fix" -> qCalibrationFixSql,
     "q_threshold_transfer" -> qThresholdTransferSql,
-    "dedup_paragraph" -> dedupParagraphSql)
+    "dedup_paragraph" -> dedupParagraphSql,
+    // the oracle is E28's full-rebuild SQL — hash equality proves the
+    // refreshed standing index searches identically to a rebuild
+    "ann_layered_incremental" -> annGraphLayeredSql)
 }

@@ -185,6 +185,33 @@ class Round16Spec extends SparkSuite {
       s"capped-substrate recall $matched/${exact.size}")
   }
 
+  test("E30 incremental layered index: the folded-in graph equals the " +
+      "fresh build bit-for-bit and the split is non-degenerate") {
+    val sfq = "/root/testdata/sf0.01"
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val merged = rows(Round16Ops.layeredIncrementalGraph(spark, sfq))
+    val fresh = rows(Round16Ops.clusteredFreshGraph(spark, sfq))
+    assert(merged == fresh,
+      s"refresh diverged from rebuild: extra ${merged -- fresh}, " +
+        s"missing ${fresh -- merged}")
+    // non-degeneracy: the batch contributed srcs, SOME standing src's
+    // top-3 changed (a new neighbor displaced a standing one), and
+    // SOME standing row passed through untouched
+    val standing = rows(Round16Ops.clusteredStandingGraph(spark, sfq))
+    val newSrcs = merged.map(_._1).filter(_ % 10 == 4)
+    assert(newSrcs.nonEmpty, "no batch srcs in the refreshed graph")
+    val changedOld = standing.map(_._1)
+      .filter(s => s % 10 != 4 &&
+        standing.filter(_._1 == s) != merged.filter(_._1 == s))
+    assert(changedOld.nonEmpty,
+      "no standing src gained a new neighbor — the fold-in was inert")
+    val untouchedOld = standing.map(_._1)
+      .filter(s => standing.filter(_._1 == s) == merged.filter(_._1 == s))
+    assert(untouchedOld.nonEmpty, "every standing list changed?")
+  }
+
   // -------------------------------------- drift→retrain→swap rehearsal
 
   test("drift-triggered retrain rehearsal: the PSI flag fires on a " +
