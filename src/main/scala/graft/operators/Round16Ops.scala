@@ -8,7 +8,8 @@ import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Round 16 — the LAYERED graph-ANN index (E28 `ann_graph_layered`,
-  * E29 `ann_layered_sweep`, plus the degree-capped build knob), the
+  * E29 `ann_layered_sweep`, E30 `ann_layered_incremental`, plus the
+  * degree-capped build knob), the
   * out-of-sample calibration FIX (B109 `q_calibration_fix`), the
   * operating-point TRANSFER measurement (B110 `q_threshold_transfer`),
   * and paragraph-granularity ExactSubstr (D35 `dedup_paragraph`).
