@@ -119,6 +119,36 @@ object ScaleProbe {
         concat(col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string")).as("rid"))
 
+    /** B109/B110 shared preamble: the five per-fold CV models train
+      * on the FIXED 1× corpus (untimed — gbt_model_build prices the
+      * training at bench time; re-derived per probe point because
+      * `isolated()`'s cache release drops checkpoint blocks between
+      * points), and each probe corpus gets the out-of-fold
+      * (fold, s, y) scoring view the bench rows time. */
+    def cvWideFixed: DataFrame = {
+      import graft.functions.gf
+      val data = liLabeled(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+        .withColumn("fold",
+          gf.h32(concat(lit("hold:"), col("rid"))) %
+            operators.Round13Ops.cvFolds)
+      val train0 = data.crossJoin(broadcast(spark
+          .range(operators.Round13Ops.cvFolds).select(col("id").as("g"))))
+        .filter(col("g") =!= col("fold"))
+        .select(col("g"), col("q"), col("dd"), col("y"))
+      operators.Round13Ops.jointGbtModels(train0)
+        .withColumnRenamed("g", "fold").localCheckpoint(true)
+    }
+    def oofScored(d: DataFrame): DataFrame = {
+      import graft.functions.gf
+      liLabeled(d)
+        .withColumn("fold",
+          gf.h32(concat(lit("hold:"), col("rid"))) %
+            operators.Round13Ops.cvFolds)
+        .join(broadcast(cvWideFixed), "fold")
+        .select(col("fold"),
+          operators.Round13Ops.gbtScoreColumn.as("s"), col("y"))
+    }
+
     val probes: Seq[(String, DataFrame => Double, Int => DataFrame, DataFrame)] = Seq(
       ("q1_agg",
         (d: DataFrame) => time(d.groupBy("l_returnflag", "l_linestatus")
@@ -706,46 +736,12 @@ object ScaleProbe {
       // slope ≈ one linear pass; everything after the (fold, s) bin
       // collapse is bin-sized regardless of corpus.
       ("cal_fix",
-        (d: DataFrame) => {
-          import graft.functions.gf
-          val foldOf = gf.h32(concat(lit("hold:"), col("rid"))) %
-            operators.Round13Ops.cvFolds
-          val data = liLabeled(li).withColumn("fold", foldOf)
-          val train0 = data.crossJoin(broadcast(spark
-              .range(operators.Round13Ops.cvFolds)
-              .select(col("id").as("g"))))
-            .filter(col("g") =!= col("fold"))
-            .select(col("g"), col("q"), col("dd"), col("y"))
-          val wide = operators.Round13Ops.jointGbtModels(train0)
-            .withColumnRenamed("g", "fold").localCheckpoint(true)
-          val probe = liLabeled(d).withColumn("fold", foldOf)
-          time(operators.Round16Ops.calibrationFixFrom(
-            probe.join(broadcast(wide), "fold")
-              .select(col("fold"),
-                operators.Round13Ops.gbtScoreColumn.as("s"),
-                col("y"))).count())
-        },
+        (d: DataFrame) => time(operators.Round16Ops.calibrationFixFrom(
+          oofScored(d)).count()),
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       ("thr_transfer",
-        (d: DataFrame) => {
-          import graft.functions.gf
-          val foldOf = gf.h32(concat(lit("hold:"), col("rid"))) %
-            operators.Round13Ops.cvFolds
-          val data = liLabeled(li).withColumn("fold", foldOf)
-          val train0 = data.crossJoin(broadcast(spark
-              .range(operators.Round13Ops.cvFolds)
-              .select(col("id").as("g"))))
-            .filter(col("g") =!= col("fold"))
-            .select(col("g"), col("q"), col("dd"), col("y"))
-          val wide = operators.Round13Ops.jointGbtModels(train0)
-            .withColumnRenamed("g", "fold").localCheckpoint(true)
-          val probe = liLabeled(d).withColumn("fold", foldOf)
-          time(operators.Round16Ops.thresholdTransferFrom(
-            probe.join(broadcast(wide), "fold")
-              .select(col("fold"),
-                operators.Round13Ops.gbtScoreColumn.as("s"),
-                col("y"))).count())
-        },
+        (d: DataFrame) => time(operators.Round16Ops.thresholdTransferFrom(
+          oofScored(d)).count()),
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       // B105 forest cross-validation (round 15): training collapses
       // to the (fold, bags, q, dd, y) sufficient-statistic cells —

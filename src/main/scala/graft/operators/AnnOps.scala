@@ -2072,11 +2072,18 @@ object AnnOps {
     }.head
 
   /** The bare E19 build over an arbitrary (vec_id, embedding)
-    * relation — no store (the ScaleProbe's fresh-build path). */
+    * relation — no store (the ScaleProbe's fresh-build path). The
+    * result is eagerly checkpointed so the corpus-sized bucket
+    * relation (4 rows/vector, needed across the candidate self-join's
+    * two sides) can DROP before returning — leaving it pinned would
+    * tax whatever the caller times next, the r15-advisor leak class
+    * (a ×100 probe would otherwise carry it through the timed
+    * search). */
   private[operators] def knnGraphBuildOver(emb: DataFrame): DataFrame = {
     val b = signBucketsQ(emb, "vec_id", numTables = 4, bitsPerTable = 8)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    knnGraphOver(emb, b)
+    try knnGraphOver(emb, b).localCheckpoint(true)
+    finally { b.unpersist(); () }
   }
 
   /** E27's standing PRE-batch state (graph + bucket table) over an

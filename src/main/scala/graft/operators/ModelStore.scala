@@ -72,6 +72,18 @@ object ModelStore {
       (build: => Seq[DataFrame]): Seq[DataFrame] = {
     val dir = root(spark).resolve(key)
     built.getOrElseUpdate(dir.toString, {
+      // sweep orphaned `.trash` siblings first (a writer crashed
+      // between the heal's move-aside and move-back — the window
+      // publish documents): trash dirs are NEVER read by anyone, so
+      // deleting them cannot race a reader, and without the sweep
+      // every such crash would leak a full artifact copy on a
+      // long-lived shared root (r16 review)
+      if (Files.exists(dir)) {
+        val kids = Files.list(dir)
+        try kids.filter(p => p.getFileName.toString.contains(".trash"))
+          .forEach(p => graft.sources.StoreRoot.deleteRecursively(p))
+        finally kids.close()
+      }
       // an artifact already persisted under a SHARED root (another
       // JVM trained it — the H20 cluster story) is reused as-is, the
       // IvmStateStore/SnapshotTable discipline: training is

@@ -78,27 +78,38 @@ object Round10Ops {
         col("span_len"), col("n_gram_pos"))
   }
 
-  val dedupSubstrSpansSql: String =
-    s"""WITH ${DedupOps.minhashSqlCtes},
-       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
-       |sym AS (
-       |  SELECT id1 AS doc_id, id2 AS peer FROM pairs
+  /** Tokenize → positioned 8-grams → shared gram positions against
+    * each candidate pair's peer, prefix-parameterized — ONE substrate
+    * definition shared by the D27 span oracle and the D35 paragraph
+    * oracle (r16 review: the island derivation must not fork).
+    * Expects a CTE `${pfx}pairs(id1, id2)` upstream; chain ends at
+    * `${pfx}shsp(doc_id, peer, p)`. */
+  private[operators] def gramShareCtes(pfx: String): String =
+    s"""${pfx}sym AS (
+       |  SELECT id1 AS doc_id, id2 AS peer FROM ${pfx}pairs
        |  UNION ALL
-       |  SELECT id2 AS doc_id, id1 AS peer FROM pairs),
-       |tokp AS (
+       |  SELECT id2 AS doc_id, id1 AS peer FROM ${pfx}pairs),
+       |${pfx}tokp AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
        |  FROM corpus),
-       |g8p AS MATERIALIZED (
+       |${pfx}g8p AS MATERIALIZED (
        |  SELECT doc_id, g - 1 AS p,
        |    CASE WHEN len(l) < 8 THEN array_to_string(l, ' ')
        |         ELSE array_to_string(l[g:g+7], ' ') END AS s
-       |  FROM tokp, unnest(range(1, greatest(len(l) - 7, 1) + 1)) AS u(g)),
-       |shsp AS (
+       |  FROM ${pfx}tokp, unnest(range(1, greatest(len(l) - 7, 1) + 1))
+       |    AS u(g)),
+       |${pfx}shsp AS (
        |  SELECT m.doc_id, m.peer, m.p
-       |  FROM (SELECT sym.doc_id, sym.peer, g.p, g.s
-       |        FROM sym JOIN g8p g ON g.doc_id = sym.doc_id) m
-       |  WHERE EXISTS (SELECT 1 FROM g8p o
-       |                WHERE o.doc_id = m.peer AND o.s = m.s)),
+       |  FROM (SELECT s0.doc_id, s0.peer, g.p, g.s
+       |        FROM ${pfx}sym s0 JOIN ${pfx}g8p g
+       |          ON g.doc_id = s0.doc_id) m
+       |  WHERE EXISTS (SELECT 1 FROM ${pfx}g8p o
+       |                WHERE o.doc_id = m.peer AND o.s = m.s))""".stripMargin
+
+  val dedupSubstrSpansSql: String =
+    s"""WITH ${DedupOps.minhashSqlCtes},
+       |pairs AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.5),
+       |${gramShareCtes("")},
        |islsp AS (
        |  SELECT doc_id, peer, p,
        |    p - row_number() OVER (PARTITION BY doc_id, peer ORDER BY p) AS i

@@ -228,7 +228,7 @@ object Round12Ops {
     * fresh handle per batch would re-seed the cache with a footer
     * read per commit, exactly the r14 regression. */
   private val ivmTables =
-    new java.util.LinkedHashMap[(String, String), SnapshotTable](
+    new java.util.LinkedHashMap[(SparkSession, String), SnapshotTable](
         16, 0.75f, /* accessOrder = */ true) {
       // LRU, oldest-evicted-first (r15 advisor — the previous
       // size-trip clear() dropped EVERY memoized handle, including
@@ -236,17 +236,22 @@ object Round12Ops {
       // that handle a footer re-seed on its next widening guard, but
       // there is no reason to pay it on the hot entry)
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), SnapshotTable]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String), SnapshotTable])
+          : Boolean =
         size() > 64
     }
   private[graft] def ivmTable(spark: SparkSession,
       dir: String): SnapshotTable = ivmTables.synchronized {
-    // memoized per (session, dir) so the live-schema cache survives
-    // across the streaming twin's micro-batches WITHOUT serving a
-    // handle pinned to a later-stopped SparkSession to callers under
-    // a new session (r15 advisor — the dir alone used to key the
-    // memo, capturing whichever session arrived first)
-    val key = (Integer.toHexString(System.identityHashCode(spark)), dir)
+    // memoized per (session OBJECT, dir) so the live-schema cache
+    // survives across the streaming twin's micro-batches WITHOUT
+    // serving a handle pinned to a later-stopped SparkSession to
+    // callers under a new session (r15 advisor — the dir alone used
+    // to key the memo, capturing whichever session arrived first;
+    // the session reference itself keys reference-equal, immune to
+    // the 31-bit identityHashCode collision a stringified hash
+    // would reintroduce, and costs nothing — the stored handle
+    // already retains its session)
+    val key = (spark, dir)
     val hit = ivmTables.get(key)
     if (hit != null) hit
     else {

@@ -385,6 +385,17 @@ object Round15Ops {
        |      % $folds AS fold
        |  FROM lineitem)""".stripMargin
 
+  /** The five per-fold CV GBT training chains (prefixes x0..x4) over
+    * `craw` — ONE definition shared by B108's oracle here and the
+    * B109/B110 oracles (Round16Ops.oofScoredCtes): a change to the
+    * CV training CTE shape lands in every out-of-fold oracle at once
+    * (r16 review). */
+  private[operators] def cvGbtChainsSql: String =
+    (0 until folds).map { f =>
+      Round12Ops.gbtCtesFrom(
+        s"  SELECT q, dd, y FROM craw WHERE fold <> $f", s"x$f")
+    }.mkString(",\n")
+
   private val pivotColsSql: String = (0 until trees).flatMap { t =>
     Seq(s"max(CASE WHEN node = 't${t}r' THEN v END) AS thr_$t",
       s"max(CASE WHEN node = 't${t}rL' THEN v END) AS thrL_$t",
@@ -602,10 +613,7 @@ object Round15Ops {
   }
 
   val qCalibrationCvSql: String = {
-    val gbtChains = (0 until folds).map { f =>
-      Round12Ops.gbtCtesFrom(
-        s"  SELECT q, dd, y FROM craw WHERE fold <> $f", s"x$f")
-    }.mkString(",\n")
+    val gbtChains = cvGbtChainsSql
     val scoredUnion = (0 until folds).map { f =>
       s"""SELECT (SELECT f0 FROM x${f}f0)
          |${Round13Ops.gbtTermsSql(s"x$f")} AS s, y
