@@ -98,7 +98,8 @@ object Bench {
       ("knn_graph_pre_build", Set("knn_graph_incremental"),
         () => operators.AnnOps.knnGraphPreBuild(spark, sfDir)),
       // round-16: the layered index's standing pre-batch state
-      ("cknn_graph_pre_build", Set("ann_layered_incremental"),
+      ("cknn_graph_pre_build", Set("ann_layered_incremental",
+        "streaming_ann_refresh"),
         () => operators.Round16Ops.cknnGraphPreBuild(spark, sfDir)),
       // round-14: the eval family's trained models are run-shared
       // ModelStore artifacts — these rows carry the one-time trainings

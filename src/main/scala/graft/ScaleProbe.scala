@@ -138,13 +138,13 @@ object ScaleProbe {
       operators.Round13Ops.jointGbtModels(train0)
         .withColumnRenamed("g", "fold").localCheckpoint(true)
     }
-    def oofScored(d: DataFrame): DataFrame = {
+    def oofScoredWith(d: DataFrame, wide: DataFrame): DataFrame = {
       import graft.functions.gf
       liLabeled(d)
         .withColumn("fold",
           gf.h32(concat(lit("hold:"), col("rid"))) %
             operators.Round13Ops.cvFolds)
-        .join(broadcast(cvWideFixed), "fold")
+        .join(broadcast(wide), "fold")
         .select(col("fold"),
           operators.Round13Ops.gbtScoreColumn.as("s"), col("y"))
     }
@@ -367,6 +367,27 @@ object ScaleProbe {
               d.select(col("vec_id"), col("embedding")))
             val c = edges.count(); edges.unpersist(); c
           }
+          t
+        },
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      // round-17 judge item #1b: the layered SEARCH at the scales the
+      // rest of the board uses — sf0.1 base, ×50/×100 replicas — on
+      // the CAPPED substrate (the documented 100 TB build mitigation;
+      // the uncapped E19 build is cluster-quadratic and infeasible at
+      // these sizes, which is exactly why the cap is the knob a
+      // deployment turns). Substrate build untimed (the D13
+      // build-once/probe-many split); the timed region is the coarse
+      // √N scan + the beam traversal, expected near-flat-to-√N.
+      ("graph_layered_capped",
+        (d: DataFrame) => {
+          val (cemb, edges) = operators.Round16Ops.layeredSubstrateCapped(
+            d.select(col("vec_id"), col("embedding")), 16)
+          val t = time(
+            operators.Round16Ops.layeredSearchOver(cemb, edges).count())
+          edges.unpersist()
           t
         },
         (n: Int) => replicate(
@@ -735,13 +756,25 @@ object ScaleProbe {
       // the ≤40-bin PAV/Brier or threshold-transfer tail. Expected
       // slope ≈ one linear pass; everything after the (fold, s) bin
       // collapse is bin-sized regardless of corpus.
+      // (r16 advisor) the model construction is HOISTED out of the
+      // timed thunk — cvWideFixed's jointGbtModels pass ends in an
+      // eager localCheckpoint(true), so `val wide = ...` forces the
+      // whole 5-fold training BEFORE time() opens, mirroring the
+      // graph_layered substrate split; the timed region is exactly
+      // the bench row's shape (scoring scan + bin-sized tail)
       ("cal_fix",
-        (d: DataFrame) => time(operators.Round16Ops.calibrationFixFrom(
-          oofScored(d)).count()),
+        (d: DataFrame) => {
+          val wide = cvWideFixed
+          time(operators.Round16Ops.calibrationFixFrom(
+            oofScoredWith(d, wide)).count())
+        },
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       ("thr_transfer",
-        (d: DataFrame) => time(operators.Round16Ops.thresholdTransferFrom(
-          oofScored(d)).count()),
+        (d: DataFrame) => {
+          val wide = cvWideFixed
+          time(operators.Round16Ops.thresholdTransferFrom(
+            oofScoredWith(d, wide)).count())
+        },
         (n: Int) => replicate(li, n, Seq("l_orderkey"), 10000000L), li),
       // B105 forest cross-validation (round 15): training collapses
       // to the (fold, bags, q, dd, y) sufficient-statistic cells —

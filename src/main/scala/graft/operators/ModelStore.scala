@@ -63,6 +63,11 @@ object ModelStore {
     graft.sources.StoreRoot.resolve(spark, "graft-models")
   private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
+  /** Age gate for the orphaned-`.trash` sweep: 10 minutes — orders of
+    * magnitude above any heal's two-rename flicker, far below the
+    * lifetime of a shared root. Test hook widens/narrows it. */
+  private[graft] var trashSweepAgeMs: Long = 10L * 60 * 1000
+
   /** Test hook: forget which keys this JVM has built, simulating a
     * process restart against the same store root (the torn-state
     * recovery spec uses it; production code never calls this). */
@@ -74,13 +79,24 @@ object ModelStore {
     built.getOrElseUpdate(dir.toString, {
       // sweep orphaned `.trash` siblings first (a writer crashed
       // between the heal's move-aside and move-back — the window
-      // publish documents): trash dirs are NEVER read by anyone, so
-      // deleting them cannot race a reader, and without the sweep
-      // every such crash would leak a full artifact copy on a
-      // long-lived shared root (r16 review)
+      // publish documents), AGE-GATED (r16 advisor): a concurrent
+      // JVM's in-flight heal legitimately parks a COMPLETE artifact
+      // under a .trash name for the instant between its move-aside
+      // and move-back, and sweeping during that flicker would make
+      // the move-back fail and force a spurious rebuild. A parked
+      // heal lives milliseconds; only .trash dirs older than the
+      // gate (by mtime — the nanoTime suffix is not comparable
+      // across JVMs) are genuinely orphaned crash residue, which is
+      // what leaks a full artifact copy per crash on a long-lived
+      // shared root (r16 review) and is all this sweep collects.
       if (Files.exists(dir)) {
+        val cutoffMs = System.currentTimeMillis() - trashSweepAgeMs
         val kids = Files.list(dir)
         try kids.filter(p => p.getFileName.toString.contains(".trash"))
+          .filter { p =>
+            (try Files.getLastModifiedTime(p).toMillis
+             catch { case _: Throwable => Long.MaxValue }) < cutoffMs
+          }
           .forEach(p => graft.sources.StoreRoot.deleteRecursively(p))
         finally kids.close()
       }
@@ -114,7 +130,7 @@ object ModelStore {
     * copy, in which case ours is discarded. Also makes the intra-JVM
     * TrieMap race (getOrElseUpdate may evaluate a block twice)
     * harmless. */
-  private def publish(df: DataFrame, target: Path): Unit = {
+  private[graft] def publish(df: DataFrame, target: Path): Unit = {
     if (Files.exists(target.resolve("_SUCCESS"))) return // already won
     // a target that exists WITHOUT the marker is torn garbage (a
     // crashed non-atomic writer — e.g. a pre-atomic-protocol build):
