@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.gf
-import graft.operators.{ModelStore, Round16Ops}
+import graft.operators.{ModelStore, Round16Ops, Round17Ops}
 import graft.sources.SnapshotTable
 
 /** Round 17 — the scan-side exemplar threshold (judge item #1a), the
@@ -16,14 +16,16 @@ import graft.sources.SnapshotTable
   * stores (judge item #5). */
 class Round17Spec extends SparkSuite {
 
-  /** The Round16Spec synthetic raw embeddings (320 × 64). */
-  private def synthEmb: DataFrame =
-    spark.range(320).select(col("id").as("vec_id"),
+  /** The Round16Spec synthetic raw embeddings (n × 64). */
+  private def synthEmbN(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
       array((0 until 64).map { j =>
         ((gf.h32(concat(lit("e:"), col("id").cast("string"),
           lit(s":$j"))) % 2001 - 1000).cast("double") / 8000.0)
           .cast("float")
       }: _*).as("embedding"))
+
+  private def synthEmb: DataFrame = synthEmbN(320)
 
   // ------------------------------------ E28 exemplar selection (item #1a)
 
@@ -173,6 +175,246 @@ class Round17Spec extends SparkSuite {
       ModelStore.forgetBuiltForTests()
       sources.StoreRoot.deleteRecursively(fresh)
     }
+  }
+
+  // ------------------------------- G28 streamed refresh ≡ rebuild
+
+  test("streaming_ann_refresh: the streamed segment fold-in equals " +
+      "the fresh full rebuild bit-for-bit, and the batch split is " +
+      "non-degenerate (multiple batches contributed, a cross-batch " +
+      "new-new pair was scored, standing lists changed and survived)") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val merged = rows(Round17Ops.streamedMergedGraph(spark, sf))
+    val fresh = rows(Round16Ops.clusteredFreshGraph(spark, sf))
+    assert(merged == fresh,
+      s"streamed refresh diverged from rebuild: extra " +
+        s"${(merged -- fresh).take(5)}, missing ${(fresh -- merged).take(5)}")
+    // non-degeneracy of the STREAM itself
+    val seg = Round17Ops.streamedSegmentEdges(spark, sf)
+    val batches = seg.filter(col("src") % 10 === 4)
+      .select(expr("(src div 10) % 3").as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches.size >= 2,
+      s"only batches $batches contributed edges — boundary untested")
+    // a new-new candidate whose endpoints arrived in DIFFERENT
+    // micro-batches: the pair only scorable because the earlier
+    // endpoint's buckets were a standing segment by then
+    val crossBatch = seg
+      .filter(col("src") % 10 === 4 && col("dst") % 10 === 4)
+      .filter(expr("(src div 10) % 3") =!= expr("(dst div 10) % 3"))
+      .count()
+    assert(crossBatch > 0, "no cross-batch new-new pair was scored")
+    val standing = rows(Round16Ops.clusteredStandingGraph(spark, sf))
+    val changedOld = standing.map(_._1)
+      .filter(s0 => s0 % 10 != 4 &&
+        standing.filter(_._1 == s0) != merged.filter(_._1 == s0))
+    assert(changedOld.nonEmpty,
+      "no standing src gained a streamed neighbor — the fold-in was inert")
+    val untouchedOld = standing.map(_._1)
+      .filter(s0 => standing.filter(_._1 == s0) == merged.filter(_._1 == s0))
+    assert(untouchedOld.nonEmpty, "every standing list changed?")
+  }
+
+  // ------------------------------------------------------ B111 pins
+
+  private def oosRows(rows: Seq[(Long, Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("fold", "half", "s", "y")
+  }
+
+  test("q_calibration_oos: a planted-overfit scorer improves OUT OF " +
+      "SAMPLE (hand-computed), and an already-calibrated one is " +
+      "untouched") {
+    // overconfident scorer, identical distribution in both halves:
+    // s = 900000 where the true rate is 0.6, s = 100000 where it is
+    // 0.4 — the PAV fit on the FIT half maps 900000→600000,
+    // 100000→400000 (monotone, no pooling), and the held half reads
+    // brier 330000 → 240000 ppm (hand computation in the asserts)
+    val over = (0L until 2L).flatMap { f =>
+      (0L until 2L).flatMap { h =>
+        (0 until 10).map(i =>
+          (f, h, 900000L, if (i < 6) 1L else 0L)) ++
+          (0 until 10).map(i =>
+            (f, h, 100000L, if (i < 4) 1L else 0L))
+      }
+    }
+    val out = Round17Ops.calibrationOosFrom(oosRows(over)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 2)
+    out.foreach { case (f, n, pre, post, imp) =>
+      assert(n == 20L, s"fold $f held $n")
+      // pre per bin: 6·(10⁶−9·10⁵)² + 4·(9·10⁵)² = 33·10¹¹ (bin
+      // 900000) and symmetric for 100000 → 66·10¹¹/(20·10⁶) = 330000
+      assert(pre == 330000L, s"fold $f brier_pre $pre")
+      // post: corrected to the observed rates → pure refinement
+      // 2·(6·(4·10⁵)² + 4·(6·10⁵)²)/(20·10⁶) = 240000
+      assert(post == 240000L, s"fold $f brier_post $post")
+      assert(imp == 90000L, s"fold $f improvement $imp")
+    }
+    // already calibrated: scores EQUAL the observed rates in both
+    // halves — the fit is the identity, the held read is untouched
+    val cal = (0L until 2L).flatMap { f =>
+      (0L until 2L).flatMap { h =>
+        (0 until 10).map(i =>
+          (f, h, 600000L, if (i < 6) 1L else 0L)) ++
+          (0 until 10).map(i =>
+            (f, h, 400000L, if (i < 4) 1L else 0L))
+      }
+    }
+    val cout = Round17Ops.calibrationOosFrom(oosRows(cal)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    cout.foreach { case (f, pre, post, imp) =>
+      assert(pre == post && imp == 0L,
+        s"fold $f: calibrated plant regressed ($pre -> $post)")
+    }
+  }
+
+  test("q_calibration_oos: the step extension — a held score between " +
+      "fit bins takes the LOWER bin's value, below every fit bin the " +
+      "lowest — and the out-of-sample read is allowed to be negative") {
+    // fit half: bins 300000 (1/2 pos → iso 500000) and 700000 (2/2 →
+    // iso 1000000); held half: 100000 (below all → 500000), 500000
+    // (between → 500000), 900000 (above all → 1000000), one row each
+    val rows = Seq(
+      (0L, 0L, 300000L, 1L), (0L, 0L, 300000L, 0L),
+      (0L, 0L, 700000L, 1L), (0L, 0L, 700000L, 1L),
+      (0L, 1L, 100000L, 0L), (0L, 1L, 500000L, 1L),
+      (0L, 1L, 900000L, 1L))
+    val out = Round17Ops.calibrationOosFrom(oosRows(rows)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 3L)
+    // pre: (10⁵)² + (5·10⁵)² + (10⁵)² = 2.7·10¹¹ → /(3·10⁶) = 90000
+    assert(r.getLong(2) == 90000L, s"brier_pre ${r.getLong(2)}")
+    // post: (5·10⁵)² [100000→500000, y=0] + (5·10⁵)² [500000→500000,
+    // y=1] + 0 [900000→10⁶, y=1] = 5·10¹¹ → 166666
+    assert(r.getLong(3) == 166666L, s"brier_post ${r.getLong(3)}")
+    // honest: this fit does NOT transfer — improvement is negative
+    assert(r.getLong(4) == 90000L - 166666L,
+      s"improvement ${r.getLong(4)}")
+  }
+
+  // ------------------- E29 overlapping planted geometry (item #6)
+
+  /** Overlapping-cluster derivation: clusters come in PAIRS sharing
+    * one base anchor, each cluster offset by a small hash-seeded
+    * delta WELL INSIDE the residual spread (±30 vs residuals ±125) —
+    * a pair interleaves into one ~80-member region with
+    * sub-structure (24 clusters over a 640-vector corpus → 12
+    * regions, MORE than the 8 fixed single-layer seeds), so kNN
+    * edges cross clusters inside a pair, a beam must traverse the
+    * whole merged region to recover the exact top-5 (widening buys
+    * reach), and the 8 seeds structurally leave regions uncovered
+    * (the layer still wins). Derived in-spec; same exact-integer
+    * grid discipline as the production derivation. */
+  private def overlapCemb: DataFrame = {
+    val anc = spark.range(24).select(col("id").as("c"),
+      array((0 until 64).map { j =>
+        val base = (gf.h32(concat(lit("anc:"),
+          (col("id") - col("id") % 2).cast("string"), lit(s":$j")))
+          % 2001 - 1000)
+        val delta = (gf.h32(concat(lit("dlt:"),
+          col("id").cast("string"), lit(s":$j"))) % 61 - 30)
+        (base + delta).cast("double")
+      }: _*).as("anc"))
+    synthEmbN(640)
+      .select(col("vec_id"),
+        (gf.h32(concat(lit("clu:"), col("vec_id").cast("string")))
+          % 24).as("c"),
+        col("embedding"))
+      .join(broadcast(anc), "c")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("anc"),
+          (x, a) => (a * lit(2) + floor(x.cast("double") * lit(1000)))
+            .cast("float")).as("v"))
+  }
+
+  test("E29 on OVERLAPPING clusters: edges cross inside anchor pairs " +
+      "(geometry non-trivial), single-layer recall GROWS with beam " +
+      "width (widening finally buys something), and the layer still " +
+      "wins recall-per-visit") {
+    val cemb = overlapCemb.localCheckpoint(true)
+    // geometry: some kNN edge crosses between paired clusters
+    val edges0 = Round16Ops.substrateOverCemb(cemb)
+    val tagged = edges0
+      .withColumn("cs", gf.h32(concat(lit("clu:"), col("src").cast("string"))) % 24)
+      .withColumn("cd", gf.h32(concat(lit("clu:"), col("dst").cast("string"))) % 24)
+    val crossPair = tagged.filter(col("cs") =!= col("cd") &&
+      (col("cs") - col("cs") % 2) === (col("cd") - col("cd") % 2)).count()
+    assert(crossPair > 0,
+      "no edges cross inside an anchor group — the overlap is inert")
+    val rows = Round16Ops.layeredSweepOver(cemb, edges0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows.sortBy(r => (r._1, r._2)).foreach(r =>
+      info(s"${r._1}@${r._2}: visited=${r._3} recall_ppm=${r._5}"))
+    val sin4 = rows.find(r => r._1 == "single" && r._2 == 4L).get
+    val sin16 = rows.find(r => r._1 == "single" && r._2 == 16L).get
+    val lay12 = rows.find(r => r._1 == "layered" && r._2 == 12L).get
+    // widening buys recall here (it SATURATED on disjoint clusters —
+    // Round16Spec pins beam 8 ≡ beam 16 there): the honest flip side
+    // of the round-16 claim, measured on the geometry where it holds
+    assert(sin16._5 > sin4._5,
+      s"beam widening bought nothing: ${sin16._5} vs ${sin4._5}")
+    // the layer still wins recall-per-VISIT where clusters touch —
+    // the HNSW claim in its cost-normalized form (single@16 reaches
+    // comparable recall only by spending a larger visited budget)
+    assert(lay12._5.toDouble / lay12._3 > sin16._5.toDouble / sin16._3,
+      s"layer lost recall-per-visit: ${lay12._5}/${lay12._3} vs " +
+        s"${sin16._5}/${sin16._3}")
+    // and at MATCHED-or-smaller budget the layer's recall beats every
+    // single-layer row it dominates on cost
+    rows.filter(r => r._1 == "single" && r._3 <= (lay12._3 * 21) / 20)
+      .foreach { s =>
+        assert(lay12._5 > s._5,
+          s"single@${s._2} (${s._5} ppm @${s._3}) matches the layer " +
+            s"(${lay12._5} ppm @${lay12._3}) inside its budget")
+      }
+  }
+
+  // ---------------------- E28 exemplar-coverage bound (item #7)
+
+  test("E28 coverage bound: measured uncovered-cluster mass under " +
+      "hash sampling matches the hypergeometric formula " +
+      "Σ p_c·Π(N−k_c−i)/(N−i) across independent salt draws, and " +
+      "stays under the e^{−m·p} envelope") {
+    // deliberately SKEWED planted masses: one fat cluster (~62%) and
+    // 15 thin ones (~2.5% each) — the regime where uncovered mass
+    // concentrates in the tail clusters
+    val n = 320
+    val assign = spark.range(n).select(col("id").as("vec_id"),
+        least(lit(15L), gf.h32(concat(lit("skw:"),
+          col("id").cast("string"))) % 40).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = assign.values.groupBy(identity).map { case (c, v) =>
+      c -> v.size }
+    val m = 2 * math.ceil(math.sqrt(n.toDouble)).toInt
+    // exact sampling-without-replacement miss probability per cluster
+    def missP(k: Int): Double =
+      (0 until m).map(i => (n - k - i).toDouble / (n - i)).product
+    val expected = sizes.map { case (_, k) =>
+      (k.toDouble / n) * missP(k) }.sum
+    val envelope = sizes.map { case (_, k) =>
+      val p = k.toDouble / n; p * math.exp(-m * p) }.sum
+    val ids = spark.range(n).select(col("id").as("vec_id"))
+    val draws = (0 until 30).map { t =>
+      val sel = Round16Ops.exemplars(ids, s"cov$t:")
+        .collect().map(_.getLong(0)).toSet
+      val covered = sel.map(assign)
+      sizes.filter { case (c, _) => !covered.contains(c) }
+        .map(_._2.toDouble / n).sum
+    }
+    val measured = draws.sum / draws.size
+    info(f"uncovered mass: measured $measured%.4f, formula " +
+      f"$expected%.4f, e^{-mp} envelope $envelope%.4f (m=$m)")
+    assert(math.abs(measured - expected) < 0.035,
+      f"measured $measured%.4f vs formula $expected%.4f")
+    // the closed-form envelope the §5 note quotes BOUNDS the exact
+    // formula (without-replacement covers at least as fast)
+    assert(expected <= envelope + 1e-12)
   }
 
   // --------------------- two-session concurrency rehearsals (item #5)
