@@ -653,7 +653,7 @@ object Round16Ops {
     * kNN graph (E19's chain over the derived corpus) → symmetrized
     * edges → exemplar layer → coarse scores. ONE definition shared
     * by both oracles. */
-  private val clusteredCtes: String =
+  private[operators] val clusteredBaseCtes: String =
     s"""canc AS MATERIALIZED (
        |  SELECT c, j,
        |    ('0x' || substr(md5('anc:' || CAST(c AS VARCHAR) || ':' ||
@@ -688,8 +688,12 @@ object Round16Ops {
        |  SELECT vec_id, p // 8 AS table_id,
        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END)
        |      AS BIGINT) AS bucket
-       |  FROM cdots GROUP BY vec_id, p // 8),
-       |ccand AS (
+       |  FROM cdots GROUP BY vec_id, p // 8)""".stripMargin
+
+  /** The exact (uncapped) E19 graph over the clustered corpus —
+    * candidates, scores, top-3 — as CTEs ending in `cknng`. */
+  private val clusteredExactGraphCtes: String =
+    s"""ccand AS (
        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM cbuck a JOIN cbuck b
        |    ON a.table_id = b.table_id AND a.bucket = b.bucket
@@ -705,8 +709,13 @@ object Round16Ops {
        |    SELECT src, dst, sim,
        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
        |        AS rank
-       |    FROM cscored) WHERE rank <= 3),
-       |cedges AS MATERIALIZED (
+       |    FROM cscored) WHERE rank <= 3)""".stripMargin
+
+  /** Symmetrized edges + exemplar layer + coarse scores over whatever
+    * `cknng` a prior CTE group defined — shared by E28/E30's oracle
+    * and round 17's epoch-capped variant. */
+  private[operators] val clusteredCoarseCtes: String =
+    s"""cedges AS MATERIALIZED (
        |  SELECT src, dst FROM cknng
        |  UNION
        |  SELECT dst AS src, src AS dst FROM cknng),
@@ -722,6 +731,11 @@ object Round16Ops {
        |  SELECT q.qid, x.nid, round(list_cosine_similarity(q.qv, e.v), 6)
        |    AS sim
        |  FROM cq q, cex x JOIN cemb e ON e.vec_id = x.nid)""".stripMargin
+
+  private val clusteredCtes: String =
+    s"""$clusteredBaseCtes,
+       |$clusteredExactGraphCtes,
+       |$clusteredCoarseCtes""".stripMargin
 
   /** Unrolled beam rounds over `cedges`, optionally parameterized by
     * a `beam` column (the E25/E26 oracle pattern). */
@@ -753,9 +767,11 @@ object Round16Ops {
     }.mkString(",\n")
   }
 
-  val annGraphLayeredSql: String =
-    s"""WITH $clusteredCtes,
-       |lvis0 AS MATERIALIZED (
+  /** The layered-search oracle tail over whatever `ccoarse`/`cedges`
+    * the preceding CTEs defined — E28's coarse-seeded fine beam +
+    * final top-5 (shared with round 17's epoch-capped variant). */
+  private[operators] val layeredSearchSqlTail: String =
+    s"""lvis0 AS MATERIALIZED (
        |  SELECT qid, nid, sim FROM (
        |    SELECT qid, nid, sim,
        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
@@ -770,6 +786,10 @@ object Round16Ops {
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
        |      AS rank
        |  FROM lall WHERE nid <> qid) WHERE rank <= 5""".stripMargin
+
+  val annGraphLayeredSql: String =
+    s"""WITH $clusteredCtes,
+       |$layeredSearchSqlTail""".stripMargin
 
   val annLayeredSweepSql: String = {
     val lb = layeredBeams.mkString(", ")

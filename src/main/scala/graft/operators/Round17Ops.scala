@@ -191,6 +191,172 @@ object Round17Ops {
     spark.read.parquet(s"$dir/edges")
   }
 
+  // ---------------------------------------------------------------- E31
+  /** Incremental maintenance of the CAPPED layered substrate under
+    * EPOCH-PINNED representatives — the refresh ≡ rebuild contract
+    * the round-16 forward note designed and round 17 lands: under a
+    * per-bucket candidate cap, a naive global re-rank of the reps on
+    * ingest EVICTS standing representatives (new members can hash
+    * below them), changing old members' candidate pools — so
+    * top-3-under-union no longer covers the standing lists and
+    * refresh ≠ rebuild. The epoch contract fixes the semantics
+    * instead of the algebra: representatives are pinned AT THEIR
+    * INGEST EPOCH — R_e(bucket) = up to `cap` epoch-e members
+    * minimizing the cap hash — and the index's candidate relation is
+    * members × (∪_e R_e). Then rebuild candidates decompose exactly
+    * as [old × R_0] (summarized by the standing capped graph — top-3
+    * monotone under union, E27) ∪ [new × (R_0 ∪ R_1)] ∪ [old × R_1]
+    * (the increment), so REFRESH ≡ EPOCH-STRUCTURED REBUILD to the
+    * bit. The emitted result is the layered search over the
+    * refreshed substrate; the oracle replays the epoch-structured
+    * rebuild (per-(bucket, epoch) rep rank in one window) + E28's
+    * search chain, so hash equality proves the whole composite.
+    *
+    * The price of the contract is bounded staleness, not correctness:
+    * an epoch's reps stay representative of their own epoch's bucket
+    * population forever (candidates only ADD as epochs land), and the
+    * off-peak compaction that merges epochs is exactly a fresh capped
+    * build — the CompactionProbe economics decide when.
+    *
+    * Scale: the increment touches the batch's buckets, the batch's
+    * ≤cap·tables reps, one batch×rep join and the affected srcs'
+    * ≤3-row standing lists — never the corpus self-join the cap
+    * exists to avoid; the standing build is the LINEAR capped one
+    * (N·tables·cap candidates, the ×20-measured 16.3 s → 4.8 s knob
+    * of E28's row). */
+  def annLayeredCapIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir)
+    val edges = Round16Ops.symEdges(
+      epochCappedIncrementalGraph(cemb).localCheckpoint(true))
+    val out = Round16Ops.layeredSearchOver(cemb, edges)
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  private[graft] val epochCap = 16
+
+  private def capHashed(b: DataFrame): DataFrame = {
+    import graft.functions.gf
+    b.withColumn("h",
+      gf.h32(concat(lit("cap:"), col("vec_id").cast("string"))))
+  }
+
+  /** Per-(table, bucket, epoch) representatives: up to `cap` members
+    * of that epoch minimizing the cap hash. */
+  private def epochReps(b: DataFrame, cap: Int): DataFrame = {
+    val wb = Window.partitionBy(col("table_id"), col("bucket"),
+      col("epoch")).orderBy(col("h"), col("vec_id"))
+    capHashed(b)
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= cap)
+      .select(col("table_id"), col("bucket"), col("vec_id").as("dst"))
+  }
+
+  private def scorePairs(cand: DataFrame, emb: DataFrame): DataFrame = {
+    import graft.functions.gf
+    cand
+      .join(emb.select(col("vec_id").as("src"),
+        col("embedding").as("sv")), "src")
+      .join(emb.select(col("vec_id").as("dst"),
+        col("embedding").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        round(gf.cosine_sim(col("sv"), col("dv")), 6).as("sim"))
+  }
+
+  private def top3(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("dst"), col("sim"))
+  }
+
+  /** The epoch-structured capped REBUILD over the whole corpus — the
+    * contract the oracle replays and the spec's equality reference. */
+  private[graft] def epochCappedGraph(cemb: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
+    val b = AnnOps.signBucketsQ(emb, "vec_id", 4, 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = epochReps(
+      b.withColumn("epoch", (col("vec_id") % 10 === 4).cast("int")),
+      epochCap)
+    val cand = b.select(col("table_id"), col("bucket"),
+        col("vec_id").as("src"))
+      .join(reps, Seq("table_id", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    try top3(scorePairs(cand, emb)).localCheckpoint(true)
+    finally { b.unpersist(); () }
+  }
+
+  /** The refresh path: standing epoch-0 capped graph (the plain
+    * capped build over the old corpus — identical to the epoch rule
+    * when every member is epoch 0) + the increment
+    * [new × (R_0 ∪ R_1)] ∪ [old × R_1], merged by per-src re-rank. */
+  private[graft] def epochCappedIncrementalGraph(
+      cemb: DataFrame): DataFrame = {
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
+    val newPred = col("vec_id") % 10 === 4
+    val standing = Round16Ops.knnGraphBuildCapped(
+      emb.filter(!newPred), epochCap)
+    val oldB = AnnOps.signBucketsQ(emb.filter(!newPred), "vec_id", 4, 8)
+      .localCheckpoint(true)
+    val newB = AnnOps.signBucketsQ(emb.filter(newPred), "vec_id", 4, 8)
+      .localCheckpoint(true)
+    val r0 = epochReps(oldB.withColumn("epoch", lit(0)), epochCap)
+    val r1 = epochReps(newB.withColumn("epoch", lit(1)), epochCap)
+    val newCand = newB.select(col("table_id"), col("bucket"),
+        col("vec_id").as("src"))
+      .join(r0.unionByName(r1), Seq("table_id", "bucket"))
+    val oldCand = oldB.select(col("table_id"), col("bucket"),
+        col("vec_id").as("src"))
+      .join(r1, Seq("table_id", "bucket"))
+    val cand = newCand.unionByName(oldCand)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val inc = scorePairs(cand, emb).localCheckpoint(true)
+    val affected = inc.select(col("src")).distinct()
+    val untouched = standing.join(affected, Seq("src"), "left_anti")
+    val reranked = top3(
+      standing.join(affected, Seq("src"))
+        .select(col("src"), col("dst"), col("sim"))
+        .unionByName(inc))
+    untouched.unionByName(reranked)
+  }
+
+  val annLayeredCapIncrementalSql: String =
+    s"""WITH ${Round16Ops.clusteredBaseCtes},
+       |creps AS MATERIALIZED (
+       |  SELECT table_id, bucket, vec_id AS dst FROM (
+       |    SELECT table_id, bucket, vec_id,
+       |      row_number() OVER (PARTITION BY table_id, bucket,
+       |        (vec_id % 10 = 4)
+       |        ORDER BY ('0x' || substr(md5('cap:' ||
+       |          CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id)
+       |        AS rn
+       |    FROM cbuck) WHERE rn <= $epochCap),
+       |ccand AS (
+       |  SELECT DISTINCT b.vec_id AS src, r.dst
+       |  FROM cbuck b JOIN creps r
+       |    ON r.table_id = b.table_id AND r.bucket = b.bucket
+       |  WHERE b.vec_id <> r.dst),
+       |cscored AS (
+       |  SELECT c.src, c.dst, round(list_cosine_similarity(s.v, e.v), 6)
+       |    AS sim
+       |  FROM ccand c
+       |  JOIN cemb s ON s.vec_id = c.src
+       |  JOIN cemb e ON e.vec_id = c.dst),
+       |cknng AS MATERIALIZED (
+       |  SELECT src, rank, dst, sim FROM (
+       |    SELECT src, dst, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+       |        AS rank
+       |    FROM cscored) WHERE rank <= 3),
+       |${Round16Ops.clusteredCoarseCtes},
+       |${Round16Ops.layeredSearchSqlTail}""".stripMargin
+
   // --------------------------------------------------------------- B111
   /** Out-of-sample READ of the calibration FIX — the nested split the
     * round-16 verdict asked for: B109 fits PAV per fold on that
@@ -344,11 +510,16 @@ object Round17Ops {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_ann_refresh" -> (streamingAnnRefresh _),
+    "ann_layered_cap_incremental" -> (annLayeredCapIncremental _),
     "q_calibration_oos" -> (qCalibrationOos _))
 
   val oracleSql: Map[String, String] = Map(
     // the oracle IS E28's full-rebuild SQL — hash equality proves the
     // streamed segment refreshes search identically to a rebuild
     "streaming_ann_refresh" -> Round16Ops.annGraphLayeredSql,
+    // the epoch-structured capped rebuild + E28's search chain — hash
+    // equality proves refresh ≡ rebuild under the epoch-pinned-reps
+    // contract
+    "ann_layered_cap_incremental" -> annLayeredCapIncrementalSql,
     "q_calibration_oos" -> qCalibrationOosSql)
 }

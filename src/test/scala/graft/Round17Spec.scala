@@ -217,6 +217,49 @@ class Round17Spec extends SparkSuite {
     assert(untouchedOld.nonEmpty, "every standing list changed?")
   }
 
+  // ----------------------- E31 epoch-pinned capped refresh ≡ rebuild
+
+  test("ann_layered_cap_incremental: the epoch-pinned capped refresh " +
+      "equals the epoch-structured rebuild bit-for-bit; the batch " +
+      "adds reps to buckets already AT CAP (real rep churn); and the " +
+      "NON-epoch capped rebuild differs — the contract is load-" +
+      "bearing, not a relabeling") {
+    val cemb = Round16Ops.clusteredEmb(spark, sf).localCheckpoint(true)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val refreshed = rows(Round17Ops.epochCappedIncrementalGraph(cemb))
+    val rebuilt = rows(Round17Ops.epochCappedGraph(cemb))
+    assert(refreshed == rebuilt,
+      s"refresh diverged from epoch rebuild: extra " +
+        s"${(refreshed -- rebuilt).take(5)}, missing " +
+        s"${(rebuilt -- refreshed).take(5)}")
+    // rep churn is real: some (table, bucket) holds ≥cap OLD members
+    // AND ≥1 new member — its epoch-1 reps ADD to a full epoch-0 rep
+    // set, the case a global re-rank would instead resolve by
+    // EVICTION (breaking refresh ≡ rebuild)
+    import graft.operators.AnnOps
+    val b = AnnOps.signBucketsQ(
+      cemb.select(col("vec_id"), col("v").as("embedding")),
+      "vec_id", 4, 8)
+    val full = b.groupBy(col("table_id"), col("bucket")).agg(
+        sum((col("vec_id") % 10 =!= 4).cast("long")).as("old_n"),
+        sum((col("vec_id") % 10 === 4).cast("long")).as("new_n"))
+      .filter(col("old_n") >= Round17Ops.epochCap && col("new_n") >= 1)
+      .count()
+    assert(full > 0,
+      "no bucket is at cap with a new arrival — churn untested")
+    // the global (non-epoch) capped rebuild picks a DIFFERENT rep set
+    // on such buckets, so its graph differs — the epoch contract is a
+    // semantic choice, and the spec records that it is one
+    val globalCap = rows(Round16Ops.knnGraphBuildCapped(
+      cemb.select(col("vec_id"), col("v").as("embedding")),
+      Round17Ops.epochCap))
+    assert(globalCap != rebuilt,
+      "global and epoch-pinned capped builds coincide — the planted " +
+        "corpus exercises no eviction and the contract pin is vacuous")
+  }
+
   // ------------------------------------------------------ B111 pins
 
   private def oosRows(rows: Seq[(Long, Long, Long, Long)]): DataFrame = {
