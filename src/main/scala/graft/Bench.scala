@@ -101,6 +101,11 @@ object Bench {
       ("cknn_graph_pre_build", Set("ann_layered_incremental",
         "streaming_ann_refresh"),
         () => operators.Round16Ops.cknnGraphPreBuild(spark, sfDir)),
+      // round-17: the epoch-capped maintenance legs' standing
+      // epoch-0 capped graph
+      ("ccap_graph_pre_build", Set("ann_layered_cap_incremental",
+        "streaming_ann_cap_refresh"),
+        () => operators.Round17Ops.ccapGraphPreBuild(spark, sfDir)),
       // round-14: the eval family's trained models are run-shared
       // ModelStore artifacts — these rows carry the one-time trainings
       ("gbt_model_build", Set(

@@ -2091,6 +2091,17 @@ object AnnOps {
     * key — the layered index's incremental-maintenance leg stores
     * its state over the DERIVED clustered corpus (Round16Ops) and
     * must not collide with the raw corpus's `knngpre` entry. */
+  /** The CAPPED build under its own store key — round 17's standing
+    * epoch-0 substrate for the epoch-pinned maintenance legs
+    * (E31/G29): built once per (key, corpus) per run, priced by its
+    * bench `_build` row, read by every maintenance query. */
+  private[operators] def cappedGraphSharedOver(spark: SparkSession,
+      sfDir: String, key: String, emb: => DataFrame,
+      cap: Int): DataFrame =
+    AnnIndexStore.get(spark, key + "_" + indexKey(sfDir), Seq("knng")) {
+      Seq(Round16Ops.knnGraphBuildCapped(emb, cap))
+    }.head
+
   private[operators] def knnGraphPreSharedOver(spark: SparkSession,
       sfDir: String, key: String,
       emb: => DataFrame): (DataFrame, DataFrame) = {

@@ -228,7 +228,8 @@ object Round17Ops {
       sfDir: String): DataFrame = {
     val cemb = Round16Ops.clusteredEmb(spark, sfDir)
     val edges = Round16Ops.symEdges(
-      epochCappedIncrementalGraph(cemb).localCheckpoint(true))
+      epochCappedIncrementalFrom(cemb,
+        standingCappedGraph(spark, sfDir)).localCheckpoint(true))
     val out = Round16Ops.layeredSearchOver(cemb, edges)
       .localCheckpoint(true)
     edges.unpersist()
@@ -291,16 +292,41 @@ object Round17Ops {
     finally { b.unpersist(); () }
   }
 
-  /** The refresh path: standing epoch-0 capped graph (the plain
-    * capped build over the old corpus — identical to the epoch rule
-    * when every member is epoch 0) + the increment
-    * [new × (R_0 ∪ R_1)] ∪ [old × R_1], merged by per-src re-rank. */
+  /** The standing epoch-0 capped graph, run-shared (the E11/E15
+    * split — built once per corpus per run under the `ccapknng` store
+    * key, priced by the `ccap_graph_pre_build` bench row; identical
+    * to the epoch rule's R_0 build since every standing member is
+    * epoch 0). */
+  private def standingCappedGraph(spark: SparkSession,
+      sfDir: String): DataFrame =
+    AnnOps.cappedGraphSharedOver(spark, sfDir, "ccapknng",
+      Round16Ops.clusteredEmb(spark, sfDir)
+        .filter(col("vec_id") % 10 =!= 4)
+        .select(col("vec_id"), col("v").as("embedding")), epochCap)
+
+  /** Bench lifecycle hook: materialize the standing capped graph so
+    * the two maintenance rows time a warm store read. */
+  def ccapGraphPreBuild(spark: SparkSession, sfDir: String): Unit = {
+    standingCappedGraph(spark, sfDir)
+    ()
+  }
+
+  /** Spec hook: the refresh path with the standing build derived
+    * in-plan (no store — bit-identical to the store read since the
+    * capped build is deterministic). */
   private[graft] def epochCappedIncrementalGraph(
-      cemb: DataFrame): DataFrame = {
+      cemb: DataFrame): DataFrame =
+    epochCappedIncrementalFrom(cemb,
+      Round16Ops.knnGraphBuildCapped(
+        cemb.filter(col("vec_id") % 10 =!= 4)
+          .select(col("vec_id"), col("v").as("embedding")), epochCap))
+
+  /** The refresh path: standing epoch-0 capped graph + the increment
+    * [new × (R_0 ∪ R_1)] ∪ [old × R_1], merged by per-src re-rank. */
+  private[graft] def epochCappedIncrementalFrom(cemb: DataFrame,
+      standing: DataFrame): DataFrame = {
     val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
     val newPred = col("vec_id") % 10 === 4
-    val standing = Round16Ops.knnGraphBuildCapped(
-      emb.filter(!newPred), epochCap)
     val oldB = AnnOps.signBucketsQ(emb.filter(!newPred), "vec_id", 4, 8)
       .localCheckpoint(true)
     val newB = AnnOps.signBucketsQ(emb.filter(newPred), "vec_id", 4, 8)
@@ -333,6 +359,196 @@ object Round17Ops {
        |    SELECT table_id, bucket, vec_id,
        |      row_number() OVER (PARTITION BY table_id, bucket,
        |        (vec_id % 10 = 4)
+       |        ORDER BY ('0x' || substr(md5('cap:' ||
+       |          CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id)
+       |        AS rn
+       |    FROM cbuck) WHERE rn <= $epochCap),
+       |ccand AS (
+       |  SELECT DISTINCT b.vec_id AS src, r.dst
+       |  FROM cbuck b JOIN creps r
+       |    ON r.table_id = b.table_id AND r.bucket = b.bucket
+       |  WHERE b.vec_id <> r.dst),
+       |cscored AS (
+       |  SELECT c.src, c.dst, round(list_cosine_similarity(s.v, e.v), 6)
+       |    AS sim
+       |  FROM ccand c
+       |  JOIN cemb s ON s.vec_id = c.src
+       |  JOIN cemb e ON e.vec_id = c.dst),
+       |cknng AS MATERIALIZED (
+       |  SELECT src, rank, dst, sim FROM (
+       |    SELECT src, dst, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+       |        AS rank
+       |    FROM cscored) WHERE rank <= 3),
+       |${Round16Ops.clusteredCoarseCtes},
+       |${Round16Ops.layeredSearchSqlTail}""".stripMargin
+
+  // ---------------------------------------------------------------- G29
+  /** Streaming ingest of the EPOCH-CAPPED substrate — G28 and E31
+    * composed, which is the index path a 100 TB deployment actually
+    * runs (the capped build is the only linear one, and live vectors
+    * arrive as a stream): each micro-batch is its OWN REP EPOCH.
+    * Inside foreachBatch the batch derives its per-(table, bucket)
+    * representatives FROM THE BATCH ALONE (epoch-pinned — standing
+    * rep segments are never re-ranked), scores the epoch-capped
+    * increment [batch members × (prior reps ∪ batch reps)] ∪
+    * [prior members × batch reps], and appends three segments:
+    * edges, buckets, reps. Every (member, rep) candidate is scored
+    * in exactly the batch where the LATER of the two arrives, so the
+    * segment union carries the multi-epoch rebuild's candidate
+    * relation and top-3-under-union gives streamed refresh ≡
+    * MULTI-EPOCH-STRUCTURED REBUILD to the bit — the oracle replays
+    * that rebuild (one rep-rank window partitioned by (bucket,
+    * arrival epoch), arrival derived from vec_id) + E28's search
+    * chain, so hash equality proves the whole composite.
+    *
+    * Scale: per batch the work is the batch's buckets, its ≤cap·
+    * tables reps, two batch-sized equi-joins and the appends — the
+    * standing index never rewrites and NOTHING is ever
+    * cluster-quadratic (the whole point of ingesting into the capped
+    * substrate); epoch merge (compaction) is a fresh capped build,
+    * scheduled off-peak by the CompactionProbe economics. */
+  def streamingAnnCapRefresh(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = stagedCapAnn.computeIfAbsent(sfDir,
+      _ => ingestCapSegments(spark, sfDir))
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir)
+    val edges = Round16Ops.symEdges(
+      capMergedGraphFrom(spark, sfDir, dir))
+    val out = Round16Ops.layeredSearchOver(cemb, edges)
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  private val stagedCapAnn =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ingestCapSegments(spark: SparkSession,
+      sfDir: String): String = {
+    val d = Files.createTempDirectory("graft_stream_capann").toString
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir)
+    val newPred = col("vec_id") % 10 === 4
+    val oldB = AnnOps.signBucketsQ(
+      cemb.filter(!newPred).select(col("vec_id"),
+        col("v").as("embedding")), "vec_id", 4, 8)
+      .localCheckpoint(true)
+    // standing epoch-0 segments: buckets + reps (written once)
+    oldB.select(col("table_id"), col("bucket"), col("vec_id"))
+      .write.parquet(s"$d/buckets")
+    epochReps(oldB.withColumn("epoch", lit(0)), epochCap)
+      .write.parquet(s"$d/reps")
+    val newVecs = cemb.filter(newPred)
+    (0 to 2).foreach { b =>
+      newVecs.filter(expr("(vec_id div 10) % 3") === b)
+        .coalesce(1).write.parquet(s"$d/batch_$b")
+    }
+    val t0 = System.currentTimeMillis()
+    (0 to 2).foreach { i =>
+      val f = new java.io.File(s"$d/batch_$i")
+      (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
+    }
+    val q = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/batch_*")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$d/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val sp = batch.sparkSession
+          val bEmb = batch.select(col("vec_id"),
+            col("v").as("embedding")).localCheckpoint(true)
+          val bB = AnnOps.signBucketsQ(bEmb, "vec_id", 4, 8)
+            .select(col("table_id"), col("bucket"), col("vec_id"))
+            .localCheckpoint(true)
+          // the batch's OWN epoch: rank within the batch alone — the
+          // constant epoch tag makes the shared window per-batch
+          val bReps = epochReps(bB.withColumn("epoch", lit(1)),
+            epochCap).localCheckpoint(true)
+          val priorB = sp.read.parquet(s"$d/buckets")
+          val priorR = sp.read.parquet(s"$d/reps")
+          val cand = bB.select(col("table_id"), col("bucket"),
+              col("vec_id").as("src"))
+            .join(priorR.unionByName(bReps), Seq("table_id", "bucket"))
+            .unionByName(
+              priorB.select(col("table_id"), col("bucket"),
+                col("vec_id").as("src"))
+                .join(bReps, Seq("table_id", "bucket")))
+            .filter(col("src") =!= col("dst"))
+            .select(col("src"), col("dst")).distinct()
+          val emb = Round16Ops.clusteredEmb(sp, sfDir)
+            .select(col("vec_id"), col("v").as("embedding"))
+          scorePairs(cand, emb).write.mode("append").parquet(s"$d/edges")
+          bB.write.mode("append").parquet(s"$d/buckets")
+          bReps.write.mode("append").parquet(s"$d/reps")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    d
+  }
+
+  /** The maintenance merge over the streamed epoch-capped segments —
+    * the standing epoch-0 capped graph summarizes [old × R_0]; every
+    * src that gained a segment edge re-ranks over union. */
+  private[graft] def capMergedGraphFrom(spark: SparkSession,
+      sfDir: String, dir: String): DataFrame = {
+    val standing = standingCappedGraph(spark, sfDir)
+    val segEdges = spark.read.parquet(s"$dir/edges")
+    val affected = segEdges.select(col("src")).distinct()
+    val untouched = standing.join(affected, Seq("src"), "left_anti")
+    val reranked = top3(
+      standing.join(affected, Seq("src"))
+        .select(col("src"), col("dst"), col("sim"))
+        .unionByName(segEdges.select(col("src"), col("dst"), col("sim"))))
+    untouched.unionByName(reranked).localCheckpoint(true)
+  }
+
+  /** Spec hook: the streamed epoch-capped merged graph. */
+  private[graft] def streamedCapMergedGraph(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = stagedCapAnn.computeIfAbsent(sfDir,
+      _ => ingestCapSegments(spark, sfDir))
+    capMergedGraphFrom(spark, sfDir, dir)
+  }
+
+  /** Spec hook: the raw streamed rep segments. */
+  private[graft] def streamedCapReps(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = stagedCapAnn.computeIfAbsent(sfDir,
+      _ => ingestCapSegments(spark, sfDir))
+    spark.read.parquet(s"$dir/reps")
+  }
+
+  /** The MULTI-epoch-structured capped rebuild — epoch = arrival
+    * label (0 for standing, 1 + (vec_id div 10) mod 3 per batch),
+    * the contract the G29 oracle replays and the spec's reference. */
+  private[graft] def multiEpochCappedGraph(cemb: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
+    val b = AnnOps.signBucketsQ(emb, "vec_id", 4, 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = epochReps(
+      b.withColumn("epoch",
+        when(col("vec_id") % 10 === 4,
+          expr("1 + (vec_id div 10) % 3")).otherwise(lit(0L))),
+      epochCap)
+    val cand = b.select(col("table_id"), col("bucket"),
+        col("vec_id").as("src"))
+      .join(reps, Seq("table_id", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    try top3(scorePairs(cand, emb)).localCheckpoint(true)
+    finally { b.unpersist(); () }
+  }
+
+  val streamingAnnCapRefreshSql: String =
+    s"""WITH ${Round16Ops.clusteredBaseCtes},
+       |creps AS MATERIALIZED (
+       |  SELECT table_id, bucket, vec_id AS dst FROM (
+       |    SELECT table_id, bucket, vec_id,
+       |      row_number() OVER (PARTITION BY table_id, bucket,
+       |        CASE WHEN vec_id % 10 = 4
+       |          THEN 1 + (vec_id // 10) % 3 ELSE 0 END
        |        ORDER BY ('0x' || substr(md5('cap:' ||
        |          CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id)
        |        AS rn
@@ -510,6 +726,7 @@ object Round17Ops {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_ann_refresh" -> (streamingAnnRefresh _),
+    "streaming_ann_cap_refresh" -> (streamingAnnCapRefresh _),
     "ann_layered_cap_incremental" -> (annLayeredCapIncremental _),
     "q_calibration_oos" -> (qCalibrationOos _))
 
@@ -521,5 +738,7 @@ object Round17Ops {
     // equality proves refresh ≡ rebuild under the epoch-pinned-reps
     // contract
     "ann_layered_cap_incremental" -> annLayeredCapIncrementalSql,
+    // the multi-epoch-structured capped rebuild + E28's search chain
+    "streaming_ann_cap_refresh" -> streamingAnnCapRefreshSql,
     "q_calibration_oos" -> qCalibrationOosSql)
 }

@@ -217,6 +217,44 @@ class Round17Spec extends SparkSuite {
     assert(untouchedOld.nonEmpty, "every standing list changed?")
   }
 
+  // -------------- G29 streamed epoch-capped refresh ≡ rebuild
+
+  test("streaming_ann_cap_refresh: the streamed epoch-capped fold-in " +
+      "equals the multi-epoch-structured rebuild bit-for-bit, " +
+      "multiple batches contributed their own rep epochs, and a " +
+      "bucket at cap gains later-epoch reps (real streamed churn)") {
+    val cemb = Round16Ops.clusteredEmb(spark, sf).localCheckpoint(true)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rows(Round17Ops.streamedCapMergedGraph(spark, sf))
+    val rebuilt = rows(Round17Ops.multiEpochCappedGraph(cemb))
+    assert(streamed == rebuilt,
+      s"streamed epoch-capped refresh diverged from rebuild: extra " +
+        s"${(streamed -- rebuilt).take(5)}, missing " +
+        s"${(rebuilt -- streamed).take(5)}")
+    // rep segments arrived from ≥2 distinct batches
+    val reps = Round17Ops.streamedCapReps(spark, sf)
+    val repBatches = reps.filter(col("dst") % 10 === 4)
+      .select(expr("(dst div 10) % 3").as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(repBatches.size >= 2,
+      s"only batches $repBatches contributed reps")
+    // a bucket already at cap among epoch-0 reps gained a
+    // later-epoch rep — the eviction case a global re-rank would
+    // mishandle, exercised on the STREAMED path
+    import graft.operators.AnnOps
+    val b = AnnOps.signBucketsQ(
+      cemb.select(col("vec_id"), col("v").as("embedding")),
+      "vec_id", 4, 8)
+    val atCapWithNew = b.groupBy(col("table_id"), col("bucket")).agg(
+        sum((col("vec_id") % 10 =!= 4).cast("long")).as("old_n"),
+        sum((col("vec_id") % 10 === 4).cast("long")).as("new_n"))
+      .filter(col("old_n") >= Round17Ops.epochCap && col("new_n") >= 1)
+      .count()
+    assert(atCapWithNew > 0, "no at-cap bucket gained a streamed rep")
+  }
+
   // ----------------------- E31 epoch-pinned capped refresh ≡ rebuild
 
   test("ann_layered_cap_incremental: the epoch-pinned capped refresh " +
