@@ -115,7 +115,8 @@ object Bench {
         "q_gbt_importance", "q_model_compare", "q_cost_curve",
         "q_isotonic_calibration", "sample_slice_eval",
         "streaming_confusion_monitor", "q_model_compare_cv",
-        "q_calibration_cv", "q_calibration_fix", "q_threshold_transfer"),
+        "q_calibration_cv", "q_calibration_fix", "q_threshold_transfer",
+        "q_calibration_oos"),
         () => operators.ModelStore.gbtModelBuild(spark, sfDir)),
       ("forest_model_build", Set(
         "q_forest_eval", "q_oob_eval", "q_feature_importance",

@@ -346,6 +346,10 @@ object ScaleProbe {
         (d: DataFrame) => {
           val (cemb, edges) = operators.Round16Ops.layeredSubstrate(
             d.select(col("vec_id"), col("embedding")))
+          // materialize the lazily-persisted symmetrized edge set
+          // BEFORE the timed region (r17 review): symEdges' O(N)
+          // union+distinct is substrate build, not search
+          edges.count()
           val t = time(
             operators.Round16Ops.layeredSearchOver(cemb, edges).count())
           edges.unpersist()
@@ -385,6 +389,7 @@ object ScaleProbe {
         (d: DataFrame) => {
           val (cemb, edges) = operators.Round16Ops.layeredSubstrateCapped(
             d.select(col("vec_id"), col("embedding")), 16)
+          edges.count() // see graph_layered: edge-set build is untimed
           val t = time(
             operators.Round16Ops.layeredSearchOver(cemb, edges).count())
           edges.unpersist()

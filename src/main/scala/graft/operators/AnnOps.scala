@@ -2086,11 +2086,6 @@ object AnnOps {
     finally { b.unpersist(); () }
   }
 
-  /** E27's standing PRE-batch state (graph + bucket table) over an
-    * ARBITRARY already-filtered standing corpus, under its own store
-    * key — the layered index's incremental-maintenance leg stores
-    * its state over the DERIVED clustered corpus (Round16Ops) and
-    * must not collide with the raw corpus's `knngpre` entry. */
   /** The CAPPED build under its own store key — round 17's standing
     * epoch-0 substrate for the epoch-pinned maintenance legs
     * (E31/G29): built once per (key, corpus) per run, priced by its
@@ -2102,6 +2097,11 @@ object AnnOps {
       Seq(Round16Ops.knnGraphBuildCapped(emb, cap))
     }.head
 
+  /** E27's standing PRE-batch state (graph + bucket table) over an
+    * ARBITRARY already-filtered standing corpus, under its own store
+    * key — the layered index's incremental-maintenance leg stores
+    * its state over the DERIVED clustered corpus (Round16Ops) and
+    * must not collide with the raw corpus's `knngpre` entry. */
   private[operators] def knnGraphPreSharedOver(spark: SparkSession,
       sfDir: String, key: String,
       emb: => DataFrame): (DataFrame, DataFrame) = {

@@ -65,8 +65,9 @@ object ModelStore {
 
   /** Age gate for the orphaned-`.trash` sweep: 10 minutes — orders of
     * magnitude above any heal's two-rename flicker, far below the
-    * lifetime of a shared root. Test hook widens/narrows it. */
-  private[graft] var trashSweepAgeMs: Long = 10L * 60 * 1000
+    * lifetime of a shared root (the spec exercises both arms by
+    * back-dating a planted orphan's mtime). */
+  private val trashSweepAgeMs: Long = 10L * 60 * 1000
 
   /** Test hook: forget which keys this JVM has built, simulating a
     * process restart against the same store root (the torn-state
@@ -130,7 +131,7 @@ object ModelStore {
     * copy, in which case ours is discarded. Also makes the intra-JVM
     * TrieMap race (getOrElseUpdate may evaluate a block twice)
     * harmless. */
-  private[graft] def publish(df: DataFrame, target: Path): Unit = {
+  private def publish(df: DataFrame, target: Path): Unit = {
     if (Files.exists(target.resolve("_SUCCESS"))) return // already won
     // a target that exists WITHOUT the marker is torn garbage (a
     // crashed non-atomic writer — e.g. a pre-atomic-protocol build):

@@ -91,7 +91,11 @@ object Round17Ops {
   private def ingestAnnSegments(spark: SparkSession,
       sfDir: String): String = {
     val d = Files.createTempDirectory("graft_stream_ann").toString
-    val cemb = Round16Ops.clusteredEmb(spark, sfDir)
+    // checkpointed ONCE and closed over by every micro-batch (r17
+    // review: re-deriving the full clustered corpus per batch paid 3
+    // redundant corpus scans inside the stream)
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir).localCheckpoint(true)
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
     val newPred = col("vec_id") % 10 === 4
     // standing bucket state = segment 0 of the bucket store (the
     // cknngpre store's bucket artifact, written once)
@@ -117,7 +121,6 @@ object Round17Ops {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
           val sp = batch.sparkSession
-          import graft.functions.gf
           val bEmb = batch.select(col("vec_id"),
             col("v").as("embedding")).localCheckpoint(true)
           val bB = AnnOps.signBucketsQ(bEmb, "vec_id", 4, 8)
@@ -135,15 +138,7 @@ object Round17Ops {
             .unionByName(
               pairs.select(col("x").as("src"), col("n").as("dst")))
             .distinct()
-          val emb = Round16Ops.clusteredEmb(sp, sfDir)
-          val scored = cand
-            .join(emb.select(col("vec_id").as("src"),
-              col("v").as("sv")), "src")
-            .join(emb.select(col("vec_id").as("dst"),
-              col("v").as("dv")), "dst")
-            .select(col("src"), col("dst"),
-              round(gf.cosine_sim(col("sv"), col("dv")), 6).as("sim"))
-          scored.write.mode("append").parquet(s"$d/edges")
+          scorePairs(cand, emb).write.mode("append").parquet(s"$d/edges")
           bB.write.mode("append").parquet(s"$d/buckets")
       }
       .start()
@@ -427,7 +422,10 @@ object Round17Ops {
   private def ingestCapSegments(spark: SparkSession,
       sfDir: String): String = {
     val d = Files.createTempDirectory("graft_stream_capann").toString
-    val cemb = Round16Ops.clusteredEmb(spark, sfDir)
+    // checkpointed once, closed over by every batch (see
+    // ingestAnnSegments)
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir).localCheckpoint(true)
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
     val newPred = col("vec_id") % 10 === 4
     val oldB = AnnOps.signBucketsQ(
       cemb.filter(!newPred).select(col("vec_id"),
@@ -476,8 +474,6 @@ object Round17Ops {
                 .join(bReps, Seq("table_id", "bucket")))
             .filter(col("src") =!= col("dst"))
             .select(col("src"), col("dst")).distinct()
-          val emb = Round16Ops.clusteredEmb(sp, sfDir)
-            .select(col("vec_id"), col("v").as("embedding"))
           scorePairs(cand, emb).write.mode("append").parquet(s"$d/edges")
           bB.write.mode("append").parquet(s"$d/buckets")
           bReps.write.mode("append").parquet(s"$d/reps")
