@@ -399,6 +399,43 @@ object ScaleProbe {
           spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
           Seq("vec_id"), 10000000L),
         spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      // E31 epoch-capped incremental maintenance (round 17): the
+      // BATCH stays fixed (replica 0's new vectors) while the
+      // standing corpus grows ×N — the daily-ingest shape. Untimed
+      // substrate: the derived corpus, the standing capped graph AND
+      // the standing bucket table (all store artifacts at scale,
+      // priced by ccap_graph_pre_build). Timed: the increment
+      // [new × (R_0 ∪ R_1)] ∪ [old × R_1] + the per-src re-rank
+      // merge. Expected near-flat: the batch's buckets and reps are
+      // fixed, standing contact is the bucket-table equi-joins (rep
+      // side ≤ cap·tables rows per bucket) and the affected srcs'
+      // ≤3-row lists — the [old × R_1] term grows only with the
+      // POPULATION OF TOUCHED BUCKETS, not the corpus.
+      ("epoch_cap_incr",
+        (d: DataFrame) => {
+          val cemb = operators.Round16Ops.clusteredEmbOver(
+            d.select(col("vec_id"), col("embedding")))
+            .localCheckpoint(true)
+          val batchPred = col("vec_id") % 10 === 4 &&
+            col("vec_id") < 10000000L
+          val old = cemb.filter(!batchPred)
+            .select(col("vec_id"), col("v").as("embedding"))
+          val standing = operators.Round16Ops.knnGraphBuildCapped(
+            old, operators.Round17Ops.epochCap)
+          val oldB = operators.AnnOps.signBucketsQ(old, "vec_id", 4, 8)
+            .localCheckpoint(true)
+          // the standing rep set is store state too (third `ccapknng`
+          // artifact) — derived untimed here like the graph/buckets
+          val r0 = operators.Round17Ops.epochReps(
+            oldB.withColumn("epoch", lit(0)),
+            operators.Round17Ops.epochCap).localCheckpoint(true)
+          time(operators.Round17Ops.epochCappedIncrementalFrom(
+            cemb, standing, oldB, r0, batchPred).count())
+        },
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
       ("layered_cap_build",
         (d: DataFrame) => {
           val t = time {

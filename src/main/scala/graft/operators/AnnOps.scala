@@ -2086,16 +2086,29 @@ object AnnOps {
     finally { b.unpersist(); () }
   }
 
-  /** The CAPPED build under its own store key — round 17's standing
-    * epoch-0 substrate for the epoch-pinned maintenance legs
-    * (E31/G29): built once per (key, corpus) per run, priced by its
-    * bench `_build` row, read by every maintenance query. */
-  private[operators] def cappedGraphSharedOver(spark: SparkSession,
+  /** The CAPPED build's standing state (graph + bucket table) under
+    * its own store key — round 17's epoch-0 substrate for the
+    * epoch-pinned maintenance legs (E31/G29): built once per (key,
+    * corpus) per run, priced by its bench `_build` row, read by
+    * every maintenance query. Storing the BUCKETS beside the graph
+    * (the knnGraphPreSharedOver pattern) is what keeps the
+    * maintenance path corpus-scan-free: the increment reads standing
+    * buckets from the store instead of re-hashing the corpus. */
+  private[operators] def cappedPreSharedOver(spark: SparkSession,
       sfDir: String, key: String, emb: => DataFrame,
-      cap: Int): DataFrame =
-    AnnIndexStore.get(spark, key + "_" + indexKey(sfDir), Seq("knng")) {
-      Seq(Round16Ops.knnGraphBuildCapped(emb, cap))
-    }.head
+      cap: Int): (DataFrame, DataFrame, DataFrame) = {
+    val out = AnnIndexStore.get(spark, key + "_" + indexKey(sfDir),
+      Seq("knng", "buckets", "reps")) {
+      val e = emb
+      val b = signBucketsQ(e, "vec_id", numTables = 4, bitsPerTable = 8)
+        .localCheckpoint(true)
+      Seq(Round16Ops.knnGraphBuildCapped(e, cap), b,
+        Round17Ops.epochReps(
+          b.withColumn("epoch", org.apache.spark.sql.functions.lit(0)),
+          cap))
+    }
+    (out(0), out(1), out(2))
+  }
 
   /** E27's standing PRE-batch state (graph + bucket table) over an
     * ARBITRARY already-filtered standing corpus, under its own store

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType,
@@ -222,9 +222,10 @@ object Round17Ops {
   def annLayeredCapIncremental(spark: SparkSession,
       sfDir: String): DataFrame = {
     val cemb = Round16Ops.clusteredEmb(spark, sfDir)
+    val (standing, oldB, r0) = standingCappedState(spark, sfDir)
     val edges = Round16Ops.symEdges(
-      epochCappedIncrementalFrom(cemb,
-        standingCappedGraph(spark, sfDir)).localCheckpoint(true))
+      epochCappedIncrementalFrom(cemb, standing, oldB, r0)
+        .localCheckpoint(true))
     val out = Round16Ops.layeredSearchOver(cemb, edges)
       .localCheckpoint(true)
     edges.unpersist()
@@ -241,7 +242,7 @@ object Round17Ops {
 
   /** Per-(table, bucket, epoch) representatives: up to `cap` members
     * of that epoch minimizing the cap hash. */
-  private def epochReps(b: DataFrame, cap: Int): DataFrame = {
+  private[graft] def epochReps(b: DataFrame, cap: Int): DataFrame = {
     val wb = Window.partitionBy(col("table_id"), col("bucket"),
       col("epoch")).orderBy(col("h"), col("vec_id"))
     capHashed(b)
@@ -292,9 +293,9 @@ object Round17Ops {
     * key, priced by the `ccap_graph_pre_build` bench row; identical
     * to the epoch rule's R_0 build since every standing member is
     * epoch 0). */
-  private def standingCappedGraph(spark: SparkSession,
-      sfDir: String): DataFrame =
-    AnnOps.cappedGraphSharedOver(spark, sfDir, "ccapknng",
+  private def standingCappedState(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    AnnOps.cappedPreSharedOver(spark, sfDir, "ccapknng",
       Round16Ops.clusteredEmb(spark, sfDir)
         .filter(col("vec_id") % 10 =!= 4)
         .select(col("vec_id"), col("v").as("embedding")), epochCap)
@@ -302,31 +303,38 @@ object Round17Ops {
   /** Bench lifecycle hook: materialize the standing capped graph so
     * the two maintenance rows time a warm store read. */
   def ccapGraphPreBuild(spark: SparkSession, sfDir: String): Unit = {
-    standingCappedGraph(spark, sfDir)
+    standingCappedState(spark, sfDir)
     ()
   }
 
-  /** Spec hook: the refresh path with the standing build derived
+  /** Spec hook: the refresh path with the standing state derived
     * in-plan (no store — bit-identical to the store read since the
-    * capped build is deterministic). */
+    * capped build and the bucket hashing are deterministic). */
   private[graft] def epochCappedIncrementalGraph(
-      cemb: DataFrame): DataFrame =
+      cemb: DataFrame): DataFrame = {
+    val old = cemb.filter(col("vec_id") % 10 =!= 4)
+      .select(col("vec_id"), col("v").as("embedding"))
+    val oldB = AnnOps.signBucketsQ(old, "vec_id", 4, 8)
     epochCappedIncrementalFrom(cemb,
-      Round16Ops.knnGraphBuildCapped(
-        cemb.filter(col("vec_id") % 10 =!= 4)
-          .select(col("vec_id"), col("v").as("embedding")), epochCap))
+      Round16Ops.knnGraphBuildCapped(old, epochCap), oldB,
+      epochReps(oldB.withColumn("epoch", lit(0)), epochCap))
+  }
 
-  /** The refresh path: standing epoch-0 capped graph + the increment
-    * [new × (R_0 ∪ R_1)] ∪ [old × R_1], merged by per-src re-rank. */
+  /** The refresh path: standing epoch-0 capped graph + STORED
+    * standing buckets + the increment [new × (R_0 ∪ R_1)] ∪
+    * [old × R_1], merged by per-src re-rank. With the buckets read
+    * from the store the maintenance path never re-hashes the
+    * standing corpus — its contact with standing data is the
+    * bucket-table joins and the affected srcs' ≤3-row lists (the
+    * `epoch_cap_incr` probe measures the resulting near-flatness).
+    * `newPred` is parameterized so the probe can hold the BATCH
+    * fixed while the standing corpus grows. */
   private[graft] def epochCappedIncrementalFrom(cemb: DataFrame,
-      standing: DataFrame): DataFrame = {
+      standing: DataFrame, oldB: DataFrame, r0: DataFrame,
+      newPred: Column = col("vec_id") % 10 === 4): DataFrame = {
     val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
-    val newPred = col("vec_id") % 10 === 4
-    val oldB = AnnOps.signBucketsQ(emb.filter(!newPred), "vec_id", 4, 8)
-      .localCheckpoint(true)
     val newB = AnnOps.signBucketsQ(emb.filter(newPred), "vec_id", 4, 8)
       .localCheckpoint(true)
-    val r0 = epochReps(oldB.withColumn("epoch", lit(0)), epochCap)
     val r1 = epochReps(newB.withColumn("epoch", lit(1)), epochCap)
     val newCand = newB.select(col("table_id"), col("bucket"),
         col("vec_id").as("src"))
@@ -488,7 +496,7 @@ object Round17Ops {
     * src that gained a segment edge re-ranks over union. */
   private[graft] def capMergedGraphFrom(spark: SparkSession,
       sfDir: String, dir: String): DataFrame = {
-    val standing = standingCappedGraph(spark, sfDir)
+    val (standing, _, _) = standingCappedState(spark, sfDir)
     val segEdges = spark.read.parquet(s"$dir/edges")
     val affected = segEdges.select(col("src")).distinct()
     val untouched = standing.join(affected, Seq("src"), "left_anti")
