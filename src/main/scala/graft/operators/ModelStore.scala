@@ -91,7 +91,28 @@ object ModelStore {
       // what leaks a full artifact copy per crash on a long-lived
       // shared root (r16 review) and is all this sweep collects.
       if (Files.exists(dir)) {
-        val cutoffMs = System.currentTimeMillis() - trashSweepAgeMs
+        // "now" is the STORE's own clock, not the local one (r17
+        // advisor): on a shared root written by several machines, the
+        // .trash mtimes were assigned by the filesystem backing the
+        // root — comparing them against the local wall clock mis-ages
+        // a just-parked in-flight heal when skew exceeds the gate, and
+        // sweeping it forces the spurious rebuild the gate exists to
+        // prevent. A probe file created under the root reads back the
+        // store's idea of "now"; local time is only the fallback when
+        // the root is unwritable (then the sweep can't delete either).
+        val storeNowMs: Long = {
+          val probe = dir.resolve(s".clockprobe${System.nanoTime()}")
+          try {
+            Files.createFile(probe)
+            Files.getLastModifiedTime(probe).toMillis
+          } catch { case _: Throwable => System.currentTimeMillis() }
+          finally {
+            try Files.deleteIfExists(probe)
+            catch { case _: Throwable => () }
+            ()
+          }
+        }
+        val cutoffMs = storeNowMs - trashSweepAgeMs
         val kids = Files.list(dir)
         try kids.filter(p => p.getFileName.toString.contains(".trash"))
           .filter { p =>

