@@ -38,7 +38,7 @@ object AnnCompactProbe {
     val replicas = if (args.length > 1) args(1).toInt else 10
     val es: Seq[Int] =
       if (args.length > 2) args.drop(2).toSeq.map(_.toInt)
-      else Seq(1, 2, 4, 8, 16)
+      else Seq(1, 2, 4, 8, 16, 32, 64)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -67,15 +67,20 @@ object AnnCompactProbe {
       "vec_id", 4, 8).localCheckpoint(true)
     val allB = standingB.unionByName(batchB).localCheckpoint(true)
 
+    // NOTE: no CacheHygiene.release between points — the shared
+    // inputs (cemb, buckets) are localCheckpoints reused across the
+    // whole sweep, and a blanket release would sever them (the probe's
+    // per-E relations are unpersisted explicitly below)
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def isolated(f: => Double): Double = {
-      val t = f; CacheHygiene.release(spark, blocking = true); t
-    }
 
-    println(f"${"epochs"}%8s ${"incr_s"}%8s ${"compact_s"}%10s")
-    es.foreach { e =>
+    var lastInc: DataFrame = null
+    println(f"${"epochs"}%8s ${"incr_s"}%8s ${"rebuild_s"}%10s ${"compact_s"}%10s")
+    // warmup pass: both plan shapes' codegen/JIT paid before point 1
+    // (the first measured E was otherwise the cold point)
+    var warm = false
+    (es.headOption.toSeq ++ es).foreach { e =>
       // UNTIMED: the E-epoch standing state (epoch 0 = the pre-stream
       // members, epochs 1..E-1 = earlier ingest batches)
       val eB = standingB.withColumn("epoch",
@@ -93,7 +98,7 @@ object AnnCompactProbe {
           .select(col("src"), col("dst")).distinct(), emb))
         .localCheckpoint(true)
       // TIMED: one more batch folded in against the E-epoch rep union
-      val incrS = isolated(time {
+      val incrS = time {
         val bReps = Round17Ops.epochReps(
           batchB.withColumn("epoch", lit(e)), cap)
         val cand = batchB.select(col("table_id"), col("bucket"),
@@ -104,7 +109,8 @@ object AnnCompactProbe {
             .join(bReps, Seq("table_id", "bucket")))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst")).distinct()
-        val inc = Round17Ops.scorePairs(cand, emb).localCheckpoint(true)
+        lastInc = Round17Ops.scorePairs(cand, emb).localCheckpoint(true)
+        val inc = lastInc
         val affected = inc.select(col("src")).distinct()
         val untouched = standingGraph.join(affected, Seq("src"),
           "left_anti")
@@ -113,16 +119,35 @@ object AnnCompactProbe {
             .select(col("src"), col("dst"), col("sim"))
             .unionByName(inc))
         untouched.unionByName(reranked).count()
-      })
+      }
+      // TIMED: the multi-epoch candidate volume — anything that must
+      // re-derive over the CARRIED state's candidate relation
+      // (members × ∪_e R_e, the epoch-structured rebuild) pays ∝ E;
+      // this is the term compaction resets
+      val rebuildS = time {
+        val bReps = Round17Ops.epochReps(
+          batchB.withColumn("epoch", lit(e)), cap)
+        val cand = allB.select(col("table_id"), col("bucket"),
+            col("vec_id").as("src"))
+          .join(repsE.unionByName(bReps), Seq("table_id", "bucket"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        Round17Ops.top3(Round17Ops.scorePairs(cand, emb)).count()
+      }
       // TIMED: E32's compaction of the same state (all segments in)
-      val compactS = isolated(time {
+      val compactS = time {
         val bReps = Round17Ops.epochReps(
           batchB.withColumn("epoch", lit(e)), cap)
         Round18Ops.compactFrom(emb, allB,
           repsE.unionByName(bReps)).count()
-      })
+      }
       standingGraph.unpersist(); repsE.unpersist()
-      println(f"$e%8d $incrS%8.2f $compactS%10.2f")
+      // the increment edges checkpoint inside the timed region; drop
+      // it here so later points don't inherit its BlockManager weight
+      if (lastInc != null) { lastInc.unpersist(); lastInc = null }
+      if (warm)
+        println(f"$e%8d $incrS%8.2f $rebuildS%10.2f $compactS%10.2f")
+      warm = true
     }
     spark.stop()
   }
