@@ -90,7 +90,7 @@ object Round17Ops {
     * session — correct for repeat invocations — but a long-lived JVM
     * benching several corpora would otherwise accumulate unbounded
     * /tmp parquet. */
-  private def tempSegmentDir(prefix: String): String = {
+  private[operators] def tempSegmentDir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try graft.sources.StoreRoot.deleteRecursively(d)
@@ -114,7 +114,7 @@ object Round17Ops {
 
   /** Stage the arriving vectors as 3 deterministic micro-batch files
     * with strictly increasing mtimes (file-source arrival order). */
-  private def stageBatchFiles(newVecs: DataFrame, d: String): Unit = {
+  private[operators] def stageBatchFiles(newVecs: DataFrame, d: String): Unit = {
     (0 to 2).foreach { b =>
       newVecs.filter(expr("(vec_id div 10) % 3") === b)
         .coalesce(1).write.parquet(s"$d/batch_$b")

@@ -138,6 +138,181 @@ object Round18Ops {
        |${Round16Ops.clusteredCoarseCtes},
        |${Round16Ops.layeredSearchSqlTail}""".stripMargin
 
+  // ---------------------------------------------------------------- G30
+  /** The FULL index lifecycle in one operator — streamed ingest, a
+    * SCHEDULED compaction, CONTINUED streamed ingest on the compacted
+    * store, search (round 18; E32 exercised in situ on the live path,
+    * the loop a deployment actually runs): wave 1 (vec_id ≡ 4 mod 10)
+    * arrives in 3 micro-batches against the pre-corpus (G29's
+    * protocol, its own segment store); the carried state then holds 4
+    * rep epochs ≥ the measured n* ≈ 3 (`AnnCompactProbe`), so the
+    * scheduler fires E32's compaction — the multi-epoch reps collapse
+    * to one global epoch-0 set, the capped graph recomputes, and a
+    * FRESH store opens with exactly two segments (all buckets, the
+    * compacted reps) plus the compacted standing graph; wave 2
+    * (vec_id ≡ 7 mod 10) then streams in 3 micro-batches AGAINST THE
+    * COMPACTED STORE, each batch its own rep epoch, and the layered
+    * search over the final merge is the emitted result.
+    *
+    * Why the whole loop still hash-equals one rebuild: compaction
+    * RESETS the epoch labels — after it, every pre-compaction member
+    * is epoch 0 (its reps the global top-cap over pre ∪ wave-1
+    * members, which by E32's containment lemma is exactly what the
+    * compacted rep segment carries) and wave-2 batches pin epochs
+    * 1..3. So the final candidate relation is members × (R_compact ∪
+    * ∪_e R_e^{w2}), and the oracle replays the rebuild under the
+    * POST-COMPACTION labels (epoch(v) = 0 unless v ≡ 7 mod 10, else
+    * 1 + (v div 10) mod 3) + E28's search chain — hash equality
+    * proves the composite (stream → compact → stream → merge →
+    * search) ≡ that rebuild. `Round18Spec` pins the in-engine
+    * equality, REAL compaction churn (a wave-1 rep evicted at the
+    * boundary), wave-2 epoch non-degeneracy, and that the
+    * NO-compaction 7-epoch carry rebuild DIFFERS — the reset is
+    * load-bearing, not a relabeling.
+    *
+    * Scale: each phase is G29's per-batch arithmetic (batch buckets,
+    * ≤cap·tables reps, two batch-sized equi-joins, atomic segment
+    * appends); the compaction is E32's segment-local collapse + the
+    * linear capped rescoring, run once between waves — nothing in the
+    * loop is cluster-quadratic, and the wave-2 increments touch the
+    * COMPACTED rep set (cap/bucket), not the 4-epoch union: the cost
+    * reset the AnnCompactProbe curve prices. */
+  def streamingAnnLifecycle(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val dir = stagedLifecycle.computeIfAbsent(sfDir,
+      _ => ingestLifecycle(spark, sfDir))
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir)
+    val edges = Round16Ops.symEdges(
+      lifecycleMergedGraph(spark, dir))
+    val out = Round16Ops.layeredSearchOver(cemb, edges)
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  private val stagedLifecycle =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Phase 1 ingest → compaction → phase 2 ingest; returns the
+    * POST-compaction store dir (buckets, reps, edges segments + the
+    * compacted standing graph). Runs once per (JVM, corpus). */
+  private def ingestLifecycle(spark: SparkSession,
+      sfDir: String): String = {
+    import graft.sources.SegmentStore
+    val cemb = Round16Ops.clusteredEmb(spark, sfDir).localCheckpoint(true)
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
+    val w1 = col("vec_id") % 10 === 4
+    val w2 = col("vec_id") % 10 === 7
+    // phase 1: wave 1 streams against the pre-corpus (G29 verbatim,
+    // its own store — the pre-corpus here EXCLUDES wave 2, so this
+    // store is not the `ccapknng` one)
+    val d1 = Round17Ops.tempSegmentDir("graft_lifecycle_p1")
+    val preB = AnnOps.signBucketsQ(
+      cemb.filter(!w1 && !w2).select(col("vec_id"),
+        col("v").as("embedding")), "vec_id", 4, 8)
+      .localCheckpoint(true)
+    Round17Ops.stageCapSegments(cemb, preB, w1, d1)
+    Round17Ops.runCapIngest(spark, cemb, d1)
+    // SCHEDULED COMPACTION: the carried state holds 4 rep epochs —
+    // past the measured n* ≈ 3 (AnnCompactProbe) — so the off-peak
+    // merge fires: collapse reps, recompute the capped graph, open a
+    // fresh two-segment store
+    val allB1 = SegmentStore.read(spark, s"$d1/buckets")
+      .select(col("table_id"), col("bucket"), col("vec_id"))
+      .localCheckpoint(true)
+    val compacted = compactFrom(emb, allB1,
+      SegmentStore.read(spark, s"$d1/reps")).localCheckpoint(true)
+    val d2 = Round17Ops.tempSegmentDir("graft_lifecycle_p2")
+    SegmentStore.append(allB1, s"$d2/buckets")
+    SegmentStore.append(
+      compactReps(SegmentStore.read(spark, s"$d1/reps")), s"$d2/reps")
+    compacted.write.parquet(s"$d2/standing")
+    // phase 2: wave 2 streams against the COMPACTED store
+    Round17Ops.stageBatchFiles(cemb.filter(w2), d2)
+    Round17Ops.runCapIngest(spark, cemb, d2)
+    d2
+  }
+
+  /** The final maintenance merge: the compacted standing graph
+    * summarizes members × R_compact; every src that gained a wave-2
+    * segment edge re-ranks over union. */
+  private[graft] def lifecycleMergedGraph(spark: SparkSession,
+      dir: String): DataFrame = {
+    val standing = spark.read.parquet(s"$dir/standing")
+    val segEdges = graft.sources.SegmentStore.read(spark, s"$dir/edges")
+    val affected = segEdges.select(col("src")).distinct()
+    val untouched = standing.join(affected, Seq("src"), "left_anti")
+    val reranked = Round17Ops.top3(
+      standing.join(affected, Seq("src"))
+        .select(col("src"), col("dst"), col("sim"))
+        .unionByName(segEdges.select(col("src"), col("dst"),
+          col("sim"))))
+    untouched.unionByName(reranked).localCheckpoint(true)
+  }
+
+  /** Spec hook: the staged post-compaction store dir. */
+  private[graft] def lifecycleDir(spark: SparkSession,
+      sfDir: String): String =
+    stagedLifecycle.computeIfAbsent(sfDir,
+      _ => ingestLifecycle(spark, sfDir))
+
+  /** Spec reference: the rebuild under the POST-COMPACTION epoch
+    * labels (0 for everything ingested before the compaction, 1..3
+    * for the wave-2 batches) — the contract the G30 oracle replays. */
+  private[graft] def lifecycleRebuild(cemb: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
+    val b = AnnOps.signBucketsQ(emb, "vec_id", 4, 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = Round17Ops.epochReps(
+      b.withColumn("epoch",
+        when(col("vec_id") % 10 === 7,
+          expr("1 + (vec_id div 10) % 3")).otherwise(lit(0L))),
+      Round17Ops.epochCap)
+    val cand = b.select(col("table_id"), col("bucket"),
+        col("vec_id").as("src"))
+      .join(reps, Seq("table_id", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    try Round17Ops.top3(Round17Ops.scorePairs(cand, emb))
+      .localCheckpoint(true)
+    finally { b.unpersist(); () }
+  }
+
+  /** G30's oracle: the rebuild under the post-compaction epoch labels
+    * + E28's search chain. The CASE's epoch reset IS the compaction. */
+  val streamingAnnLifecycleSql: String =
+    s"""WITH ${Round16Ops.clusteredBaseCtes},
+       |creps AS MATERIALIZED (
+       |  SELECT table_id, bucket, vec_id AS dst FROM (
+       |    SELECT table_id, bucket, vec_id,
+       |      row_number() OVER (PARTITION BY table_id, bucket,
+       |        CASE WHEN vec_id % 10 = 7
+       |          THEN 1 + (vec_id // 10) % 3 ELSE 0 END
+       |        ORDER BY ('0x' || substr(md5('cap:' ||
+       |          CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id)
+       |        AS rn
+       |    FROM cbuck) WHERE rn <= ${Round17Ops.epochCap}),
+       |ccand AS (
+       |  SELECT DISTINCT b.vec_id AS src, r.dst
+       |  FROM cbuck b JOIN creps r
+       |    ON r.table_id = b.table_id AND r.bucket = b.bucket
+       |  WHERE b.vec_id <> r.dst),
+       |cscored AS (
+       |  SELECT c.src, c.dst, round(list_cosine_similarity(s.v, e.v), 6)
+       |    AS sim
+       |  FROM ccand c
+       |  JOIN cemb s ON s.vec_id = c.src
+       |  JOIN cemb e ON e.vec_id = c.dst),
+       |cknng AS MATERIALIZED (
+       |  SELECT src, rank, dst, sim FROM (
+       |    SELECT src, dst, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+       |        AS rank
+       |    FROM cscored) WHERE rank <= 3),
+       |${Round16Ops.clusteredCoarseCtes},
+       |${Round16Ops.layeredSearchSqlTail}""".stripMargin
+
   // --------------------------------------------------------------- B112
   /** Minimum fit-half rows PER OCCUPIED BIN for the calibration fix to
     * ship (the noise-floor leg: below this the per-bin rate estimate's
@@ -251,11 +426,16 @@ object Round18Ops {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_epoch_compact" -> (annEpochCompact _),
+    "streaming_ann_lifecycle" -> (streamingAnnLifecycle _),
     "q_calibration_oos_gated" -> (qCalibrationOosGated _))
 
   val oracleSql: Map[String, String] = Map(
     // the fresh single-epoch capped rebuild + E28's search chain —
     // hash equality proves compaction-from-segments ≡ fresh rebuild
     "ann_epoch_compact" -> annEpochCompactSql,
+    // the rebuild under the post-compaction epoch labels + E28's
+    // search chain — hash equality proves the full loop (stream →
+    // compact → stream → merge → search) ≡ that rebuild
+    "streaming_ann_lifecycle" -> streamingAnnLifecycleSql,
     "q_calibration_oos_gated" -> qCalibrationOosGatedSql)
 }

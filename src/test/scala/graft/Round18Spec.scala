@@ -93,6 +93,72 @@ class Round18Spec extends SparkSuite {
       "compaction is not idempotent on a single-epoch state")
   }
 
+  // ------------------------------------- G30 lifecycle ≡ rebuild
+
+  test("streaming_ann_lifecycle: stream → scheduled compaction → " +
+      "continued stream equals the rebuild under POST-COMPACTION " +
+      "epoch labels bit-for-bit; the compaction evicts a wave-1 rep " +
+      "(the reset is real); wave 2 contributes ≥2 epochs; and the " +
+      "NO-compaction 7-epoch carry rebuild DIFFERS (the reset is " +
+      "load-bearing)") {
+    val cemb = Round16Ops.clusteredEmb(spark, sf).localCheckpoint(true)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val dir = Round18Ops.lifecycleDir(spark, sf)
+    val merged = rows(Round18Ops.lifecycleMergedGraph(spark, dir))
+    val rebuilt = rows(Round18Ops.lifecycleRebuild(cemb))
+    assert(merged == rebuilt,
+      s"lifecycle diverged from the post-compaction rebuild: extra " +
+        s"${(merged -- rebuilt).take(5)}, missing " +
+        s"${(rebuilt -- merged).take(5)}")
+    // the compaction boundary did real work: some wave-1-era rep was
+    // evicted when the 4 epochs collapsed to the global top-cap
+    val compactedReps = SegmentStore.read(spark, s"$dir/reps")
+      .filter(col("dst") % 10 =!= 7) // the compacted epoch-0 segment
+      .select("table_id", "bucket", "dst").distinct().count()
+    val b = graft.operators.AnnOps.signBucketsQ(
+      cemb.filter(col("vec_id") % 10 =!= 7)
+        .select(col("vec_id"), col("v").as("embedding")),
+      "vec_id", 4, 8)
+    val preW1Union = Round17Ops.epochReps(
+      b.withColumn("epoch",
+        when(col("vec_id") % 10 === 4,
+          expr("1 + (vec_id div 10) % 3")).otherwise(lit(0L))),
+      Round17Ops.epochCap).count()
+    assert(preW1Union > compactedReps,
+      s"compaction evicted nothing ($preW1Union -> $compactedReps) — " +
+        "the boundary pin is vacuous")
+    // wave 2 contributed its own epochs
+    val w2RepBatches = SegmentStore.read(spark, s"$dir/reps")
+      .filter(col("dst") % 10 === 7)
+      .select(expr("(dst div 10) % 3").as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(w2RepBatches.size >= 2,
+      s"only wave-2 batches $w2RepBatches contributed reps")
+    // the 7-epoch NO-compaction carry differs — the label reset the
+    // compaction performs is semantic, not cosmetic
+    val emb = cemb.select(col("vec_id"), col("v").as("embedding"))
+    val bAll = graft.operators.AnnOps.signBucketsQ(emb, "vec_id", 4, 8)
+    val carryReps = Round17Ops.epochReps(
+      bAll.withColumn("epoch",
+        when(col("vec_id") % 10 === 4, expr("1 + (vec_id div 10) % 3"))
+          .when(col("vec_id") % 10 === 7, expr("4 + (vec_id div 10) % 3"))
+          .otherwise(lit(0L))),
+      Round17Ops.epochCap)
+    val carryCand = bAll.select(col("table_id"), col("bucket"),
+        col("vec_id").as("src"))
+      .join(carryReps, Seq("table_id", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val carry = rows(Round17Ops.top3(
+      Round17Ops.scorePairs(carryCand, emb)))
+    assert(carry != rebuilt,
+      "carry and post-compaction rebuilds coincide — the corpus " +
+        "exercises no compaction-boundary churn and the reset pin is " +
+        "vacuous")
+  }
+
   // --------------------------------------------- B112 fit-mass gate
 
   private def oosRows(rows: Seq[(Long, Long, Long, Long)]): DataFrame = {
