@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * the ANN store (recorded in SURVEY §5).
   *
   * Usage: runMain graft.AnnCompactProbe [sfDir] [replicas] [E...]
-  *   defaults: /root/testdata/sf0.1, 10 replicas, E = 1 2 4 8 16
+  *   defaults: /root/testdata/sf0.1, 10 replicas, E = 1 2 4 8 16 32 64
   */
 object AnnCompactProbe {
   def main(args: Array[String]): Unit = {
@@ -110,15 +110,7 @@ object AnnCompactProbe {
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst")).distinct()
         lastInc = Round17Ops.scorePairs(cand, emb).localCheckpoint(true)
-        val inc = lastInc
-        val affected = inc.select(col("src")).distinct()
-        val untouched = standingGraph.join(affected, Seq("src"),
-          "left_anti")
-        val reranked = Round17Ops.top3(
-          standingGraph.join(affected, Seq("src"))
-            .select(col("src"), col("dst"), col("sim"))
-            .unionByName(inc))
-        untouched.unionByName(reranked).count()
+        Round17Ops.mergeGraph(standingGraph, lastInc).count()
       }
       // TIMED: the multi-epoch candidate volume — anything that must
       // re-derive over the CARRIED state's candidate relation

@@ -167,24 +167,32 @@ object Round16Ops {
         .filter(col("rn") <= col("n_ex"))
         .select(col("nid"))
     val global = Window.orderBy(col("h"), col("nid"))
+    // loud structural guard (r17 advisor): the ×4 margin makes a
+    // starved trim an e^{−Ω(n_ex)} tail, but a probability is not a
+    // structure — if fewer than n_ex rows survived a NON-saturated
+    // threshold, the selected set would silently differ from the
+    // window rule the oracle replays; fail the job instead. The count
+    // runs over the already-O(√N) survivor relation inside the same
+    // single-partition window sort the trim needs anyway. A SENTINEL
+    // row (nid −1, h = 2³² — sorts strictly after every real h32, so
+    // real ranks are untouched) rides along so the assert evaluates
+    // even when ZERO rows survive (r18 review: a per-row assert over
+    // an empty relation never fires — the one starvation case the
+    // guard existed for would have returned a silently empty layer).
+    val sentinel = broadcast(nstats).select(lit(-1L).as("nid"),
+      lit(4294967296L).as("h"), col("n"), col("n_ex"), col("thr"))
     hashed
       .filter(col("h") < col("thr"))
+      .unionByName(sentinel)
       .withColumn("rn", row_number().over(global))
-      // loud structural guard (r17 advisor): the ×4 margin makes a
-      // starved trim an e^{−Ω(n_ex)} tail, but a probability is not a
-      // structure — if fewer than n_ex rows survived a NON-saturated
-      // threshold, the selected set would silently differ from the
-      // window rule the oracle replays; fail the job instead. The
-      // count runs over the already-O(√N) survivor relation inside
-      // the same single-partition window sort the trim needs anyway.
       .withColumn("n_surv", count(lit(1)).over(global.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)))
+        Window.unboundedPreceding, Window.unboundedFollowing)) - 1)
       .filter(coalesce(assert_true(
         col("thr") === lit(4294967296L) || col("n_surv") >= col("n_ex"),
         lit("exemplars: threshold pre-filter starved the exact trim " +
           "(survivors < n_ex with a non-saturated threshold)")),
         lit(true)))
-      .filter(col("rn") <= col("n_ex"))
+      .filter(col("nid") =!= -1L && col("rn") <= col("n_ex"))
       .select(col("nid"))
   }
 

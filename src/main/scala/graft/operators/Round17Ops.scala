@@ -186,26 +186,30 @@ object Round17Ops {
     d
   }
 
-  /** The maintenance MERGE over the streamed segments: untouched
-    * standing top-3 lists pass through; every src that gained a
-    * segment edge re-ranks over (its standing list ∪ its segment
-    * edges) — E30's fold-in arithmetic, its increment now the union
-    * of the streamed segments. */
+  /** THE maintenance-merge shape, defined once (r18 review: four
+    * inline copies had grown — G28, G29, G30, and the compaction
+    * probe): untouched standing top-3 lists pass through; every src
+    * that gained an increment edge re-ranks over (its standing list ∪
+    * its increment edges) — E30's fold-in arithmetic. */
+  private[graft] def mergeGraph(standing: DataFrame,
+      incEdges: DataFrame): DataFrame = {
+    val affected = incEdges.select(col("src")).distinct()
+    val untouched = standing.join(affected, Seq("src"), "left_anti")
+    val reranked = top3(
+      standing.join(affected, Seq("src"))
+        .select(col("src"), col("dst"), col("sim"))
+        .unionByName(incEdges.select(col("src"), col("dst"),
+          col("sim"))))
+    untouched.unionByName(reranked)
+  }
+
+  /** The G28 maintenance merge over the streamed segments. */
   private[graft] def mergedGraphFrom(spark: SparkSession, sfDir: String,
       dir: String): DataFrame = {
     val (standing, _) = Round16Ops.clusteredPre(spark, sfDir)
-    val segEdges = graft.sources.SegmentStore.read(spark, s"$dir/edges")
-    val affected = segEdges.select(col("src")).distinct()
-    val untouched = standing.join(affected, Seq("src"), "left_anti")
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("sim").desc, col("dst"))
-    val reranked = standing.join(affected, Seq("src"))
-      .select(col("src"), col("dst"), col("sim"))
-      .unionByName(segEdges.select(col("src"), col("dst"), col("sim")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("src"), col("rank"), col("dst"), col("sim"))
-    untouched.unionByName(reranked).localCheckpoint(true)
+    mergeGraph(standing,
+      graft.sources.SegmentStore.read(spark, s"$dir/edges"))
+      .localCheckpoint(true)
   }
 
   /** Spec hook: the streamed-refresh merged graph alone (ingest runs
@@ -387,13 +391,7 @@ object Round17Ops {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
     val inc = scorePairs(cand, emb).localCheckpoint(true)
-    val affected = inc.select(col("src")).distinct()
-    val untouched = standing.join(affected, Seq("src"), "left_anti")
-    val reranked = top3(
-      standing.join(affected, Seq("src"))
-        .select(col("src"), col("dst"), col("sim"))
-        .unionByName(inc))
-    untouched.unionByName(reranked)
+    mergeGraph(standing, inc)
   }
 
   val annLayeredCapIncrementalSql: String =
@@ -555,14 +553,9 @@ object Round17Ops {
   private[graft] def capMergedGraphFrom(spark: SparkSession,
       sfDir: String, dir: String): DataFrame = {
     val (standing, _, _) = standingCappedState(spark, sfDir)
-    val segEdges = graft.sources.SegmentStore.read(spark, s"$dir/edges")
-    val affected = segEdges.select(col("src")).distinct()
-    val untouched = standing.join(affected, Seq("src"), "left_anti")
-    val reranked = top3(
-      standing.join(affected, Seq("src"))
-        .select(col("src"), col("dst"), col("sim"))
-        .unionByName(segEdges.select(col("src"), col("dst"), col("sim"))))
-    untouched.unionByName(reranked).localCheckpoint(true)
+    mergeGraph(standing,
+      graft.sources.SegmentStore.read(spark, s"$dir/edges"))
+      .localCheckpoint(true)
   }
 
   /** Spec hook: the streamed epoch-capped merged graph. */

@@ -94,8 +94,18 @@ object Round18Ops {
     * bit-equal to [[Round16Ops.knnGraphBuildCapped]] over the union
     * corpus, with real rep eviction, and idempotent). */
   private[graft] def compactFrom(emb: DataFrame, segBuckets: DataFrame,
-      segReps: DataFrame): DataFrame = {
-    val rc = compactReps(segReps).localCheckpoint(true)
+      segReps: DataFrame): DataFrame =
+    compactFromReps(emb, segBuckets, compactReps(segReps))
+
+  /** [[compactFrom]] with the rep collapse already done — the
+    * lifecycle staging collapses once and feeds BOTH the store append
+    * and this scoring pass (r18 review: the two-pass form re-read and
+    * re-ranked the same rep segments twice). No checkpoint here: the
+    * rep relation is consumed exactly once by the candidate join, and
+    * a pinned block per call would leak into the AnnCompactProbe
+    * sweep, which deliberately never blanket-releases between points. */
+  private[graft] def compactFromReps(emb: DataFrame,
+      segBuckets: DataFrame, rc: DataFrame): DataFrame = {
     val cand = segBuckets
       .select(col("table_id"), col("bucket"), col("vec_id").as("src"))
       .join(rc, Seq("table_id", "bucket"))
@@ -220,13 +230,16 @@ object Round18Ops {
     val allB1 = SegmentStore.read(spark, s"$d1/buckets")
       .select(col("table_id"), col("bucket"), col("vec_id"))
       .localCheckpoint(true)
-    val compacted = compactFrom(emb, allB1,
-      SegmentStore.read(spark, s"$d1/reps")).localCheckpoint(true)
+    // collapse the reps ONCE; the same relation feeds the compacted
+    // store's rep segment and the rescoring pass
+    val rc = compactReps(SegmentStore.read(spark, s"$d1/reps"))
+      .localCheckpoint(true)
+    val compacted = compactFromReps(emb, allB1, rc).localCheckpoint(true)
     val d2 = Round17Ops.tempSegmentDir("graft_lifecycle_p2")
     SegmentStore.append(allB1, s"$d2/buckets")
-    SegmentStore.append(
-      compactReps(SegmentStore.read(spark, s"$d1/reps")), s"$d2/reps")
+    SegmentStore.append(rc, s"$d2/reps")
     compacted.write.parquet(s"$d2/standing")
+    rc.unpersist(); allB1.unpersist(); compacted.unpersist()
     // phase 2: wave 2 streams against the COMPACTED store
     Round17Ops.stageBatchFiles(cemb.filter(w2), d2)
     Round17Ops.runCapIngest(spark, cemb, d2)
@@ -237,18 +250,10 @@ object Round18Ops {
     * summarizes members × R_compact; every src that gained a wave-2
     * segment edge re-ranks over union. */
   private[graft] def lifecycleMergedGraph(spark: SparkSession,
-      dir: String): DataFrame = {
-    val standing = spark.read.parquet(s"$dir/standing")
-    val segEdges = graft.sources.SegmentStore.read(spark, s"$dir/edges")
-    val affected = segEdges.select(col("src")).distinct()
-    val untouched = standing.join(affected, Seq("src"), "left_anti")
-    val reranked = Round17Ops.top3(
-      standing.join(affected, Seq("src"))
-        .select(col("src"), col("dst"), col("sim"))
-        .unionByName(segEdges.select(col("src"), col("dst"),
-          col("sim"))))
-    untouched.unionByName(reranked).localCheckpoint(true)
-  }
+      dir: String): DataFrame =
+    Round17Ops.mergeGraph(spark.read.parquet(s"$dir/standing"),
+      graft.sources.SegmentStore.read(spark, s"$dir/edges"))
+      .localCheckpoint(true)
 
   /** Spec hook: the staged post-compaction store dir. */
   private[graft] def lifecycleDir(spark: SparkSession,
@@ -389,7 +394,11 @@ object Round18Ops {
       .withColumn("zsq", expr("n * (s - o) * (s - o)" +
         " div greatest(s * (1000000 - s), 1)"))
       .groupBy(col("fold"))
-      .agg(when(sum(col("n")) >= lit(m) * count(lit(1)) &&
+      // mass = PER-BIN minimum (r18 review: the sum(n) ≥ m·bins form
+      // was an AVERAGE — a 10⁴-row bin could carry a 2-row bin past
+      // the gate, and the 2-row bin's step value is exactly the
+      // memorized noise the gate exists to block)
+      .agg(when(min(col("n")) >= lit(m) &&
           sum(col("zsq")) >= lit(minAvgZsq) * count(lit(1)), lit(1L))
         .otherwise(lit(0L)).as("fix_applied"))
     base.join(gate, Seq("fold"))
@@ -406,7 +415,7 @@ object Round18Ops {
        |${Round17Ops.oosChainCtes},
        |fgate AS (
        |  SELECT fold,
-       |    CAST(CASE WHEN sum(n) >= $gateMinPerBin * count(*)
+       |    CAST(CASE WHEN min(n) >= $gateMinPerBin
        |      AND sum(n * (s - pos * 1000000 // n)
        |            * (s - pos * 1000000 // n)
        |          // greatest(s * (1000000 - s), 1))

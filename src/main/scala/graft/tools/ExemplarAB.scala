@@ -52,9 +52,14 @@ object ExemplarAB {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // interleaved so ambient drift lands on both arms
-    val out = (1 to reps).map(_ => (rep("threshold"), rep("window")))
-    sys.props.remove("graft.exemplars.ab")
+    // interleaved so ambient drift lands on both arms; the property
+    // is removed in finally — a leaked "window" setting would silently
+    // revert every later exemplar build in this JVM to the corpus-wide
+    // single-task window plan (identical results, O(N) single-task
+    // sort), which no oracle would ever flag (r18 review)
+    val out =
+      try (1 to reps).map(_ => (rep("threshold"), rep("window")))
+      finally sys.props.remove("graft.exemplars.ab")
     println(s"""{"query":"$name","sf":"$sfDir","reps":[""" +
       out.map { case (t, w) =>
         f"""{"threshold":$t%.3f,"window":$w%.3f}""" }.mkString(",") +

@@ -202,6 +202,22 @@ class Round18Spec extends SparkSuite {
       assert(post == pre && imp == 0L,
         s"fold $f identity arm changed the read: $pre -> $post ($imp)")
     }
+    // the mass leg is a PER-BIN minimum, not an average (r18 review):
+    // a fold whose fit half holds one fat bin (64 rows) and one 2-row
+    // bin averages 33 rows/bin — but the 2-row bin's step value is
+    // memorized noise, so the gate must ship identity
+    val skewed = oosRows(
+      (0 until 64).map(i =>
+        (0L, 0L, 900000L, if (i < 38) 1L else 0L)) ++
+      Seq((0L, 0L, 100000L, 1L), (0L, 0L, 100000L, 1L)) ++
+      (0 until 10).map(i =>
+        (0L, 1L, 900000L, if (i < 6) 1L else 0L)))
+    Round18Ops.calibrationOosGatedFrom(skewed, 8L).collect()
+      .foreach { r =>
+        assert(r.getLong(2) == 0L,
+          "a 2-row fit bin slipped past the per-bin mass gate " +
+            "(average-form regression)")
+      }
     // the SIGNAL leg: an already-CALIBRATED fold with plenty of mass
     // ships identity — the fit's (s − o) deviations are zero, so the
     // step would only ever fit noise (this corpus's measured regime)
