@@ -100,24 +100,34 @@ object ModelStore {
         // prevent. A probe file created under the root reads back the
         // store's idea of "now"; local time is only the fallback when
         // the root is unwritable (then the sweep can't delete either).
+        // IOException ONLY (r18 advisor): a Throwable catch here would
+        // mask interrupts and fatal JVM errors behind a silent
+        // wall-clock fallback.
         val storeNowMs: Long = {
           val probe = dir.resolve(s".clockprobe${System.nanoTime()}")
           try {
             Files.createFile(probe)
             Files.getLastModifiedTime(probe).toMillis
-          } catch { case _: Throwable => System.currentTimeMillis() }
+          } catch { case _: java.io.IOException => System.currentTimeMillis() }
           finally {
             try Files.deleteIfExists(probe)
-            catch { case _: Throwable => () }
+            catch { case _: java.io.IOException => () }
             ()
           }
         }
         val cutoffMs = storeNowMs - trashSweepAgeMs
         val kids = Files.list(dir)
-        try kids.filter(p => p.getFileName.toString.contains(".trash"))
+        // stale `.clockprobe*` files ride the same age-gated sweep as
+        // `.trash` (r18 advisor: a crash between createFile and the
+        // finally's delete stranded them forever — the gate keeps a
+        // LIVE probe, which exists for milliseconds, untouchable)
+        try kids.filter { p =>
+            val n = p.getFileName.toString
+            n.contains(".trash") || n.startsWith(".clockprobe")
+          }
           .filter { p =>
             (try Files.getLastModifiedTime(p).toMillis
-             catch { case _: Throwable => Long.MaxValue }) < cutoffMs
+             catch { case _: java.io.IOException => Long.MaxValue }) < cutoffMs
           }
           .forEach(p => graft.sources.StoreRoot.deleteRecursively(p))
         finally kids.close()

@@ -89,12 +89,26 @@ object Round17Ops {
     * staging guard keeps one store per (JVM, corpus) ALIVE for the
     * session — correct for repeat invocations — but a long-lived JVM
     * benching several corpora would otherwise accumulate unbounded
-    * /tmp parquet. */
+    * /tmp parquet. ONE shutdown hook sweeps a concurrent registry of
+    * every staged dir (r18 advisor: a hook THREAD per dir accumulates
+    * unboundedly in exactly the long-lived JVM the sweep exists for),
+    * and a registration racing JVM shutdown is tolerated — the sweep
+    * can no longer run anyway, and the OS tmp reaper owns the residue. */
+  private val sweepAtExit =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val sweepHookInstalled: Boolean =
+    try {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        sweepAtExit.forEach(p =>
+          try graft.sources.StoreRoot.deleteRecursively(p)
+          catch { case _: Exception => () })))
+      true
+    } catch { case _: IllegalStateException => false }
+
   private[operators] def tempSegmentDir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try graft.sources.StoreRoot.deleteRecursively(d)
-      catch { case _: Throwable => () }))
+    sweepAtExit.add(d)
+    if (!sweepHookInstalled) () // racing shutdown: OS reaper owns it
     d.toString
   }
 

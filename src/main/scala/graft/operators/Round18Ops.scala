@@ -360,9 +360,11 @@ object Round18Ops {
     *
     * Scale: the gate is one aggregation over the ≤40-row fit-bin
     * relation; everything else is B111's plan verbatim. Integer
-    * headroom: the z² numerator n·(s−o)² ≤ n·10¹² — BIGINT-safe to
-    * ~9·10⁶ rows per bin, the B109 envelope, same DECIMAL(38,0)
-    * promotion past it. */
+    * headroom: the z² numerator n·(s−o)² ≤ n·10¹² wraps BIGINT past
+    * ~9·10⁶ rows per bin, so it is COMPUTED in DECIMAL(38,0)
+    * (HUGEINT oracle-side) — the B109 promotion, implemented (r18
+    * advisor); see the zsq expression for the residual quotient
+    * envelope. */
   def qCalibrationOosGated(spark: SparkSession,
       sfDir: String): DataFrame = {
     import graft.functions.gf
@@ -390,9 +392,18 @@ object Round18Ops {
       .withColumn("o", expr("pos * 1000000 div n"))
       // z² per bin: deviation² over the bin's own binomial variance
       // (non-negative numerator, positive denominator — trunc ≡ floor,
-      // the StatsOps div discipline)
-      .withColumn("zsq", expr("n * (s - o) * (s - o)" +
-        " div greatest(s * (1000000 - s), 1)"))
+      // the StatsOps div discipline). The numerator n·(s−o)² is
+      // computed in DECIMAL(38,0) (HUGEINT oracle-side) — the B109
+      // promotion made real here, not just cited (r18 advisor): in
+      // BIGINT it wraps silently in Spark past ~9.2·10⁶ rows per bin
+      // while DuckDB raises, so at extreme scale the engines could
+      // have diverged on fix_applied. Residual envelope: the QUOTIENT
+      // re-lands in BIGINT, exact while zsq < 9.2·10¹⁸ — violated only
+      // by a degenerate s ∈ {0, 10⁶} bin (denominator 1) carrying
+      // > 9.2·10⁶ rows at maximal deviation, i.e. data that is not
+      // miscalibrated but inverted.
+      .withColumn("zsq", expr("CAST(n AS DECIMAL(38,0)) * (s - o)" +
+        " * (s - o) div greatest(s * (1000000 - s), 1)"))
       .groupBy(col("fold"))
       // mass = PER-BIN minimum (r18 review: the sum(n) ≥ m·bins form
       // was an AVERAGE — a 10⁴-row bin could carry a 2-row bin past
@@ -416,7 +427,7 @@ object Round18Ops {
        |fgate AS (
        |  SELECT fold,
        |    CAST(CASE WHEN min(n) >= $gateMinPerBin
-       |      AND sum(n * (s - pos * 1000000 // n)
+       |      AND sum(CAST(n AS HUGEINT) * (s - pos * 1000000 // n)
        |            * (s - pos * 1000000 // n)
        |          // greatest(s * (1000000 - s), 1))
        |        >= $gateMinAvgZsq * count(*)
