@@ -686,8 +686,13 @@ object Round16Ops {
   /** The clustered substrate as DuckDB CTEs: derivation → sign-LSH
     * kNN graph (E19's chain over the derived corpus) → symmetrized
     * edges → exemplar layer → coarse scores. ONE definition shared
-    * by both oracles. */
-  private[operators] val clusteredBaseCtes: String =
+    * by both oracles. `src` is the raw-embedding relation the chain
+    * derives from — `embeddings` for every standing oracle, a
+    * survivor-filtered derived table for E33's rebuild-minus (the
+    * whole chain — clusters, buckets, exemplars, queries — is
+    * per-vector deterministic, so filtering the source IS the
+    * post-delete world). */
+  private[operators] def clusteredBaseCtesOver(src: String): String =
     s"""canc AS MATERIALIZED (
        |  SELECT c, j,
        |    ('0x' || substr(md5('anc:' || CAST(c AS VARCHAR) || ':' ||
@@ -697,7 +702,7 @@ object Round16Ops {
        |  SELECT e.vec_id, j.j,
        |    2 * a.a + floor(e.embedding[j.j + 1]::DOUBLE * 1000)::BIGINT
        |      AS vx
-       |  FROM embeddings e, range(64) j(j)
+       |  FROM $src e, range(64) j(j)
        |  JOIN canc a ON a.j = j.j
        |    AND a.c = ('0x' || substr(md5('clu:' ||
        |      CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT % $kClusters),
@@ -723,6 +728,10 @@ object Round16Ops {
        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END)
        |      AS BIGINT) AS bucket
        |  FROM cdots GROUP BY vec_id, p // 8)""".stripMargin
+
+  /** The standing-corpus instance every pre-E33 oracle composes. */
+  private[operators] val clusteredBaseCtes: String =
+    clusteredBaseCtesOver("embeddings")
 
   /** The exact (uncapped) E19 graph over the clustered corpus —
     * candidates, scores, top-3 — as CTEs ending in `cknng`. */
