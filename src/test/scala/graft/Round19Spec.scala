@@ -181,4 +181,47 @@ class Round19Spec extends SparkSuite {
       "the compacted search returned a tombstoned vector")
   }
 
+  // --------------------------- B83/B85 basket-fanout guard (item #8)
+
+  test("basket-size cap: INERT on the sf corpus (fast path — the " +
+      "guard returns the input relation unchanged, so the shipped " +
+      "q_item_cf/q_assoc_rules plans gain nothing); a planted " +
+      "oversized basket trims to exactly the cap items minimizing " +
+      "the salted hash, with under-cap baskets untouched") {
+    import spark.implicits._
+    // inert on the real corpus: no basket exceeds the cap, and the
+    // fast path is REFERENCE equality — zero plan change
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint(true)
+    val maxBasket = baskets.groupBy(col("o")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).first().getLong(0)
+    assert(maxBasket <= Round10bOps.basketCap,
+      s"corpus baskets reach $maxBasket > cap — the inertness pin no " +
+        "longer holds; re-derive the oracle under the cap")
+    val guarded = Round10bOps.capOversizedBaskets(baskets,
+      Round10bOps.basketCap)
+    assert(guarded eq baskets,
+      "the guard rewrote the plan on an all-under-cap corpus")
+    // the trim path: one basket of cap+20 items, one of 3
+    val cap = 8
+    val planted = ((0 until cap + 20).map(i => (1L, 100L + i)) ++
+      Seq((2L, 7L), (2L, 8L), (2L, 9L))).toDF("o", "p")
+    val trimmed = Round10bOps.capOversizedBaskets(planted, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = trimmed.groupBy(_._1).map { case (o, xs) => o -> xs.length }
+    assert(sizes == Map(1L -> cap, 2L -> 3),
+      s"trim sizes $sizes — expected basket 1 at the cap, basket 2 " +
+        "untouched")
+    // deterministic selection: the cap items minimizing h32("bk:"+p)
+    val wantKept = planted.filter(col("o") === 1L)
+      .select(col("p"),
+        gf.h32(concat(lit("bk:"), col("p").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (p, h) => (h, p) }.take(cap).map(_._1).toSet
+    val gotKept = trimmed.filter(_._1 == 1L).map(_._2).toSet
+    assert(gotKept == wantKept,
+      s"trim selection diverged from bottom-cap-by-hash: kept " +
+        s"${gotKept -- wantKept}, dropped ${wantKept -- gotKept}")
+  }
 }
