@@ -299,24 +299,38 @@ object Round12Ops {
     * aborted — the current snapshot never exposes the bad batch.
     * `knownPre` lets a chained caller (the G23 stream) carry the
     * running total instead of re-reading the table per epoch; returns
-    * the audited post total for that chaining. */
+    * the audited post total for that chaining. `phase` is the r18
+    * watch's per-commit instrumentation hook (`graft.tools
+    * .IvmPhaseProbe`): driver-side nanoTime around the three commit
+    * legs — stage (the bucket rewrite's jobs), audit (the would-be
+    * table read + batch counts), publish (metadata renames) — a
+    * no-op closure on the shipped path, zero Spark-side change. */
   private[graft] def ivmSnapshotStep(tbl: SnapshotTable,
-      batch: DataFrame, knownPre: Option[Long] = None): Long = {
-    val staged = ivmStage(tbl, batch)
-    val pre = knownPre.getOrElse(tbl.read()
-      .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0))
-    val post = staged.read()
-      .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0)
-    val cnts = batch.agg(
-      count(when(col("new_st").isNotNull, lit(1))),
-      count(when(col("old_st").isNotNull, lit(1)))).first()
-    val (asserts, retracts) = (cnts.getLong(0), cnts.getLong(1))
+      batch: DataFrame, knownPre: Option[Long] = None,
+      phase: (String, Double) => Unit = (_, _) => ()): Long = {
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      phase(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val staged = timed("commit_stage")(ivmStage(tbl, batch))
+    val (pre, post, asserts, retracts) = timed("commit_audit") {
+      val pre = knownPre.getOrElse(tbl.read()
+        .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0))
+      val post = staged.read()
+        .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0)
+      val cnts = batch.agg(
+        count(when(col("new_st").isNotNull, lit(1))),
+        count(when(col("old_st").isNotNull, lit(1)))).first()
+      (pre, post, cnts.getLong(0), cnts.getLong(1))
+    }
     if (post != pre + asserts - retracts) {
       staged.abort()
       sys.error(s"ivm audit failed: expected ${pre + asserts - retracts} " +
         s"rows in the maintained view, staged table has $post — batch " +
         "rejected, current snapshot unchanged")
-    } else { staged.publish(); post }
+    } else { timed("commit_publish")(staged.publish()); post }
   }
 
   val warehouseIvmSql: String =
