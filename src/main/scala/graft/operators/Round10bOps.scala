@@ -393,15 +393,24 @@ object Round10bOps {
     }
     if (!hasOversized) baskets
     else {
-      val small = baskets.join(broadcast(oversized), Seq("o"), "left_anti")
+      // NO broadcast hint on `oversized` (r19 review): its size is
+      // unbounded on exactly the adversarial corpora the guard exists
+      // for (millions of oversized baskets would OOM a forced driver
+      // broadcast — the D25/BFS lesson); AQE picks broadcast itself
+      // when the relation really is small. And NO persist of the
+      // result (r19 review): on a guard-firing corpus every call
+      // would pin a fresh corpus-sized relation with no unpersist
+      // path — downstream consumers instead recompute the trim from
+      // the caller-persisted input (the extra work is one anti/semi
+      // join plus a window over oversized baskets only).
+      val small = baskets.join(oversized, Seq("o"), "left_anti")
       val w = Window.partitionBy(col("o"))
         .orderBy(gf.h32(concat(lit("bk:"), col("p").cast("string"))),
           col("p"))
-      val trimmed = baskets.join(broadcast(oversized), Seq("o"),
-          "left_semi")
+      val trimmed = baskets.join(oversized, Seq("o"), "left_semi")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= cap).drop("rn")
-      small.unionByName(trimmed).persist(StorageLevel.MEMORY_AND_DISK)
+      small.unionByName(trimmed)
     }
   }
 

@@ -305,15 +305,21 @@ object Round12Ops {
     * legs — stage (the bucket rewrite's jobs), audit (the would-be
     * table read + batch counts), publish (metadata renames) — a
     * no-op closure on the shipped path, zero Spark-side change. */
+  /** nanoTime one leg and report it to a phase hook — ONE definition
+    * for both halves of the instrumentation chain (r19 review: the
+    * G23 twin had its own copy). */
+  private[graft] def phaseTimed[T](phase: (String, Double) => Unit,
+      name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    phase(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   private[graft] def ivmSnapshotStep(tbl: SnapshotTable,
       batch: DataFrame, knownPre: Option[Long] = None,
       phase: (String, Double) => Unit = (_, _) => ()): Long = {
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      phase(name, (System.nanoTime() - t0) / 1e9)
-      r
-    }
+    def timed[T](name: String)(f: => T): T = phaseTimed(phase, name)(f)
     val staged = timed("commit_stage")(ivmStage(tbl, batch))
     val (pre, post, asserts, retracts) = timed("commit_audit") {
       val pre = knownPre.getOrElse(tbl.read()

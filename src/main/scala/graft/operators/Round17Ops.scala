@@ -108,7 +108,10 @@ object Round17Ops {
   private[operators] def tempSegmentDir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix)
     sweepAtExit.add(d)
-    if (!sweepHookInstalled) () // racing shutdown: OS reaper owns it
+    // the ACCESS is the point: it forces the lazy one-time hook
+    // install (false = registration raced JVM shutdown; the OS tmp
+    // reaper owns the residue then)
+    val _ = sweepHookInstalled
     d.toString
   }
 

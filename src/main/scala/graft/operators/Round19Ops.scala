@@ -125,8 +125,12 @@ object Round19Ops {
     SegmentStore.append(reps2, s"$d2/reps")
     graph2.write.parquet(s"$d2/standing")
     preTombstoneDirs.put(d2, d1)
-    bSurv.unpersist(); reps2.unpersist(); allB.unpersist()
-    rc.unpersist(); standing.unpersist(); tomb.unpersist()
+    bSurv.unpersist(); reps2.unpersist(); graph2.unpersist()
+    allB.unpersist(); rc.unpersist(); standing.unpersist()
+    tomb.unpersist()
+    cemb.unpersist() // r19 review: the largest checkpoint must not
+    // outlive the once-per-JVM staging (its siblings above already
+    // follow the discipline)
     d2
   }
 
@@ -185,8 +189,14 @@ object Round19Ops {
       .join(reps2, Seq("table_id", "bucket"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
+    // materialize the repaired graph EAGERLY so the two intermediate
+    // checkpoints can be released here instead of leaking for the
+    // rest of the JVM (r19 review); the extra checkpoint is one pass
+    // over a top-3-list-sized relation
     val graph2 = keep.unionByName(
       Round17Ops.top3(Round17Ops.scorePairs(cand, emb)))
+      .localCheckpoint(true)
+    changedBk.unpersist(); affected.unpersist()
     (bSurv, reps2, graph2)
   }
 

@@ -1201,12 +1201,8 @@ object StreamingTwins {
   private[graft] def streamingIvmPhased(spark: SparkSession,
       sfDir: String, phase: (String, Double) => Unit): DataFrame = {
     import graft.operators.Round12Ops
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      phase(name, (System.nanoTime() - t0) / 1e9)
-      r
-    }
+    def timed[T](name: String)(f: => T): T =
+      Round12Ops.phaseTimed(phase, name)(f)
     val (old, neu) = Round12Ops.ivmSnapshots(spark, sfDir)
     val stageDir = timed("staging")(ivmStaged.computeIfAbsent(sfDir, { _ =>
       val dir = Files.createTempDirectory("graft_stream_ivm").toString

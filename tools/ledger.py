@@ -10,9 +10,14 @@ everywhere else". Also prints rows that cleared (floor below prior)
 on request.
 
 --driver mode makes the CROSS-SESSION read first-class: it diffs the
-driver's per-round BENCH_rNN.json (single-shot reads from the judge's
-elevated session) against the builder's committed floors and emits the
-strike table the r18 driver printed by hand. FLOOR RULE (the governing
+DRIVER's bench detail against the builder's committed floors and emits
+the strike table the r18 driver printed by hand. Input note: the
+driver's per-round BENCH_rNN.json is NOT usable here — it carries only
+{n, rc, sf, tail, parsed} with the per-query JSON truncated inside the
+`tail` string; the driver's full per-query reads live in the
+BENCH_DETAIL.json it overwrites in the working tree, so pass THAT
+(take the builder's committed floors from git first:
+`git show <builder-commit>:BENCH_DETAIL.json`). FLOOR RULE (the governing
 text the r18 verdict asked to be written down): the BUILDER's
 committed multi-rep floor governs a row's grade — a driver strike
 whose row reads AT or BELOW its prior floor in the builder's committed
@@ -24,7 +29,7 @@ IvmPhaseProbe pattern).
 
 Usage:
   python3 tools/ledger.py <prior_detail.json> <new_detail.json> [--cleared]
-  python3 tools/ledger.py <committed_detail.json> <BENCH_rNN.json> --driver
+  python3 tools/ledger.py <committed_detail.json> <driver_BENCH_DETAIL.json> --driver
 """
 import json
 import sys
