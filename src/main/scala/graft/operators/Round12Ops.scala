@@ -273,22 +273,32 @@ object Round12Ops {
     * reached 0. Returns the staged handle; the table is unchanged
     * until publish. */
   private[graft] def ivmStage(tbl: SnapshotTable,
-      batch: DataFrame): SnapshotTable#StagedMerge = {
+      batch: DataFrame,
+      phase: (String, Double) => Unit = (_, _) => ())
+      : SnapshotTable#StagedMerge = {
+    def timed[T](name: String)(f: => T): T = phaseTimed(phase, name)(f)
     // keys and the maintained relation are each consumed by several
     // downstream jobs (touched semi join, delete anti-join, the
     // touched-bucket plan, the staged write) — eager checkpoints so
     // the maintenance computes ONCE per commit, not per consumer
-    val keys = batch.filter(col("old_st").isNotNull)
+    // (r19 re-measured: dropping the keys checkpoint pushes a distinct
+    // shuffle into every consumer and reads WORSE — 3.11 → 4.23 s
+    // commit_stage floor — so it stays).
+    val keys = timed("stage_keys")(batch.filter(col("old_st").isNotNull)
         .select(concat_ws("|", col("old_st"), col("old_prio")).as("k"))
       .unionByName(batch.filter(col("new_st").isNotNull)
         .select(concat_ws("|", col("new_st"), col("new_prio")).as("k")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true))
     val touched = tbl.read().join(broadcast(keys), Seq("k"), "left_semi")
       .select(col("st"), col("prio"), col("n_orders"), col("total"))
-    val upserts = ivmWithKey(ivmMaintain(touched, batch))
-      .localCheckpoint(true)
+    val upserts = timed("stage_maintain")(
+      ivmWithKey(ivmMaintain(touched, batch)).localCheckpoint(true))
     val deletes = keys.join(upserts.select(col("k")), Seq("k"), "left_anti")
-    tbl.stageMerge(upserts, Some(deletes))
+    // `keys` IS the batch-key relation (deletes = keys ∖ upserts and
+    // every upsert key ∈ keys), so the stage's touched-bucket job and
+    // anti-join read the cached checkpoint instead of re-deriving
+    // updates ∪ deletes (r19 optimization)
+    timed("stage_write")(tbl.stageMerge(upserts, Some(deletes), Some(keys)))
   }
 
   /** The full WAP maintenance commit: stage, audit EXACT count
@@ -320,16 +330,21 @@ object Round12Ops {
       batch: DataFrame, knownPre: Option[Long] = None,
       phase: (String, Double) => Unit = (_, _) => ()): Long = {
     def timed[T](name: String)(f: => T): T = phaseTimed(phase, name)(f)
-    val staged = timed("commit_stage")(ivmStage(tbl, batch))
+    val staged = timed("commit_stage")(ivmStage(tbl, batch, phase))
     val (pre, post, asserts, retracts) = timed("commit_audit") {
       val pre = knownPre.getOrElse(tbl.read()
         .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0))
-      val post = staged.read()
-        .agg(coalesce(sum(col("n_orders")), lit(0L))).first().getLong(0)
-      val cnts = batch.agg(
-        count(when(col("new_st").isNotNull, lit(1))),
-        count(when(col("old_st").isNotNull, lit(1)))).first()
-      (pre, post, cnts.getLong(0), cnts.getLong(1))
+      // ONE audit job, not two (r19 optimization): the staged-table
+      // total and the batch's assert/retract counts are independent
+      // 1-row aggregates, so a crossJoin runs both subtrees in a
+      // single driver-synchronous job
+      val cnts = staged.read()
+        .agg(coalesce(sum(col("n_orders")), lit(0L)).as("post"))
+        .crossJoin(batch.agg(
+          count(when(col("new_st").isNotNull, lit(1))).as("a"),
+          count(when(col("old_st").isNotNull, lit(1))).as("r")))
+        .first()
+      (pre, cnts.getLong(0), cnts.getLong(1), cnts.getLong(2))
     }
     if (post != pre + asserts - retracts) {
       staged.abort()

@@ -159,7 +159,10 @@ object Round12bOps {
     val upserts = ivmdWithKey(ivmdMaintain(touched, batch))
       .localCheckpoint(true)
     val deletes = keys.join(upserts.select(col("k")), Seq("k"), "left_anti")
-    tbl.stageMerge(upserts, Some(deletes))
+    // `keys` IS the batch-key relation (see Round12Ops.ivmStage) —
+    // the stage reads the cached checkpoint instead of re-deriving
+    // updates ∪ deletes (r19 optimization)
+    tbl.stageMerge(upserts, Some(deletes), Some(keys))
   }
 
   /** WAP commit of one support batch — stage, audit exact support-mass
@@ -171,12 +174,17 @@ object Round12bOps {
     val staged = ivmdStage(tbl, batch)
     val pre = knownPre.getOrElse(tbl.read()
       .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0))
-    val post = staged.read()
-      .agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
-    val cnts = batch.agg(
-      count(when(col("new_st").isNotNull, lit(1))),
-      count(when(col("old_st").isNotNull, lit(1)))).first()
-    val (asserts, retracts) = (cnts.getLong(0), cnts.getLong(1))
+    // one audit job, not two — the staged total and the batch counts
+    // crossJoin into a single driver-synchronous job (r19
+    // optimization, mirrors Round12Ops.ivmSnapshotStep)
+    val cnts = staged.read()
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("post"))
+      .crossJoin(batch.agg(
+        count(when(col("new_st").isNotNull, lit(1))).as("a"),
+        count(when(col("old_st").isNotNull, lit(1))).as("r")))
+      .first()
+    val (post, asserts, retracts) =
+      (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2))
     if (post != pre + asserts - retracts) {
       staged.abort()
       sys.error(s"ivm-distinct audit failed: expected " +

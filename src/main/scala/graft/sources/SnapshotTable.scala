@@ -273,13 +273,25 @@ final class SnapshotTable(
     * and the upserted relation over ONLY the touched buckets' standing
     * data. */
   private def upsertPlan(cur: Map[Int, String], updates: DataFrame,
-      deletes: Option[DataFrame]): (Set[Int], DataFrame) = {
-    val batchKeys = deletes match {
-      case Some(d) => updates.select(col(keyCol))
-        .unionByName(d.select(col(keyCol))).distinct()
-      case None => updates.select(col(keyCol))
+      deletes: Option[DataFrame],
+      batchKeysHint: Option[DataFrame] = None): (Set[Int], DataFrame) = {
+    // no `.distinct()` anywhere in this derivation (r19 optimization):
+    // the two consumers are duplicate-insensitive — the left-anti join
+    // below only tests existence, and the touched-bucket collect
+    // dedupes driver-side via toSet — so the old distincts bought
+    // nothing but a shuffle inside the metadata job and another inside
+    // the staged write
+    val batchKeys = (batchKeysHint, deletes) match {
+      // a caller that already holds the batch's key relation
+      // (checkpointed, covering updates ∪ deletes — the IVM commit's
+      // `keys`) passes it through and the plan below never re-derives
+      // it from the two consumer relations
+      case (Some(k), _) => k.select(col(keyCol))
+      case (None, Some(d)) => updates.select(col(keyCol))
+        .unionByName(d.select(col(keyCol)))
+      case (None, None) => updates.select(col(keyCol))
     }
-    val touched = bucketed(batchKeys).select(col("__b")).distinct()
+    val touched = bucketed(batchKeys).select(col("__b"))
       .collect().map(_.getInt(0)).toSet
     val standing = touched.toSeq.sorted.flatMap(cur.get) match {
       case Nil => None
@@ -325,12 +337,24 @@ final class SnapshotTable(
     * uses: stage the post-maintenance buckets, audit the would-be
     * table, publish or abort. */
   def stageMerge(updates: DataFrame,
-      deletes: Option[DataFrame]): StagedMerge = {
+      deletes: Option[DataFrame]): StagedMerge =
+    stageMerge(updates, deletes, None)
+
+  /** [[stageMerge]] with a precomputed batch-key relation: `batchKeys`
+    * must contain `keyCol` and cover EXACTLY the keys of
+    * updates ∪ deletes (duplicates fine — both consumers are
+    * duplicate-insensitive). An IVM commit already holds this relation
+    * checkpointed, so passing it spares the stage the join subtree
+    * that re-derives it from `updates` and `deletes` (r19
+    * optimization). */
+  def stageMerge(updates: DataFrame, deletes: Option[DataFrame],
+      batchKeysHint: Option[DataFrame]): StagedMerge = {
     val cur = refs
     require(cur.nonEmpty, s"snapshot table $path not created")
     requireWidening(cur, updates)
     val base = version
-    val (touched, upserted) = upsertPlan(cur, updates, deletes)
+    val (touched, upserted) = upsertPlan(cur, updates, deletes,
+      batchKeysHint)
     val rel = s"staged/s${System.nanoTime()}"
     val stagedRefs = writeDataAt(upserted, rel)
     new StagedMerge(base, cur, touched, rel, stagedRefs, updates.columns)
