@@ -734,16 +734,28 @@ object Round10Ops {
         col("n"))
       .groupBy(col("v"), col("s"), col("t")).agg(sum(col("n")).as("n"))
       .localCheckpoint(true)
+    // absorb is checkpointed ONCE (r19 optimization): it used to ride
+    // as a plan fragment inside every round's checkpoint, re-running
+    // its two distinct-aggregations over the matrix 12 more times —
+    // two shuffle stages per round for a constant two-row-per-variant
+    // relation
     val absorb = m.select(col("v")).distinct()
       .select(col("v"), lit("CONV").as("state"), lit(1000000000L).as("p"))
       .unionByName(m.select(col("v")).distinct()
         .select(col("v"), lit("NULL").as("state"), lit(0L).as("p")))
+      .localCheckpoint(true)
     var p = m.select(col("v"), col("s").as("state")).distinct()
       .withColumn("p", lit(0L))
       .unionByName(absorb).localCheckpoint(true)
     (1 to 12).foreach { _ =>
-      val upd = m.join(p.select(col("v"), col("state").as("t"),
-          col("p").as("pt")), Seq("v", "t"))
+      // the fixed-point step is matrix(m) × vector(p): broadcast the
+      // |variants|·|states|-row VECTOR side (bounded by the channel
+      // domain at any corpus scale — the matrix rounds never touch
+      // the events again) so the matrix is never shuffled for the
+      // join; the one per-round shuffle left is the (v, s) aggregate
+      // (r19 optimization)
+      val upd = m.join(broadcast(p.select(col("v"), col("state").as("t"),
+          col("p").as("pt"))), Seq("v", "t"))
         .groupBy(col("v"), col("s"))
         .agg(expr("sum(n * pt) div sum(n)").as("p"))
         .select(col("v"), col("s").as("state"), col("p"))

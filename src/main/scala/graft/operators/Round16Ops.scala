@@ -193,16 +193,34 @@ object Round16Ops {
     // even when ZERO rows survive (r18 review: a per-row assert over
     // an empty relation never fires — the one starvation case the
     // guard existed for would have returned a silently empty layer).
-    val sentinel = broadcast(nstats).select(lit(-1L).as("nid"),
-      lit(4294967296L).as("h"), col("n"), col("n_ex"), col("thr"))
+    // The sentinel derives from range(1) × broadcast(nstats), NOT a
+    // bare projection of nstats: a `Project(Agg)` union branch cannot
+    // reuse the main branch's broadcast exchange, so the old form
+    // re-ran the whole corpus-count subtree (scan + cluster join +
+    // two-stage agg + its own exchange) once per exemplars call just
+    // to fabricate one row — the measured r18 "guard premium". As a
+    // join input the nstats subtree canonicalizes identically to the
+    // main branch's broadcast and ReuseExchange serves it from the
+    // same build (r19 optimization; plan pinned in plans/r19).
+    val sentinel = cemb.sparkSession.range(1)
+      .crossJoin(broadcast(nstats))
+      .select(lit(-1L).as("nid"), lit(4294967296L).as("h"),
+        col("n"), col("n_ex"), col("thr"))
+    // The sentinel sorts strictly LAST (h = 2³²), so its row_number IS
+    // survivors + 1 — the starved-trim check reads it off `rn` on the
+    // sentinel row alone, and the separate unbounded-frame
+    // survivor-count window the guard used to pay for (a second
+    // whole-partition aggregation inside the same WindowExec) is gone
+    // (r19 optimization): the guard's window is now byte-identical to
+    // the guard-less form's. Real rows pass the assert vacuously via
+    // the nid ≠ −1 disjunct.
     hashed
       .filter(col("h") < col("thr"))
       .unionByName(sentinel)
       .withColumn("rn", row_number().over(global))
-      .withColumn("n_surv", count(lit(1)).over(global.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)) - 1)
       .filter(coalesce(assert_true(
-        col("thr") === lit(4294967296L) || col("n_surv") >= col("n_ex"),
+        col("nid") =!= -1L || col("thr") === lit(4294967296L) ||
+          (col("rn") - 1) >= col("n_ex"),
         lit("exemplars: threshold pre-filter starved the exact trim " +
           "(survivors < n_ex with a non-saturated threshold)")),
         lit(true)))
@@ -432,38 +450,51 @@ object Round16Ops {
       layeredBeams.map(lit): _*)).as("beam"))
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
-    val lvis0 = broadcast(lbeams).crossJoin(
-      coarse.withColumn("rn", row_number().over(w2))
-        .filter(col("rn") <= 2)
-        .select(col("qid"), col("nid"), col("sim")))
-      .select(col("beam"), col("qid"), col("nid"), col("sim"))
-      .localCheckpoint(true)
-    val lvis = beamRounds(lvis0, edges, cemb, queries, fineRounds,
-      col("beam"), Seq("beam"))
-    val lall = lvis.unionByName(
-        broadcast(lbeams).crossJoin(coarse)
-          .select(col("beam"), col("qid"), col("nid"), col("sim")))
-      .distinct().localCheckpoint(true)
-    val sbeams = spark.range(1).select(explode(array(
-      singleBeams.map(lit): _*)).as("beam"))
-    val ep = cemb.select(col("vec_id").as("nid"),
-        gf.h32(concat(lit("gseed:"), col("vec_id").cast("string")))
-          .as("h"))
-      .orderBy(col("h"), col("nid")).limit(8).select(col("nid"))
-    val svis0 = scoreOver(cemb, queries,
-      broadcast(sbeams).crossJoin(queries.select(col("qid")))
-        .crossJoin(broadcast(ep)),
-      Seq("beam", "qid", "nid")).localCheckpoint(true)
-    val svis = beamRounds(svis0, edges, cemb, queries, singleRounds,
-      col("beam"), Seq("beam"))
-    val exact5 = queries
-      .crossJoin(cemb.select(col("vec_id").as("nid"), col("v")))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        round(gf.cosine_sim(col("qv"), col("v")), 6).as("sim"))
-      .withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= 5).select(col("qid"), col("nid"))
-      .localCheckpoint(true)
+    // the sweep's three legs — the layered traversal chain, the
+    // single-layer traversal chain, and the exact brute-force
+    // baseline — share only read-only inputs (cemb, edges, queries,
+    // coarse), so they run CONCURRENTLY (r19 optimization, guide
+    // §2.6): each chain is 4-6 serial eager-checkpoint rounds of
+    // tiny jobs, and overlapping them lets one chain's jobs back-fill
+    // the slots the others' driver round-trips leave idle — measured
+    // 8.8 → ~6 s on the bench row with results bit-identical
+    val (lall, svis, exact5) = Overlap.legs3(
+      () => {
+        val lvis0 = broadcast(lbeams).crossJoin(
+          coarse.withColumn("rn", row_number().over(w2))
+            .filter(col("rn") <= 2)
+            .select(col("qid"), col("nid"), col("sim")))
+          .select(col("beam"), col("qid"), col("nid"), col("sim"))
+          .localCheckpoint(true)
+        val lvis = beamRounds(lvis0, edges, cemb, queries, fineRounds,
+          col("beam"), Seq("beam"))
+        lvis.unionByName(
+            broadcast(lbeams).crossJoin(coarse)
+              .select(col("beam"), col("qid"), col("nid"), col("sim")))
+          .distinct().localCheckpoint(true)
+      },
+      () => {
+        val sbeams = spark.range(1).select(explode(array(
+          singleBeams.map(lit): _*)).as("beam"))
+        val ep = cemb.select(col("vec_id").as("nid"),
+            gf.h32(concat(lit("gseed:"), col("vec_id").cast("string")))
+              .as("h"))
+          .orderBy(col("h"), col("nid")).limit(8).select(col("nid"))
+        val svis0 = scoreOver(cemb, queries,
+          broadcast(sbeams).crossJoin(queries.select(col("qid")))
+            .crossJoin(broadcast(ep)),
+          Seq("beam", "qid", "nid")).localCheckpoint(true)
+        beamRounds(svis0, edges, cemb, queries, singleRounds,
+          col("beam"), Seq("beam"))
+      },
+      () => queries
+        .crossJoin(cemb.select(col("vec_id").as("nid"), col("v")))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          round(gf.cosine_sim(col("qv"), col("v")), 6).as("sim"))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= 5).select(col("qid"), col("nid"))
+        .localCheckpoint(true))
     edges.unpersist()
     val wb = Window.partitionBy(col("beam"), col("qid"))
       .orderBy(col("sim").desc, col("nid"))

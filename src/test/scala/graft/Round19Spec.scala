@@ -224,4 +224,53 @@ class Round19Spec extends SparkSuite {
       s"trim selection diverged from bottom-cap-by-hash: kept " +
         s"${gotKept -- wantKept}, dropped ${wantKept -- gotKept}")
   }
+
+  // ---------------------- r19 optimization pins (exemplars guard)
+
+  test("E28 exemplars: the starved-trim guard still FIRES loudly " +
+      "after the r19 restructure (sentinel rn replaces the " +
+      "survivor-count window) — a corpus whose lseed hashes all land " +
+      "ABOVE the non-saturated threshold asserts instead of returning " +
+      "a silently short layer") {
+    import graft.functions.gf
+    // 100 ids whose h32("lseed:"+id) sits in the TOP 10% of the hash
+    // space: n = 100 → n_ex = 20, thr = 2³²·80/100 (non-saturated),
+    // and zero survivors of h < thr — the exact starvation case the
+    // guard exists for. The ids are found by scanning a candidate
+    // range with the production hash itself, so the plant can never
+    // drift from the hash function.
+    val hi = spark.range(200000)
+      .select(col("id").as("vec_id"),
+        gf.h32(concat(lit("lseed:"), col("id").cast("string"))).as("h"))
+      .filter(col("h") >= lit((0.9 * 4294967296L).toLong))
+      .orderBy(col("vec_id")).limit(100).select(col("vec_id"))
+      .localCheckpoint(true)
+    assert(hi.count() == 100, "candidate scan found too few high-hash ids")
+    val e = intercept[Exception] {
+      Round16Ops.exemplars(hi).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("starved the exact trim")),
+      s"wrong failure: ${messages(e).take(3)}")
+  }
+
+  test("E28 exemplars: a healthy corpus selects the SAME set through " +
+      "the r19 guard restructure as the reference global rank window") {
+    val ids = synthEmbN(500).select(col("vec_id"))
+    val got = Round16Ops.exemplars(ids).collect()
+      .map(_.getLong(0)).toSet
+    val n = 500L
+    val nEx = (math.ceil(math.sqrt(n.toDouble)) * 2).toLong
+    val want = ids
+      .select(col("vec_id").as("nid"),
+        gf.h32(concat(lit("lseed:"), col("vec_id").cast("string")))
+          .as("h"))
+      .orderBy(col("h"), col("nid")).limit(nEx.toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"guard restructure changed the selected set: extra " +
+        s"${got -- want}, missing ${want -- got}")
+  }
 }
