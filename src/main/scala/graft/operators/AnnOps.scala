@@ -1680,13 +1680,31 @@ object AnnOps {
     * MATERIALIZED CTEs and matches bit-for-bit. */
   def embPowerIteration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // repartition to slot parallelism BEFORE the persist (r19
+    // optimization): the corpus parquet reads as 1-3 partitions, so
+    // the d²/2-per-row covariance explode + partial aggregate below —
+    // the query's one compute-bound pass — ran as two ~1.6 s
+    // single-task map jobs with the other 31 slots idle. The
+    // repartition moves only the n×d grid rows once; the quadratic
+    // work then runs at slot parallelism at any scale.
     val q = Tables.embeddings(spark, sfDir)
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("q"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dims and the upper-triangle moment relation are each consumed
+    // by TWO downstream subtrees (d1/d2 broadcasts; the mirror
+    // union), and both derive from the full corpus pass — without
+    // the eager checkpoints each consumer re-ran its own copy of the
+    // d²/2-per-row explode+aggregate concurrently (r19 optimization:
+    // the profile showed the covariance pass computed twice, and
+    // after the repartition above, six 32-task clones of it fighting
+    // for the same slots). Checkpointing the 64-row dims and the
+    // d²/2-row triangle makes the corpus pass run exactly once.
     val dims = q.select(posexplode($"q"))
       .groupBy($"pos").agg(sum($"col").as("s"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // upper triangle (i ≤ j) of the second-moment matrix, mirrored to
     // full form after the C computation (Σqᵢqⱼ is symmetric)
     val tri = q.select(explode(expr(
@@ -1700,9 +1718,9 @@ object AnnOps {
     val d2 = dims.select($"pos".as("j"), $"s".as("s2"))
     val ctri = tri.join(broadcast(d1), "i").join(broadcast(d2), "j")
       .select($"i", $"j", ($"n" * $"sij" - $"s1" * $"s2").as("c"))
+      .localCheckpoint(true)
     val cfull = ctri.unionByName(
       ctri.filter($"j" =!= $"i").select($"j".as("i"), $"i".as("j"), $"c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dm = cfull.agg(
       greatest(lit(1L), lit(1L) + expr("(max(abs(c)) - 1) div 1000000"))
         .as("d"))
